@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed table access for the harness.
+  *
+  * In the reference, inputs are Kafka topics and MySQL tables
+  * (`/root/reference/src/main/java/com/thaihoc/job/InvoiceRequest.java:53-69`,
+  * `source/AsyncInvInSource.java:55`). The harness binds the same logical
+  * pipelines to the driver's deterministic parquet tables (TESTDATA.md);
+  * `graft.streaming.Connectors` binds them to real Kafka/JDBC in streaming
+  * mode. Reads go through `spark.read.parquet` so Catalyst's column pruning
+  * and filter pushdown reach the scan — at 100 TB the scan is the dominant
+  * cost and pruning/pushdown are the first-order optimizations.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
