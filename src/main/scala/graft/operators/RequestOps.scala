@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Request-ingestion operators (reference job 1).
+  *
+  * The reference consumes JSON "invoice packets" from Kafka, explodes the
+  * `inv_pack` array into per-invoice rows, validates/enriches them and
+  * routes failures to a retry queue
+  * (`/root/reference/src/main/java/com/thaihoc/process/request/InvoiceRequestTransformer.java:34-136`).
+  * Here the same operator semantics are expressed as declarative DataFrame
+  * programs over the harness's `events` table: packets are per-user event
+  * groups, elements are JSON strings built from event columns. Everything
+  * stays inside whole-stage codegen (no UDFs): JSON via
+  * `to_json`/`get_json_object`, explode via `posexplode`, validation via
+  * ordered `when` cascades — Catalyst pushes the scan-level pruning and
+  * keeps the explode pipelined with the downstream projection.
+  */
+object RequestOps {
+
+  /** T2 — packet explode with element index
+    * (`InvoiceRequestTransformer.java:34-53`): one row per `inv_pack`
+    * element carrying its position `pos` (feeds `group_id`, T4).
+    *
+    * Packets are rebuilt per `user_id`; `sort_array` over
+    * `struct(event_id, props)` makes element order deterministic (struct
+    * ordering compares field-by-field, so `event_id` dominates). The
+    * groupBy shuffles once on `user_id`; `posexplode` then pipelines —
+    * no second shuffle. At scale the packet build is a map-side-combined
+    * hash aggregation over the natural packet key.
+    */
+  def explode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("props")))).as("inv_pack"))
+      .select(col("user_id"), posexplode(col("inv_pack")).as(Seq("pos", "elem")))
+      .select(
+        col("user_id"),
+        col("pos"),
+        col("elem.event_id").as("event_id"),
+        col("elem.props").as("props"))
+      .orderBy(col("user_id"), col("pos"))
+  }
+
+  /** Synthetic invoice-element JSON built from event columns. Field
+    * placement varies per row so the T3 fallback chains
+    * (`InvoiceRequestTransformer.java:55-96`) are genuinely exercised:
+    *   - sid:    event_id%3==0 → top level; ==1 → nested under inv; ==2 → absent
+    *   - stax:   user_id%3==0  → top level; ==1 → nested under inv; ==2 → absent
+    *   - syncid: present iff event_id%2==0 (absent → defaulted, not rejected)
+    *   - api_type: absent iff event_id%7==6
+    * `to_json` drops null struct fields, so "absent" means absent.
+    */
+  private def withElementJson(ev: DataFrame): DataFrame = {
+    val sidVal = concat(lit("S"), col("event_id"))
+    val staxVal = concat(lit("T"), col("user_id"))
+    val syncVal = concat(lit("Y"), col("event_id"))
+    ev.withColumn("j", to_json(struct(
+      when(col("event_id") % 3 === 0, sidVal).as("sid"),
+      when(col("user_id") % 3 === 0, staxVal).as("stax"),
+      when(col("event_id") % 2 === 0, syncVal).as("syncid"),
+      when(col("event_id") % 7 =!= 6, (lit(10) + col("event_id") % 7).cast("int")).as("api_type"),
+      struct(
+        when(col("event_id") % 3 === 1, sidVal).as("sid"),
+        when(col("user_id") % 3 === 1, staxVal).as("stax")).as("inv"))))
+  }
+
+  /** Extraction with nested fallback, shared by validate/rejects.
+    * Mirrors the probe order of `InvoiceRequestTransformer.java:57-96`:
+    * top-level field first, then `inv.<field>`. */
+  private def extracted(ev: DataFrame): DataFrame =
+    withElementJson(ev)
+      .withColumn("stax", coalesce(
+        get_json_object(col("j"), "$.stax"),
+        get_json_object(col("j"), "$.inv.stax")))
+      .withColumn("sid", coalesce(
+        get_json_object(col("j"), "$.sid"),
+        get_json_object(col("j"), "$.inv.sid")))
+      .withColumn("syncid", get_json_object(col("j"), "$.syncid"))
+      .withColumn("api_type", get_json_object(col("j"), "$.api_type").cast("int"))
+
+  /** T3 (valid branch) — field extraction with nested fallback +
+    * validation (`InvoiceRequestTransformer.java:55-110`). Output is the
+    * rows passing all three required-field checks; `syncid_src` records
+    * whether syncid came from the packet or would be defaulted
+    * (`UUID.randomUUID()` at `:88` — the uuid itself is nondeterministic
+    * so only its provenance is projected, per SURVEY §5.5). */
+  def validate(s: SparkSession, dir: String): DataFrame =
+    extracted(Tables.events(s, dir))
+      .filter(col("stax").isNotNull && col("sid").isNotNull && col("api_type").isNotNull)
+      .select(
+        col("event_id"),
+        col("stax"),
+        col("sid"),
+        when(col("syncid").isNotNull, lit("packet")).otherwise(lit("generated")).as("syncid_src"),
+        col("api_type"))
+      .orderBy(col("event_id"))
+
+  /** T3 (reject branch) — the element-level rejection taxonomy routed to
+    * the retry queue. Error messages and their precedence mirror the
+    * reference's throw order (stax `:65` → sid `:78` → api_type `:95`). */
+  def rejects(s: SparkSession, dir: String): DataFrame =
+    extracted(Tables.events(s, dir))
+      .withColumn("error_message",
+        when(col("stax").isNull, lit("stax is null"))
+          .when(col("sid").isNull, lit("sid is null"))
+          .when(col("api_type").isNull, lit("api_type is null")))
+      .filter(col("error_message").isNotNull)
+      .select(col("event_id"), col("error_message"))
+      .orderBy(col("event_id"))
+
+  /** T4 — derived columns (`InvoiceRequestTransformer.java:101-102`):
+    * `group_id = pos % groupIdBuckets` round-robin bucket from the packet
+    * position. (`created_date = now()` is applied at sink time and is
+    * excluded from oracle-compared output.) */
+  def derive(s: SparkSession, dir: String): DataFrame =
+    explode(s, dir)
+      .withColumn("group_id",
+        pmod(col("pos"), lit(graft.model.InvoiceModel.GroupIdBuckets)).cast("tinyint"))
+      .select(col("user_id"), col("pos"), col("event_id"), col("group_id"))
+      .orderBy(col("user_id"), col("pos"))
+
+  /** T5 — retry re-transform with exponential backoff and max-retry
+    * cutoff (`InvoiceRequestTransformer.java:113-136`). Three-way routing:
+    * retry_count > max → MAX_RETRY (dead-letter); success → DELETE the
+    * claimed row; failure → UPDATE with `next_retry_secs = base · 2^n`
+    * (`:132`) and an incremented count. retry_count/success are derived
+    * deterministically from event columns. */
+  def retryBackoff(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.InvoiceModel.{MaxRetries, RetryBaseSeconds}
+    val ev = Tables.events(s, dir)
+      .withColumn("retry_count", (col("event_id") % 5).cast("tinyint"))
+      .withColumn("succeeds", col("user_id") % 2 === 0)
+    ev.select(
+        col("event_id"),
+        col("retry_count"),
+        when(col("retry_count") > MaxRetries, lit("MAX_RETRY"))
+          .when(col("succeeds"), lit("DELETE"))
+          .otherwise(lit("UPDATE")).as("tag"),
+        when(!col("succeeds") && col("retry_count") <= MaxRetries,
+          (lit(RetryBaseSeconds) * shiftleft(lit(1L), col("retry_count").cast("int"))).cast("long"))
+          .as("next_retry_secs"),
+        when(!col("succeeds") && col("retry_count") <= MaxRetries,
+          (col("retry_count") + 1).cast("tinyint"))
+          .as("new_retry_count"))
+      .orderBy(col("event_id"))
+  }
+}
