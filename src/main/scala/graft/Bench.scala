@@ -10,15 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // (name -> Right(seconds) | Left(errorClass)); a failing query must be
+    // visibly an error, never a plausible-looking timing.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r =
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => s""""$k":$v"""
+      case (k, Left(err)) => s""""$k":"ERROR:$err""""
+    }.mkString("{", ",", "}")
+    val ok = results.collect { case (_, Right(v)) => v }
+    val errors = results.count(_._2.isLeft)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -24,23 +25,22 @@ object RequestOps {
     * (`InvoiceRequestTransformer.java:34-53`): one row per `inv_pack`
     * element carrying its position `pos` (feeds `group_id`, T4).
     *
-    * Packets are rebuilt per `user_id`; `sort_array` over
-    * `struct(event_id, props)` makes element order deterministic (struct
-    * ordering compares field-by-field, so `event_id` dominates). The
-    * groupBy shuffles once on `user_id`; `posexplode` then pipelines —
-    * no second shuffle. At scale the packet build is a map-side-combined
-    * hash aggregation over the natural packet key.
+    * Packets are per-`user_id` groups ordered by `event_id`; the element
+    * index is a `row_number` window, NOT a `collect_list`-then-`posexplode`
+    * round trip. Both shuffle once on `user_id`, but the window streams
+    * each partition with constant memory, while `collect_list` would
+    * materialize every packet as an in-buffer array — an executor OOM
+    * under key skew at 100× scale. `collect_list` is reserved for G4,
+    * where the packet itself is the output.
     */
   def explode(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    ev.groupBy(col("user_id"))
-      .agg(sort_array(collect_list(struct(col("event_id"), col("props")))).as("inv_pack"))
-      .select(col("user_id"), posexplode(col("inv_pack")).as(Seq("pos", "elem")))
-      .select(
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    ev.select(
         col("user_id"),
-        col("pos"),
-        col("elem.event_id").as("event_id"),
-        col("elem.props").as("props"))
+        (row_number().over(byUser) - 1).as("pos"),
+        col("event_id"),
+        col("props"))
       .orderBy(col("user_id"), col("pos"))
   }
 
@@ -140,11 +140,66 @@ object RequestOps {
           .when(col("succeeds"), lit("DELETE"))
           .otherwise(lit("UPDATE")).as("tag"),
         when(!col("succeeds") && col("retry_count") <= MaxRetries,
-          (lit(RetryBaseSeconds) * shiftleft(lit(1L), col("retry_count").cast("int"))).cast("long"))
+          (lit(RetryBaseSeconds) * pow(lit(2.0), col("retry_count"))).cast("long"))
           .as("next_retry_secs"),
         when(!col("succeeds") && col("retry_count") <= MaxRetries,
           (col("retry_count") + 1).cast("tinyint"))
           .as("new_retry_count"))
       .orderBy(col("event_id"))
   }
+
+  /** Registry — driver contract (SparkEntry). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t2_explode" -> (explode _),
+    "t3_validate" -> (validate _),
+    "t3_rejects" -> (rejects _),
+    "t4_derive" -> (derive _),
+    "t5_retry_backoff" -> (retryBackoff _))
+
+  /** DuckDB oracles. The element JSON in [[withElementJson]] is built
+    * Spark-side from deterministic event-column arithmetic, so the oracle
+    * states the *post-extraction* values directly from the same
+    * arithmetic — a stronger check than re-parsing JSON on both sides
+    * (any Spark-side JSON bug shows up as a value mismatch). */
+  val oracles: Map[String, String] = Map(
+    "t2_explode" ->
+      """SELECT user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos,
+        |       event_id, props
+        |FROM events ORDER BY user_id, pos""".stripMargin,
+    "t3_validate" ->
+      """SELECT event_id,
+        |       'T' || CAST(user_id AS VARCHAR) AS stax,
+        |       'S' || CAST(event_id AS VARCHAR) AS sid,
+        |       CASE WHEN event_id % 2 = 0 THEN 'packet' ELSE 'generated' END AS syncid_src,
+        |       CAST(10 + event_id % 7 AS INT) AS api_type
+        |FROM events
+        |WHERE user_id % 3 <= 1 AND event_id % 3 <= 1 AND event_id % 7 <> 6
+        |ORDER BY event_id""".stripMargin,
+    "t3_rejects" ->
+      """SELECT event_id,
+        |       CASE WHEN user_id % 3 = 2 THEN 'stax is null'
+        |            WHEN event_id % 3 = 2 THEN 'sid is null'
+        |            ELSE 'api_type is null' END AS error_message
+        |FROM events
+        |WHERE user_id % 3 = 2 OR event_id % 3 = 2 OR event_id % 7 = 6
+        |ORDER BY event_id""".stripMargin,
+    "t4_derive" ->
+      """SELECT user_id, pos, event_id, CAST(pos % 5 AS TINYINT) AS group_id
+        |FROM (SELECT user_id,
+        |             CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS INT) AS pos,
+        |             event_id
+        |      FROM events)
+        |ORDER BY user_id, pos""".stripMargin,
+    "t5_retry_backoff" ->
+      """SELECT event_id,
+        |       CAST(event_id % 5 AS TINYINT) AS retry_count,
+        |       CASE WHEN event_id % 5 > 3 THEN 'MAX_RETRY'
+        |            WHEN user_id % 2 = 0 THEN 'DELETE'
+        |            ELSE 'UPDATE' END AS tag,
+        |       CASE WHEN user_id % 2 <> 0 AND event_id % 5 <= 3
+        |            THEN CAST(10 * power(2, event_id % 5) AS BIGINT) END AS next_retry_secs,
+        |       CAST(CASE WHEN user_id % 2 <> 0 AND event_id % 5 <= 3
+        |            THEN event_id % 5 + 1 END AS TINYINT) AS new_retry_count
+        |FROM events ORDER BY event_id""".stripMargin)
 }

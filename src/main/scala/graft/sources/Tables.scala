@@ -18,8 +18,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    // rejects by default; read nanos as long (callers convert with
+    // timestamp_micros(ts/1000) when they need wall-clock semantics).
+    // Set here — not in the session builders — so the driver's own session
+    // (which smoke-runs SparkEntry.entry) gets it too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
