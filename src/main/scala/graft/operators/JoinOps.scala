@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Common.dsum
+
+/** Capability joins + sort/limit (SURVEY §2.6-2.7).
+  *
+  * The reference has no in-engine join — request↔response correlation
+  * happens through the shared MySQL `async_inv_in` table (written at
+  * `/root/reference/src/main/java/com/thaihoc/job/InvoiceRequest.java:118-157`,
+  * read back at `source/AsyncInvInSource.java:55`). "Same capabilities"
+  * requires expressing that lineage as a query, so the rebuild ships the
+  * sid/syncid equi-join plus a broadcast-dimension variant.
+  *
+  * Scale notes: [[sidSyncidJoin]] is a large-large join → sort-merge on
+  * the join keys, one shuffle per side, no driver involvement — this is
+  * the plan that survives 100×. [[dimBroadcast]] keeps the fact-table scan
+  * shuffle-free: dims are broadcast (`broadcast()` hint), so the only
+  * shuffle is the final aggregation's — with map-side partial aggregation
+  * the exchange carries one row per (nation, partition), not per order.
+  */
+object JoinOps {
+
+  /** J1 — request ⋈ response on (sid, syncid)
+    * (SURVEY §2.6; key fields extracted per
+    * `InvoiceRequestTransformer.java:67-89`). Both sides derive from
+    * `events` the way the staging tables derive from the request stream:
+    * requests are every 3rd event, responses every 2nd, so matches are
+    * exactly the event_id % 6 == 0 rows. */
+  def sidSyncidJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val reqs = ev.filter(col("event_id") % 3 === 0)
+      .select(
+        concat(lit("S"), col("event_id")).as("sid"),
+        concat(lit("Y"), col("event_id")).as("syncid"),
+        col("event_id").as("req_id"),
+        (lit(10) + col("event_id") % 5).cast("int").as("api_type"))
+    val resps = ev.filter(col("event_id") % 2 === 0)
+      .select(
+        concat(lit("S"), col("event_id")).as("sid"),
+        concat(lit("Y"), col("event_id")).as("syncid"),
+        concat(lit("R"), col("user_id")).as("res_code"))
+    reqs.join(resps, Seq("sid", "syncid"), "inner")
+      .select(col("sid"), col("syncid"), col("req_id"), col("api_type"),
+        col("res_code"))
+      .orderBy(col("req_id"))
+  }
+
+  /** Broadcast-dimension join: orders ⋈ customer ⋈ nation, revenue by
+    * nation. The dims (customer/nation at harness scale; nation/region
+    * at 100 TB — broadcast whatever fits executor memory) go through
+    * `broadcast()` so the orders scan never shuffles before the agg. */
+  def dimBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val customer = Tables.customer(s, dir)
+    val nation = Tables.nation(s, dir)
+    val dim = customer.join(broadcast(nation),
+      col("c_nationkey") === col("n_nationkey"))
+    orders.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("orders_cnt"))
+      .orderBy(col("n_name"))
+  }
+
+  /** W1 — sort + limit / top-k (`AsyncInvInSource.java:55` `ORDER BY id
+    * ASC LIMIT n` shape, stated as a standalone capability). Plans as
+    * `TakeOrderedAndProject`: per-partition top-k, driver merges k·p rows
+    * — never a global sort. */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_sid_syncid" -> (sidSyncidJoin _),
+    "j2_dim_broadcast" -> (dimBroadcast _),
+    "w1_topk" -> (topK _))
+
+  val oracles: Map[String, String] = Map(
+    "j1_sid_syncid" ->
+      """SELECT 'S' || CAST(r.event_id AS VARCHAR) AS sid,
+        |       'Y' || CAST(r.event_id AS VARCHAR) AS syncid,
+        |       r.event_id AS req_id,
+        |       CAST(10 + r.event_id % 5 AS INT) AS api_type,
+        |       'R' || CAST(p.user_id AS VARCHAR) AS res_code
+        |FROM events r JOIN events p ON r.event_id = p.event_id
+        |WHERE r.event_id % 3 = 0 AND p.event_id % 2 = 0
+        |ORDER BY req_id""".stripMargin,
+    "j2_dim_broadcast" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS orders_cnt
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "w1_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+}

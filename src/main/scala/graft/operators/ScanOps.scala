@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Incremental scans, bootstraps and unions (reference §2.1 S2-S5, §2.4
+  * U1/U2).
+  *
+  * The reference polls MySQL with pushed-down predicates
+  * (`/root/reference/src/main/java/com/thaihoc/source/AsyncInvInSource.java:55`:
+  * `WHERE res_type = 2 AND state = 4 AND id > ? ORDER BY id ASC LIMIT n`).
+  * Here the same scan shapes run over the harness `events` table; the
+  * watermark `id > ?` is a parameter in streaming mode and a fixed literal
+  * in the oracle-checked batch form. Every predicate is a plain column
+  * comparison so Catalyst pushes it into the parquet scan (PushedFilters)
+  * and the `orderBy(...).limit(n)` plans as `TakeOrderedAndProject` — no
+  * global sort, no full-table materialization. At 100 TB these scans read
+  * only the matching row groups (min/max pruning on `event_id`) and ship
+  * `n` rows per executor to the driver-side top-n merge.
+  */
+object ScanOps {
+
+  /** Harness events with wall-clock `ts` (the raw column arrives as
+    * nanos-since-epoch LongType, see Tables.table; `div 1000` keeps the
+    * arithmetic integral — a double division would lose precision above
+    * 2^53 ns). */
+  def eventsTs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** S2 — incremental scan of `async_inv_in`
+    * (`AsyncInvInSource.java:55`): two equality predicates + id
+    * high-watermark, ordered, limited. */
+  def scanIn(s: SparkSession, dir: String): DataFrame =
+    eventsTs(s, dir)
+      .filter(col("event_type") === "click" && col("user_id") % 4 === 0 &&
+        col("event_id") > 3000)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("ts"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+
+  /** S3 — twin scan of `async_inv_out` (`AsyncInvOutSource.java:55`,
+    * predicate `res_type = 2 AND state = 0`). */
+  def scanOut(s: SparkSession, dir: String): DataFrame =
+    eventsTs(s, dir)
+      .filter(col("event_type") === "view" && col("user_id") % 4 === 1 &&
+        col("event_id") > 1000)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("ts"))
+      .orderBy(col("event_id"))
+      .limit(2000)
+
+  /** S4 — retry-queue poll + claim
+    * (`InvoiceRetrySource.java:48`: `state='PENDING' AND next_retry_time
+    * <= CURRENT_TIMESTAMP AND job = ? ORDER BY next_retry_time LIMIT ?`).
+    * The claim UPDATE is a sink-side transaction; the scan projects the
+    * post-claim state (`:76-88`). `event_id` tiebreaks the order for
+    * determinism (the reference relies on MySQL's arbitrary tie order). */
+  def retryClaim(s: SparkSession, dir: String): DataFrame =
+    eventsTs(s, dir)
+      .filter(col("event_type") === "error" && col("user_id") % 5 === 2 &&
+        col("ts") <= to_timestamp(lit("2024-01-15 00:00:00")))
+      .select(col("event_id"), col("user_id"), col("ts").as("next_retry_time"),
+        lit("PROCESSING").as("claimed_state"))
+      .orderBy(col("next_retry_time"), col("event_id"))
+      .limit(100)
+
+  /** S5/G5 — max-id bootstrap (`AsyncInvInSource.java:39-49`):
+    * `COALESCE(MAX(id), 0)` under the scan predicate. */
+  def maxId(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("user_id") % 4 === 2)
+      .agg(coalesce(max(col("event_id")), lit(0L)).as("max_id"))
+
+  /** U1 — 6-way union (`job/InvoiceRequest.java:80-85`): five Kafka
+    * topics + the retry stream, merged via `unionByName` with
+    * missing-column fill (the retry branch carries `retry_count`; the
+    * topic branches don't — Spark supersedes the reference's
+    * type-erase-to-Object trick, T1). */
+  def union6(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val topics = Seq("click", "view", "error", "purchase", "signup").map { t =>
+      ev.filter(col("event_type") === t)
+        .select(col("event_id"), concat(lit("topic_"), lit(t)).as("source_topic"))
+    }
+    val retry = ev.filter(col("event_type") === "error" && col("user_id") % 5 === 2)
+      .select(col("event_id"), lit("retry_queue").as("source_topic"),
+        (col("event_id") % 5).cast("tinyint").as("retry_count"))
+    topics.reduce(_ unionByName _)
+      .unionByName(retry, allowMissingColumns = true)
+      .orderBy(col("source_topic"), col("event_id"))
+  }
+
+  /** U2 — side-output union (`job/InvoiceRequest.java:96-98`): the three
+    * retry tags from T5 are split into per-tag branches (each bound for a
+    * different DML in sink K2) and re-merged before the single retry
+    * sink. The filter-split + union round trip is the point of the
+    * operator — the oracle states the equivalent single-pass CASE. */
+  def sideUnion(s: SparkSession, dir: String): DataFrame = {
+    val t5 = RequestOps.retryBackoff(s, dir)
+    def branch(tag: String, sinkTable: String) =
+      t5.filter(col("tag") === tag)
+        .select(col("event_id"), col("tag"), lit(sinkTable).as("sink_table"))
+    branch("UPDATE", "invoice_retry")
+      .unionByName(branch("DELETE", "invoice_retry"))
+      .unionByName(branch("MAX_RETRY", "invoice_error_log"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_scan_in" -> (scanIn _),
+    "s3_scan_out" -> (scanOut _),
+    "s4_retry_claim" -> (retryClaim _),
+    "s5_max_id" -> (maxId _),
+    "u1_union6" -> (union6 _),
+    "u2_side_union" -> (sideUnion _))
+
+  val oracles: Map[String, String] = Map(
+    "s2_scan_in" ->
+      """SELECT event_id, user_id, event_type, value, props, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE event_type = 'click' AND user_id % 4 = 0 AND event_id > 3000
+        |ORDER BY event_id LIMIT 2000""".stripMargin,
+    "s3_scan_out" ->
+      """SELECT event_id, user_id, event_type, value, props, CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |WHERE event_type = 'view' AND user_id % 4 = 1 AND event_id > 1000
+        |ORDER BY event_id LIMIT 2000""".stripMargin,
+    "s4_retry_claim" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS next_retry_time,
+        |       'PROCESSING' AS claimed_state
+        |FROM events
+        |WHERE event_type = 'error' AND user_id % 5 = 2
+        |  AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY next_retry_time, event_id LIMIT 100""".stripMargin,
+    "s5_max_id" ->
+      """SELECT CAST(coalesce(max(event_id), 0) AS BIGINT) AS max_id
+        |FROM events
+        |WHERE event_type = 'purchase' AND user_id % 4 = 2""".stripMargin,
+    "u1_union6" ->
+      """SELECT event_id, 'topic_' || event_type AS source_topic,
+        |       CAST(NULL AS TINYINT) AS retry_count
+        |FROM events
+        |UNION ALL
+        |SELECT event_id, 'retry_queue' AS source_topic,
+        |       CAST(event_id % 5 AS TINYINT) AS retry_count
+        |FROM events WHERE event_type = 'error' AND user_id % 5 = 2
+        |ORDER BY source_topic, event_id""".stripMargin,
+    "u2_side_union" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 5 > 3 THEN 'MAX_RETRY'
+        |            WHEN user_id % 2 = 0 THEN 'DELETE'
+        |            ELSE 'UPDATE' END AS tag,
+        |       CASE WHEN event_id % 5 > 3 THEN 'invoice_error_log'
+        |            ELSE 'invoice_retry' END AS sink_table
+        |FROM events ORDER BY event_id""".stripMargin)
+}
