@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column operators (builder brief; no reference analog).
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct alongside — the 100 TB design keeps bytes and metadata in one
+  * row so a scan that only needs metadata prunes the (huge) binary
+  * column away for free, while decode stages read both. The harness has
+  * no image/audio libraries, so the DECODE step is a clearly-marked
+  * deterministic STUB ([[StubCodec]]); everything around it — schema,
+  * batch iteration shape, partition-parallel execution, typed Encoders —
+  * is real and tested.
+  *
+  * The synthetic media table derives from `events`: `props` bytes play
+  * the payload, `event_type` picks the modality, frame counts come from
+  * event arithmetic — deterministic on both engines.
+  */
+object MultimodalOps {
+
+  /** Fixed sampling stride for [[frameSample]] (one frame per second of
+    * 30 fps video). */
+  val FrameStep = 30
+
+  /** Synthetic media table: one row per event.
+    *   - kind:  click→image, view→video, else audio
+    *   - payload: UTF-8 bytes of `props` (opaque binary stand-in)
+    *   - n_frames: video length proxy, 1 + event_id % 240
+    */
+  def media(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id").as("media_id"),
+      when(col("event_type") === "click", lit("image"))
+        .when(col("event_type") === "view", lit("video"))
+        .otherwise(lit("audio")).as("kind"),
+      encode(col("props"), "UTF-8").as("payload"),
+      struct(
+        (lit(1) + col("event_id") % 240).cast("int").as("n_frames"),
+        (col("event_id") % 1000).cast("int").as("width"),
+        (col("event_id") % 800).cast("int").as("height")).as("meta"))
+
+  /** M1 — metadata projection over binary payloads: byte length and a
+    * content digest, no decode. Catalyst prunes `payload` reads down to
+    * this projection — the metadata-only scan pattern. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).select(
+      col("media_id"), col("kind"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("digest"),
+      col("meta.n_frames").as("n_frames"))
+      .orderBy(col("media_id"))
+
+  /** M2 — frame sampling: videos explode to one row per sampled frame
+    * index (stride [[FrameStep]]) — the shape a frame-extract UDF stage
+    * consumes. Narrow (generator, no shuffle). */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.n_frames").as("n_frames"),
+        posexplode(sequence(lit(0), col("meta.n_frames") - 1, lit(FrameStep))))
+      .select(col("media_id"), col("n_frames"), col("pos").as("sample_seq"),
+        col("col").as("frame_idx"))
+      .orderBy(col("media_id"), col("sample_seq"))
+
+  /** One decoded-media feature row (what a real image/audio decoder
+    * would emit per payload). */
+  case class MediaFeature(
+      media_id: Long, kind: String, n_bytes: Int, checksum: Long,
+      feature: Array[Float])
+
+  /** Decode interface. Real deployments plug an image/audio codec in;
+    * the harness container has none, so [[StubCodec]] stands in. */
+  trait MediaCodec extends Serializable {
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeature
+  }
+
+  /** STUB: deterministic fake decode — byte sum as checksum, first 4
+    * bytes scaled to [0,1) as the "feature vector". Replace with a real
+    * codec (JavaCV / TwelveMonkeys / soundlibs) outside the harness. */
+  object StubCodec extends MediaCodec {
+    def decode(mediaId: Long, kind: String, payload: Array[Byte]): MediaFeature = {
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+      val feat = payload.take(4).map(b => (b & 0xff) / 256.0f)
+      MediaFeature(mediaId, kind, payload.length, sum, feat)
+    }
+  }
+
+  /** M3 — partition-parallel decode: the Spark-side plumbing for a
+    * decode/feature-extract stage. `mapPartitions` keeps one codec
+    * instance per partition (real codecs are expensive to init) and
+    * streams rows through it — the Scala analog of a batched Pandas-UDF
+    * stage; swap [[StubCodec]] via the `codec` parameter. */
+  def decodeFeatures(s: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeature] = {
+    import s.implicits._
+    media(s, dir)
+      .select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val c = codec // one instance per partition
+        it.map { case (id, kind, bytes) => c.decode(id, kind, bytes) }
+      }
+  }
+
+  /** M3 as a registered query (rows-only check: mapPartitions output is
+    * not SQL-expressible, so no oracle entry — but checksum/length ARE
+    * deterministic, and the unit spec pins them). */
+  def decodeStub(s: SparkSession, dir: String): DataFrame =
+    decodeFeatures(s, dir).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+      .orderBy(col("media_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_media_meta" -> (mediaMeta _),
+    "m2_frame_sample" -> (frameSample _),
+    "m3_decode_stub" -> ((s, d) => decodeStub(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "m1_media_meta" ->
+      """SELECT event_id AS media_id,
+        |       CASE WHEN event_type = 'click' THEN 'image'
+        |            WHEN event_type = 'view' THEN 'video'
+        |            ELSE 'audio' END AS kind,
+        |       CAST(octet_length(encode(props)) AS INT) AS n_bytes,
+        |       md5(props) AS digest,
+        |       CAST(1 + event_id % 240 AS INT) AS n_frames
+        |FROM events ORDER BY media_id""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT media_id, n_frames,
+        |       CAST(u.f // 30 AS INT) AS sample_seq,
+        |       CAST(u.f AS INT) AS frame_idx
+        |FROM (SELECT event_id AS media_id, CAST(1 + event_id % 240 AS INT) AS n_frames
+        |      FROM events WHERE event_type = 'view') v,
+        |     unnest(generate_series(0, v.n_frames - 1, 30)) AS u(f)
+        |ORDER BY media_id, sample_seq""".stripMargin,
+    // props is ASCII JSON, so the stub's byte sum equals the sum of
+    // per-char ascii codes (octet_length == length for ASCII).
+    "m3_decode_stub" ->
+      """SELECT event_id AS media_id,
+        |       CASE WHEN event_type = 'click' THEN 'image'
+        |            WHEN event_type = 'view' THEN 'video'
+        |            ELSE 'audio' END AS kind,
+        |       CAST(octet_length(encode(props)) AS INT) AS n_bytes,
+        |       list_reduce(list_transform(string_split(props, ''),
+        |         c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) AS checksum
+        |FROM events ORDER BY media_id""".stripMargin)
+}

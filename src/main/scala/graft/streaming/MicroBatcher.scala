@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** G2 — the reference's one genuinely stateful operator: per-key
+  * count-OR-timeout micro-batching
+  * (`/root/reference/src/main/java/com/thaihoc/process/response/InvoiceResponseBatchProcessor.java:26-316`:
+  * flush when the buffer reaches `batchSize` (`:130-140`) OR when a
+  * processing-time timer fires `batchTimeoutMs` after the first buffered
+  * record (`:158-183`)). Restated Spark-first as
+  * `flatMapGroupsWithState(Append, ProcessingTimeTimeout)`:
+  *
+  *   - count path: every input burst drains the buffer in `batchSize`
+  *     chunks — full packets emit immediately, matching `:130-140`.
+  *   - timeout path: the remainder waits; `GroupState.setTimeoutDuration`
+  *     re-arms each call, and `hasTimedOut` flushes it — matching the
+  *     timer flush at `:158-183`.
+  *   - G3 dedup (`:110-121`): the reference keeps an UNBOUNDED seen-set
+  *     per key (a leak it never evicts). Here dedup state is the
+  *     record-keys of the CURRENT buffer only, dropped on flush — within-
+  *     batch idempotence with bounded state; cross-batch idempotence
+  *     belongs to `dropDuplicatesWithinWatermark` upstream.
+  *
+  * Scale notes: state per key is ≤ batchSize buffered rows — bounded by
+  * construction, no skew hazard from the ≤6-value api_type key domain
+  * beyond the parallelism cap the reference has too (SURVEY §3.2); salt
+  * the key with `pmod(hash(sid), k)` to widen it (the reference never
+  * guaranteed cross-subtask batch composition either, SURVEY §7.2).
+  *
+  * Not DuckDB-expressible (processing-time); the deterministic batch
+  * restatement is `ResponseOps.batchBuckets` / `packets` — this class is
+  * exercised by MicroBatcherSpec via MemoryStream.
+  */
+object MicroBatcher {
+
+  /** One buffered record: (recordKey for dedup, payload). */
+  case class Rec(apiType: Int, recordKey: String, payload: String)
+
+  /** Emitted packet: flush reason ∈ {count, timeout}. */
+  case class Packet(apiType: Int, seq: Long, size: Int,
+      items: Seq[String], reason: String)
+
+  /** Buffer carried in GroupState: pending rows + per-key packet
+    * sequence counter + keys of the rows currently buffered. */
+  case class Buf(pending: List[Rec], seq: Long, seenKeys: Set[String])
+
+  def apply(ds: Dataset[Rec], batchSize: Int, timeoutMs: Long): Dataset[Packet] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.apiType)
+      .flatMapGroupsWithState[Buf, Packet](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: Int, rows: Iterator[Rec], state: GroupState[Buf]) =>
+          val prior = state.getOption.getOrElse(Buf(Nil, 0L, Set.empty))
+          if (state.hasTimedOut) {
+            // timer flush (`InvoiceResponseBatchProcessor.java:158-183`)
+            state.remove()
+            if (prior.pending.isEmpty) Iterator.empty
+            else Iterator.single(Packet(key, prior.seq, prior.pending.size,
+              prior.pending.map(_.payload), "timeout"))
+          } else {
+            // dedup new rows against the current buffer (G3, `:110-121`)
+            val fresh = rows.filterNot(r => prior.seenKeys(r.recordKey))
+              .toList.distinctBy(_.recordKey)
+            val all = prior.pending ++ fresh
+            // count path: drain full packets (`:130-140`)
+            val (full, rest) = (all.grouped(batchSize).toList
+              .partition(_.size == batchSize))
+            val packets = full.zipWithIndex.map { case (chunk, i) =>
+              Packet(key, prior.seq + i, chunk.size, chunk.map(_.payload), "count")
+            }
+            val nextSeq = prior.seq + full.size
+            val remainder = rest.flatten
+            if (remainder.isEmpty) state.remove()
+            else {
+              state.update(Buf(remainder, nextSeq,
+                remainder.map(_.recordKey).toSet))
+              state.setTimeoutDuration(timeoutMs)
+            }
+            packets.iterator
+          }
+      }
+  }
+}

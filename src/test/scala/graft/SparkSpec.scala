@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session — specs
+  * run in one forked JVM, so `getOrCreate` dedupes). sf0.001 is the
+  * fixture scale: large enough to exercise every branch (the synthetic
+  * derivations in the operators key off event/doc arithmetic), small
+  * enough for sub-second queries. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val Sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = {
+    // keep the session for other suites; SBT tears the JVM down
+    super.afterAll()
+  }
+}
