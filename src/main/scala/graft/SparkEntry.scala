@@ -18,13 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RequestOps.queries ++ ScanOps.queries ++ JoinOps.queries ++
-      ResponseOps.queries ++ TextOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ MultimodalOps.queries
+      ResponseOps.queries ++ RetryOps.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RequestOps.oracles ++ ScanOps.oracles ++ JoinOps.oracles ++
-      ResponseOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
-      SimilarityOps.oracles ++ MultimodalOps.oracles
+      ResponseOps.oracles ++ RetryOps.oracles ++ TextOps.oracles ++
+      DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles
 }

@@ -125,9 +125,13 @@ object RequestOps {
   /** T5 — retry re-transform with exponential backoff and max-retry
     * cutoff (`InvoiceRequestTransformer.java:113-136`). Three-way routing:
     * retry_count > max → MAX_RETRY (dead-letter); success → DELETE the
-    * claimed row; failure → UPDATE with `next_retry_secs = base · 2^n`
-    * (`:132`) and an incremented count. retry_count/success are derived
-    * deterministically from event columns. */
+    * claimed row; failure → UPDATE with an incremented count and
+    * `next_retry_secs = base · 2^(n+1)` — the reference increments
+    * `retry_count` BEFORE applying `Math.pow(2, retry_count)`
+    * (`:128-133`), so a record failing at stored count n waits
+    * base·2^(n+1) (20/40/80/160 s for n = 0..3 at the 10 s base).
+    * retry_count/success are derived deterministically from event
+    * columns. */
   def retryBackoff(s: SparkSession, dir: String): DataFrame = {
     import graft.model.InvoiceModel.{MaxRetries, RetryBaseSeconds}
     val ev = Tables.events(s, dir)
@@ -140,7 +144,7 @@ object RequestOps {
           .when(col("succeeds"), lit("DELETE"))
           .otherwise(lit("UPDATE")).as("tag"),
         when(!col("succeeds") && col("retry_count") <= MaxRetries,
-          (lit(RetryBaseSeconds) * pow(lit(2.0), col("retry_count"))).cast("long"))
+          (lit(RetryBaseSeconds) * pow(lit(2.0), col("retry_count") + 1)).cast("long"))
           .as("next_retry_secs"),
         when(!col("succeeds") && col("retry_count") <= MaxRetries,
           (col("retry_count") + 1).cast("tinyint"))
@@ -198,7 +202,7 @@ object RequestOps {
         |            WHEN user_id % 2 = 0 THEN 'DELETE'
         |            ELSE 'UPDATE' END AS tag,
         |       CASE WHEN user_id % 2 <> 0 AND event_id % 5 <= 3
-        |            THEN CAST(10 * power(2, event_id % 5) AS BIGINT) END AS next_retry_secs,
+        |            THEN CAST(10 * power(2, event_id % 5 + 1) AS BIGINT) END AS next_retry_secs,
         |       CAST(CASE WHEN user_id % 2 <> 0 AND event_id % 5 <= 3
         |            THEN event_id % 5 + 1 END AS TINYINT) AS new_retry_count
         |FROM events ORDER BY event_id""".stripMargin)

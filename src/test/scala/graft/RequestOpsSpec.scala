@@ -30,12 +30,14 @@ class RequestOpsSpec extends SparkSpec {
       col("error_message") =!= "stax is null").count() === 0)
   }
 
-  test("T5 backoff: UPDATE rows follow the 10·2^n schedule, capped at max retries") {
+  test("T5 backoff: UPDATE rows follow the 10·2^(n+1) schedule, capped at max retries") {
+    // the reference increments retry_count BEFORE pow(2, retry_count)
+    // (InvoiceRequestTransformer.java:128-133): stored count n → 2^(n+1)
     val df = RequestOps.retryBackoff(spark, Sf).cache()
     val sched = df.filter(col("tag") === "UPDATE")
       .select("retry_count", "next_retry_secs").distinct()
       .collect().map(r => r.getByte(0).toInt -> r.getLong(1)).toMap
-    assert(sched === Map(0 -> 10L, 1 -> 20L, 2 -> 40L, 3 -> 80L))
+    assert(sched === Map(0 -> 20L, 1 -> 40L, 2 -> 80L, 3 -> 160L))
     // MAX_RETRY iff retry_count > 3; dead-lettered rows carry no backoff
     assert(df.filter(col("retry_count") > 3 && col("tag") =!= "MAX_RETRY").count() === 0)
     assert(df.filter(col("tag") === "MAX_RETRY" &&
