@@ -55,10 +55,15 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Per-doc distinct word-bigram set (the shingle universe for D2/D4). */
+  /** Per-doc distinct word-bigram set (the shingle universe for D2/D4).
+    * The `repartition` spreads the CPU-dense tokenize+shingle+md5 stage
+    * across cores — the harness parquet is one row group (one scan
+    * partition); at production scale input splits already provide this
+    * and the repartition is a sizing knob. */
   private def withBigrams(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 2)).as("bg"))
+    df.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 2)).as("bg"))
 
   /** D2 — MinHash + LSH near-dedup with exact-Jaccard verification:
     * shingle → minhash → band signatures → bucket join → verify. Output
@@ -66,11 +71,18 @@ object DedupOps {
     * integer near-dup flag. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bg = withBigrams(Tables.documents(s, dir))
+    // One signature row per doc, materialized ONCE: the self-join and the
+    // two verify-side lookups below would otherwise re-run the
+    // shingle+md5+minhash pipeline (its dominant cost) up to 4×. At
+    // 100 TB this persist becomes a written signature table — the
+    // standard LSH-pipeline checkpoint — with identical plan shape.
     val withMh = bg.withColumn("hs", transform(col("bg"), sh => tokHash(sh)))
       .select(col("doc_id") +: col("bg") +:
         MinHashAB.zipWithIndex.map { case ((a, b), j) =>
           array_min(transform(col("hs"), h => (h * a + b) % HashMod)).as(s"mh$j")
         }: _*)
+      .persist()
+    val bgKept = withMh.select(col("doc_id"), col("bg"))
     val sigs = withMh.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bnd =>
         col(s"mh${2 * bnd}") * HashMod + col(s"mh${2 * bnd + 1}")): _*)))
@@ -82,8 +94,8 @@ object DedupOps {
       .distinct()
     val inter = size(array_intersect(col("ba.bg"), col("bb.bg")))
     val uni = size(col("ba.bg")) + size(col("bb.bg")) - inter
-    cand.join(bg.as("ba"), col("a") === col("ba.doc_id"))
-      .join(bg.as("bb"), col("b") === col("bb.doc_id"))
+    cand.join(bgKept.as("ba"), col("a") === col("ba.doc_id"))
+      .join(bgKept.as("bb"), col("b") === col("bb.doc_id"))
       .select(col("a"), col("b"),
         inter.cast("long").as("inter_cnt"),
         uni.cast("long").as("union_cnt"),

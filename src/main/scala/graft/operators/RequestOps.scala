@@ -69,17 +69,35 @@ object RequestOps {
 
   /** Extraction with nested fallback, shared by validate/rejects.
     * Mirrors the probe order of `InvoiceRequestTransformer.java:57-96`:
-    * top-level field first, then `inv.<field>`. */
-  private def extracted(ev: DataFrame): DataFrame =
-    withElementJson(ev)
-      .withColumn("stax", coalesce(
-        get_json_object(col("j"), "$.stax"),
-        get_json_object(col("j"), "$.inv.stax")))
-      .withColumn("sid", coalesce(
-        get_json_object(col("j"), "$.sid"),
-        get_json_object(col("j"), "$.inv.sid")))
-      .withColumn("syncid", get_json_object(col("j"), "$.syncid"))
-      .withColumn("api_type", get_json_object(col("j"), "$.api_type").cast("int"))
+    * top-level field first, then `inv.<field>`.
+    *
+    * The element parses ONCE via `from_json` with the explicit
+    * [[graft.model.InvoiceModel.packElementSchema]]; the fallback chains
+    * are struct-field coalesces over the parsed row. Four separate
+    * `get_json_object` probes would re-parse the string per probe.
+    *
+    * The projection is then `persist()`ed — the Spark analog of the
+    * reference materializing parsed records into the staging table.
+    * Without the materialization boundary, Catalyst pushes the
+    * validity filter BELOW this projection and substitutes the full
+    * serialize+parse round trip into each of its five predicate legs
+    * (6-7 JSON round trips per row, observed in the formatted plan);
+    * with it, validate/rejects/k2 all filter cheap materialized
+    * columns. The `repartition` spreads the parse across cores — the
+    * harness parquet is a single row group, so the scan alone yields
+    * one partition; at production scale input splits make it a no-op
+    * sizing knob. */
+  private def extracted(s: SparkSession, dir: String): DataFrame =
+    withElementJson(
+        Tables.events(s, dir).repartition(col("event_id")))
+      .withColumn("e", from_json(col("j"), graft.model.InvoiceModel.packElementSchema))
+      .select(
+        col("event_id"),
+        coalesce(col("e.stax"), col("e.inv.stax")).as("stax"),
+        coalesce(col("e.sid"), col("e.inv.sid")).as("sid"),
+        col("e.syncid").as("syncid"),
+        col("e.api_type").as("api_type"))
+      .persist()
 
   /** T3 (valid branch) — field extraction with nested fallback +
     * validation (`InvoiceRequestTransformer.java:55-110`). Output is the
@@ -88,7 +106,7 @@ object RequestOps {
     * (`UUID.randomUUID()` at `:88` — the uuid itself is nondeterministic
     * so only its provenance is projected, per SURVEY §5.5). */
   def validate(s: SparkSession, dir: String): DataFrame =
-    extracted(Tables.events(s, dir))
+    extracted(s, dir)
       .filter(col("stax").isNotNull && col("sid").isNotNull && col("api_type").isNotNull)
       .select(
         col("event_id"),
@@ -102,7 +120,7 @@ object RequestOps {
     * the retry queue. Error messages and their precedence mirror the
     * reference's throw order (stax `:65` → sid `:78` → api_type `:95`). */
   def rejects(s: SparkSession, dir: String): DataFrame =
-    extracted(Tables.events(s, dir))
+    extracted(s, dir)
       .withColumn("error_message",
         when(col("stax").isNull, lit("stax is null"))
           .when(col("sid").isNull, lit("sid is null"))
