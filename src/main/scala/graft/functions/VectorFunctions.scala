@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Left-to-right dot product of two float-array columns, in double. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Left-to-right dot product of two float-array columns, in double —
+    * the native codegen'd [[FloatVecDot]]. (The pure-`functions._` form,
+    * `aggregate(zip_with(a, b, _*_), 0d, _+_)`, computes the identical
+    * fold but higher-order functions are CodegenFallback: an interpreted
+    * lambda per element plus an intermediate array per row, which
+    * dominated the pairwise similarity operators.) */
+  def dotD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(FloatVecDot(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
 
   /** Cosine similarity with per-row norms (inputs need not be unit). */
   def cosine(a: Column, b: Column): Column =

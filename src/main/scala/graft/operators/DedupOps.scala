@@ -55,15 +55,10 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Per-doc distinct word-bigram set (the shingle universe for D2/D4).
-    * The `repartition` spreads the CPU-dense tokenize+shingle+md5 stage
-    * across cores — the harness parquet is one row group (one scan
-    * partition); at production scale input splits already provide this
-    * and the repartition is a sizing knob. */
+  /** Per-doc distinct word-bigram set (the shingle universe for D2/D4). */
   private def withBigrams(df: DataFrame): DataFrame =
-    df.repartition(col("doc_id"))
-      .select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), 2)).as("bg"))
+    df.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")), 2)).as("bg"))
 
   /** D2 — MinHash + LSH near-dedup with exact-Jaccard verification:
     * shingle → minhash → band signatures → bucket join → verify. Output
@@ -71,18 +66,22 @@ object DedupOps {
     * integer near-dup flag. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val bg = withBigrams(Tables.documents(s, dir))
-    // One signature row per doc, materialized ONCE: the self-join and the
-    // two verify-side lookups below would otherwise re-run the
-    // shingle+md5+minhash pipeline (its dominant cost) up to 4×. At
-    // 100 TB this persist becomes a written signature table — the
-    // standard LSH-pipeline checkpoint — with identical plan shape.
+    // The SLIM signature table (doc_id + 8 longs) is materialized once —
+    // the self-join reads it twice and would otherwise re-run the
+    // shingle+md5+minhash pipeline per side. Only the signatures are
+    // cached: persisting the bigram arrays too costs more in columnar
+    // cache serialization than the two recomputes of the (cheap)
+    // shingle stage for the verify joins, whose identical exchanges
+    // Spark additionally dedupes via ReuseExchange. At 100 TB this
+    // persist becomes a written signature table — the standard
+    // LSH-pipeline checkpoint — with identical plan shape.
     val withMh = bg.withColumn("hs", transform(col("bg"), sh => tokHash(sh)))
-      .select(col("doc_id") +: col("bg") +:
+      .select(col("doc_id") +:
         MinHashAB.zipWithIndex.map { case ((a, b), j) =>
           array_min(transform(col("hs"), h => (h * a + b) % HashMod)).as(s"mh$j")
         }: _*)
       .persist()
-    val bgKept = withMh.select(col("doc_id"), col("bg"))
+    val bgKept = bg
     val sigs = withMh.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bnd =>
         col(s"mh${2 * bnd}") * HashMod + col(s"mh${2 * bnd + 1}")): _*)))
