@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{RequestPipeline, ResponsePipeline}
+import graft.streaming.MicroBatcher.Rec
+
+/** SURVEY §3.1/§3.2 — the two reference job topologies end-to-end in
+  * Structured Streaming: packet stream → transform → foreachBatch
+  * dual-write (request), record stream → stateful batcher → routed
+  * packets (response). */
+class PipelineStreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def pk(elems: String*) =
+    s"""{"inv_pack":[${elems.mkString(",")}]}"""
+
+  test("request pipeline: packets explode, validate, and dual-write K1/K2") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val out = tmp("req_out")
+    val q = RequestPipeline.run(in.toDF(), out, tmp("req_ck"))
+    try {
+      in.addData(
+        // 3 valid elements across the fallback shapes + 2 rejects
+        pk(
+          """{"sid":"S1","stax":"T1","syncid":"Y1","api_type":10}""",
+          """{"inv":{"sid":"S2","stax":"T2"},"api_type":11}""",
+          """{"sid":"S3","inv":{"stax":"T3"},"syncid":"Y3","api_type":12}""",
+          """{"sid":"S4","api_type":13}""",
+          """{"stax":"T5","inv":{"stax":"T5"}}"""),
+        pk("""{"sid":"S6","stax":"T6","syncid":"Y6","api_type":14}"""))
+      q.processAllAvailable()
+      val staged = spark.read.parquet(s"$out/async_inv_in")
+      val retry = spark.read.parquet(s"$out/invoice_retry")
+      assert(staged.count() === 4)
+      assert(retry.count() === 2)
+      // nested fallback populated sid/stax; missing syncid got a uuid
+      val s2 = staged.filter(col("sid") === "S2").head()
+      assert(s2.getAs[String]("stax") === "T2")
+      assert(s2.getAs[String]("syncid").length === 36)
+      // group_id follows the element index within its packet
+      assert(staged.filter(col("sid") === "S3" && col("group_id") === 2).count() === 1)
+      assert(staged.filter(col("sid") === "S6" && col("group_id") === 0).count() === 1)
+      // reject taxonomy: no stax → "stax is null" wins; no sid next
+      assert(retry.filter(col("error_message") === "stax is null").count() === 1)
+      assert(retry.filter(col("error_message") === "sid is null").count() === 1)
+      assert(retry.filter(col("state") =!= "PENDING" ||
+        col("retry_count") =!= 0).count() === 0)
+    } finally q.stop()
+  }
+
+  test("response pipeline: batches flush to routed kafka packets") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Rec]
+    val out = tmp("resp_out")
+    val q = ResponsePipeline.run(in.toDS(), out, tmp("resp_ck"),
+      batchSize = 3, timeoutMs = 600000L)
+    try {
+      in.addData(
+        (0 until 6).map(i => Rec(10, s"K10_$i", s"p$i")) ++
+          (0 until 3).map(i => Rec(12, s"K12_$i", s"q$i")))
+      // deadline-poll the sink: processAllAvailable can spin when
+      // ProcessingTimeTimeout keeps scheduling timer-only batches
+      val deadline = System.currentTimeMillis() + 30000
+      def read() =
+        try spark.read.parquet(s"$out/kafka_out")
+        catch { case _: Throwable => spark.emptyDataFrame }
+      while (System.currentTimeMillis() < deadline &&
+        (read().isEmpty || read().count() < 3)) Thread.sleep(200)
+      val kafka = spark.read.parquet(s"$out/kafka_out")
+      // 2 full batches for api_type 10 → crt topic; 1 for 12 → del topic
+      assert(kafka.filter(col("topic") === "mtt.crt.response").count() === 2)
+      assert(kafka.filter(col("topic") === "mtt.del.response").count() === 1)
+      assert(kafka.filter(col("size") =!= 3).count() === 0)
+      // packet value is the reference's {"inv_pack_res":[...]} shape
+      val v = kafka.filter(col("topic") === "mtt.del.response")
+        .head().getAs[String]("value")
+      assert(v.startsWith("""{"inv_pack_res":["""))
+      assert(v.contains("q0") && v.contains("q2"))
+    } finally q.stop()
+  }
+}
