@@ -40,8 +40,17 @@ object RetryOps {
     *
     * One output row per surviving (id, op); `op` disambiguates an id
     * that is both re-created by a reject and updated by a retry. */
+  /** Deterministic stand-in for the DML's `CURRENT_TIMESTAMP` anchor
+    * (`InvoiceRetrySink.java:33,36`: `CURRENT_TIMESTAMP + INTERVAL ?
+    * SECOND`) — a literal so `next_retry_at` can sit in hash-compared
+    * output; production binds the real clock. */
+  private val RetryEpoch = "2024-01-01 00:00:00"
+
   def retryApply(s: SparkSession, dir: String): DataFrame = {
     val t5 = RequestOps.retryBackoff(s, dir)
+    def retryAt(secs: org.apache.spark.sql.Column) =
+      to_timestamp(lit(RetryEpoch)) + make_interval(
+        lit(0), lit(0), lit(0), lit(0), lit(0), lit(0), secs.cast("decimal(18,6)"))
     val updates = t5.filter(col("tag") === "UPDATE").select(
       col("event_id").as("id"),
       lit("UPDATE").as("op"),
@@ -49,6 +58,7 @@ object RetryOps {
       lit("PENDING").as("state"),
       col("new_retry_count").as("retry_count"),
       col("next_retry_secs"),
+      retryAt(col("next_retry_secs")).as("next_retry_at"),
       lit(null).cast("string").as("error_message"))
     val deadLetters = t5.filter(col("tag") === "MAX_RETRY").select(
       col("event_id").as("id"),
@@ -57,6 +67,7 @@ object RetryOps {
       lit(null).cast("string").as("state"),
       (col("retry_count") - 1).cast("tinyint").as("retry_count"),
       lit(null).cast("long").as("next_retry_secs"),
+      lit(null).cast("timestamp").as("next_retry_at"),
       lit(null).cast("string").as("error_message"))
     val creates = RequestOps.rejects(s, dir).select(
       col("event_id").as("id"),
@@ -65,6 +76,7 @@ object RetryOps {
       lit("PENDING").as("state"),
       lit(0).cast("tinyint").as("retry_count"),
       lit(0L).as("next_retry_secs"),
+      retryAt(lit(0L)).as("next_retry_at"),
       col("error_message"))
     updates.unionByName(deadLetters).unionByName(creates)
       .orderBy(col("id"), col("op"))
@@ -128,6 +140,9 @@ object RetryOps {
         |         'PENDING' AS state,
         |         CAST(event_id % 5 + 1 AS TINYINT) AS retry_count,
         |         CAST(10 * power(2, event_id % 5 + 1) AS BIGINT) AS next_retry_secs,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + CAST(10 * power(2, event_id % 5 + 1) AS BIGINT) * INTERVAL 1 SECOND
+        |           AS next_retry_at,
         |         CAST(NULL AS VARCHAR) AS error_message
         |  FROM events WHERE user_id % 2 <> 0 AND event_id % 5 <= 3
         |  UNION ALL
@@ -135,6 +150,7 @@ object RetryOps {
         |         CAST(NULL AS VARCHAR) AS state,
         |         CAST(event_id % 5 - 1 AS TINYINT) AS retry_count,
         |         CAST(NULL AS BIGINT) AS next_retry_secs,
+        |         CAST(NULL AS TIMESTAMP) AS next_retry_at,
         |         CAST(NULL AS VARCHAR) AS error_message
         |  FROM events WHERE event_id % 5 > 3
         |  UNION ALL
@@ -142,6 +158,7 @@ object RetryOps {
         |         'PENDING' AS state,
         |         CAST(0 AS TINYINT) AS retry_count,
         |         CAST(0 AS BIGINT) AS next_retry_secs,
+        |         TIMESTAMP '2024-01-01 00:00:00' AS next_retry_at,
         |         CASE WHEN user_id % 3 = 2 THEN 'stax is null'
         |              WHEN event_id % 3 = 2 THEN 'sid is null'
         |              ELSE 'api_type is null' END AS error_message

@@ -33,6 +33,12 @@ object SimilarityOps {
   val NumQueries = 8
   val BucketBits = 4
 
+  /** IVF coarse-quantizer size: corpus vectors [NumQueries,
+    * NumQueries+NumCentroids) serve as the deterministic "centroids" (a
+    * k-means fit would be nondeterministic across engines; the plan
+    * shape — assign-by-argmax, probe-own-cell — is identical). */
+  val NumCentroids = 8
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"),
@@ -75,9 +81,49 @@ object SimilarityOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** X3 — IVF-style ANN: every vector is assigned to its
+    * nearest-centroid cell (argmax cosine over a broadcast centroid
+    * set), queries probe ONLY their own cell. The other classic ANN
+    * scale path next to sign-LSH (X2): cells adapt to the data
+    * distribution instead of axis-sign geometry. At 100 TB: centroids
+    * come from a sampled k-means fit, the corpus is WRITTEN
+    * cell-partitioned so a probe is a partition-pruned scan, and
+    * multi-probe (n nearest cells) buys recall — same plan shape, the
+    * assignment join stays a broadcast (centroid set ≪ corpus). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val cents = c
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val assigned = c.join(broadcast(cents))
+      .withColumn("cent_cos",
+        dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("qc"))
+    val cos = dotD(col("qv"), col("v")) / (col("qn") * col("nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(q),
+        col("qc") === col("cent_id") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_knn_brute" -> (knnBrute _),
-    "x2_ann_lsh" -> (annLsh _))
+    "x2_ann_lsh" -> (annLsh _),
+    "x3_ann_ivf" -> (annIvf _))
 
   private def corpusSql =
     s"""SELECT vec_id, embedding AS v,
@@ -105,6 +151,29 @@ object SimilarityOps {
          |p AS (SELECT query_id, c.vec_id AS neighbor_id,
          |             ${dotDSql("qv", "v")} / (qn * nrm) AS cos
          |      FROM c JOIN q ON qb = c.bucket WHERE query_id <> c.vec_id)
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+         |       neighbor_id, cos
+         |FROM p
+         |QUALIFY rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
+    "x3_ann_ivf" ->
+      s"""WITH c AS ($corpusSql),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM c
+         |          WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, cent_id
+         |  FROM (SELECT c.vec_id, c.v, c.nrm, cents.cent_id,
+         |               ${dotDSql("c.v", "cents.cv")} / (c.nrm * cents.cn) AS cent_cos
+         |        FROM c CROSS JOIN cents)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY cent_cos DESC, cent_id) = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id AS qc
+         |      FROM assigned WHERE vec_id < $NumQueries),
+         |p AS (SELECT query_id, a.vec_id AS neighbor_id,
+         |             ${dotDSql("qv", "a.v")} / (qn * a.nrm) AS cos
+         |      FROM assigned a JOIN q ON qc = a.cent_id
+         |      WHERE query_id <> a.vec_id)
          |SELECT query_id,
          |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
          |       neighbor_id, cos

@@ -21,13 +21,16 @@ class PipelineOpsSpec extends SparkSpec {
     d.unpersist()
   }
 
-  test("D5/X2: ANN neighbors never beat the brute-force best") {
+  test("D5/X2/X3: ANN neighbors never beat the brute-force best") {
     val brute = SimilarityOps.knnBrute(spark, Sf)
       .filter(col("rank") === 1)
       .select(col("query_id"), col("cos").as("best"))
     val ann = SimilarityOps.annLsh(spark, Sf)
       .join(brute, "query_id")
     assert(ann.filter(col("cos") > col("best") + 1e-12).count() === 0)
+    val ivf = SimilarityOps.annIvf(spark, Sf)
+      .join(brute, "query_id")
+    assert(ivf.filter(col("cos") > col("best") + 1e-12).count() === 0)
   }
 
   test("X1: ranks are dense 1..K and cosines non-increasing per query") {

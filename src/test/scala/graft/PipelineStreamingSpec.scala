@@ -54,6 +54,30 @@ class PipelineStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G3 streaming dedup: duplicates across micro-batches are dropped") {
+    // the reference's idempotence guard keeps an unbounded per-key set
+    // (InvoiceResponseBatchProcessor.java:110-121 — a leak); Spark's
+    // dropDuplicates is the managed-state equivalent (bound it with
+    // dropDuplicatesWithinWatermark when an event-time column exists)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "kind")
+      .dropDuplicates("id", "kind")
+      .writeStream.format("memory")
+      .queryName("dedup_out_" + System.nanoTime())
+      .outputMode("append")
+      .start()
+    try {
+      in.addData((1L, "InvIn"), (2L, "InvIn"), (1L, "InvIn"), (1L, "InvOut"))
+      q.processAllAvailable() // safe: dedup state has no timers
+      in.addData((1L, "InvIn"), (3L, "InvOut"), (2L, "InvIn"))
+      q.processAllAvailable()
+      val out = spark.table(q.name).as[(Long, String)].collect().toSet
+      assert(out === Set((1L, "InvIn"), (2L, "InvIn"), (1L, "InvOut"), (3L, "InvOut")))
+    } finally q.stop()
+  }
+
   test("response pipeline: batches flush to routed kafka packets") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.streaming.RequestPipeline
+
+/** SURVEY §5.3 — property-based invariants (scalacheck) over the request
+  * transform: random packets → explode is lossless and every element
+  * lands in exactly one of {staged, retry}. */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val fieldGen: Gen[Option[String]] =
+    Gen.option(Gen.identifier.map(_.take(8)))
+
+  /** One random inv_pack element: each probed field present/absent at
+    * top level and/or nested under inv, api_type sometimes missing. */
+  private val elemGen: Gen[String] = for {
+    sidTop <- fieldGen; sidInv <- fieldGen
+    staxTop <- fieldGen; staxInv <- fieldGen
+    sync <- fieldGen
+    api <- Gen.option(Gen.choose(10, 16))
+  } yield {
+    def q(k: String, v: Option[String]) = v.map(x => s""""$k":"$x"""")
+    val inv = Seq(q("sid", sidInv), q("stax", staxInv)).flatten.mkString(",")
+    (Seq(q("sid", sidTop), q("stax", staxTop), q("syncid", sync)).flatten ++
+      api.map(a => s""""api_type":$a""") :+ s""""inv":{$inv}""")
+      .mkString("{", ",", "}")
+  }
+
+  private val packetGen: Gen[List[String]] =
+    Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, elemGen))
+
+  test("request transform: branches partition every element; pos is the packet index") {
+    import spark.implicits._
+    check(Prop.forAllNoShrink(Gen.listOfN(5, packetGen)) { packets =>
+      val json = packets.map(p => s"""{"inv_pack":[${p.mkString(",")}]}""")
+      val out = RequestPipeline.transform(json.toDF("value")).cache()
+      try {
+        val total = packets.map(_.size).sum
+        val staged = out.filter(col("error_message").isNull).count()
+        val retry = out.filter(col("error_message").isNotNull).count()
+        val posCounts = out.groupBy("pos").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val expected = packets.flatMap(_.indices).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val groupIdOk = out.filter(col("group_id") =!=
+          pmod(col("pos"), lit(5)).cast("tinyint")).count() == 0
+        val syncidOk = out.filter(col("error_message").isNull &&
+          col("syncid").isNull).count() == 0
+        (staged + retry == total) && posCounts == expected &&
+          groupIdOk && syncidOk
+      } finally out.unpersist()
+    }, 10)
+  }
+
+  test("dedup idempotence: processing a batch twice equals once") {
+    import spark.implicits._
+    check(Prop.forAllNoShrink(Gen.listOfN(40, Gen.choose(0, 12))) { ids =>
+      val once = ids.toDF("id").dropDuplicates("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      val twice = (ids ++ ids).toDF("id").dropDuplicates("id")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      once == twice
+    }, 5)
+  }
+}
