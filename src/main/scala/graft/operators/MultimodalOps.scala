@@ -115,10 +115,53 @@ object MultimodalOps {
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
       .orderBy(col("media_id"))
 
+  /** Resize target (longest edge). */
+  val FitEdge = 256
+
+  /** M4 — resize planning: aspect-fit target dimensions from the typed
+    * metadata, integer math only (floor-div by the longest edge;
+    * degenerate 0-dims clamp via greatest(...,1)). The pixel-level
+    * resample itself belongs to the codec stage — [[downsampleBytes]]
+    * carries its Spark-side plumbing. */
+  def resizePlan(s: SparkSession, dir: String): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val longest = greatest(w, h, lit(1))
+    media(s, dir)
+      .filter(col("kind") =!= "audio")
+      .select(col("media_id"), col("kind"), w.as("width"), h.as("height"),
+        when(w <= FitEdge && h <= FitEdge, w)
+          .otherwise(expr(s"meta.width * $FitEdge div greatest(meta.width, meta.height, 1)"))
+          .cast("int").as("target_w"),
+        when(w <= FitEdge && h <= FitEdge, h)
+          .otherwise(expr(s"meta.height * $FitEdge div greatest(meta.width, meta.height, 1)"))
+          .cast("int").as("target_h"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Byte-level downsample (the resample stage a real codec would do):
+    * keep every stride-th byte so payloads cap at `maxBytes` —
+    * deterministic, partition-parallel, same `mapPartitions` shape as
+    * [[decodeFeatures]]. Unit-tested (ByteOps are not SQL-restatable in
+    * the oracle dialect at reasonable cost). */
+  def downsampleBytes(s: SparkSession, dir: String, maxBytes: Int): DataFrame = {
+    import s.implicits._
+    media(s, dir)
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val stride = math.max(1, (bytes.length + maxBytes - 1) / maxBytes)
+        val out = Array.range(0, bytes.length, stride).map(bytes)
+        (id, out, bytes.length, out.length)
+      })
+      .toDF("media_id", "payload", "orig_bytes", "new_bytes")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta" -> (mediaMeta _),
     "m2_frame_sample" -> (frameSample _),
-    "m3_decode_stub" -> ((s, d) => decodeStub(s, d)))
+    "m3_decode_stub" -> ((s, d) => decodeStub(s, d)),
+    "m4_resize_plan" -> (resizePlan _))
 
   val oracles: Map[String, String] = Map(
     "m1_media_meta" ->
@@ -148,5 +191,20 @@ object MultimodalOps {
         |       CAST(octet_length(encode(props)) AS INT) AS n_bytes,
         |       list_reduce(list_transform(string_split(props, ''),
         |         c -> CAST(ascii(c) AS BIGINT)), (a, b) -> a + b) AS checksum
-        |FROM events ORDER BY media_id""".stripMargin)
+        |FROM events ORDER BY media_id""".stripMargin,
+    "m4_resize_plan" ->
+      """SELECT media_id, kind, width, height,
+        |       CAST(CASE WHEN width <= 256 AND height <= 256 THEN width
+        |            ELSE width * 256 // greatest(width, height, 1) END AS INT) AS target_w,
+        |       CAST(CASE WHEN width <= 256 AND height <= 256 THEN height
+        |            ELSE height * 256 // greatest(width, height, 1) END AS INT) AS target_h
+        |FROM (SELECT event_id AS media_id,
+        |             CASE WHEN event_type = 'click' THEN 'image'
+        |                  WHEN event_type = 'view' THEN 'video'
+        |                  ELSE 'audio' END AS kind,
+        |             CAST(event_id % 1000 AS INT) AS width,
+        |             CAST(event_id % 800 AS INT) AS height
+        |      FROM events)
+        |WHERE kind <> 'audio'
+        |ORDER BY media_id""".stripMargin)
 }

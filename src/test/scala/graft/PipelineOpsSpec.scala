@@ -44,6 +44,20 @@ class PipelineOpsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("M4 downsample: payloads cap at maxBytes, stride keeps first byte") {
+    val cap = 16
+    val ds = MultimodalOps.downsampleBytes(spark, Sf, cap).cache()
+    assert(ds.filter(col("new_bytes") > cap).count() === 0)
+    assert(ds.filter(col("new_bytes") === 0 && col("orig_bytes") > 0).count() === 0)
+    // stride sampling always keeps byte 0 → payload head survives
+    val media = MultimodalOps.media(spark, Sf)
+      .select(col("media_id"), col("payload").as("orig"))
+    val joined = ds.join(media, "media_id")
+    assert(joined.filter(substring(col("payload"), 1, 1) =!=
+      substring(col("orig"), 1, 1)).count() === 0)
+    ds.unpersist()
+  }
+
   test("M3 decode stub: plumbing preserves row count and byte checksums") {
     val feats = MultimodalOps.decodeFeatures(spark, Sf).cache()
     val media = MultimodalOps.media(spark, Sf)
