@@ -53,6 +53,8 @@ object ResponseOps {
       id.as("id"),
       col("user_id"),
       concat(lit("TX"), id % 10).as("tax_schema"),
+      (id % 4).cast("tinyint").as("retry"),
+      (id % 5).cast("tinyint").as("group_id"),
       when(isIn, lit("InvIn")).otherwise(lit("InvOut")).as("kind"),
       concat(lit("S"), id).as("sid"),
       concat(lit("Y"), id).as("syncid"),
@@ -99,7 +101,8 @@ object ResponseOps {
     staging(s, dir)
       .select(col("id"),
         when(get_json_object(col("payload"), "$.fpt_einvoice_res_code").isNotNull ||
-             get_json_object(col("payload"), "$.fpt_einvoice_res_msg").isNotNull,
+             get_json_object(col("payload"), "$.fpt_einvoice_res_msg").isNotNull ||
+             get_json_object(col("payload"), "$.fpt_einvoice_res_json").isNotNull,
           lit("InvIn"))
           .when(get_json_object(col("payload"), "$.gdt_res").isNotNull, lit("InvOut"))
           .otherwise(lit("unknown")).as("sniffed_kind"))
@@ -204,9 +207,11 @@ object ResponseOps {
       .orderBy(col("id"))
 
   /** T9 — staging row → success-log projection
-    * (`TransactionalLogAndDeleteSink.java:134-170`): InvIn keeps fpt and
-    * callback fields and nulls gdt_res; InvOut the reverse.
-    * (`created_date = now()` excluded from oracle-compared output.) */
+    * (`TransactionalLogAndDeleteSink.java:134-170`, 13-column binding at
+    * `:117-131`): InvIn keeps fpt and callback fields and nulls gdt_res;
+    * InvOut the reverse; retry/group_id carry over for both kinds.
+    * (`created_date = now()` at `:143` and the always-null
+    * `updated_date` excluded from oracle-compared output.) */
   def logProject(s: SparkSession, dir: String): DataFrame = {
     val st = staging(s, dir).withColumn("batch_key", batchKey)
       .filter(col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
@@ -219,7 +224,10 @@ object ResponseOps {
         lit(2).cast("tinyint").as("res_type"),
         when(isIn, get_json_object(p, "$.fpt_einvoice_res_code")).as("fpt_einvoice_res_code"),
         when(isIn, get_json_object(p, "$.fpt_einvoice_res_msg")).as("fpt_einvoice_res_msg"),
+        col("retry"),
+        col("group_id"),
         when(isIn, concat(lit("CB"), col("id") % 3)).as("callback_res_code"),
+        when(isIn, concat(lit("CBM"), col("id") % 2)).as("callback_res_msg"),
         col("sid"),
         col("syncid"),
         when(!isIn, get_json_object(p, "$.gdt_res")).as("gdt_res"))
@@ -334,7 +342,10 @@ object ResponseOps {
          |       CAST(2 AS TINYINT) AS res_type,
          |       CASE WHEN user_id % 2 = 0 THEN 'C' || CAST(event_id % 4 AS VARCHAR) END AS fpt_einvoice_res_code,
          |       CASE WHEN user_id % 2 = 0 AND event_id % 3 <> 0 THEN 'E' || CAST(event_id % 3 AS VARCHAR) END AS fpt_einvoice_res_msg,
+         |       CAST(event_id % 4 AS TINYINT) AS retry,
+         |       CAST(event_id % 5 AS TINYINT) AS group_id,
          |       CASE WHEN user_id % 2 = 0 THEN 'CB' || CAST(event_id % 3 AS VARCHAR) END AS callback_res_code,
+         |       CASE WHEN user_id % 2 = 0 THEN 'CBM' || CAST(event_id % 2 AS VARCHAR) END AS callback_res_msg,
          |       'S' || CAST(event_id AS VARCHAR) AS sid,
          |       'Y' || CAST(event_id AS VARCHAR) AS syncid,
          |       CASE WHEN user_id % 2 <> 0 AND event_id % 9 <> 0 THEN 'G' || CAST(event_id AS VARCHAR) END AS gdt_res
