@@ -95,7 +95,7 @@ object RequestOps {
         col("event_id"),
         coalesce(col("e.stax"), col("e.inv.stax")).as("stax"),
         coalesce(col("e.sid"), col("e.inv.sid")).as("sid"),
-        col("e.syncid").as("syncid"),
+        coalesce(col("e.syncid"), col("e.inv.syncid")).as("syncid"),
         col("e.api_type").as("api_type"))
       .persist()
 

@@ -131,6 +131,7 @@ object ResponseOps {
         when(col("kind") === "InvIn",
           when(resMsg.isNull, lit("success")).otherwise(lit("error"))).as("status"),
         when(col("kind") === "InvIn", lit("fpt")).otherwise(lit("gdt")).as("res_resource"),
+        lit(null).cast("int").as("code"),
         when(col("kind") === "InvIn",
           get_json_object(p, "$.fpt_einvoice_res_json"))
           .otherwise(get_json_object(p, "$.gdt_res")).as("data"))
@@ -294,6 +295,7 @@ object ResponseOps {
         |       CASE WHEN user_id % 2 = 0 THEN
         |         CASE WHEN event_id % 3 = 0 THEN 'success' ELSE 'error' END END AS status,
         |       CASE WHEN user_id % 2 = 0 THEN 'fpt' ELSE 'gdt' END AS res_resource,
+        |       CAST(NULL AS INT) AS code,
         |       CASE WHEN user_id % 2 = 0 THEN
         |         CASE WHEN event_id % 5 <> 0 THEN '{"x":' || CAST(event_id % 7 AS VARCHAR) || '}' END
         |         ELSE 'G' || CAST(event_id AS VARCHAR) END AS data
