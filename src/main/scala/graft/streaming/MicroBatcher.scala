@@ -37,21 +37,27 @@ object MicroBatcher {
   /** One buffered record: (recordKey for dedup, payload). */
   case class Rec(apiType: Int, recordKey: String, payload: String)
 
-  /** Emitted packet: flush reason ∈ {count, timeout}. */
+  /** Emitted packet: flush reason ∈ {count, timeout, force}. */
   case class Packet(apiType: Int, seq: Long, size: Int,
       items: Seq[String], reason: String)
 
   /** Buffer carried in GroupState: pending rows + per-key packet
-    * sequence counter + keys of the rows currently buffered. */
-  case class Buf(pending: List[Rec], seq: Long, seenKeys: Set[String])
+    * sequence counter + keys of the rows currently buffered + wall time
+    * the oldest pending row was buffered (0 when empty). */
+  case class Buf(pending: List[Rec], seq: Long, seenKeys: Set[String],
+      firstAt: Long)
 
-  def apply(ds: Dataset[Rec], batchSize: Int, timeoutMs: Long): Dataset[Packet] = {
+  /** `clock` is injectable for deterministic tests; production uses the
+    * wall clock, as the reference does
+    * (`InvoiceResponseTimerManager.java:33-35`). */
+  def apply(ds: Dataset[Rec], batchSize: Int, timeoutMs: Long,
+      clock: () => Long = () => System.currentTimeMillis()): Dataset[Packet] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.apiType)
       .flatMapGroupsWithState[Buf, Packet](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (key: Int, rows: Iterator[Rec], state: GroupState[Buf]) =>
-          val prior = state.getOption.getOrElse(Buf(Nil, 0L, Set.empty))
+          val prior = state.getOption.getOrElse(Buf(Nil, 0L, Set.empty, 0L))
           if (state.hasTimedOut) {
             // timer flush (`InvoiceResponseBatchProcessor.java:158-183`)
             state.remove()
@@ -66,18 +72,34 @@ object MicroBatcher {
             // count path: drain full packets (`:130-140`)
             val (full, rest) = (all.grouped(batchSize).toList
               .partition(_.size == batchSize))
-            val packets = full.zipWithIndex.map { case (chunk, i) =>
+            val countPackets = full.zipWithIndex.map { case (chunk, i) =>
               Packet(key, prior.seq + i, chunk.size, chunk.map(_.payload), "count")
             }
-            val nextSeq = prior.seq + full.size
-            val remainder = rest.flatten
+            var nextSeq = prior.seq + full.size
+            var remainder = rest.flatten
+            val firstAt =
+              if (remainder.isEmpty) 0L
+              else if (prior.pending.nonEmpty) prior.firstAt
+              else clock()
+            // force-flush safety net (`:229-248`, maxWait = 2×timeout at
+            // `:56`): if the oldest pending row has waited ≥ 2×timeout —
+            // e.g. its timer was lost to a delayed/empty micro-batch —
+            // flush the remainder now instead of re-arming.
+            val forcePackets =
+              if (remainder.nonEmpty && clock() - firstAt >= 2 * timeoutMs) {
+                val p = Packet(key, nextSeq, remainder.size,
+                  remainder.map(_.payload), "force")
+                nextSeq += 1
+                remainder = Nil
+                List(p)
+              } else Nil
             if (remainder.isEmpty) state.remove()
             else {
               state.update(Buf(remainder, nextSeq,
-                remainder.map(_.recordKey).toSet))
+                remainder.map(_.recordKey).toSet, firstAt))
               state.setTimeoutDuration(timeoutMs)
             }
-            packets.iterator
+            (countPackets ++ forcePackets).iterator
           }
       }
   }

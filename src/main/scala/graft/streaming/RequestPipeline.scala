@@ -52,8 +52,11 @@ object RequestPipeline {
           .as("error_message"))
 
   /** Wire the transform to a micro-batched dual sink: valid rows append
-    * to `<outDir>/async_inv_in` (K1), rejects to `<outDir>/invoice_retry`
-    * (K2 CREATE branch, retry_count 0 / PENDING per
+    * to `<outDir>/async_inv_in` (K1) with the reference's full 18-column
+    * binding (`job/InvoiceRequest.java:111-143`: `tax_schema` IS the
+    * extracted stax, response/callback columns null at ingest, retry 0,
+    * state 0), rejects to `<outDir>/invoice_retry` (K2 CREATE branch,
+    * retry_count 0 / PENDING per
     * `InvoiceRequestTransformer.java:158-168`). */
   def run(packets: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
     transform(packets).writeStream
@@ -62,10 +65,24 @@ object RequestPipeline {
         val b = batch.persist()
         try {
           b.filter(col("error_message").isNull)
-            .select(col("stax"), col("sid"), col("syncid"), col("api_type"),
-              col("inv"), col("group_id"),
+            .select(
+              col("stax").as("tax_schema"),
+              col("inv"),
+              col("api_type"),
+              lit(null).cast("tinyint").as("res_type"),
+              lit(null).cast("string").as("fpt_einvoice_res_code"),
+              lit(null).cast("string").as("fpt_einvoice_res_msg"),
+              lit(null).cast("string").as("fpt_einvoice_res_json"),
+              lit(0).cast("tinyint").as("retry"),
               lit(0).cast("tinyint").as("state"),
-              current_timestamp().as("created_date"))
+              col("group_id"),
+              current_timestamp().as("created_date"),
+              lit(null).cast("timestamp").as("updated_date"),
+              lit(null).cast("string").as("callback_res_code"),
+              lit(null).cast("string").as("callback_res_msg"),
+              lit(null).cast("string").as("callback_res_json"),
+              col("sid"), col("syncid"),
+              lit(null).cast("string").as("process_kafka"))
             .write.mode("append").parquet(s"$outDir/async_inv_in")
           b.filter(col("error_message").isNotNull)
             .select(col("inv").as("payload"), col("error_message"),

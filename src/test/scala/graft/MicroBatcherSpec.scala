@@ -13,6 +13,12 @@ import graft.streaming.MicroBatcher.{Packet, Rec}
   * forever (timer-only batches keep making new work "available"), so the
   * harness polls the memory sink against a deadline instead.
   */
+object MicroBatcherSpec {
+  /** Static fake clock: statics are shared across local-mode task
+    * closures, unlike captured vars (serialized by value per task). */
+  val FakeClock = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class MicroBatcherSpec extends SparkSpec {
 
   private def startQuery(in: MemoryStream[Rec], batchSize: Int,
@@ -71,6 +77,32 @@ class MicroBatcherSpec extends SparkSpec {
       _.count(_.reason == "count") >= 1)
     assert(out.count(_.reason == "count") === 1)
     assert(out.head.size === 10)
+  }
+
+  test("force flush: a remainder older than 2×timeout flushes on next input") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    MicroBatcherSpec.FakeClock.set(0L)
+    val in = MemoryStream[Rec]
+    val q = MicroBatcher(in.toDS(), batchSize = 10, timeoutMs = 600000L,
+        clock = () => MicroBatcherSpec.FakeClock.get())
+      .writeStream.format("memory")
+      .queryName("mb_force_" + System.nanoTime())
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    try {
+      in.addData(rec(20, 0), rec(20, 1))
+      // wait until the first batch is actually processed at clock 0
+      val d1 = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < d1 &&
+        q.recentProgress.map(_.numInputRows).sum < 2) Thread.sleep(100)
+      // oldest pending row is now "older" than 2×timeout on the fake clock
+      MicroBatcherSpec.FakeClock.set(1300000L)
+      in.addData(rec(20, 2))
+      val out = pollUntil(q, 30000L)(_.exists(_.reason == "force"))
+      assert(out.exists(p => p.reason == "force" && p.size == 3))
+    } finally q.stop()
   }
 
   test("keys batch independently") {

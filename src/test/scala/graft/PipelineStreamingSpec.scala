@@ -39,10 +39,13 @@ class PipelineStreamingSpec extends SparkSpec {
       val retry = spark.read.parquet(s"$out/invoice_retry")
       assert(staged.count() === 4)
       assert(retry.count() === 2)
-      // nested fallback populated sid/stax; missing syncid got a uuid
+      // nested fallback populated sid/stax (tax_schema = extracted stax,
+      // job/InvoiceRequest.java:121/63); missing syncid got a uuid
       val s2 = staged.filter(col("sid") === "S2").head()
-      assert(s2.getAs[String]("stax") === "T2")
+      assert(s2.getAs[String]("tax_schema") === "T2")
       assert(s2.getAs[String]("syncid").length === 36)
+      // full 18-column K1 binding
+      assert(staged.columns.length === 18)
       // group_id follows the element index within its packet
       assert(staged.filter(col("sid") === "S3" && col("group_id") === 2).count() === 1)
       assert(staged.filter(col("sid") === "S6" && col("group_id") === 0).count() === 1)
