@@ -35,8 +35,11 @@ object RetryOps {
     *     with `attempt = retry_count - 1`, then removed from the queue.
     *   - CREATE (`:37`, fed by the T3 reject taxonomy,
     *     `InvoiceRequestTransformer.java:158-168`): fresh row with
-    *     retry_count 0, state PENDING and an immediate retry slot
-    *     (the unset POJO field binds interval 0).
+    *     retry_count 0, state PENDING, first retry slot one base
+    *     interval out (`InvoiceRequestTransformer.java:48` sets
+    *     `next_retry_time = retryIntervalMs/1000`; the RESPONSE job's
+    *     creates leave the field 0 — this operator restates the
+    *     request-side path).
     *
     * One output row per surviving (id, op); `op` disambiguates an id
     * that is both re-created by a reject and updated by a retry. */
@@ -75,8 +78,8 @@ object RetryOps {
       lit("invoice_retry").as("sink_table"),
       lit("PENDING").as("state"),
       lit(0).cast("tinyint").as("retry_count"),
-      lit(0L).as("next_retry_secs"),
-      retryAt(lit(0L)).as("next_retry_at"),
+      lit(RetryBaseSeconds).as("next_retry_secs"),
+      retryAt(lit(RetryBaseSeconds)).as("next_retry_at"),
       col("error_message"))
     updates.unionByName(deadLetters).unionByName(creates)
       .orderBy(col("id"), col("op"))
@@ -157,8 +160,8 @@ object RetryOps {
         |  SELECT event_id AS id, 'INSERT' AS op, 'invoice_retry' AS sink_table,
         |         'PENDING' AS state,
         |         CAST(0 AS TINYINT) AS retry_count,
-        |         CAST(0 AS BIGINT) AS next_retry_secs,
-        |         TIMESTAMP '2024-01-01 00:00:00' AS next_retry_at,
+        |         CAST(10 AS BIGINT) AS next_retry_secs,
+        |         TIMESTAMP '2024-01-01 00:00:10' AS next_retry_at,
         |         CASE WHEN user_id % 3 = 2 THEN 'stax is null'
         |              WHEN event_id % 3 = 2 THEN 'sid is null'
         |              ELSE 'api_type is null' END AS error_message

@@ -88,7 +88,10 @@ object RequestPipeline {
             .select(col("inv").as("payload"), col("error_message"),
               col("sid"), col("syncid"),
               lit(0).cast("tinyint").as("retry_count"),
-              lit("PENDING").as("state"), lit("REQUEST").as("job"))
+              lit("PENDING").as("state"), lit("REQUEST").as("job"),
+              // first retry slot one base interval out
+              // (`InvoiceRequestTransformer.java:48`)
+              lit(InvoiceModel.RetryBaseSeconds).as("next_retry_secs"))
             .write.mode("append").parquet(s"$outDir/invoice_retry")
         } finally b.unpersist()
         ()
