@@ -75,9 +75,54 @@ object JoinOps {
       .limit(100)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** A1 — scan-heavy aggregation over the largest table (TPC-H Q1
+    * shape, per the driver contract's own example): partial (map-side)
+    * aggregation collapses 600k lineitem rows to a handful of groups
+    * before the single exchange; money math through exact decimal
+    * accumulators (Common.dsum/davg — partition-order-independent,
+    * SCALE.md float contract). The filter pushes to the parquet scan. */
+  def lineitemAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_date(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        // avg as exact-sum ÷ count, a single double division — decimal
+        // division scales differ between engines, double division of
+        // identical operands cannot
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** J3 — fact ⋈ two dims with a broadcast chain up to region: revenue
+    * by (r_name via supplier nation, p_brand). lineitem is the only
+    * large side — every dim broadcasts, so the fact scan reaches the
+    * partial agg with zero shuffles. */
+  def partSuppJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("r_name"))
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(
+        // exact decimal factors BEFORE the multiply: a double product
+        // cast per-row to decimal could round differently per engine
+        sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_sid_syncid" -> (sidSyncidJoin _),
     "j2_dim_broadcast" -> (dimBroadcast _),
+    "j3_part_supp" -> (partSuppJoin _),
+    "a1_lineitem_agg" -> (lineitemAgg _),
     "w1_topk" -> (topK _))
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +145,27 @@ object JoinOps {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "w1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "a1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "j3_part_supp" ->
+      """SELECT r_name, p_brand,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY r_name, p_brand
+        |ORDER BY r_name, p_brand""".stripMargin)
 }
