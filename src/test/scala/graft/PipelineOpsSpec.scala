@@ -33,6 +33,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ivf.filter(col("cos") > col("best") + 1e-12).count() === 0)
   }
 
+  test("X4 multi-probe dominates single-probe LSH per query") {
+    val single = SimilarityOps.annLsh(spark, Sf).filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("single_best"))
+    val multi = SimilarityOps.annMultiProbe(spark, Sf).filter(col("rank") === 1)
+      .select(col("query_id"), col("cos").as("multi_best"))
+    // every single-probe query also has a multi-probe result, never better
+    val joined = single.join(multi, Seq("query_id"), "left")
+    assert(joined.filter(col("multi_best").isNull ||
+      col("multi_best") < col("single_best") - 1e-12).count() === 0)
+  }
+
   test("X1: ranks are dense 1..K and cosines non-increasing per query") {
     val x = SimilarityOps.knnBrute(spark, Sf)
     val w = org.apache.spark.sql.expressions.Window
