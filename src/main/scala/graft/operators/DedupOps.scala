@@ -103,19 +103,64 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Signature column via the compiled [[graft.functions.SimHashLong]]
+    * (one expression call per row; the `bits` separate interpreted HOF
+    * folds it replaces cost 17 s at sf0.1 for the 60-bit variant). */
+  private def simhashSig(bits: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.SimHashLong(
+      GraftSqlBridge.expression(tokens(col("text"))), bits))
+  }
+
   /** D3 — 16-bit SimHash, computed entirely per-row (no shuffle): for
     * each bit i, fold token hashes summing +1/-1 on bit i of the 60-bit
     * md5 hash; bit i of the signature is the sign of the sum. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    val hs = transform(tokens(col("text")), t => md5Long(t))
-    val sig: Column = (0 until 16).map { i =>
-      val vote = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id"), simhashSig(16).as("simhash"))
       .orderBy(col("doc_id"))
+
+  /** Max hamming distance (of [[Simhash60Bits]]) for a D3b near-dup —
+    * the classic 64-bit/k=3 configuration, scaled to the 60-bit
+    * md5-derived hash. */
+  val SimhashMaxHamming = 3
+  val Simhash60Bits = 60
+  val Simhash60BandBits = 15
+
+  /** 60-bit per-doc SimHash (D3b's signature). D3's 16-bit signature is
+    * too narrow to band: with 4-bit chunks over same-vocabulary docs,
+    * ~60% of ALL pairs collide (measured) — banding must leave chunk
+    * space ≫ corpus size. 4 bands × 15 bits gives 32k values per band
+    * while keeping the pigeonhole guarantee (hamming ≤ 3 leaves ≥ 1 of
+    * 4 bands untouched → exact recall at the threshold). */
+  private def simhash60(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), simhashSig(Simhash60Bits).as("simhash"))
+
+  /** D3b — SimHash near-dup pairs: the hamming-neighbor stage over
+    * [[simhash60]] signatures, reusing the D2 band-bucket pattern — any
+    * pair sharing one of the 4 15-bit bands is a candidate; its true
+    * hamming distance verifies via bit_count(xor). Never all-pairs:
+    * candidates exist only inside (band, chunk) buckets. */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhash60(s, dir).persist()
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), Simhash60BandBits * i)
+          .bitwiseAND((1 << Simhash60BandBits) - 1)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .select(col("a"), col("b"), col("hamming"),
+        when(col("hamming") <= SimhashMaxHamming, 1).otherwise(0).as("is_near_dup"))
+      .orderBy(col("a"), col("b"))
   }
 
   /** D4 — blocked n-gram Jaccard: exact pairwise similarity, but ONLY
@@ -163,6 +208,7 @@ object DedupOps {
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
     "d3_simhash" -> (simhash _),
+    "d3b_simhash_neardup" -> (simhashNearDup _),
     "d4_ngram_jaccard" -> (ngramJaccard _),
     "d5_embed_neardup" -> (embedNearDup _))
 
@@ -176,6 +222,23 @@ object DedupOps {
   private val bandSelects = (0 until Bands).map { bnd =>
     s"SELECT doc_id, $bnd AS band, mh${2 * bnd} * $HashMod + mh${2 * bnd + 1} AS sig FROM m"
   }.mkString("\n  UNION ALL\n  ")
+
+  /** DuckDB simhash builder: the bit-vote fold for `bits` signature
+    * bits (shared shape for the 16-bit d3 and 60-bit d3b oracles). */
+  private def simhashSql(bits: Int): String = {
+    val terms = (0 until bits).map { i =>
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+         |  (acc, v) -> acc + v) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }.mkString(" +\n       ")
+    s"""SELECT doc_id, $terms AS simhash
+       |FROM (SELECT doc_id,
+       |        list_transform(${tokensSql("text")}, t -> ${md5LongSql("t")}) AS hs
+       |      FROM documents) h""".stripMargin
+  }
+
+  private val simhashCoreSql: String = simhashSql(16)
+  private val simhash60Sql: String = simhashSql(Simhash60Bits)
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -202,19 +265,24 @@ object DedupOps {
          |            THEN 1 ELSE 0 END AS is_near_dup
          |FROM cand JOIN t ta ON a = ta.doc_id JOIN t tb ON b = tb.doc_id
          |ORDER BY a, b""".stripMargin,
-    "d3_simhash" -> {
-      val terms = (0 until 16).map { i =>
-        s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |  list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
-           |  (acc, v) -> acc + v) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
-      }.mkString(" +\n       ")
-      s"""WITH h AS (SELECT doc_id,
-         |  list_transform(${tokensSql("text")}, t -> ${md5LongSql("t")}) AS hs
-         |  FROM documents)
-         |SELECT doc_id,
-         |       $terms AS simhash
-         |FROM h ORDER BY doc_id""".stripMargin
-    },
+    "d3_simhash" ->
+      s"""$simhashCoreSql
+         |ORDER BY doc_id""".stripMargin,
+    "d3b_simhash_neardup" ->
+      s"""WITH sigs AS ($simhash60Sql),
+         |chunks AS (SELECT doc_id, simhash, u.band,
+         |                  (simhash >> ($Simhash60BandBits * u.band)) & ${(1 << Simhash60BandBits) - 1} AS chunk
+         |           FROM sigs, unnest([0, 1, 2, 3]) AS u(band)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |                x.simhash AS sa, y.simhash AS sb
+         |         FROM chunks x JOIN chunks y
+         |           ON x.band = y.band AND x.chunk = y.chunk
+         |              AND x.doc_id < y.doc_id)
+         |SELECT a, b,
+         |       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
+         |       CASE WHEN bit_count(xor(sa, sb)) <= $SimhashMaxHamming
+         |            THEN 1 ELSE 0 END AS is_near_dup
+         |FROM cand ORDER BY a, b""".stripMargin,
     "d4_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang, source, $bgSql AS bg FROM documents)
          |SELECT x.doc_id AS a, y.doc_id AS b, x.lang AS lang, x.source AS source,
