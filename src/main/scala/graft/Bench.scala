@@ -13,21 +13,24 @@ object Bench {
     // (name -> Right(seconds) | Left(errorClass)); a failing query must be
     // visibly an error, never a plausible-looking timing.
     //
-    // Each query runs twice: an untimed warm run (JIT, codegen-compile,
-    // parquet footers, AQE machinery — one-time costs that would otherwise
-    // all land on the alphabetically-first query) and a timed run
-    // measuring steady-state throughput. Any cache a query materializes
-    // internally (e.g. the MinHash signature persist) is dropped BEFORE
-    // the timed run, so the timed run always pays the query's full
-    // compute, and never sees another query's cache.
+    // Each query runs three times: an untimed warm run (JIT,
+    // codegen-compile, parquet footers, AQE machinery — one-time costs
+    // that would otherwise all land on the alphabetically-first query)
+    // and two timed runs, reporting the min (GC pauses in a shared JVM
+    // add multi-second noise to single samples). Any cache a query
+    // materializes internally (e.g. the MinHash signature persist) is
+    // dropped BEFORE each timed run, so a timed run always pays the
+    // query's full compute, and never sees another query's cache.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val r =
         try {
           fn(spark, sfDir).count() // warm, untimed
-          spark.sharedState.cacheManager.clearCache()
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
+          val dt = (1 to 2).map { _ =>
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
           spark.sharedState.cacheManager.clearCache()
           Right(dt)
         } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
