@@ -191,6 +191,38 @@ object ResponseOps {
           .as("inv_pack_res"))
       .orderBy(col("batch_key"), col("batch_id"))
 
+  /** G4b — full-fidelity packets: the complete T8 item shape
+    * (`InvoiceResponsePacket.InvoiceResponseItem` — sid, sync_sid,
+    * res_code, message, status, res_resource, code, data) inside the
+    * packet JSON, nulls RENDERED (`ignoreNullFields=false`) to match
+    * the reference's Jackson serialization of null POJO fields — and,
+    * conveniently, DuckDB's `to_json`. Item order inside a packet is
+    * the deterministic batch order (by id). */
+  def itemPackets(s: SparkSession, dir: String): DataFrame = {
+    val p = col("payload")
+    val isIn = col("kind") === "InvIn"
+    val resMsg = get_json_object(p, "$.fpt_einvoice_res_msg")
+    val item = struct(
+      col("sid"),
+      col("syncid").as("sync_sid"),
+      when(isIn, get_json_object(p, "$.fpt_einvoice_res_code")).as("res_code"),
+      when(isIn, coalesce(resMsg, lit("Tạo mới thành công"))).as("message"),
+      when(isIn, when(resMsg.isNull, lit("success")).otherwise(lit("error"))).as("status"),
+      when(isIn, lit("fpt")).otherwise(lit("gdt")).as("res_resource"),
+      lit(null).cast("int").as("code"),
+      when(isIn, get_json_object(p, "$.fpt_einvoice_res_json"))
+        .otherwise(get_json_object(p, "$.gdt_res")).as("data"))
+    bucketed(s, dir)
+      .filter(isIn || get_json_object(p, "$.gdt_res").isNotNull)
+      .withColumn("item", struct(col("id"), item.as("it")))
+      .groupBy(col("batch_key"), col("batch_id"))
+      .agg(to_json(
+        struct(transform(sort_array(collect_list(col("item"))),
+          x => x.getField("it")).as("inv_pack_res")),
+        Map("ignoreNullFields" -> "false")).as("packet_json"))
+      .orderBy(col("batch_key"), col("batch_id"))
+  }
+
   /** R2 — api_type → response-topic routing
     * (`InvoiceResponseKafkaRouter.java:52-70`; topic names
     * `application.properties:13-17`). One Kafka write with a computed
@@ -257,6 +289,7 @@ object ResponseOps {
     "g2_batch_buckets" -> (batchBuckets _),
     "g3_dedup" -> (dedup _),
     "g4_packets" -> (packets _),
+    "g4b_item_packets" -> (itemPackets _),
     "r2_topic_route" -> (topicRoute _),
     "t9_log_project" -> (logProject _),
     "k3_delete_remaining" -> (deleteRemaining _))
@@ -320,6 +353,38 @@ object ResponseOps {
         |      FROM events)
         |QUALIFY row_number() OVER (PARTITION BY kind, dup_id ORDER BY id) = 1
         |ORDER BY kind, dup_id""".stripMargin,
+    "g4b_item_packets" ->
+      s"""SELECT batch_key, batch_id,
+         |       to_json(struct_pack(inv_pack_res := list(struct_pack(
+         |         sid := sid, sync_sid := sync_sid, res_code := res_code,
+         |         message := message, status := status,
+         |         res_resource := res_resource, code := code, data := data
+         |       ) ORDER BY id))) AS packet_json
+         |FROM (
+         |  SELECT batch_key, batch_id, id,
+         |         'S' || CAST(id AS VARCHAR) AS sid,
+         |         'Y' || CAST(id AS VARCHAR) AS sync_sid,
+         |         CASE WHEN is_in THEN 'C' || CAST(id % 4 AS VARCHAR) END AS res_code,
+         |         CASE WHEN is_in THEN
+         |           CASE WHEN id % 3 = 0 THEN 'Tạo mới thành công'
+         |                ELSE 'E' || CAST(id % 3 AS VARCHAR) END END AS message,
+         |         CASE WHEN is_in THEN
+         |           CASE WHEN id % 3 = 0 THEN 'success' ELSE 'error' END END AS status,
+         |         CASE WHEN is_in THEN 'fpt' ELSE 'gdt' END AS res_resource,
+         |         CAST(NULL AS INT) AS code,
+         |         CASE WHEN is_in THEN
+         |           CASE WHEN id % 5 <> 0 THEN '{"x":' || CAST(id % 7 AS VARCHAR) || '}' END
+         |           ELSE 'G' || CAST(id AS VARCHAR) END AS data,
+         |         is_in, has_gdt
+         |  FROM (SELECT event_id AS id, CAST($bkSql AS TINYINT) AS batch_key,
+         |               CAST((row_number() OVER (PARTITION BY CAST($bkSql AS TINYINT) ORDER BY event_id) - 1) // 100 AS INT) AS batch_id,
+         |               user_id % 2 = 0 AS is_in,
+         |               event_id % 9 <> 0 AS has_gdt
+         |        FROM events WHERE $validSql)
+         |)
+         |WHERE is_in OR has_gdt
+         |GROUP BY batch_key, batch_id
+         |ORDER BY batch_key, batch_id""".stripMargin,
     "g4_packets" ->
       s"""SELECT batch_key, batch_id, count(*) AS packet_size,
          |       to_json(list(struct_pack(id := id, sid := 'S' || CAST(id AS VARCHAR)) ORDER BY id)) AS inv_pack_res
