@@ -57,6 +57,26 @@ class PipelineStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S2 incremental poll: advancing the id watermark never re-reads a row") {
+    // the driver-held offset loop of AsyncInvInSource.java:83-94, over
+    // the parquet stand-in: poll → advance lastId to max(id) seen → poll
+    import graft.sources.Tables
+    val base = Tables.events(spark, Sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("id"))
+    def poll(lastId: Long, fetch: Int) =
+      base.filter(col("id") > lastId).orderBy(col("id")).limit(fetch)
+        .collect().map(_.getLong(0))
+    var wm = -1L
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var n = 0
+    while (n < 5 && { val batch = poll(wm, 7); seen ++= batch
+        if (batch.nonEmpty) wm = batch.max; batch.nonEmpty }) n += 1
+    assert(seen.size === seen.distinct.size) // no row delivered twice
+    assert(seen.toSeq === seen.toSeq.sorted) // id-ordered delivery
+    assert(seen.size === math.min(5 * 7, base.count()))
+  }
+
   test("G3 streaming dedup: duplicates across micro-batches are dropped") {
     // the reference's idempotence guard keeps an unbounded per-key set
     // (InvoiceResponseBatchProcessor.java:110-121 — a leak); Spark's
