@@ -1,0 +1,33 @@
+package graft
+
+/** SQL surface of the custom expressions via GraftExtensions.register
+  * (the shared test session already exists, so the build-time
+  * extensions path does not apply — registry insertion does). */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("float_vec_dot is callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT float_vec_dot(
+        |  array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |  array(CAST(4.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d""".stripMargin)
+      .head().getDouble(0)
+    assert(r === 7.0)
+  }
+
+  test("simhash_long is callable from SQL and matches the md5 hash contract") {
+    GraftExtensions.register(spark)
+    val sql = spark.sql(
+      "SELECT simhash_long(array('alpha', 'beta', 'gamma'), 16) AS s")
+      .head().getLong(0)
+    assert(sql >= 0L && sql < (1L << 16))
+    // one-token signature: votes are all +1 or all -1, so the signature
+    // IS the token's 60-bit md5 hash
+    val one = spark.sql("SELECT simhash_long(array('alpha'), 60) AS s")
+      .head().getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("alpha".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    assert(one === java.lang.Long.parseLong(hex, 16))
+  }
+}
