@@ -45,7 +45,11 @@ for name, sql in sorted(oracle.items()):
         a, b = sdf[c], odf[c]
         try:
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                eq = (a.astype(float).fillna(-1e308) - b.astype(float).fillna(-1e308)).abs() < 1e-9
+                # EXACT: the determinism contract (left-to-right folds,
+                # decimal accumulators) promises bit-identical doubles;
+                # a tolerance here could green-light a query the
+                # driver's hash compare would fail
+                eq = a.astype(float).fillna(-1e308) == b.astype(float).fillna(-1e308)
             else:
                 eq = a.astype(object).where(pd.notna(a), None) == b.astype(object).where(pd.notna(b), None)
                 eq = eq | (pd.isna(a) & pd.isna(b))
