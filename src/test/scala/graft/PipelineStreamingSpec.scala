@@ -101,6 +101,38 @@ class PipelineStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G3 bounded dedup: dropDuplicatesWithinWatermark evicts state past the watermark") {
+    // the SURVEY §2.5 G3 improvement over the reference's unbounded
+    // seen-set: dedup state is evicted once the event-time watermark
+    // passes, so state stays bounded on an infinite stream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = in.toDF().toDF("id", "ts")
+      .withWatermark("ts", "5 seconds")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory")
+      .queryName("wdedup_out_" + System.nanoTime())
+      .outputMode("append")
+      .start()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    try {
+      in.addData((1L, ts(10)), (1L, ts(11)), (2L, ts(12)))
+      q.processAllAvailable()
+      // watermark advances past 12-5=7; id 1 within-watermark dup dropped
+      in.addData((1L, ts(13)), (3L, ts(40)))
+      q.processAllAvailable()
+      // watermark now ~35; id 1's state is evicted → a late id-1 row
+      // re-emits (bounded state trades exactly-once for boundedness)
+      in.addData((1L, ts(41)))
+      q.processAllAvailable()
+      val out = spark.table(q.name).select("id").as[Long].collect().toSeq
+      assert(out.count(_ == 1L) === 2) // once early, once after eviction
+      assert(out.count(_ == 2L) === 1)
+      assert(out.count(_ == 3L) === 1)
+    } finally q.stop()
+  }
+
   test("response pipeline: batches flush to routed kafka packets") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
