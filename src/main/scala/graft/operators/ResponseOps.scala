@@ -159,6 +159,36 @@ object ResponseOps {
         max(col("id")).as("max_id"))
       .orderBy(col("batch_key"), col("batch_id"))
 
+  /** Salt fan-out for [[saltedBuckets]]. */
+  val SaltBuckets = 8
+
+  /** G2b — SALTED batch buckets: the skew mitigation SCALE.md promises
+    * for the ≤6-value api_type key domain, as a checked query. The
+    * batch key widens to (batch_key, salt) with `salt = md5(sid) % 8`,
+    * so a hot api_type spreads over [[SaltBuckets]] window partitions
+    * instead of serializing on one executor — 6 keys → up to 48
+    * parallel partitions, each still emitting ≤ [[BatchSize]]-row
+    * batches. The reference never guaranteed cross-subtask batch
+    * composition (parallelism 6 already splits a key's records across
+    * subtasks, SURVEY §7.2), so per-salt batches are semantically
+    * equivalent. md5-derived salt keeps the oracle engine-portable
+    * (murmur3 `hash()` is not). */
+  def saltedBuckets(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Long
+    val salted = staging(s, dir)
+      .withColumn("batch_key", batchKey)
+      .filter(col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
+      .withColumn("salt", (md5Long(col("sid")) % SaltBuckets).cast("int"))
+    val w = Window.partitionBy(col("batch_key"), col("salt")).orderBy(col("id"))
+    salted
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / BatchSize).cast("int"))
+      .groupBy(col("batch_key"), col("salt"), col("batch_id"))
+      .agg(count(lit(1)).as("cnt"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("batch_key"), col("salt"), col("batch_id"))
+  }
+
   /** G3 — dedup / idempotence guard
     * (`InvoiceResponseBatchProcessor.java:110-121`, key format
     * `InvoiceResponseRecordKeyGenerator.java:9-18`). The harness
@@ -287,6 +317,7 @@ object ResponseOps {
     "t7_sniff" -> (sniff _),
     "t8_items" -> (items _),
     "g2_batch_buckets" -> (batchBuckets _),
+    "g2b_salted_buckets" -> (saltedBuckets _),
     "g3_dedup" -> (dedup _),
     "g4_packets" -> (packets _),
     "g4b_item_packets" -> (itemPackets _),
@@ -343,6 +374,16 @@ object ResponseOps {
          |      FROM events WHERE $validSql)
          |GROUP BY batch_key, batch_id
          |ORDER BY batch_key, batch_id""".stripMargin,
+    "g2b_salted_buckets" ->
+      s"""SELECT batch_key, salt, batch_id, count(*) AS cnt,
+         |       min(id) AS min_id, max(id) AS max_id
+         |FROM (SELECT id, batch_key, salt,
+         |             CAST((row_number() OVER (PARTITION BY batch_key, salt ORDER BY id) - 1) // 100 AS INT) AS batch_id
+         |      FROM (SELECT event_id AS id, CAST($bkSql AS TINYINT) AS batch_key,
+         |                   CAST(CAST(('0x' || substr(md5('S' || CAST(event_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS INT) AS salt
+         |            FROM events WHERE $validSql))
+         |GROUP BY batch_key, salt, batch_id
+         |ORDER BY batch_key, salt, batch_id""".stripMargin,
     "g3_dedup" ->
       """SELECT kind, dup_id, id,
         |       kind || '_' || CAST(dup_id AS VARCHAR) || '_S' || CAST(id AS VARCHAR)
