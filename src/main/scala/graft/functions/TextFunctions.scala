@@ -50,11 +50,18 @@ object TextFunctions {
 
   /** Word k-grams ("shingles") of a token array, k fixed at call site.
     * Spark arrays are 0-indexed; the DuckDB twin is 1-indexed — both
-    * yield `size - k + 1` shingles joined with single spaces. */
+    * yield `size - k + 1` shingles joined with single spaces. Fewer
+    * than k tokens → empty array on BOTH engines (DuckDB's
+    * `generate_series(1, len-1)` is naturally empty there; Spark's
+    * `sequence(0, size-k)` would instead count DOWN through negative
+    * indices and crash on `element_at(toks, 0)`, so it needs the
+    * guard). */
   def shingles(toks: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", (0 until k).map(d => element_at(toks, i + d + 1)): _*))
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(d => element_at(toks, i + d + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   def shinglesSql(toks: String, k: Int): String = {
     val parts = (0 until k).map(d => s"$toks[i + $d]").mkString(" || ' ' || ")

@@ -107,9 +107,10 @@ object MultimodalOps {
       }
   }
 
-  /** M3 as a registered query (rows-only check: mapPartitions output is
-    * not SQL-expressible, so no oracle entry — but checksum/length ARE
-    * deterministic, and the unit spec pins them). */
+  /** M3 as a registered query. The `mapPartitions` stage itself is not
+    * SQL, but the stub's byte-sum/length outputs ARE deterministic and
+    * restatable as ascii-sum arithmetic — the oracle below does exactly
+    * that, and the unit spec pins the checksum contract too. */
   def decodeStub(s: SparkSession, dir: String): DataFrame =
     decodeFeatures(s, dir).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))

@@ -93,50 +93,63 @@ object ResponseOps {
           lit("valid")).otherwise(lit("rejected")).as("domain_status"))
       .orderBy(col("id"))
 
+  /** The T7 sniff expression, shared with RetryOps.responseRetry so the
+    * probe set can never diverge between T7 and R4
+    * (`InvoiceResponseBatchProcessor.java:306-316`): any fpt field
+    * present → InvIn; else gdt_res → InvOut; else null (deserialize
+    * error). */
+  private[operators] def sniffedKind(p: Column): Column =
+    when(get_json_object(p, "$.fpt_einvoice_res_code").isNotNull ||
+         get_json_object(p, "$.fpt_einvoice_res_msg").isNotNull ||
+         get_json_object(p, "$.fpt_einvoice_res_json").isNotNull,
+      lit("InvIn"))
+      .when(get_json_object(p, "$.gdt_res").isNotNull, lit("InvOut"))
+
   /** T7 — polymorphic payload sniff
-    * (`InvoiceResponseBatchProcessor.java:306-316`): fpt_einvoice_res_*
-    * present → InvIn; else gdt_res present → InvOut; else unknown
-    * (deserialize error). */
+    * (`InvoiceResponseBatchProcessor.java:306-316`). */
   def sniff(s: SparkSession, dir: String): DataFrame =
     staging(s, dir)
       .select(col("id"),
-        when(get_json_object(col("payload"), "$.fpt_einvoice_res_code").isNotNull ||
-             get_json_object(col("payload"), "$.fpt_einvoice_res_msg").isNotNull ||
-             get_json_object(col("payload"), "$.fpt_einvoice_res_json").isNotNull,
-          lit("InvIn"))
-          .when(get_json_object(col("payload"), "$.gdt_res").isNotNull, lit("InvOut"))
-          .otherwise(lit("unknown")).as("sniffed_kind"))
+        coalesce(sniffedKind(col("payload")), lit("unknown")).as("sniffed_kind"))
       .orderBy(col("id"))
+
+  /** The T8 item fields (`InvoiceResponseItemFactory.java:16-66`),
+    * shared by [[items]] and [[itemPackets]] so the default-message /
+    * status / resource logic can never diverge between the flat and
+    * packet forms. Expects staging columns (`kind`, `sid`, `syncid`,
+    * `payload`) in scope. */
+  private def itemFields: Seq[Column] = {
+    val p = col("payload")
+    val isIn = col("kind") === "InvIn"
+    val resMsg = get_json_object(p, "$.fpt_einvoice_res_msg")
+    Seq(
+      col("sid"),
+      col("syncid").as("sync_sid"),
+      when(isIn, get_json_object(p, "$.fpt_einvoice_res_code")).as("res_code"),
+      when(isIn, coalesce(resMsg, lit("Tạo mới thành công"))).as("message"),
+      when(isIn, when(resMsg.isNull, lit("success")).otherwise(lit("error"))).as("status"),
+      when(isIn, lit("fpt")).otherwise(lit("gdt")).as("res_resource"),
+      lit(null).cast("int").as("code"),
+      when(isIn, get_json_object(p, "$.fpt_einvoice_res_json"))
+        .otherwise(get_json_object(p, "$.gdt_res")).as("data"))
+  }
+
+  /** InvOut records REQUIRE gdt_res — a null routes to the reject
+    * branch (`InvoiceResponseItemFactory.java:62` throw), so packet/item
+    * projections exclude those rows. */
+  private def itemEligible: Column =
+    col("kind") === "InvIn" ||
+      get_json_object(col("payload"), "$.gdt_res").isNotNull
 
   /** T8 — response-item projection
     * (`InvoiceResponseItemFactory.java:16-66`). InvIn: default message
     * "Tạo mới thành công"/success when res_msg is null; res_resource
-    * fpt; data = res_json (nullable). InvOut: data = gdt_res REQUIRED —
-    * null routes to the reject branch (`:62` throw), so those rows are
-    * excluded here. */
-  def items(s: SparkSession, dir: String): DataFrame = {
-    val st = staging(s, dir)
-    val p = col("payload")
-    val resMsg = get_json_object(p, "$.fpt_einvoice_res_msg")
-    st.filter(col("kind") === "InvIn" ||
-        get_json_object(p, "$.gdt_res").isNotNull)
-      .select(
-        col("id"),
-        col("sid"),
-        col("syncid").as("sync_sid"),
-        when(col("kind") === "InvIn",
-          get_json_object(p, "$.fpt_einvoice_res_code")).as("res_code"),
-        when(col("kind") === "InvIn",
-          coalesce(resMsg, lit("Tạo mới thành công"))).as("message"),
-        when(col("kind") === "InvIn",
-          when(resMsg.isNull, lit("success")).otherwise(lit("error"))).as("status"),
-        when(col("kind") === "InvIn", lit("fpt")).otherwise(lit("gdt")).as("res_resource"),
-        lit(null).cast("int").as("code"),
-        when(col("kind") === "InvIn",
-          get_json_object(p, "$.fpt_einvoice_res_json"))
-          .otherwise(get_json_object(p, "$.gdt_res")).as("data"))
+    * fpt; data = res_json (nullable). */
+  def items(s: SparkSession, dir: String): DataFrame =
+    staging(s, dir)
+      .filter(itemEligible)
+      .select(col("id") +: itemFields: _*)
       .orderBy(col("id"))
-  }
 
   /** Valid-domain rows with their G2 batch bucket: `batch_id` =
     * (rank within batch_key) div BatchSize — the deterministic batch
@@ -228,30 +241,16 @@ object ResponseOps {
     * the reference's Jackson serialization of null POJO fields — and,
     * conveniently, DuckDB's `to_json`. Item order inside a packet is
     * the deterministic batch order (by id). */
-  def itemPackets(s: SparkSession, dir: String): DataFrame = {
-    val p = col("payload")
-    val isIn = col("kind") === "InvIn"
-    val resMsg = get_json_object(p, "$.fpt_einvoice_res_msg")
-    val item = struct(
-      col("sid"),
-      col("syncid").as("sync_sid"),
-      when(isIn, get_json_object(p, "$.fpt_einvoice_res_code")).as("res_code"),
-      when(isIn, coalesce(resMsg, lit("Tạo mới thành công"))).as("message"),
-      when(isIn, when(resMsg.isNull, lit("success")).otherwise(lit("error"))).as("status"),
-      when(isIn, lit("fpt")).otherwise(lit("gdt")).as("res_resource"),
-      lit(null).cast("int").as("code"),
-      when(isIn, get_json_object(p, "$.fpt_einvoice_res_json"))
-        .otherwise(get_json_object(p, "$.gdt_res")).as("data"))
+  def itemPackets(s: SparkSession, dir: String): DataFrame =
     bucketed(s, dir)
-      .filter(isIn || get_json_object(p, "$.gdt_res").isNotNull)
-      .withColumn("item", struct(col("id"), item.as("it")))
+      .filter(itemEligible)
+      .withColumn("item", struct(col("id"), struct(itemFields: _*).as("it")))
       .groupBy(col("batch_key"), col("batch_id"))
       .agg(to_json(
         struct(transform(sort_array(collect_list(col("item"))),
           x => x.getField("it")).as("inv_pack_res")),
         Map("ignoreNullFields" -> "false")).as("packet_json"))
       .orderBy(col("batch_key"), col("batch_id"))
-  }
 
   /** R2 — api_type → response-topic routing
     * (`InvoiceResponseKafkaRouter.java:52-70`; topic names

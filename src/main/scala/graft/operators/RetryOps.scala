@@ -99,11 +99,7 @@ object RetryOps {
     val st = ResponseOps.staging(s, dir)
       .withColumn("retry_count", (col("id") % 5).cast("tinyint"))
     val p = col("payload")
-    val sniffed = when(
-      get_json_object(p, "$.fpt_einvoice_res_code").isNotNull ||
-        get_json_object(p, "$.fpt_einvoice_res_msg").isNotNull ||
-        get_json_object(p, "$.fpt_einvoice_res_json").isNotNull, lit("InvIn"))
-      .when(get_json_object(p, "$.gdt_res").isNotNull, lit("InvOut"))
+    val sniffed = ResponseOps.sniffedKind(p)
     // deserialized-record api_type: payload field only, POJO default 0
     val payloadApi = coalesce(
       get_json_object(p, "$.api_type").cast("int"), lit(0))

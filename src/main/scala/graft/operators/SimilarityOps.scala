@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -45,21 +45,31 @@ object SimilarityOps {
         signBucket(col("embedding"), BucketBits).as("bucket"))
       .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
 
+  /** Query-side cosine against the joined corpus row. */
+  private def qCos: Column =
+    dotD(col("qv"), col("v")) / (col("qn") * col("nrm"))
+
+  /** Shared X1-X4 tail: (query_id, neighbor_id, cos) pairs → dense-rank
+    * top-[[K]] per query, cosine-desc with neighbor-id tie-break. */
+  private def topKPerQuery(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** X1 — brute-force cosine top-k for queries vec_id < [[NumQueries]],
     * self-match excluded. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val cos = dotD(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(
+      c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), qCos.as("cos")))
   }
 
   /** X2 — ANN: identical contract to X1 but each query probes only its
@@ -69,16 +79,10 @@ object SimilarityOps {
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qb"))
-    val cos = dotD(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(q),
-        col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(
+      c.join(broadcast(q),
+          col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), qCos.as("cos")))
   }
 
   /** X3 — IVF-style ANN: every vector is assigned to its
@@ -108,16 +112,10 @@ object SimilarityOps {
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("qc"))
-    val cos = dotD(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.join(broadcast(q),
-        col("qc") === col("cent_id") && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(
+      assigned.join(broadcast(q),
+          col("qc") === col("cent_id") && col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), qCos.as("cos")))
   }
 
   /** X4 — multi-probe LSH ANN: each query probes its own sign-LSH bucket
@@ -136,16 +134,10 @@ object SimilarityOps {
         explode(array(
           col("qb") +: (0 until BucketBits).map(i =>
             expr(s"int(qb) ^ ${1 << i}")): _*)).as("pb"))
-    val cos = dotD(col("qv"), col("v")) / (col("qn") * col("nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(probes),
-        col("pb") === col("bucket") && col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    topKPerQuery(
+      c.join(broadcast(probes),
+          col("pb") === col("bucket") && col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), qCos.as("cos")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

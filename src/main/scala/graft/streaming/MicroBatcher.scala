@@ -59,8 +59,14 @@ object MicroBatcher {
         (key: Int, rows: Iterator[Rec], state: GroupState[Buf]) =>
           val prior = state.getOption.getOrElse(Buf(Nil, 0L, Set.empty, 0L))
           if (state.hasTimedOut) {
-            // timer flush (`InvoiceResponseBatchProcessor.java:158-183`)
-            state.remove()
+            // timer flush (`InvoiceResponseBatchProcessor.java:158-183`).
+            // The seq counter SURVIVES the flush (state.update, not
+            // remove) so (apiType, seq) stays a unique packet identity
+            // across the key's lifetime — a removed state would restart
+            // every burst at seq 0. No timeout is re-armed on an empty
+            // buffer, so the retained state is inert until new input.
+            state.update(Buf(Nil, prior.seq + (if (prior.pending.isEmpty) 0 else 1),
+              Set.empty, 0L))
             if (prior.pending.isEmpty) Iterator.empty
             else Iterator.single(Packet(key, prior.seq, prior.pending.size,
               prior.pending.map(_.payload), "timeout"))
@@ -77,9 +83,14 @@ object MicroBatcher {
             }
             var nextSeq = prior.seq + full.size
             var remainder = rest.flatten
+            // the remainder still contains prior-buffered rows only when
+            // the count-flushes didn't drain all of them; otherwise its
+            // oldest row arrived THIS call and the wait clock restarts
+            val priorRowsRemain =
+              prior.pending.size > full.size * batchSize
             val firstAt =
               if (remainder.isEmpty) 0L
-              else if (prior.pending.nonEmpty) prior.firstAt
+              else if (priorRowsRemain) prior.firstAt
               else clock()
             // force-flush safety net (`:229-248`, maxWait = 2×timeout at
             // `:56`): if the oldest pending row has waited ≥ 2×timeout —
@@ -93,12 +104,11 @@ object MicroBatcher {
                 remainder = Nil
                 List(p)
               } else Nil
-            if (remainder.isEmpty) state.remove()
-            else {
-              state.update(Buf(remainder, nextSeq,
-                remainder.map(_.recordKey).toSet, firstAt))
-              state.setTimeoutDuration(timeoutMs)
-            }
+            // seq survives an emptied buffer (see timeout branch); the
+            // timeout is only armed while rows are actually pending
+            state.update(Buf(remainder, nextSeq,
+              remainder.map(_.recordKey).toSet, firstAt))
+            if (remainder.nonEmpty) state.setTimeoutDuration(timeoutMs)
             (countPackets ++ forcePackets).iterator
           }
       }

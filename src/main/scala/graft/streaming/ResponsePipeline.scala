@@ -30,7 +30,15 @@ object ResponsePipeline {
     * routed Kafka sink (R2: `InvoiceResponseKafkaRouter.java:52-70`;
     * topic names `application.properties:13-17`). */
   def packets(recs: Dataset[Rec], batchSize: Int, timeoutMs: Long): DataFrame = {
-    val flushed: Dataset[Packet] = MicroBatcher(recs, batchSize, timeoutMs)
+    import recs.sparkSession.implicits._
+    // T6 domain guard: out-of-domain api_types (incl. the G1 fallback
+    // key 0) never reach the batcher — they belong to the retry path
+    // (R4 "Unknown api_type", `InvoiceResponseBatchProcessor.java:285-287`).
+    // Without this, an unknown key would produce a NULL topic row that
+    // the Kafka sink rejects at write time.
+    val inDomain = recs.filter(r =>
+      graft.model.InvoiceModel.ApiTypes.contains(r.apiType))
+    val flushed: Dataset[Packet] = MicroBatcher(inDomain, batchSize, timeoutMs)
     flushed.toDF()
       .select(
         when(col("apiType") === 10, "mtt.crt.response")
