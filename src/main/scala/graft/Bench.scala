@@ -21,7 +21,12 @@ object Bench {
     // materializes internally (e.g. the MinHash signature persist) is
     // dropped BEFORE each timed run, so a timed run always pays the
     // query's full compute, and never sees another query's cache.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated substring filter for targeted profiling
+    // (e.g. SPARK_GRAFT_ONLY=d2,d3b); absent = full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    val results = selected.map { case (name, fn) =>
       val r =
         try {
           fn(spark, sfDir).count() // warm, untimed

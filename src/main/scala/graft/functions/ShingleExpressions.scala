@@ -1,0 +1,221 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+
+/** Compiled replacements for the d2_minhash_lsh hot path.
+  *
+  * The pure-`functions._` pipeline (`array_distinct(shingles(tokens))`
+  * → `transform(bg, tokHash)` → 8 × `array_min(transform(hs, linear))`)
+  * is semantically right but every higher-order function is
+  * `CodegenFallback`: per element it pays an interpreted lambda
+  * dispatch, and `CollapseProject` additionally inlines the shared
+  * `hs` subtree into each of the 8 `array_min` legs, so the md5 of
+  * every shingle is recomputed 8×. Measured at sf0.1 the signature
+  * side of d2 was ~3 s of the 3.9 s total. These expressions keep the
+  * exact hash contract of [[TextFunctions]] (md5 → first 15 hex chars
+  * → 60-bit long → mod 1e9+7, bit-identical to the DuckDB oracle) but
+  * run one compiled loop per row.
+  */
+object ShingleExpressions {
+  import org.apache.spark.sql.{Column, GraftSqlBridge}
+
+  def hashedShingleSet(toks: Column, k: Int): Column =
+    GraftSqlBridge.column(HashedShingleSet(GraftSqlBridge.expression(toks), k))
+
+  def minhashSig(hs: Column, ab: Seq[(Long, Long)]): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(hs), ab))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SortedIntersectCount(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
+
+/** Sorted DISTINCT `tokHash` values of the word k-grams of a token
+  * array — the hashed shingle set used both as MinHash input and as
+  * the exact-Jaccard verify side.
+  *
+  * Equivalences that make this a drop-in for the HOF pipeline:
+  * duplicate shingle STRINGS hash to the same long, so
+  * distinct-after-hash equals hash-after-distinct; MinHash takes a
+  * min, which is multiset-invariant; the verify stage intersects
+  * SETS, so sort order is internal only (and is what lets
+  * [[SortedIntersectCount]] merge-scan instead of hash-building).
+  * Fewer than k tokens → empty array (matches the guarded
+  * `TextFunctions.shingles` and DuckDB's naturally-empty
+  * `generate_series`).
+  */
+case class HashedShingleSet(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val tokBytes = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) { tokBytes(t) = toks.getUTF8String(t).getBytes; t += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = Array[Byte](' ')
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      md.reset()
+      var d = 0
+      while (d < k) {
+        if (d > 0) md.update(space)
+        md.update(tokBytes(i + d))
+        d += 1
+      }
+      val digest = md.digest()
+      // first 15 hex chars = 15 big-endian nibbles (TextFunctions.md5Long)
+      var h = 0L
+      var j = 0
+      while (j < 15) {
+        val b = digest(j / 2) & 0xff
+        h = (h << 4) | (if (j % 2 == 0) b >>> 4 else b & 0xf)
+        j += 1
+      }
+      out(i) = h % TextFunctions.HashMod
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted run
+    var w = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingleSet =
+    copy(child = newChild)
+
+  override def prettyName: String = "hashed_shingle_set"
+}
+
+/** The full MinHash signature — `array_min(transform(hs, h → (h·a+b)
+  * mod M))` for every (a, b) pair — as ONE compiled pass over the
+  * hashed shingle array. Empty input → null (the HOF form's
+  * `array_min(empty)` is null per band; a null signature falls out of
+  * the band equi-join identically). All intermediates stay < 2^42
+  * (h < 2^30, a ≤ 2^10), far from overflow on either engine.
+  */
+case class MinHashSig(child: Expression, ab: Seq[(Long, Long)])
+    extends UnaryExpression with CodegenFallback {
+
+  require(ab.nonEmpty, "at least one (a, b) hash pair")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(ab.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < ab.length) {
+        val v = (h * ab(j)._1 + ab(j)._2) % TextFunctions.HashMod
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** |A ∩ B| of two SORTED DISTINCT long arrays via a codegen'd merge
+  * scan — no per-row hash-set build (`array_intersect` allocates and
+  * fills one per evaluation, and the verify projection evaluates the
+  * intersection in several output columns). Inputs MUST be sorted
+  * distinct ([[HashedShingleSet]]'s postcondition); output is the
+  * plain count, which is all the Jaccard verify needs.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<long> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv < $yv) $i++;
+         |  else if ($xv > $yv) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}

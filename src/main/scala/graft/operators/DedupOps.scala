@@ -63,48 +63,46 @@ object DedupOps {
   /** D2 — MinHash + LSH near-dedup with exact-Jaccard verification:
     * shingle → minhash → band signatures → bucket join → verify. Output
     * is every candidate pair with its exact hashed-shingle Jaccard
-    * counts and an integer near-dup flag. */
+    * counts and an integer near-dup flag.
+    *
+    * Hot path is compiled ([[graft.functions.HashedShingleSet]] /
+    * [[graft.functions.MinHashSig]] / [[graft.functions.SortedIntersectCount]]):
+    * the equivalent HOF pipeline pays interpreted lambdas per element
+    * AND recomputes the md5 of every shingle 8× after `CollapseProject`
+    * inlines the shared hash array into each `array_min` leg — measured
+    * ~3 s of d2's 3.9 s at sf0.1. One compiled pass per row brings the
+    * signature side under 0.3 s with bit-identical hashes. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val bg = withBigrams(Tables.documents(s, dir))
+    import graft.functions.ShingleExpressions._
+    // Sorted distinct hashed-shingle sets: MinHash input AND the
+    // exact-Jaccard verify side (sortedness is what lets the verify do
+    // a merge scan instead of building a hash set per candidate pair).
+    val hsets = Tables.documents(s, dir).select(col("doc_id"),
+      hashedShingleSet(tokens(col("text")), 2).as("bg"))
     // The SLIM signature table (doc_id + 8 longs) is materialized once —
-    // the self-join reads it twice and would otherwise re-run the
-    // shingle+md5+minhash pipeline per side. Only the signatures are
-    // cached: persisting the bigram arrays too costs more in columnar
-    // cache serialization than the two recomputes of the (cheap)
-    // shingle stage for the verify joins, whose identical exchanges
-    // Spark additionally dedupes via ReuseExchange. At 100 TB this
-    // persist becomes a written signature table — the standard
-    // LSH-pipeline checkpoint — with identical plan shape.
-    val withMh = bg.withColumn("hs", transform(col("bg"), sh => tokHash(sh)))
-      .select(col("doc_id") +:
-        MinHashAB.zipWithIndex.map { case ((a, b), j) =>
-          array_min(transform(col("hs"), h => (h * a + b) % HashMod)).as(s"mh$j")
-        }: _*)
-      .persist()
-    // verify side intersects HASHED shingle sets (long arrays): 8-byte
-    // fixed-width compares instead of variable-length strings, ~40% off
-    // the 81k-pair verify stage; the MinHash estimate targets hashed-
-    // shingle Jaccard anyway (standard practice), and both engines
-    // compute the identical hash so the counts stay oracle-exact.
-    val bgKept = bg.select(col("doc_id"),
-      array_distinct(transform(col("bg"), sh => tokHash(sh))).as("bg"))
+    // the band self-join reads it twice. At 100 TB this persist becomes
+    // a written signature table — the standard LSH-pipeline checkpoint —
+    // with identical plan shape.
+    val withMh = hsets.select(col("doc_id"),
+      minhashSig(col("bg"), MinHashAB).as("mh")).persist()
     val sigs = withMh.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bnd =>
-        col(s"mh${2 * bnd}") * HashMod + col(s"mh${2 * bnd + 1}")): _*)))
+        element_at(col("mh"), 2 * bnd + 1) * HashMod +
+          element_at(col("mh"), 2 * bnd + 2)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val inter = size(array_intersect(col("ba.bg"), col("bb.bg")))
-    val uni = size(col("ba.bg")) + size(col("bb.bg")) - inter
-    cand.join(bgKept.as("ba"), col("a") === col("ba.doc_id"))
-      .join(bgKept.as("bb"), col("b") === col("bb.doc_id"))
+    val inter = sortedIntersectCount(col("ba.bg"), col("bb.bg")).cast("long")
+    val uni = (size(col("ba.bg")) + size(col("bb.bg"))).cast("long") - inter
+    cand.join(hsets.as("ba"), col("a") === col("ba.doc_id"))
+      .join(hsets.as("bb"), col("b") === col("bb.doc_id"))
       .select(col("a"), col("b"),
-        inter.cast("long").as("inter_cnt"),
-        uni.cast("long").as("union_cnt"),
-        when(inter.cast("long") * JaccardNum >= uni.cast("long"), 1)
+        inter.as("inter_cnt"),
+        uni.as("union_cnt"),
+        when(inter * JaccardNum >= uni, 1)
           .otherwise(0).as("is_near_dup"))
       .orderBy(col("a"), col("b"))
   }
