@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RequestOps.queries ++ ScanOps.queries ++ JoinOps.queries ++
       ResponseOps.queries ++ RetryOps.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries
+      DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
+      WindowOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RequestOps.oracles ++ ScanOps.oracles ++ JoinOps.oracles ++
       ResponseOps.oracles ++ RetryOps.oracles ++ TextOps.oracles ++
-      DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles
+      DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
+      WindowOps.oracles
 }

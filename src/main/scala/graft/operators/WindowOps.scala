@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Common.dsum
+
+/** Event-time windowed aggregation family (W2-W4) over the harness
+  * `events` table.
+  *
+  * The reference batches by COUNT-or-timeout on processing time
+  * (`/root/reference/src/main/java/com/thaihoc/process/response/InvoiceResponseBatchProcessor.java:26-316`,
+  * covered by G2/MicroBatcher); it has no event-time windows. A
+  * Spark-native engine gets them for free — `window()` /
+  * `session_window()` group keys work identically in batch and in
+  * Structured Streaming with a watermark (the streaming binding is
+  * exercised in WindowedStreamingSpec; these batch forms are the
+  * oracle-checked restatements).
+  *
+  * Scale notes: a tumbling/sliding window agg is ONE hash shuffle on
+  * (window, keys) with map-side partial aggregation — the window struct
+  * is computed per-row before the exchange, so no extra pass. The
+  * sliding form fans each row into len/slide windows BEFORE the partial
+  * agg (here 2×; the multiplier, not the row count, is the scale knob).
+  * Session windows shuffle on user_id and merge per-key sorted runs —
+  * Spark's batch physical plan sorts within partitions; skewed users
+  * (bot traffic) are the AQE-skew / salting case, same playbook as g2b.
+  */
+object WindowOps {
+
+  /** W2 — tumbling 1-hour window × event_type: count + exact-decimal
+    * value sum. Epoch-aligned windows = hour truncation on both engines. */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    ScanOps.eventsTs(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** W3 — sliding 1-hour window every 30 minutes: each event lands in
+    * exactly len/slide = 2 windows. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    ScanOps.eventsTs(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"))
+
+  /** W4 — per-user session windows with a 30-minute inactivity gap.
+    * Spark session semantics: an event extends the session iff its ts is
+    * STRICTLY inside [prev_ts, prev_ts + gap); session end = last event
+    * + gap. The oracle restates this as the classic gaps-and-islands
+    * (lag → break flag → running sum → group). */
+  def session(s: SparkSession, dir: String): DataFrame =
+    ScanOps.eventsTs(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w2_tumbling" -> (tumbling _),
+    "w3_sliding" -> (sliding _),
+    "w4_session" -> (session _))
+
+  val oracles: Map[String, String] = Map(
+    "w2_tumbling" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+        |       date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS win_end,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY win_start, event_type""".stripMargin,
+    "w3_sliding" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |fan AS (SELECT ts, value,
+        |               time_bucket(INTERVAL '30 minutes', ts)
+        |                 - INTERVAL '30 minutes' * s.j AS win_start
+        |        FROM ev, unnest([0, 1]) AS s(j))
+        |SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM fan
+        |GROUP BY win_start
+        |ORDER BY win_start""".stripMargin,
+    "w4_session" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |marks AS (SELECT *,
+        |                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                             >= INTERVAL '30 minutes'
+        |                      THEN 1 ELSE 0 END AS brk
+        |          FROM ev),
+        |grp AS (SELECT *,
+        |               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                              ROWS UNBOUNDED PRECEDING) AS sess
+        |        FROM marks)
+        |SELECT user_id,
+        |       min(ts) AS sess_start,
+        |       max(ts) + INTERVAL '30 minutes' AS sess_end,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM grp
+        |GROUP BY user_id, sess
+        |ORDER BY user_id, sess_start""".stripMargin)
+}
