@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Common.dsum
+
+/** Multi-level aggregation surface (A2-A4): ROLLUP, CUBE and PIVOT.
+  *
+  * The reference's only aggregations are the MAX-bootstrap and the
+  * count-batcher (SURVEY §2.5); these are the standard OLAP
+  * restatements an analytics engine is expected to carry. All three
+  * are single-shuffle plans: Spark expands grouping sets BEFORE the
+  * exchange (each input row fans into one row per matching grouping
+  * set, partially aggregated map-side), and pivot is a plain
+  * hash-aggregate whose cells are conditional sums — no extra pass,
+  * no per-value scan. At 100 TB the fan-out factor (3 for a 2-col
+  * rollup, 4 for a 2-col cube) multiplies the shuffle write, which is
+  * the usual argument for rolling up FROM a pre-aggregated cube level
+  * rather than from raw facts when both levels are needed.
+  *
+  * A `gl` grouping-level column (grouping(a)·2 + grouping(b)) makes
+  * each output row's provenance explicit and gives the deterministic
+  * ORDER BY the hash-compare needs: within one gl value the nulled-out
+  * key columns are constant, so ordering by the remaining keys is
+  * total without any NULLS FIRST/LAST divergence between engines. */
+object AggOps {
+
+  /** A2 — ROLLUP (l_returnflag, l_linestatus): detail, per-flag
+    * subtotal, grand total in one pass. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gl"),
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gl"),
+        col("n_items"), col("sum_qty"))
+      .orderBy(col("gl"), col("l_returnflag"), col("l_linestatus"))
+
+  /** A3 — CUBE (o_orderstatus, o_orderpriority): all four grouping
+    * sets of the order dimensions. */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("gl"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gl"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("gl"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** Pivot columns are an explicit list — with an inferred list the
+    * plan needs a driver-side distinct scan first, and the output
+    * schema becomes data-dependent (breaks at scale AND breaks the
+    * oracle's fixed column set). */
+  val EventTypes = Seq("click", "view", "error", "purchase", "signup")
+
+  /** A4 — PIVOT: per user-cohort value sums, one column per event
+    * type. */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy(col("cohort"))
+      .pivot("event_type", EventTypes)
+      .agg(dsum(col("value")))
+      .orderBy(col("cohort"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a2_rollup" -> (rollupAgg _),
+    "a3_cube" -> (cubeAgg _),
+    "a4_pivot" -> (pivotAgg _))
+
+  private val pivotCells = EventTypes.map { t =>
+    s"""CAST(SUM(CASE WHEN event_type = '$t'
+       |         THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS "$t"""".stripMargin
+  }.mkString(",\n       ")
+
+  val oracles: Map[String, String] = Map(
+    "a2_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gl,
+        |       count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gl, l_returnflag, l_linestatus""".stripMargin,
+    "a3_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gl,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gl, o_orderstatus, o_orderpriority""".stripMargin,
+    "a4_pivot" ->
+      s"""SELECT user_id % 10 AS cohort,
+         |       $pivotCells
+         |FROM events
+         |GROUP BY user_id % 10
+         |ORDER BY cohort""".stripMargin)
+}
