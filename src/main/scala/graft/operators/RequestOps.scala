@@ -120,6 +120,12 @@ object RequestOps {
     * the retry queue. Error messages and their precedence mirror the
     * reference's throw order (stax `:65` → sid `:78` → api_type `:95`). */
   def rejects(s: SparkSession, dir: String): DataFrame =
+    rejectsCore(s, dir).orderBy(col("event_id"))
+
+  /** [[rejects]] without the presentation sort — for composition into
+    * downstream operators (K2) that re-sort anyway: an inner `orderBy`
+    * survives as a redundant range Exchange + Sort under a Union. */
+  def rejectsCore(s: SparkSession, dir: String): DataFrame =
     extracted(s, dir)
       .withColumn("error_message",
         when(col("stax").isNull, lit("stax is null"))
@@ -127,7 +133,6 @@ object RequestOps {
           .when(col("api_type").isNull, lit("api_type is null")))
       .filter(col("error_message").isNotNull)
       .select(col("event_id"), col("error_message"))
-      .orderBy(col("event_id"))
 
   /** T4 — derived columns (`InvoiceRequestTransformer.java:101-102`):
     * `group_id = pos % groupIdBuckets` round-robin bucket from the packet
@@ -150,7 +155,12 @@ object RequestOps {
     * base·2^(n+1) (20/40/80/160 s for n = 0..3 at the 10 s base).
     * retry_count/success are derived deterministically from event
     * columns. */
-  def retryBackoff(s: SparkSession, dir: String): DataFrame = {
+  def retryBackoff(s: SparkSession, dir: String): DataFrame =
+    retryBackoffCore(s, dir).orderBy(col("event_id"))
+
+  /** [[retryBackoff]] without the presentation sort (see
+    * [[rejectsCore]]). */
+  def retryBackoffCore(s: SparkSession, dir: String): DataFrame = {
     import graft.model.InvoiceModel.{MaxRetries, RetryBaseSeconds}
     val ev = Tables.events(s, dir)
       .withColumn("retry_count", (col("event_id") % 5).cast("tinyint"))
@@ -167,7 +177,6 @@ object RequestOps {
         when(!col("succeeds") && col("retry_count") <= MaxRetries,
           (col("retry_count") + 1).cast("tinyint"))
           .as("new_retry_count"))
-      .orderBy(col("event_id"))
   }
 
   /** Registry — driver contract (SparkEntry). */

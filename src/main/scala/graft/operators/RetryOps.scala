@@ -50,7 +50,7 @@ object RetryOps {
   private val RetryEpoch = "2024-01-01 00:00:00"
 
   def retryApply(s: SparkSession, dir: String): DataFrame = {
-    val t5 = RequestOps.retryBackoff(s, dir)
+    val t5 = RequestOps.retryBackoffCore(s, dir)
     def retryAt(secs: org.apache.spark.sql.Column) =
       to_timestamp(lit(RetryEpoch)) + make_interval(
         lit(0), lit(0), lit(0), lit(0), lit(0), lit(0), secs.cast("decimal(18,6)"))
@@ -72,7 +72,7 @@ object RetryOps {
       lit(null).cast("long").as("next_retry_secs"),
       lit(null).cast("timestamp").as("next_retry_at"),
       lit(null).cast("string").as("error_message"))
-    val creates = RequestOps.rejects(s, dir).select(
+    val creates = RequestOps.rejectsCore(s, dir).select(
       col("event_id").as("id"),
       lit("INSERT").as("op"),
       lit("invoice_retry").as("sink_table"),

@@ -99,7 +99,7 @@ object ScanOps {
     * sink. The filter-split + union round trip is the point of the
     * operator — the oracle states the equivalent single-pass CASE. */
   def sideUnion(s: SparkSession, dir: String): DataFrame = {
-    val t5 = RequestOps.retryBackoff(s, dir)
+    val t5 = RequestOps.retryBackoffCore(s, dir)
     def branch(tag: String, sinkTable: String) =
       t5.filter(col("tag") === tag)
         .select(col("event_id"), col("tag"), lit(sinkTable).as("sink_table"))
