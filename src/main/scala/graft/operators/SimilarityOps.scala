@@ -140,11 +140,38 @@ object SimilarityOps {
         .select(col("query_id"), col("vec_id").as("neighbor_id"), qCos.as("cos")))
   }
 
+  /** X5 — recall@k of every ANN tier against the X1 exact baseline, the
+    * quality metric that justifies the bucketed scale paths: each ANN
+    * top-k joins the brute-force top-k on (query, neighbor); matches/K
+    * is that query's recall. Each join side carries ≤ K rows per query
+    * and at most one match per (query, neighbor), so the three left
+    * joins stay 1:1 — at 100 TB this is the standard offline
+    * recall-eval job run on a sampled query set, and it's how the
+    * BucketBits / multi-probe / NumCentroids knobs get tuned. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    def hits(df: DataFrame, mark: String) =
+      df.select(col("query_id"), col("neighbor_id"), lit(1).as(mark))
+    val joined = brute
+      .join(hits(annLsh(s, dir), "in_lsh"), Seq("query_id", "neighbor_id"), "left")
+      .join(hits(annIvf(s, dir), "in_ivf"), Seq("query_id", "neighbor_id"), "left")
+      .join(hits(annMultiProbe(s, dir), "in_mp"), Seq("query_id", "neighbor_id"), "left")
+    def n(mark: String) = sum(coalesce(col(mark), lit(0))).cast("int")
+    joined.groupBy(col("query_id"))
+      .agg(n("in_lsh").as("n_lsh"), n("in_ivf").as("n_ivf"), n("in_mp").as("n_mp"))
+      .select(col("query_id"), col("n_lsh"), col("n_ivf"), col("n_mp"),
+        (col("n_lsh").cast("double") / K).as("recall_lsh"),
+        (col("n_ivf").cast("double") / K).as("recall_ivf"),
+        (col("n_mp").cast("double") / K).as("recall_mp"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_knn_brute" -> (knnBrute _),
     "x2_ann_lsh" -> (annLsh _),
     "x3_ann_ivf" -> (annIvf _),
-    "x4_ann_multiprobe" -> (annMultiProbe _))
+    "x4_ann_multiprobe" -> (annMultiProbe _),
+    "x5_ann_recall" -> (annRecall _))
 
   private def corpusSql =
     s"""SELECT vec_id, embedding AS v,
@@ -152,7 +179,7 @@ object SimilarityOps {
        |       sqrt(${dotDSql("embedding", "embedding")}) AS nrm
        |FROM embeddings""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "x1_knn_brute" ->
       s"""WITH c AS ($corpusSql),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM c WHERE vec_id < $NumQueries),
@@ -219,4 +246,35 @@ object SimilarityOps {
          |QUALIFY rank <= $K
          |ORDER BY query_id, rank""".stripMargin
     })
+
+  /** The x5 oracle reuses the x1-x4 oracle SQL verbatim as CTE bodies —
+    * any drift between a variant's Spark program and its oracle shows up
+    * in that variant's own row, and x5 stays consistent by construction. */
+  private def recallSql: String =
+    s"""WITH brute AS (${oracleBase("x1_knn_brute")}),
+       |lsh AS (${oracleBase("x2_ann_lsh")}),
+       |ivf AS (${oracleBase("x3_ann_ivf")}),
+       |mp AS (${oracleBase("x4_ann_multiprobe")}),
+       |joined AS (
+       |  SELECT b.query_id,
+       |         CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_lsh,
+       |         CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_ivf,
+       |         CASE WHEN m.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_mp
+       |  FROM brute b
+       |  LEFT JOIN lsh l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |  LEFT JOIN ivf i ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+       |  LEFT JOIN mp m ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id)
+       |SELECT query_id,
+       |       CAST(SUM(in_lsh) AS INT) AS n_lsh,
+       |       CAST(SUM(in_ivf) AS INT) AS n_ivf,
+       |       CAST(SUM(in_mp) AS INT) AS n_mp,
+       |       CAST(SUM(in_lsh) AS DOUBLE) / $K AS recall_lsh,
+       |       CAST(SUM(in_ivf) AS DOUBLE) / $K AS recall_ivf,
+       |       CAST(SUM(in_mp) AS DOUBLE) / $K AS recall_mp
+       |FROM joined GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  private def oracleBase(name: String): String = oraclesBase(name)
+
+  val oracles: Map[String, String] =
+    oraclesBase + ("x5_ann_recall" -> recallSql)
 }

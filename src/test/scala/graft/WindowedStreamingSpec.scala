@@ -58,6 +58,52 @@ class WindowedStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches inside the window, state evicted past watermark") {
+    // the streaming form of the J-family equi-joins: two watermarked
+    // streams, equi-key plus an event-time range — Spark buffers each
+    // side ONLY until the combined watermark passes the interval bound,
+    // which is what makes the join runnable on unbounded inputs
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // NOT the shared ts(): an event at exactly epoch 0 equals the join's
+    // INITIAL watermark and is filtered as late before reaching state
+    // (boundary is inclusive on the join input path) — shift the clock
+    def ts(min: Long) = new java.sql.Timestamp((120 + min) * 60000L)
+    val impIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val clkIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val imp = impIn.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "1 minute")
+    val clk = clkIn.toDF().toDF("c_ad_id", "clk_ts")
+      .withWatermark("clk_ts", "1 minute")
+    val q = imp.join(clk, expr(
+        """ad_id = c_ad_id AND
+          |clk_ts >= imp_ts AND
+          |clk_ts <= imp_ts + interval 10 minutes""".stripMargin))
+      .select(col("ad_id"), col("imp_ts"), col("clk_ts"))
+      .writeStream.format("memory")
+      .queryName("ssj_out_" + System.nanoTime())
+      .outputMode("append")
+      .start()
+    try {
+      impIn.addData((1L, ts(0)), (2L, ts(5)))
+      clkIn.addData((1L, ts(4)), (2L, ts(20))) // 4 ∈ [0,10]; 20 ∉ [5,15]
+      q.processAllAvailable()
+      val first = spark.table(q.name).collect()
+      assert(first.length === 1)
+      assert(first(0).getAs[Long]("ad_id") === 1L)
+      // advance BOTH watermarks far past the interval bound → buffered
+      // impression state is evicted
+      impIn.addData((99L, ts(100)))
+      clkIn.addData((98L, ts(100)))
+      q.processAllAvailable()
+      // a click for ad 2 that WOULD match (ts 6 ∈ [5,15]) arrives behind
+      // the watermark: dropped, no late match materializes
+      clkIn.addData((2L, ts(6)))
+      q.processAllAvailable()
+      assert(spark.table(q.name).count() === 1)
+    } finally q.stop()
+  }
+
   test("W4 streaming: session windows merge within the gap and emit on watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
