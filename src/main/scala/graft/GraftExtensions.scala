@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatVecDot, SimHashLong}
+import graft.functions.{FloatVecDot, HashedShingleSet, MinHashSig, SimHashLong, SortedIntersectCount}
 
 /** SQL surface for the library's custom Catalyst expressions
   * (`spark.sql("SELECT float_vec_dot(a, b) ...")`).
@@ -28,6 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_long"),
       new ExpressionInfo(classOf[SimHashLong].getName, "simhash_long"),
       GraftExtensions.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("hashed_shingle_set"),
+      new ExpressionInfo(classOf[HashedShingleSet].getName, "hashed_shingle_set"),
+      GraftExtensions.shingleSetBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      GraftExtensions.minhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      GraftExtensions.intersectBuilder))
   }
 }
 
@@ -51,9 +63,38 @@ object GraftExtensions {
     SimHashLong(args(0), bits)
   }
 
-  /** Register both functions on a live session. */
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => other.eval() match {
+      case i: Int => i
+      case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+    }
+  }
+
+  private[graft] val shingleSetBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "hashed_shingle_set(tokens, k) takes an array<string> and a literal width")
+    HashedShingleSet(args(0), intLiteral(args(1), "hashed_shingle_set width"))
+  }
+
+  private[graft] val minhashBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      "minhash_sig(hashes) takes one array<long> argument (library A/B constants)")
+    MinHashSig(args(0), graft.operators.DedupOps.MinHashAB)
+  }
+
+  private[graft] val intersectBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "sorted_intersect_count(a, b) takes two sorted array<long> args")
+    SortedIntersectCount(args(0), args(1))
+  }
+
+  /** Register every function on a live session. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "float_vec_dot", dotBuilder)
     GraftSqlBridge.registerFunction(spark, "simhash_long", simhashBuilder)
+    GraftSqlBridge.registerFunction(spark, "hashed_shingle_set", shingleSetBuilder)
+    GraftSqlBridge.registerFunction(spark, "minhash_sig", minhashBuilder)
+    GraftSqlBridge.registerFunction(spark, "sorted_intersect_count", intersectBuilder)
   }
 }

@@ -30,4 +30,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .map(b => f"$b%02x").mkString.take(15)
     assert(one === java.lang.Long.parseLong(hex, 16))
   }
+
+  test("the d2 hot-path trio is callable from SQL and self-consistent") {
+    GraftExtensions.register(spark)
+    // 'a b c' and 'b c d' share exactly one bigram ('b c')
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(
+        |         hashed_shingle_set(split('a b c', ' '), 2),
+        |         hashed_shingle_set(split('b c d', ' '), 2)) AS n,
+        |       size(minhash_sig(hashed_shingle_set(split('a b c', ' '), 2))) AS m
+        |""".stripMargin).head()
+    assert(r.getInt(0) === 1)
+    assert(r.getInt(1) === graft.operators.DedupOps.MinHashAB.length)
+  }
 }
