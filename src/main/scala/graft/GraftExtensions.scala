@@ -40,6 +40,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       GraftExtensions.intersectBuilder))
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 

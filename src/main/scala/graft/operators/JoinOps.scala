@@ -118,14 +118,86 @@ object JoinOps {
       .orderBy(col("r_name"), col("p_brand"))
   }
 
+  /** Shared asof-join inputs: clicks are the probe side, purchases the
+    * state side — "the latest purchase by this user at or before the
+    * click". Column names are pre-disambiguated so the joined output
+    * needs no qualification. */
+  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = ScanOps.eventsTs(s, dir)
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"), col("value").as("r_value"))
+    (l, r)
+  }
+
+  private val asofOutCols = Seq("l_event_id", "user_id", "l_ts", "l_value",
+    "r_event_id", "r_ts", "r_value").map(col)
+
+  /** JX4 — as-of join, composable restatement (the (a)-tier from the
+    * brief's custom-operator ladder): tag and union both sides, sort
+    * each user's timeline with right rows first at equal ts (inclusive
+    * bound), carry the right columns forward with
+    * `last(_, ignoreNulls)` over a running frame, keep matched left
+    * rows. Correct everywhere Spark runs, but the union of BOTH inputs
+    * (right columns null-padded) crosses one shuffle and one sort. */
+  def asofWindow(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = asofSides(s, dir)
+    val u = l.withColumn("side", lit(1))
+      .unionByName(
+        r.withColumnRenamed("r_user", "user_id").withColumn("side", lit(0)),
+        allowMissingColumns = true)
+      .withColumn("ets", coalesce(col("l_ts"), col("r_ts")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ets"), col("side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    u.withColumn("m_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))
+      .withColumn("m_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("r_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("m_event_id").isNotNull)
+      .select(col("l_event_id"), col("user_id"), col("l_ts"), col("l_value"),
+        col("m_event_id").as("r_event_id"), col("m_ts").as("r_ts"),
+        col("m_value").as("r_value"))
+      .orderBy(col("l_event_id"))
+  }
+
+  /** JX5 — as-of join through the custom operator
+    * ([[graft.plans.AsofJoin]]): one shuffle per SIDE on the key, O(1)
+    * merge state per partition, no null-padded union through the
+    * exchange. Same oracle as JX4 — the two must agree bit-for-bit. */
+  def asofNative(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = asofSides(s, dir)
+    graft.plans.AsofJoin.asof(l, r,
+        Seq(l("user_id")), Seq(r("r_user")), l("l_ts"), r("r_ts"))
+      .select(asofOutCols: _*)
+      .orderBy(col("l_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "jx4_asof_window" -> (asofWindow _),
+    "jx5_asof_native" -> (asofNative _),
     "j1_sid_syncid" -> (sidSyncidJoin _),
     "j2_dim_broadcast" -> (dimBroadcast _),
     "j3_part_supp" -> (partSuppJoin _),
     "a1_lineitem_agg" -> (lineitemAgg _),
     "w1_topk" -> (topK _))
 
+  private val asofOracle =
+    """WITH l AS (SELECT event_id AS l_event_id, user_id,
+      |                  CAST(ts AS TIMESTAMP) AS l_ts, value AS l_value
+      |           FROM events WHERE event_type = 'click'),
+      |r AS (SELECT event_id AS r_event_id, user_id AS r_user,
+      |             CAST(ts AS TIMESTAMP) AS r_ts, value AS r_value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT l_event_id, user_id, l_ts, l_value, r_event_id, r_ts, r_value
+      |FROM l ASOF JOIN r ON l.user_id = r.r_user AND r.r_ts <= l.l_ts
+      |ORDER BY l_event_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "jx4_asof_window" -> asofOracle,
+    "jx5_asof_native" -> asofOracle,
     "j1_sid_syncid" ->
       """SELECT 'S' || CAST(r.event_id AS VARCHAR) AS sid,
         |       'Y' || CAST(r.event_id AS VARCHAR) AS syncid,

@@ -12,6 +12,15 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a DataFrame (for composing custom logical
+    * nodes) and its inverse (wrapping a custom node back into a
+    * DataFrame) — both `private[sql]` in Spark 4. */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a SQL function on an EXISTING session (the
     * `spark.sql.extensions` path only applies at session build). */
   def registerFunction(spark: SparkSession, name: String,

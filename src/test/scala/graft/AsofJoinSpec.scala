@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.plans.AsofJoin
+
+/** Edge semantics + plan shape of the custom as-of join (value parity
+  * with DuckDB's native ASOF JOIN is driver-checked via jx5). */
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  private def mk(rows: Seq[(java.lang.Long, Timestamp, String)], pfx: String) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      rows.map { case (k, t, v) => org.apache.spark.sql.Row(k, t, v) }.asJava,
+      StructType(Seq(
+        StructField(s"${pfx}k", LongType),
+        StructField(s"${pfx}ts", TimestampType),
+        StructField(s"${pfx}v", StringType))))
+  }
+
+  private def asof(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+    AsofJoin.asof(l, r, Seq(l("lk")), Seq(r("rk")), l("lts"), r("rts"))
+
+  test("matches latest right at-or-before each left row; inclusive tie; unmatched dropped") {
+    val l = mk(Seq((1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(15), "t"),
+      (2L, ts(5), "c"), (3L, ts(9), "d")), "l")
+    val r = mk(Seq((1L, ts(8), "X"), (1L, ts(15), "Y"), (2L, ts(99), "Z")), "r")
+    val got = asof(l, r).select("lv", "rv").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    // a@10 -> X@8; t@15 -> Y@15 (inclusive); b@20 -> Y@15;
+    // c@5 has only a future right row; d has no right key at all
+    assert(got === Set(("a", "X"), ("t", "Y"), ("b", "Y")))
+  }
+
+  test("null keys and null timestamps never match") {
+    val l = mk(Seq((null, ts(10), "a"), (1L, null, "b"), (1L, ts(10), "c")), "l")
+    val r = mk(Seq((null, ts(1), "N"), (1L, null, "M"), (1L, ts(2), "X")), "r")
+    val got = asof(l, r).select("lv", "rv").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got === Set(("c", "X")))
+  }
+
+  test("empty right side yields empty result; empty left side too") {
+    val l = mk(Seq((1L, ts(10), "a")), "l")
+    val e = mk(Seq.empty, "r")
+    assert(asof(l, e).count() === 0)
+    val r = mk(Seq((1L, ts(1), "X")), "r")
+    assert(asof(mk(Seq.empty, "l"), r).count() === 0)
+  }
+
+  test("survives multi-partition shuffles and agrees with the window restatement") {
+    // derive many keys/rows from events so rows genuinely cross the
+    // 4 shuffle partitions of the shared session
+    val jx4 = graft.operators.JoinOps.asofWindow(spark, Sf)
+    val jx5 = graft.operators.JoinOps.asofNative(spark, Sf)
+    assert(jx4.count() > 0)
+    assert(jx4.exceptAll(jx5).count() === 0)
+    assert(jx5.exceptAll(jx4).count() === 0)
+  }
+
+  test("plan: one exchange per side, no union/window, merge exec present") {
+    val plan = graft.operators.JoinOps.asofNative(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.linesIterator.take(8).mkString("\n"))
+    assert(!plan.contains("Window"), "native form must not fall back to the window restatement")
+    // exchanges: one per join side + the presentation orderBy's range
+    // exchange — nothing else
+    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      plan.linesIterator.count(_.trim.startsWith(":- Exchange"))
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n" +
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+}
