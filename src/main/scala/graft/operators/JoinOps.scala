@@ -175,9 +175,47 @@ object JoinOps {
       .orderBy(col("l_event_id"))
   }
 
+  /** Interval width of the JX6 attribution windows and of the buckets
+    * that cover them — equal by construction, so every range spans at
+    * most two buckets (the `sequence` generalizes to wider ranges). */
+  private val RangeBucketMicros = 7200000000L // 2 hours
+
+  /** JX6 — bucketed range join (the brief's other "operator Spark
+    * lacks"): each click joins EVERY purchase window of the same user
+    * containing it (`l_ts ∈ [win_start, win_end)`). Spark plans a raw
+    * inequality join as BroadcastNestedLoopJoin — per-pair work that's
+    * quadratic per key at scale. The scale path: explode each range
+    * into the fixed-width buckets it covers, equi-join on
+    * (user, bucket) — the probe row's single bucket meets each range
+    * at most once, so no pair dedup — then filter exact containment.
+    * One hash shuffle per side, pair space bounded by bucket
+    * occupancy, AQE-splittable under skew. */
+  def rangeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = ScanOps.eventsTs(s, dir)
+    // `div` (not `/`): exact integer bucket arithmetic — double division
+    // plus truncation is one ulp away from a wrong bucket at a boundary
+    val l = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"),
+        expr(s"unix_micros(ts) div $RangeBucketMicros").as("bkt"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"),
+        col("ts").as("win_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("win_end"))
+      .withColumn("bkt", explode(sequence(
+        expr(s"unix_micros(win_start) div $RangeBucketMicros"),
+        expr(s"unix_micros(win_end) div $RangeBucketMicros"))))
+    l.join(r, col("user_id") === col("r_user") && l("bkt") === r("bkt") &&
+        col("l_ts") >= col("win_start") && col("l_ts") < col("win_end"))
+      .select(col("l_event_id"), col("user_id"), col("l_ts"),
+        col("r_event_id"), col("win_start"))
+      .orderBy(col("l_event_id"), col("r_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jx4_asof_window" -> (asofWindow _),
     "jx5_asof_native" -> (asofNative _),
+    "jx6_range_bucketed" -> (rangeBucketed _),
     "j1_sid_syncid" -> (sidSyncidJoin _),
     "j2_dim_broadcast" -> (dimBroadcast _),
     "j3_part_supp" -> (partSuppJoin _),
@@ -198,6 +236,18 @@ object JoinOps {
   val oracles: Map[String, String] = Map(
     "jx4_asof_window" -> asofOracle,
     "jx5_asof_native" -> asofOracle,
+    "jx6_range_bucketed" ->
+      """WITH l AS (SELECT event_id AS l_event_id, user_id,
+        |                  CAST(ts AS TIMESTAMP) AS l_ts
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS r_event_id, user_id AS r_user,
+        |             CAST(ts AS TIMESTAMP) AS win_start,
+        |             CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS win_end
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT l_event_id, user_id, l_ts, r_event_id, win_start
+        |FROM l JOIN r ON l.user_id = r.r_user
+        |            AND l.l_ts >= r.win_start AND l.l_ts < r.win_end
+        |ORDER BY l_event_id, r_event_id""".stripMargin,
     "j1_sid_syncid" ->
       """SELECT 'S' || CAST(r.event_id AS VARCHAR) AS sid,
         |       'Y' || CAST(r.event_id AS VARCHAR) AS syncid,
