@@ -96,11 +96,38 @@ object TextOps {
           (acc, h) => (acc * 131L + h) % HashMod).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Per-language sampling rates (percent) for TX5 — the shape of a
+    * corpus-rebalancing pass (downsample the dominant language, keep
+    * more of the rest). */
+  val SampleRates: Map[String, Int] = Map("en" -> 10, "de" -> 25)
+  val DefaultSampleRate = 50
+
+  /** TX5 — deterministic stratified sampling: seeded-hash per-row keep
+    * decision with a per-language rate. `TABLESAMPLE`/`df.sample` draw
+    * from an RNG seeded per partition-split — results change with
+    * partitioning and are irreproducible across engines; hashing the
+    * row key instead gives a sample that is stable under repartition,
+    * re-runs, AND engine swaps (md5 contract, oracle-exact), which is
+    * what makes a training-data sample auditable. Zero shuffle: the
+    * keep decision is a narrow filter. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket = md5Long(concat(lit("smp:"), col("doc_id").cast("string"))) % 100
+    val rate = SampleRates.foldLeft(lit(DefaultSampleRate)) {
+      case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.cast("int").as("smp_bucket"),
+        rate.cast("int").as("smp_rate"))
+      .filter(col("smp_bucket") < col("smp_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality" -> (quality _),
     "tx3_langid" -> (langId _),
-    "tx4_fingerprint" -> (fingerprint _))
+    "tx4_fingerprint" -> (fingerprint _),
+    "tx5_stratified_sample" -> (stratifiedSample _))
 
   private val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val toksSql = tokensSql("text")
@@ -137,5 +164,16 @@ object TextOps {
       s"""SELECT doc_id,
          |       list_reduce(list_transform($toksSql, t -> ${tokHashSql("t")}),
          |         (acc, h) -> (acc * 131 + h) % $HashMod) AS fingerprint
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx5_stratified_sample" -> {
+      val rateSql = SampleRates.foldRight(DefaultSampleRate.toString) {
+        case ((l, r), acc) => s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+      }
+      s"""SELECT doc_id, lang,
+         |       CAST(${md5LongSql("'smp:' || CAST(doc_id AS VARCHAR)")} % 100 AS INT) AS smp_bucket,
+         |       CAST($rateSql AS INT) AS smp_rate
+         |FROM documents
+         |WHERE ${md5LongSql("'smp:' || CAST(doc_id AS VARCHAR)")} % 100 < $rateSql
+         |ORDER BY doc_id""".stripMargin
+    })
 }
