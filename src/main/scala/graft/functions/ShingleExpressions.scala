@@ -67,7 +67,12 @@ case class HashedShingleSet(child: Expression, k: Int)
     if (n < k) return new GenericArrayData(Array.empty[Long])
     val tokBytes = new Array[Array[Byte]](n)
     var t = 0
-    while (t < n) { tokBytes(t) = toks.getUTF8String(t).getBytes; t += 1 }
+    // null elements contribute nothing, like the HOF form's concat_ws
+    // (which drops nulls AND their separators)
+    while (t < n) {
+      tokBytes(t) = if (toks.isNullAt(t)) null else toks.getUTF8String(t).getBytes
+      t += 1
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
     val space = Array[Byte](' ')
     val out = new Array[Long](n - k + 1)
@@ -75,9 +80,13 @@ case class HashedShingleSet(child: Expression, k: Int)
     while (i <= n - k) {
       md.reset()
       var d = 0
+      var written = 0
       while (d < k) {
-        if (d > 0) md.update(space)
-        md.update(tokBytes(i + d))
+        if (tokBytes(i + d) != null) {
+          if (written > 0) md.update(space)
+          md.update(tokBytes(i + d))
+          written += 1
+        }
         d += 1
       }
       val digest = md.digest()
@@ -129,23 +138,31 @@ case class MinHashSig(child: Expression, ab: Seq[(Long, Long)])
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  /** Null for EMPTY input too (mirroring `array_min(empty)`), not just
+    * for null input — so nullability cannot be derived from the child. */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
     if (n == 0) return null
     val mins = Array.fill(ab.length)(Long.MaxValue)
+    var seen = 0
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
-      var j = 0
-      while (j < ab.length) {
-        val v = (h * ab(j)._1 + ab(j)._2) % TextFunctions.HashMod
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!hs.isNullAt(i)) { // null elements skipped, like array_min's
+        seen += 1
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < ab.length) {
+          val v = (h * ab(j)._1 + ab(j)._2) % TextFunctions.HashMod
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (seen == 0) null else new GenericArrayData(mins)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
@@ -165,13 +182,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull arrays are rejected outright: a null element has no
+    // position in a sorted merge, and silently treating it as 0 (what
+    // getLong would do) is a wrong count, not a degraded one
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<long> inputs, got " +
+      s"$prettyName requires two array<long> inputs without null elements, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
 

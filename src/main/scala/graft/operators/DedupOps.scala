@@ -55,11 +55,6 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Per-doc distinct word-bigram set (the shingle universe for D2/D4). */
-  private def withBigrams(df: DataFrame): DataFrame =
-    df.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 2)).as("bg"))
-
   /** D2 — MinHash + LSH near-dedup with exact-Jaccard verification:
     * shingle → minhash → band signatures → bucket join → verify. Output
     * is every candidate pair with its exact hashed-shingle Jaccard

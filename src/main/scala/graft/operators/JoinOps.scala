@@ -124,10 +124,16 @@ object JoinOps {
     * needs no qualification. */
   private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = ScanOps.eventsTs(s, dir)
-    val l = ev.filter(col("event_type") === "click")
+    // null keys / timestamps can never match under asof (equi-join null
+    // semantics + an unordered ts): filter them HERE so the window
+    // restatement (whose partitionBy would otherwise group the null
+    // keys together) and the custom exec see identical inputs
+    val l = ev.filter(col("event_type") === "click" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id").as("l_event_id"), col("user_id"),
         col("ts").as("l_ts"), col("value").as("l_value"))
-    val r = ev.filter(col("event_type") === "purchase")
+    val r = ev.filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("event_id").as("r_event_id"), col("user_id").as("r_user"),
         col("ts").as("r_ts"), col("value").as("r_value"))
     (l, r)
@@ -153,13 +159,17 @@ object JoinOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ets"), col("side"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    u.withColumn("m_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))
-      .withColumn("m_ts", last(col("r_ts"), ignoreNulls = true).over(w))
-      .withColumn("m_value", last(col("r_value"), ignoreNulls = true).over(w))
-      .filter(col("side") === 1 && col("m_event_id").isNotNull)
+    // ONE struct per right row, not one last() per column: independent
+    // per-column carries would stitch an output row from DIFFERENT
+    // right rows whenever a matched column is individually null
+    u.withColumn("m", last(
+        when(col("side") === 0,
+          struct(col("r_event_id"), col("r_ts"), col("r_value"))),
+        ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("m").isNotNull)
       .select(col("l_event_id"), col("user_id"), col("l_ts"), col("l_value"),
-        col("m_event_id").as("r_event_id"), col("m_ts").as("r_ts"),
-        col("m_value").as("r_value"))
+        col("m.r_event_id").as("r_event_id"), col("m.r_ts").as("r_ts"),
+        col("m.r_value").as("r_value"))
       .orderBy(col("l_event_id"))
   }
 

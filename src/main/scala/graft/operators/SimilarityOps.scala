@@ -50,36 +50,46 @@ object SimilarityOps {
     dotD(col("qv"), col("v")) / (col("qn") * col("nrm"))
 
   /** Shared X1-X4 tail: (query_id, neighbor_id, cos) pairs → dense-rank
-    * top-[[K]] per query, cosine-desc with neighbor-id tie-break. */
-  private def topKPerQuery(pairs: DataFrame): DataFrame = {
+    * top-[[K]] per query, cosine-desc with neighbor-id tie-break. Sort-free
+    * (for composition — X5); the registered queries add the presentation
+    * ORDER BY via [[topKPerQuery]]. */
+  private def topKCore(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
   }
+
+  private def topKPerQuery(pairs: DataFrame): DataFrame =
+    topKCore(pairs).orderBy(col("query_id"), col("rank"))
 
   /** X1 — brute-force cosine top-k for queries vec_id < [[NumQueries]],
     * self-match excluded. */
-  def knnBrute(s: SparkSession, dir: String): DataFrame = {
+  def knnBrute(s: SparkSession, dir: String): DataFrame =
+    knnBruteCore(s, dir).orderBy(col("query_id"), col("rank"))
+
+  private def knnBruteCore(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    topKPerQuery(
+    topKCore(
       c.join(broadcast(q), col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), qCos.as("cos")))
   }
 
   /** X2 — ANN: identical contract to X1 but each query probes only its
     * sign-LSH bucket. */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    annLshCore(s, dir).orderBy(col("query_id"), col("rank"))
+
+  private def annLshCore(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qb"))
-    topKPerQuery(
+    topKCore(
       c.join(broadcast(q),
           col("qb") === col("bucket") && col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), qCos.as("cos")))
@@ -94,7 +104,10 @@ object SimilarityOps {
     * cell-partitioned so a probe is a partition-pruned scan, and
     * multi-probe (n nearest cells) buys recall — same plan shape, the
     * assignment join stays a broadcast (centroid set ≪ corpus). */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfCore(s, dir).orderBy(col("query_id"), col("rank"))
+
+  private def annIvfCore(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val cents = c
       .filter(col("vec_id") >= NumQueries &&
@@ -112,7 +125,7 @@ object SimilarityOps {
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("qc"))
-    topKPerQuery(
+    topKCore(
       assigned.join(broadcast(q),
           col("qc") === col("cent_id") && col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), qCos.as("cos")))
@@ -125,7 +138,10 @@ object SimilarityOps {
     * candidates of X2, still a tiny fraction of brute force, and no
     * re-sharding of the corpus (the probe list is generated query-side).
     * Probe buckets are pairwise distinct, so no pair dedup is needed. */
-  def annMultiProbe(s: SparkSession, dir: String): DataFrame = {
+  def annMultiProbe(s: SparkSession, dir: String): DataFrame =
+    annMultiProbeCore(s, dir).orderBy(col("query_id"), col("rank"))
+
+  private def annMultiProbeCore(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -134,7 +150,7 @@ object SimilarityOps {
         explode(array(
           col("qb") +: (0 until BucketBits).map(i =>
             expr(s"int(qb) ^ ${1 << i}")): _*)).as("pb"))
-    topKPerQuery(
+    topKCore(
       c.join(broadcast(probes),
           col("pb") === col("bucket") && col("query_id") =!= col("vec_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), qCos.as("cos")))
@@ -149,13 +165,13 @@ object SimilarityOps {
     * recall-eval job run on a sampled query set, and it's how the
     * BucketBits / multi-probe / NumCentroids knobs get tuned. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = knnBrute(s, dir).select(col("query_id"), col("neighbor_id"))
+    val brute = knnBruteCore(s, dir).select(col("query_id"), col("neighbor_id"))
     def hits(df: DataFrame, mark: String) =
       df.select(col("query_id"), col("neighbor_id"), lit(1).as(mark))
     val joined = brute
-      .join(hits(annLsh(s, dir), "in_lsh"), Seq("query_id", "neighbor_id"), "left")
-      .join(hits(annIvf(s, dir), "in_ivf"), Seq("query_id", "neighbor_id"), "left")
-      .join(hits(annMultiProbe(s, dir), "in_mp"), Seq("query_id", "neighbor_id"), "left")
+      .join(hits(annLshCore(s, dir), "in_lsh"), Seq("query_id", "neighbor_id"), "left")
+      .join(hits(annIvfCore(s, dir), "in_ivf"), Seq("query_id", "neighbor_id"), "left")
+      .join(hits(annMultiProbeCore(s, dir), "in_mp"), Seq("query_id", "neighbor_id"), "left")
     def n(mark: String) = sum(coalesce(col(mark), lit(0))).cast("int")
     joined.groupBy(col("query_id"))
       .agg(n("in_lsh").as("n_lsh"), n("in_ivf").as("n_ivf"), n("in_mp").as("n_mp"))

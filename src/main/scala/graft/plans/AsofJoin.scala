@@ -46,6 +46,17 @@ case class AsofJoin(
   extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length, "key lists must zip")
+  // cross-side type agreement must fail loudly at construction: the exec
+  // hashes and reads BOTH sides with the LEFT types, so e.g. an int key
+  // joined to a long key would silently partition the sides apart and
+  // compare garbage instead of erroring
+  import org.apache.spark.sql.types.DataType.equalsStructurally
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(equalsStructurally(l.dataType, r.dataType, ignoreNullability = true),
+      s"asof key type mismatch: ${l.dataType.simpleString} vs ${r.dataType.simpleString}")
+  }
+  require(equalsStructurally(leftTs.dataType, rightTs.dataType, ignoreNullability = true),
+    s"asof ts type mismatch: ${leftTs.dataType.simpleString} vs ${rightTs.dataType.simpleString}")
 
   override def output: Seq[Attribute] = left.output ++ right.output
 

@@ -62,14 +62,16 @@ class AsofJoinSpec extends SparkSpec {
   }
 
   test("plan: one exchange per side, no union/window, merge exec present") {
-    val plan = graft.operators.JoinOps.asofNative(spark, Sf)
-      .queryExecution.executedPlan.toString
+    val executed = graft.operators.JoinOps.asofNative(spark, Sf)
+      .queryExecution.executedPlan
+    val plan = executed.toString
     assert(plan.contains("AsofJoin"), plan.linesIterator.take(8).mkString("\n"))
     assert(!plan.contains("Window"), "native form must not fall back to the window restatement")
     // exchanges: one per join side + the presentation orderBy's range
-    // exchange — nothing else
-    val exchanges = plan.linesIterator.count(_.trim.startsWith("+- Exchange")) +
-      plan.linesIterator.count(_.trim.startsWith(":- Exchange"))
+    // exchange — nothing else (counted on plan NODES, not rendered text)
+    val exchanges = executed.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.length
     assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n" +
       plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }

@@ -59,6 +59,27 @@ class ShingleExpressionsSpec extends AnyFunSuite {
     assert(cmp.filter(col("merged") > 0).count() > 0) // non-vacuous
   }
 
+  test("null handling on the SQL surface (code-review regressions)") {
+    GraftExtensions.register(spark)
+    // null token elements contribute nothing (concat_ws semantics), no NPE
+    val withNull = spark.sql(
+      """SELECT hashed_shingle_set(array('a', CAST(NULL AS STRING), 'b'), 2) AS hs,
+        |       hashed_shingle_set(array('a', 'b'), 2) AS plain""".stripMargin).head()
+    assert(withNull.getSeq[Long](0).nonEmpty)
+    // ('a', null) → "a", (null, 'b') → "b": shingles exist but differ from "a b"
+    assert(withNull.getSeq[Long](0).toSet !== withNull.getSeq[Long](1).toSet)
+    // minhash_sig is nullable even over a non-nullable child: empty set → null
+    val nullSig = spark.sql(
+      "SELECT minhash_sig(hashed_shingle_set(split('one', ' '), 2)) AS sig").head()
+    assert(nullSig.isNullAt(0))
+    // sorted_intersect_count REJECTS arrays that may contain nulls
+    val err = intercept[Exception](spark.sql(
+      "SELECT sorted_intersect_count(array(CAST(1 AS BIGINT)), array(CAST(NULL AS BIGINT)))")
+      .collect())
+    assert(err.getMessage.contains("without null elements") ||
+      err.getMessage.toLowerCase.contains("datatype_mismatch"))
+  }
+
   test("edge cases: short docs, empty, exact dup") {
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(
