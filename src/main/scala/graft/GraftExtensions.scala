@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatVecDot, HashedShingleSet, MinHashSig, SimHashLong, SortedIntersectCount}
+import graft.functions.{FloatVecDot, HashedShingleSet, MinHashSig, SimHashLong, SortedIntersectCount, TopKByAgg}
 
 /** SQL surface for the library's custom Catalyst expressions
   * (`spark.sql("SELECT float_vec_dot(a, b) ...")`).
@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       GraftExtensions.intersectBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKByAgg].getName, "topk_by"),
+      GraftExtensions.topkBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
@@ -90,6 +94,12 @@ object GraftExtensions {
     SortedIntersectCount(args(0), args(1))
   }
 
+  private[graft] val topkBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3,
+      "topk_by(score, id, k) takes a double score, bigint id and literal k")
+    TopKByAgg(args(0), args(1), intLiteral(args(2), "topk_by k"))
+  }
+
   /** Register every function on a live session. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "float_vec_dot", dotBuilder)
@@ -97,5 +107,6 @@ object GraftExtensions {
     GraftSqlBridge.registerFunction(spark, "hashed_shingle_set", shingleSetBuilder)
     GraftSqlBridge.registerFunction(spark, "minhash_sig", minhashBuilder)
     GraftSqlBridge.registerFunction(spark, "sorted_intersect_count", intersectBuilder)
+    GraftSqlBridge.registerFunction(spark, "topk_by", topkBuilder)
   }
 }

@@ -182,7 +182,25 @@ object SimilarityOps {
       .orderBy(col("query_id"))
   }
 
+  /** X6 — per-bucket top-k through the custom [[graft.functions.TopKByAgg]]
+    * aggregate (SURVEY §2.11 UDAF surface): the window-free top-k — a
+    * bounded k-entry heap per group, merged map-side like any partial
+    * agg, shipping k pairs per group per partition instead of sorting
+    * each group's full row set. */
+  def topkAgg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val e = corpus(s, dir)
+    val agg = GraftSqlBridge.column(
+      graft.functions.TopKByAgg(
+        GraftSqlBridge.expression(col("nrm")),
+        GraftSqlBridge.expression(col("vec_id")), K).toAggregateExpression())
+    e.groupBy(col("bucket"))
+      .agg(agg.as("top_ids"), count(lit(1)).as("n_vecs"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x6_topk_agg" -> (topkAgg _),
     "x1_knn_brute" -> (knnBrute _),
     "x2_ann_lsh" -> (annLsh _),
     "x3_ann_ivf" -> (annIvf _),
@@ -292,5 +310,11 @@ object SimilarityOps {
   private def oracleBase(name: String): String = oraclesBase(name)
 
   val oracles: Map[String, String] =
-    oraclesBase + ("x5_ann_recall" -> recallSql)
+    oraclesBase + ("x5_ann_recall" -> recallSql) +
+      ("x6_topk_agg" ->
+        s"""WITH e AS ($corpusSql)
+           |SELECT bucket,
+           |       (list(vec_id ORDER BY nrm DESC, vec_id ASC))[1:$K] AS top_ids,
+           |       count(*) AS n_vecs
+           |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin)
 }
