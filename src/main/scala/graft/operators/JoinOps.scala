@@ -222,7 +222,37 @@ object JoinOps {
       .orderBy(col("l_event_id"), col("r_event_id"))
   }
 
+  /** J4 — left-semi join (§2.6 surface completion; k3 covers anti):
+    * orders with at least one heavy lineitem. Semi ships NO columns
+    * from the right side and stops probing a key at the first match —
+    * at 100 TB that's materially cheaper than inner-join + distinct. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    Tables.orders(s, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** A5 — multi-distinct aggregation: two COUNT(DISTINCT) over
+    * different columns plus a plain sum in one pass. Catalyst plans
+    * this with an Expand (one replicate per distinct group) feeding a
+    * two-stage aggregate — the standard shape; at 100 TB the Expand
+    * multiplier (here 3x) is the cost knob, and AP1's HLL sketch is
+    * the constant-memory alternative when exactness can be traded. */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j4_semi" -> (semiJoin _),
+    "a5_distinct_agg" -> (distinctAgg _),
     "jx4_asof_window" -> (asofWindow _),
     "jx5_asof_native" -> (asofNative _),
     "jx6_range_bucketed" -> (rangeBucketed _),
@@ -244,6 +274,18 @@ object JoinOps {
       |ORDER BY l_event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "j4_semi" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "a5_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_suppliers,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "jx4_asof_window" -> asofOracle,
     "jx5_asof_native" -> asofOracle,
     "jx6_range_bucketed" ->
