@@ -162,6 +162,65 @@ object DedupOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Iteration cap for [[dedupClusters]] — label propagation converges
+    * in O(component diameter) rounds; near-dup components are dense
+    * (band collisions ≈ cliques), so diameters stay single-digit. The
+    * cap turns a data bug into a loud failure instead of a hang. */
+  val MaxCcIterations = 20
+
+  /** D6 — near-dup pairs → connected components → canonical keepers:
+    * the stage that turns D2's pair list into the actual dedup decision
+    * (cluster id = min doc_id of the component; the keeper is that
+    * doc). Iterative min-label propagation — per round, every node
+    * takes the min label among itself and its neighbors; terminates
+    * when no label changes.
+    *
+    * Scale notes: each round is one equi-join + one groupBy (both
+    * shuffle on doc_id — co-partitioned, AQE-coalesced); rounds =
+    * component diameter, NOT corpus size. `localCheckpoint` truncates
+    * the growing lineage so round N's plan doesn't replay rounds
+    * 1..N-1 (at 100 TB: a reliable checkpoint dir instead). The
+    * driver sees only the per-round changed-count — no row data. This
+    * is the alternating-star algorithm's simpler cousin; for
+    * pathological diameters (chains), switch to large-star/small-star
+    * with the same per-round plan shape. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir)
+      .filter(col("is_near_dup") === 1).select(col("a"), col("b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    // the loop's working set is the PAIR GRAPH's endpoints, not the
+    // corpus: singleton docs (the vast majority at scale) never enter
+    // an iteration and rejoin as their own cluster at the end
+    val endpoints = edges.select(col("a").as("doc_id")).distinct()
+    var labels = endpoints
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < MaxCcIterations) {
+      val prop = edges.join(labels, edges("b") === labels("doc_id"))
+        .select(edges("a").as("doc_id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $MaxCcIterations rounds")
+    edges.unpersist()
+    val singletons = Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    labels.unionByName(singletons)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        when(col("label") === col("doc_id"), 1).otherwise(0).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** D4 — blocked n-gram Jaccard: exact pairwise similarity, but ONLY
     * within a (lang, source) block — the classic blocking-key guard that
     * keeps pairwise dedup out of O(n²) territory. */
@@ -209,7 +268,8 @@ object DedupOps {
     "d3_simhash" -> (simhash _),
     "d3b_simhash_neardup" -> (simhashNearDup _),
     "d4_ngram_jaccard" -> (ngramJaccard _),
-    "d5_embed_neardup" -> (embedNearDup _))
+    "d5_embed_neardup" -> (embedNearDup _),
+    "d6_dedup_clusters" -> (dedupClusters _))
 
   private val bgSql =
     s"list_distinct(${shinglesSql(tokensSql("text"), 2)})"
@@ -240,31 +300,34 @@ object DedupOps {
   private val simhashCoreSql: String = simhashSql(16)
   private val simhash60Sql: String = simhashSql(Simhash60Bits)
 
+  private val oraclesD2Body: String =
+    s"""WITH t AS (SELECT doc_id, $bgSql AS bg FROM documents),
+       |h AS (SELECT doc_id, bg, list_transform(bg, s -> ${tokHashSql("s")}) AS hs FROM t),
+       |m AS (SELECT doc_id,
+       |       $mhSqls
+       |       FROM h),
+       |sigs AS (
+       |  $bandSelects
+       |),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM sigs x JOIN sigs y
+       |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |th AS (SELECT doc_id, list_distinct(hs) AS bg FROM h)
+       |SELECT a, b,
+       |       CAST(len(list_intersect(ta.bg, tb.bg)) AS BIGINT) AS inter_cnt,
+       |       CAST(len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg)) AS BIGINT) AS union_cnt,
+       |       CASE WHEN len(list_intersect(ta.bg, tb.bg)) * $JaccardNum >=
+       |                 len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg))
+       |            THEN 1 ELSE 0 END AS is_near_dup
+       |FROM cand JOIN th ta ON a = ta.doc_id JOIN th tb ON b = tb.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
     "d2_minhash_lsh" ->
-      s"""WITH t AS (SELECT doc_id, $bgSql AS bg FROM documents),
-         |h AS (SELECT doc_id, bg, list_transform(bg, s -> ${tokHashSql("s")}) AS hs FROM t),
-         |m AS (SELECT doc_id,
-         |       $mhSqls
-         |       FROM h),
-         |sigs AS (
-         |  $bandSelects
-         |),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM sigs x JOIN sigs y
-         |           ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
-         |th AS (SELECT doc_id, list_distinct(hs) AS bg FROM h)
-         |SELECT a, b,
-         |       CAST(len(list_intersect(ta.bg, tb.bg)) AS BIGINT) AS inter_cnt,
-         |       CAST(len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg)) AS BIGINT) AS union_cnt,
-         |       CASE WHEN len(list_intersect(ta.bg, tb.bg)) * $JaccardNum >=
-         |                 len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg))
-         |            THEN 1 ELSE 0 END AS is_near_dup
-         |FROM cand JOIN th ta ON a = ta.doc_id JOIN th tb ON b = tb.doc_id
+      s"""$oraclesD2Body
          |ORDER BY a, b""".stripMargin,
     "d3_simhash" ->
       s"""$simhashCoreSql
@@ -305,5 +368,24 @@ object DedupOps {
          |       CASE WHEN nn_cos > 0.35 THEN 1 ELSE 0 END AS is_near_dup
          |FROM p
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY nn_cos DESC, nn_id) = 1
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin,
+    // d6 reuses the full d2 oracle verbatim as a CTE (drift-proof, like
+    // x5) and states the components as a recursive transitive closure —
+    // the UNION (not UNION ALL) in the recursive term is the fixpoint
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE d2 AS (
+         |${oraclesD2Body}
+         |),
+         |near AS (SELECT a, b FROM d2 WHERE is_near_dup = 1),
+         |edges AS (SELECT a AS x, b AS y FROM near
+         |          UNION SELECT b AS x, a AS y FROM near),
+         |reach(src, node) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x
+         |)
+         |SELECT src AS doc_id,
+         |       min(node) AS cluster_id,
+         |       CASE WHEN min(node) = src THEN 1 ELSE 0 END AS is_keeper
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
 }
