@@ -197,20 +197,27 @@ object DedupOps {
     var labels = endpoints
       .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
-    var changed = 1L
+    // convergence via the label-sum invariant: labels only ever
+    // DECREASE elementwise, so an unchanged (exact, decimal) sum is
+    // exactly the fixpoint — one narrow agg per round instead of a
+    // self-join diff
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var converged = false
     var rounds = 0
-    while (changed > 0 && rounds < MaxCcIterations) {
+    while (!converged && rounds < MaxCcIterations) {
       val prop = edges.join(labels, edges("b") === labels("doc_id"))
         .select(edges("a").as("doc_id"), col("label"))
-      val next = labels.unionByName(prop)
+      labels = labels.unionByName(prop)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      val s = labelSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       rounds += 1
     }
-    require(changed == 0, s"label propagation did not converge in $MaxCcIterations rounds")
+    require(converged, s"label propagation did not converge in $MaxCcIterations rounds")
     edges.unpersist()
     val singletons = Tables.documents(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left_anti")
