@@ -54,7 +54,12 @@ case class TopKByAgg(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    // NaN scores are ignored like nulls: NaN compares false to
+    // everything in the heap's IEEE comparisons, which would make the
+    // kept set depend on per-partition arrival order — the opposite of
+    // the determinism contract
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
+      buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }
 
@@ -147,9 +152,13 @@ final class TopKBuffer(k: Int) {
     while (i < n) { f(scores(i), ids(i)); i += 1 }
   }
 
-  /** ids in output order: score desc, id asc. */
+  /** ids in output order: score desc, id asc — sorted with the SAME
+    * comparator as [[worse]] (a total-order sortBy would split the
+    * 0.0 == -0.0 tie differently from the heap and the oracle). NaN
+    * never reaches the buffer (filtered in update), so [[worse]] is a
+    * strict weak order here. */
   def sortedIds: Array[Long] = {
-    val idx = (0 until n).sortBy(i => (-scores(i), ids(i)))
+    val idx = (0 until n).sortWith((i, j) => worse(scores(j), ids(j), scores(i), ids(i)))
     idx.map(ids).toArray
   }
 }

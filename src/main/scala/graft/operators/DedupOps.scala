@@ -67,7 +67,13 @@ object DedupOps {
     * inlines the shared hash array into each `array_min` leg — measured
     * ~3 s of d2's 3.9 s at sf0.1. One compiled pass per row brings the
     * signature side under 0.3 s with bit-identical hashes. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshCore(s, dir).orderBy(col("a"), col("b"))
+
+  /** [[minhashLsh]] without the presentation sort — for composition
+    * (D6): the sort sits below `edges.persist()` there and EliminateSorts
+    * cannot remove it through the cache boundary. */
+  def minhashLshCore(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ShingleExpressions._
     // Sorted distinct hashed-shingle sets: MinHash input AND the
     // exact-Jaccard verify side (sortedness is what lets the verify do
@@ -99,7 +105,6 @@ object DedupOps {
         uni.as("union_cnt"),
         when(inter * JaccardNum >= uni, 1)
           .otherwise(0).as("is_near_dup"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** Signature column via the compiled [[graft.functions.SimHashLong]]
@@ -185,7 +190,7 @@ object DedupOps {
     * pathological diameters (chains), switch to large-star/small-star
     * with the same per-round plan shape. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(s, dir)
+    val pairs = minhashLshCore(s, dir)
       .filter(col("is_near_dup") === 1).select(col("a"), col("b"))
     val edges = pairs.unionByName(
         pairs.select(col("b").as("a"), col("a").as("b")))
@@ -201,10 +206,13 @@ object DedupOps {
     // DECREASE elementwise, so an unchanged (exact, decimal) sum is
     // exactly the fixpoint — one narrow agg per round instead of a
     // self-join diff
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    // Option-wrapped: sum() over an EMPTY frame is SQL NULL — an empty
+    // pair graph (no near-dups at all) is already converged, every doc
+    // a singleton
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum.isEmpty
     var rounds = 0
     while (!converged && rounds < MaxCcIterations) {
       val prop = edges.join(labels, edges("b") === labels("doc_id"))
@@ -212,9 +220,9 @@ object DedupOps {
       labels = labels.unionByName(prop)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      val s = labelSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      val curSum = labelSum(labels)
+      converged = curSum == prevSum
+      prevSum = curSum
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $MaxCcIterations rounds")

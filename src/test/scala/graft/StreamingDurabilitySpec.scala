@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Production streaming durability: the RocksDB state store backend
   * (what a 100 TB deployment runs — state spills off-heap/on-disk
@@ -39,8 +40,12 @@ class StreamingDurabilitySpec extends SparkSpec {
         val rows = spark.table(q.name).collect()
         assert(rows.length === 1)
         assert(rows(0).getAs[Long]("n") === 2)
-        // the state store actually in use is RocksDB, not an assumption
-        assert(q.lastProgress.stateOperators.nonEmpty)
+        // the state store actually in use is RocksDB, not an assumption:
+        // RocksDB-specific custom metrics appear in progress only when
+        // the provider really is RocksDBStateStoreProvider
+        val metrics = q.lastProgress.stateOperators(0).customMetrics
+        assert(metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb metrics in ${metrics.keySet}")
       } finally q.stop()
     } finally {
       prev match {
