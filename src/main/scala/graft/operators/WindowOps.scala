@@ -60,10 +60,41 @@ object WindowOps {
         col("w.end").as("sess_end"), col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("sess_start"))
 
+  /** W5 — gap filling / resampling: a dense hourly spine per user
+    * (`sequence` between that user's first and last event hour),
+    * left-joined with the actual hourly aggregates; empty hours get a
+    * zero count and the value carries forward (LOCF via
+    * `last(_, ignoreNulls)` over the hour order). The standard
+    * time-series densification: the spine generates ~rows-per-key ×
+    * buckets rows BEFORE a single left join — at 100 TB bound the
+    * spine range per key (as here: each user's own min/max, not the
+    * global range) or the fill explodes on long-lived keys. Restricted
+    * to a user cohort to keep the compared output proportionate. */
+  def gapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = ScanOps.eventsTs(s, dir).filter(col("user_id") % 10 === 0)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val hourly = ev.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sumv"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("cnt"), lit(0L)).as("n_events"),
+        last(col("sumv"), ignoreNulls = true).over(w).as("locf_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_tumbling" -> (tumbling _),
     "w3_sliding" -> (sliding _),
-    "w4_session" -> (session _))
+    "w4_session" -> (session _),
+    "w5_gapfill" -> (gapfill _))
 
   val oracles: Map[String, String] = Map(
     "w2_tumbling" ->
@@ -106,5 +137,23 @@ object WindowOps {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM grp
         |GROUP BY user_id, sess
-        |ORDER BY user_id, sess_start""".stripMargin)
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "w5_gapfill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value
+        |            FROM events WHERE user_id % 10 = 0),
+        |hourly AS (SELECT user_id, hour, count(*) AS cnt,
+        |                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sumv
+        |           FROM ev GROUP BY user_id, hour),
+        |bounds AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |           FROM ev GROUP BY user_id),
+        |spine AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |          FROM bounds)
+        |SELECT s.user_id, s.hour,
+        |       coalesce(h.cnt, 0) AS n_events,
+        |       last_value(h.sumv IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.hour
+        |         ROWS UNBOUNDED PRECEDING) AS locf_value
+        |FROM spine s LEFT JOIN hourly h
+        |  ON s.user_id = h.user_id AND s.hour = h.hour
+        |ORDER BY s.user_id, s.hour""".stripMargin)
 }
