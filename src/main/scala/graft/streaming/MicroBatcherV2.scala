@@ -12,9 +12,11 @@ import graft.streaming.MicroBatcher.{Packet, Rec}
   *     instead of one monolithic case-class blob: the buffer appends
   *     without rewriting the whole state value, and each handle can
   *     carry its own TTL;
-  *   - explicit timers (`registerTimer`) instead of the single
-  *     re-armed `setTimeoutDuration`, so a key can hold several
-  *     in-flight deadlines;
+  *   - explicit, durable timers (`registerTimer`/`deleteTimer`/
+  *     `listTimers`) instead of the implicit re-armed
+  *     `setTimeoutDuration` — this class sweeps-and-re-arms to keep
+  *     v1's one-deadline-per-key semantics, but the API supports
+  *     several in-flight deadlines when an operator wants them;
   *   - RocksDB-backed only — state lives off-heap/on-disk, the 100 TB
   *     deployment posture (StreamingDurabilitySpec pins the backend).
   *
@@ -54,12 +56,14 @@ object MicroBatcherV2 {
       }
       val remainder = rest.flatten
       pending.clear()
+      // v1-equivalent re-arm semantics: ONE live deadline per key,
+      // reset by every input call — without the sweep, a timer armed
+      // before a count flush would fire the NEXT remainder early
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
       if (remainder.nonEmpty) {
         pending.put(remainder.toArray)
-        // a fresh deadline only when the remainder's wait starts NOW
-        // (prior rows keep their already-registered timer)
-        if (prior.isEmpty || full.nonEmpty)
-          getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + timeoutMs)
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + timeoutMs)
       }
       seq.update(s0 + full.size)
       packets.iterator
