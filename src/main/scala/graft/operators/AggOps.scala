@@ -70,10 +70,41 @@ object AggOps {
       .agg(dsum(col("value")))
       .orderBy(col("cohort"))
 
+  /** A6 — nested-type OUTPUT surface: per user, the first three
+    * (event_id, value) pairs as an `array<struct>` plus a summary
+    * `struct` — columnar nested results, not flattened columns and not
+    * JSON strings (the G4 packets serialize; this keeps the type).
+    * Both engines sort structs field-lexicographically, and field
+    * NAMES must match exactly — the hash compare sees structs as
+    * name→value maps. */
+  def nestedAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // pre-rank instead of collect_list-then-slice: the rank filter gets
+    // WindowGroupLimit's map-side top-k pruning, so no group ever
+    // buffers more than 3 structs — collect-everything-keep-3 is the
+    // exact anti-pattern T2 documents
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"), col("value"))
+    val top3 = ev
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("value"))))
+        .as("top3"))
+    val stats = ev.groupBy(col("user_id"))
+      .agg(struct(
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value")).as("stats"))
+    top3.join(stats, Seq("user_id"))
+      .select(col("user_id"), col("top3"), col("stats"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_rollup" -> (rollupAgg _),
     "a3_cube" -> (cubeAgg _),
-    "a4_pivot" -> (pivotAgg _))
+    "a4_pivot" -> (pivotAgg _),
+    "a6_nested" -> (nestedAgg _))
 
   private val pivotCells = EventTypes.map { t =>
     s"""CAST(SUM(CASE WHEN event_type = '$t'
@@ -102,5 +133,15 @@ object AggOps {
          |       $pivotCells
          |FROM events
          |GROUP BY user_id % 10
-         |ORDER BY cohort""".stripMargin)
+         |ORDER BY cohort""".stripMargin,
+    "a6_nested" ->
+      """SELECT user_id,
+        |       list_slice(list_sort(list(struct_pack(event_id := event_id,
+        |                                             value := value))), 1, 3) AS top3,
+        |       struct_pack(n := count(*),
+        |                   sum_value := CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE))
+        |         AS stats
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
 }
