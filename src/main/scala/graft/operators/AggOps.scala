@@ -100,7 +100,22 @@ object AggOps {
       .orderBy(col("user_id"))
   }
 
+  /** A7 — map-typed OUTPUT: per cohort, event_type → count as a real
+    * MAP column (completing the complex-type surface next to A6's
+    * struct/array). Entries are built in sorted-key order on BOTH
+    * engines so the columnar map serialization is byte-stable. */
+  def mapAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy((col("user_id") % 5).as("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cohort"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+        .as("type_counts"))
+      .orderBy(col("cohort"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a7_map" -> (mapAgg _),
     "a2_rollup" -> (rollupAgg _),
     "a3_cube" -> (cubeAgg _),
     "a4_pivot" -> (pivotAgg _),
@@ -134,6 +149,14 @@ object AggOps {
          |FROM events
          |GROUP BY user_id % 10
          |ORDER BY cohort""".stripMargin,
+    "a7_map" ->
+      """SELECT cohort,
+        |       map_from_entries(list(struct_pack(k := event_type, v := cnt)
+        |                             ORDER BY event_type)) AS type_counts
+        |FROM (SELECT user_id % 5 AS cohort, event_type, count(*) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY cohort
+        |ORDER BY cohort""".stripMargin,
     "a6_nested" ->
       """SELECT user_id,
         |       list_slice(list_sort(list(struct_pack(event_id := event_id,
