@@ -226,9 +226,11 @@ object DedupOps {
       val jump = labels.as("x").join(labels.as("p"),
           col("x.label") === col("p.doc_id"))
         .select(col("x.doc_id"), col("p.label").as("label"))
+      // LAZY checkpoint: the convergence sum right below is the action
+      // that materializes it — one job per round instead of two
       labels = labels.unionByName(prop).unionByName(jump)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val curSum = labelSum(labels)
       converged = curSum == prevSum
       prevSum = curSum
