@@ -83,7 +83,6 @@ object MicroBatcherV2 {
   }
 
   def apply(ds: Dataset[Rec], batchSize: Int, timeoutMs: Long): Dataset[Packet] = {
-    implicit val packetEnc = Encoders.product[Packet]
     import ds.sparkSession.implicits._
     ds.groupByKey(_.apiType)
       .transformWithState(new BatcherProcessor(batchSize, timeoutMs),

@@ -15,11 +15,7 @@ class MicroBatcherV2Spec extends SparkSpec {
   test("count path: full packets flush immediately, remainder stays buffered") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val in = MemoryStream[Rec]
       val q = MicroBatcherV2(in.toDS(), batchSize = 3, timeoutMs = 600000L)
         .writeStream.format("memory")
@@ -55,22 +51,13 @@ class MicroBatcherV2Spec extends SparkSpec {
           .select("seq").collect().map(_.getLong(0)).sorted
         assert(seqs === Array(0L, 1L, 2L))
       } finally q.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 
   test("timer path: remainder flushes with reason=timeout") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val in = MemoryStream[Rec]
       val q = MicroBatcherV2(in.toDS(), batchSize = 100, timeoutMs = 1500L)
         .writeStream.format("memory")
@@ -88,11 +75,6 @@ class MicroBatcherV2Spec extends SparkSpec {
         assert(rows(0).getAs[String]("reason") === "timeout")
         assert(rows(0).getAs[Int]("size") === 2)
       } finally q.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 }

@@ -20,6 +20,21 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Run `body` with the RocksDB state store provider set on the shared
+    * session, restoring the prior value after (transformWithState
+    * requires it; the durability spec pins it deliberately). */
+  def withRocksDBStateStore[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   override def afterAll(): Unit = {
     // keep the session for other suites; SBT tears the JVM down
     super.afterAll()

@@ -17,11 +17,7 @@ class StreamingDurabilitySpec extends SparkSpec {
   test("windowed agg runs on the RocksDB state store provider") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDBStateStore {
       val in = MemoryStream[(java.sql.Timestamp, Double)]
       val q = in.toDF().toDF("ts", "value")
         .withWatermark("ts", "10 minutes")
@@ -47,11 +43,6 @@ class StreamingDurabilitySpec extends SparkSpec {
         assert(metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
           s"no rocksdb metrics in ${metrics.keySet}")
       } finally q.stop()
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
     }
   }
 

@@ -46,6 +46,7 @@ class TrainingPipelineE2ESpec extends SparkSpec {
     val again = good.join(
       TextOps.stratifiedSample(spark, Sf).select("doc_id"), "doc_id")
     assert(sampled.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+    assert(again.select("doc_id").exceptAll(sampled.select("doc_id")).count() === 0)
 
     clusters.unpersist(); keptDocs.unpersist()
   }
