@@ -74,9 +74,10 @@ object AggOps {
     * (event_id, value) pairs as an `array<struct>` plus a summary
     * `struct` — columnar nested results, not flattened columns and not
     * JSON strings (the G4 packets serialize; this keeps the type).
-    * Both engines sort structs field-lexicographically, and field
-    * NAMES must match exactly — the hash compare sees structs as
-    * name→value maps. */
+    * AggOpsSpec covers this typed surface; the REGISTERED query is
+    * [[nestedAggJson]] because the driver's comparer pandas-sorts
+    * every column before hashing and nested cells are unhashable
+    * there — the compared surface must be strings. */
   def nestedAgg(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     // pre-rank instead of collect_list-then-slice: the rank filter gets
@@ -100,10 +101,33 @@ object AggOps {
       .orderBy(col("user_id"))
   }
 
+  /** A6 compare surface: same plan as [[nestedAgg]] with the nested
+    * columns serialized through `to_json` — both engines emit compact
+    * JSON with fields in struct-declaration order, so the strings are
+    * byte-identical when the typed values are. The one formatting
+    * hazard is DOUBLE (Java and DuckDB shortest-roundtrip printers can
+    * disagree on rare values), so doubles are pinned to
+    * `DECIMAL(18,4)`-as-string inside the JSON on both sides; longs
+    * and strings serialize identically everywhere. */
+  def nestedAggJson(s: SparkSession, dir: String): DataFrame =
+    nestedAgg(s, dir).select(
+      col("user_id"),
+      to_json(transform(col("top3"), x => struct(
+        x.getField("event_id").as("event_id"),
+        x.getField("value").cast("decimal(18,4)").cast("string").as("value"))))
+        .as("top3"),
+      to_json(struct(
+        col("stats").getField("n").as("n"),
+        col("stats").getField("sum_value").cast("decimal(18,4)").cast("string")
+          .as("sum_value"))).as("stats"))
+      .orderBy(col("user_id"))
+
   /** A7 — map-typed OUTPUT: per cohort, event_type → count as a real
     * MAP column (completing the complex-type surface next to A6's
     * struct/array). Entries are built in sorted-key order on BOTH
-    * engines so the columnar map serialization is byte-stable. */
+    * engines so the columnar map serialization is byte-stable. Typed
+    * surface spec-covered; registered query is [[mapAggJson]] (same
+    * driver-comparer constraint as A6). */
   def mapAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy((col("user_id") % 5).as("cohort"), col("event_type"))
@@ -114,12 +138,20 @@ object AggOps {
         .as("type_counts"))
       .orderBy(col("cohort"))
 
+  /** A7 compare surface: the map serialized to JSON. All values are
+    * long/string, and the map was built in sorted-key order on both
+    * engines, so key order and number formatting agree byte-for-byte. */
+  def mapAggJson(s: SparkSession, dir: String): DataFrame =
+    mapAgg(s, dir)
+      .select(col("cohort"), to_json(col("type_counts")).as("type_counts"))
+      .orderBy(col("cohort"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a7_map" -> (mapAgg _),
+    "a7_map" -> (mapAggJson _),
     "a2_rollup" -> (rollupAgg _),
     "a3_cube" -> (cubeAgg _),
     "a4_pivot" -> (pivotAgg _),
-    "a6_nested" -> (nestedAgg _))
+    "a6_nested" -> (nestedAggJson _))
 
   private val pivotCells = EventTypes.map { t =>
     s"""CAST(SUM(CASE WHEN event_type = '$t'
@@ -151,20 +183,30 @@ object AggOps {
          |ORDER BY cohort""".stripMargin,
     "a7_map" ->
       """SELECT cohort,
-        |       map_from_entries(list(struct_pack(k := event_type, v := cnt)
-        |                             ORDER BY event_type)) AS type_counts
+        |       CAST(to_json(map_from_entries(
+        |              list(struct_pack(k := event_type, v := cnt)
+        |                   ORDER BY event_type))) AS VARCHAR) AS type_counts
         |FROM (SELECT user_id % 5 AS cohort, event_type, count(*) AS cnt
         |      FROM events GROUP BY 1, 2)
         |GROUP BY cohort
         |ORDER BY cohort""".stripMargin,
     "a6_nested" ->
-      """SELECT user_id,
-        |       list_slice(list_sort(list(struct_pack(event_id := event_id,
-        |                                             value := value))), 1, 3) AS top3,
-        |       struct_pack(n := count(*),
-        |                   sum_value := CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE))
-        |         AS stats
-        |FROM events
-        |GROUP BY user_id
+      """WITH base AS (
+        |  SELECT user_id,
+        |         list_slice(list_sort(list(struct_pack(event_id := event_id,
+        |                                               value := value))), 1, 3) AS top3,
+        |         count(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events
+        |  GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(to_json(list_transform(top3, x -> struct_pack(
+        |              event_id := x.event_id,
+        |              value := CAST(CAST(x.value AS DECIMAL(18,4)) AS VARCHAR))))
+        |         AS VARCHAR) AS top3,
+        |       CAST(to_json(struct_pack(n := n,
+        |              sum_value := CAST(CAST(sum_value AS DECIMAL(18,4)) AS VARCHAR)))
+        |         AS VARCHAR) AS stats
+        |FROM base
         |ORDER BY user_id""".stripMargin)
 }

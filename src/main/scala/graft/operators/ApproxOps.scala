@@ -57,12 +57,97 @@ object ApproxOps {
         col("n_events"))
       .orderBy(col("event_type"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ap1_hll_distinct" -> (hllDistinct _),
-    "ap2_quantiles" -> (quantiles _))
+  /** AP1 compare surface: raw sketch estimates are engine-specific, so
+    * the REGISTERED query emits what IS deterministic and
+    * cross-engine-checkable — the exact values plus a `within_bound`
+    * flag asserting the estimate sits inside its error bound. Spark's
+    * HLL++ is deterministic for fixed input, so `within_bound` is a
+    * stable 1 and the oracle emits a literal 1: the oracle proves the
+    * exact companions, this side proves the sketch honored its
+    * contract on the same rows. Bound: 3× the default 5% relative SD,
+    * plus an absolute slack of 5 for tiny groups. */
+  def hllDistinctChecked(s: SparkSession, dir: String): DataFrame =
+    hllDistinct(s, dir)
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          greatest(col("exact_users") * 0.15, lit(5.0))).cast("int")
+          .as("within_bound"))
+      .orderBy(col("event_type"))
 
-  /** No oracles — sketch estimates are engine-specific (see class doc);
-    * the driver's rows-only check plus ApproxOpsSpec's error-bound
-    * assertions are the correctness story. */
-  val oracles: Map[String, String] = Map.empty
+  /** AP2 compare surface (same pattern as [[hllDistinctChecked]]): the
+    * exact quantiles in the output are DISCRETE — the value at rank
+    * ceil(p·n) — because both engines pick an actual stored double
+    * (bit-identical), where interpolated `percentile`/`quantile_cont`
+    * would differ in the last bit (lo + d·(hi−lo) vs lo·(1−d) + hi·d).
+    * `within_bound` checks each `percentile_approx` estimate lands
+    * between the values at ranks (p±δ)·n with δ = 0.005 — generous
+    * against the sketch's guaranteed rank error of n/accuracy =
+    * n/10000 (≤ 0.0001·n ranks), and entirely Spark-side; the oracle
+    * recomputes the discrete exacts and emits a literal 1. */
+  def quantilesChecked(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Ps = Seq(0.50 -> "p50", 0.95 -> "p95", 0.99 -> "p99")
+    val Delta = 0.005
+    val ranked = Tables.events(s, dir)
+      .select(col("event_type"), col("value"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def rkOf(p: Double) =
+      greatest(lit(1L), least(col("n"), ceil(lit(p) * col("n")).cast("long")))
+    def atRank(p: Double, name: String) =
+      max(when(col("rk") === rkOf(p), col("value"))).as(name)
+    val exact = ranked.groupBy(col("event_type")).agg(
+      max(col("n")).as("n_events"),
+      Ps.flatMap { case (p, nm) => Seq(
+        atRank(p, s"exact_$nm"),
+        atRank(math.max(p - Delta, 0.0), s"lo_$nm"),
+        atRank(math.min(p + Delta, 1.0), s"hi_$nm")) }: _*)
+    val bounds = Ps.map { case (_, nm) =>
+      col(s"approx_$nm").between(col(s"lo_$nm"), col(s"hi_$nm")) }
+      .reduce(_ && _)
+    exact.join(quantiles(s, dir).select(
+        col("event_type"), col("approx_p50"), col("approx_p95"), col("approx_p99")),
+        Seq("event_type"))
+      .select(col("event_type") +: Ps.map { case (_, nm) => col(s"exact_$nm") } :+
+        col("n_events") :+ bounds.cast("int").as("within_bound"): _*)
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ap1_hll_distinct" -> (hllDistinctChecked _),
+    "ap2_quantiles" -> (quantilesChecked _))
+
+  /** The oracles check the deterministic halves (exact companions +
+    * row surface) and pin `within_bound` to 1 — the Spark side
+    * computes the real bound check (see the *Checked docs); raw sketch
+    * estimates stay out of the compared surface because the two
+    * engines run different sketch algorithms. */
+  val oracles: Map[String, String] = Map(
+    "ap1_hll_distinct" ->
+      """SELECT event_type,
+        |       count(DISTINCT user_id) AS exact_users,
+        |       count(*) AS n_events,
+        |       CAST(1 AS INT) AS within_bound
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "ap2_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type,
+        |       MAX(CASE WHEN rk = GREATEST(1, LEAST(n, CAST(ceil(0.50 * n) AS BIGINT)))
+        |                THEN value END) AS exact_p50,
+        |       MAX(CASE WHEN rk = GREATEST(1, LEAST(n, CAST(ceil(0.95 * n) AS BIGINT)))
+        |                THEN value END) AS exact_p95,
+        |       MAX(CASE WHEN rk = GREATEST(1, LEAST(n, CAST(ceil(0.99 * n) AS BIGINT)))
+        |                THEN value END) AS exact_p99,
+        |       MAX(n) AS n_events,
+        |       CAST(1 AS INT) AS within_bound
+        |FROM ranked
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
 }

@@ -83,21 +83,37 @@ object RequestOps {
     * serialize+parse round trip into each of its five predicate legs
     * (6-7 JSON round trips per row, observed in the formatted plan);
     * with it, validate/rejects/k2 all filter cheap materialized
-    * columns. The `repartition` spreads the parse across cores — the
-    * harness parquet is a single row group, so the scan alone yields
-    * one partition; at production scale input splits make it a no-op
-    * sizing knob. */
-  private def extracted(s: SparkSession, dir: String): DataFrame =
-    withElementJson(
-        Tables.events(s, dir).repartition(col("event_id")))
-      .withColumn("e", from_json(col("j"), graft.model.InvoiceModel.packElementSchema))
-      .select(
-        col("event_id"),
-        coalesce(col("e.stax"), col("e.inv.stax")).as("stax"),
-        coalesce(col("e.sid"), col("e.inv.sid")).as("sid"),
-        coalesce(col("e.syncid"), col("e.inv.syncid")).as("syncid"),
-        col("e.api_type").as("api_type"))
-      .persist()
+    * columns.
+    *
+    * ONE cached copy per (session, dir): t3_validate / t3_rejects / k2
+    * each reach for this projection, and a fresh `persist()` per call
+    * would pile three identical dead copies into the session's storage
+    * memory over a full Verify/Bench run (round-4 verdict #4). The
+    * round-4 `repartition(event_id)` ahead of the parse is gone — it
+    * was a full-width shuffle of the raw events that regressed k2
+    * 0.88 s → 1.52 s; the parse is cheap enough per-partition that
+    * input splits (which at production scale arrive from the source)
+    * spread it without help. */
+  private val extractedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def extracted(s: SparkSession, dir: String): DataFrame = {
+    val df = extractedCache.computeIfAbsent((s, dir), { case (sess, d) =>
+      withElementJson(Tables.events(sess, d))
+        .withColumn("e", from_json(col("j"), graft.model.InvoiceModel.packElementSchema))
+        .select(
+          col("event_id"),
+          coalesce(col("e.stax"), col("e.inv.stax")).as("stax"),
+          coalesce(col("e.sid"), col("e.inv.sid")).as("sid"),
+          coalesce(col("e.syncid"), col("e.inv.syncid")).as("syncid"),
+          col("e.api_type").as("api_type"))
+    })
+    // Bench's clearCache() between timed runs drops the registration;
+    // re-persist so the materialization boundary holds for every call
+    // (persist is idempotent when already registered).
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
 
   /** T3 (valid branch) — field extraction with nested fallback +
     * validation (`InvoiceRequestTransformer.java:55-110`). Output is the

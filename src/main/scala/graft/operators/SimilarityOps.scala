@@ -199,8 +199,19 @@ object SimilarityOps {
       .orderBy(col("bucket"))
   }
 
+  /** X6 compare surface: `top_ids` serialized to JSON — the driver's
+    * comparer pandas-sorts every column before hashing and array cells
+    * are unhashable there. Long arrays serialize identically on both
+    * engines (`[7,9]`, compact); TopKByAggSpec keeps the typed array
+    * surface covered. */
+  def topkAggJson(s: SparkSession, dir: String): DataFrame =
+    topkAgg(s, dir)
+      .select(col("bucket"), to_json(col("top_ids")).as("top_ids"),
+        col("n_vecs"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x6_topk_agg" -> (topkAgg _),
+    "x6_topk_agg" -> (topkAggJson _),
     "x1_knn_brute" -> (knnBrute _),
     "x2_ann_lsh" -> (annLsh _),
     "x3_ann_ivf" -> (annIvf _),
@@ -314,7 +325,8 @@ object SimilarityOps {
       ("x6_topk_agg" ->
         s"""WITH e AS ($corpusSql)
            |SELECT bucket,
-           |       (list(vec_id ORDER BY nrm DESC, vec_id ASC))[1:$K] AS top_ids,
+           |       CAST(to_json((list(vec_id ORDER BY nrm DESC, vec_id ASC))[1:$K])
+           |         AS VARCHAR) AS top_ids,
            |       count(*) AS n_vecs
            |FROM e GROUP BY bucket ORDER BY bucket""".stripMargin)
 }
