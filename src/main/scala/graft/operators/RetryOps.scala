@@ -96,13 +96,11 @@ object RetryOps {
     * routes DELETE. Failures take `next_retry_secs = base · 2^(n+1)`
     * (increment-then-pow, `:295-299` — same as T5). */
   def responseRetry(s: SparkSession, dir: String): DataFrame = {
-    val st = ResponseOps.staging(s, dir)
+    val st = ResponseOps.parsed(s, dir)
       .withColumn("retry_count", (col("id") % 5).cast("tinyint"))
-    val p = col("payload")
-    val sniffed = ResponseOps.sniffedKind(p)
+    val sniffed = ResponseOps.sniffedKind
     // deserialized-record api_type: payload field only, POJO default 0
-    val payloadApi = coalesce(
-      get_json_object(p, "$.api_type").cast("int"), lit(0))
+    val payloadApi = coalesce(col("pj.api_type"), lit(0))
     val errorMsg = when(col("retry_count") > MaxRetries, lit(null).cast("string"))
       .when(sniffed.isNull, lit("Unknown record type"))
       .when(!payloadApi.isin(ApiTypes: _*),
