@@ -110,10 +110,16 @@ object JoinOps {
       .groupBy(col("r_name"), col("p_brand"))
       .agg(
         // exact decimal factors BEFORE the multiply: a double product
-        // cast per-row to decimal could round differently per engine
-        sum(col("l_extendedprice").cast("decimal(18,4)") *
-            (lit(1.0) - col("l_discount")).cast("decimal(18,4)"))
-          .cast("double").as("revenue"),
+        // cast per-row to decimal could round differently per engine.
+        // Factors are scaled longs (same HALF_UP values as the
+        // decimal(18,4) casts — Common.scaledSum's contract), so the
+        // per-row product and the group sum stay in primitive long
+        // codegen; one decimal conversion per group restores the exact
+        // decimal(38,8) total the decimal restatement produced.
+        (sum((round(col("l_extendedprice") * 10000) *
+              round((lit(1.0) - col("l_discount")) * 10000)).cast("long"))
+          .cast("decimal(38,0)") * lit(new java.math.BigDecimal("0.00000001")))
+          .cast("decimal(38,8)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("p_brand"))
   }

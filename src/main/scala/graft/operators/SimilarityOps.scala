@@ -70,8 +70,10 @@ object SimilarityOps {
   def knnBrute(s: SparkSession, dir: String): DataFrame =
     knnBruteCore(s, dir).orderBy(col("query_id"), col("rank"))
 
-  private def knnBruteCore(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  private def knnBruteCore(s: SparkSession, dir: String): DataFrame =
+    knnBruteCore(corpus(s, dir))
+
+  private def knnBruteCore(c: DataFrame): DataFrame = {
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     topKCore(
@@ -84,8 +86,10 @@ object SimilarityOps {
   def annLsh(s: SparkSession, dir: String): DataFrame =
     annLshCore(s, dir).orderBy(col("query_id"), col("rank"))
 
-  private def annLshCore(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  private def annLshCore(s: SparkSession, dir: String): DataFrame =
+    annLshCore(corpus(s, dir))
+
+  private def annLshCore(c: DataFrame): DataFrame = {
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qb"))
@@ -107,8 +111,10 @@ object SimilarityOps {
   def annIvf(s: SparkSession, dir: String): DataFrame =
     annIvfCore(s, dir).orderBy(col("query_id"), col("rank"))
 
-  private def annIvfCore(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  private def annIvfCore(s: SparkSession, dir: String): DataFrame =
+    annIvfCore(corpus(s, dir))
+
+  private def annIvfCore(c: DataFrame): DataFrame = {
     val cents = c
       .filter(col("vec_id") >= NumQueries &&
         col("vec_id") < NumQueries + NumCentroids)
@@ -141,8 +147,10 @@ object SimilarityOps {
   def annMultiProbe(s: SparkSession, dir: String): DataFrame =
     annMultiProbeCore(s, dir).orderBy(col("query_id"), col("rank"))
 
-  private def annMultiProbeCore(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  private def annMultiProbeCore(s: SparkSession, dir: String): DataFrame =
+    annMultiProbeCore(corpus(s, dir))
+
+  private def annMultiProbeCore(c: DataFrame): DataFrame = {
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qb"))
@@ -165,13 +173,20 @@ object SimilarityOps {
     * recall-eval job run on a sampled query set, and it's how the
     * BucketBits / multi-probe / NumCentroids knobs get tuned. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = knnBruteCore(s, dir).select(col("query_id"), col("neighbor_id"))
+    // ONE corpus projection feeds all four pipelines: the signBucket +
+    // norm compute and the parquet scan happen once instead of four
+    // times (persist is re-applied if an external clearCache dropped
+    // the registration — the x5 plan reads the corpus 5×: four
+    // pipelines plus the IVF centroid leg).
+    val c = corpus(s, dir)
+    if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE) c.persist()
+    val brute = knnBruteCore(c).select(col("query_id"), col("neighbor_id"))
     def hits(df: DataFrame, mark: String) =
       df.select(col("query_id"), col("neighbor_id"), lit(1).as(mark))
     val joined = brute
-      .join(hits(annLshCore(s, dir), "in_lsh"), Seq("query_id", "neighbor_id"), "left")
-      .join(hits(annIvfCore(s, dir), "in_ivf"), Seq("query_id", "neighbor_id"), "left")
-      .join(hits(annMultiProbeCore(s, dir), "in_mp"), Seq("query_id", "neighbor_id"), "left")
+      .join(hits(annLshCore(c), "in_lsh"), Seq("query_id", "neighbor_id"), "left")
+      .join(hits(annIvfCore(c), "in_ivf"), Seq("query_id", "neighbor_id"), "left")
+      .join(hits(annMultiProbeCore(c), "in_mp"), Seq("query_id", "neighbor_id"), "left")
     def n(mark: String) = sum(coalesce(col(mark), lit(0))).cast("int")
     joined.groupBy(col("query_id"))
       .agg(n("in_lsh").as("n_lsh"), n("in_ivf").as("n_ivf"), n("in_mp").as("n_mp"))
