@@ -20,7 +20,8 @@ object SparkEntry {
     RequestOps.queries ++ ScanOps.queries ++ JoinOps.queries ++
       ResponseOps.queries ++ RetryOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
-      WindowOps.queries ++ AggOps.queries ++ ApproxOps.queries
+      WindowOps.queries ++ AggOps.queries ++ ApproxOps.queries ++
+      SqlSurfaceOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     RequestOps.oracles ++ ScanOps.oracles ++ JoinOps.oracles ++
       ResponseOps.oracles ++ RetryOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
-      WindowOps.oracles ++ AggOps.oracles ++ ApproxOps.oracles
+      WindowOps.oracles ++ AggOps.oracles ++ ApproxOps.oracles ++
+      SqlSurfaceOps.oracles
 }

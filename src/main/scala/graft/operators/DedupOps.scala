@@ -307,11 +307,11 @@ object DedupOps {
     "d5_embed_neardup" -> (embedNearDup _),
     "d6_dedup_clusters" -> (dedupClusters _))
 
-  private val bgSql =
+  private[operators] val bgSql =
     s"list_distinct(${shinglesSql(tokensSql("text"), 2)})"
 
 
-  private val mhSqls = MinHashAB.zipWithIndex.map { case ((a, b), j) =>
+  private[operators] val mhSqls = MinHashAB.zipWithIndex.map { case ((a, b), j) =>
     s"list_min(list_transform(hs, h -> (h * $a + $b) % $HashMod)) AS mh$j"
   }.mkString(",\n       ")
 
@@ -333,7 +333,7 @@ object DedupOps {
        |      FROM documents) h""".stripMargin
   }
 
-  private val simhashCoreSql: String = simhashSql(16)
+  private[operators] val simhashCoreSql: String = simhashSql(16)
   private val simhash60Sql: String = simhashSql(Simhash60Bits)
 
   private val oraclesD2Body: String =

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+import graft.functions.TextFunctions.tokHashSql
+import graft.functions.VectorFunctions.dotDSql
+
+/** SQL-first surface checks (SURVEY §2.11 / round-4 verdict #5): the
+  * same custom Catalyst expressions the DataFrame operators use, driven
+  * END TO END through `spark.sql(...)` text against registered views —
+  * the path a SQL-only user of the library takes after installing
+  * [[graft.GraftExtensions]]. ExtensionsBuildSpec proves the build-time
+  * `spark.sql.extensions` registration (functions + asof planner
+  * strategy with no manual install); these queries prove the resolved
+  * SQL functions compute oracle-identical results on real tables via
+  * the live-session `GraftExtensions.register` path (the driver owns
+  * its session, so build-time config is not available here).
+  *
+  * Outputs serialize arrays through `to_json` (driver-comparer
+  * contract, see AggOps.nestedAggJson).
+  */
+object SqlSurfaceOps {
+
+  /** SX1 — the d2/d3 signature stack in pure SQL: hashed bigram shingle
+    * sets → minhash signature (library A/B constants) and a 16-bit
+    * simhash, per document. */
+  def sqlSignatures(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents_sqlsurface")
+    s.sql(
+      """SELECT doc_id,
+        |       to_json(minhash_sig(hashed_shingle_set(split(text, ' '), 2))) AS mh,
+        |       simhash_long(split(text, ' '), 16) AS simhash16
+        |FROM documents_sqlsurface
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** SX2 — `topk_by` + `float_vec_dot` in pure SQL: per vec_id%4 cohort,
+    * the 5 largest-norm vectors (norm via the injected dot product). */
+  def sqlTopkByNorm(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_sqlsurface")
+    s.sql(
+      """SELECT CAST(pmod(vec_id, 4) AS INT) AS grp,
+        |       to_json(topk_by(sqrt(float_vec_dot(embedding, embedding)), vec_id, 5)) AS top_ids,
+        |       count(*) AS n_vecs
+        |FROM embeddings_sqlsurface
+        |GROUP BY pmod(vec_id, 4)
+        |ORDER BY grp""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sx1_sql_signatures" -> (sqlSignatures _),
+    "sx2_sql_topk" -> (sqlTopkByNorm _))
+
+  val oracles: Map[String, String] = Map(
+    "sx1_sql_signatures" ->
+      s"""WITH t AS (SELECT doc_id, ${DedupOps.bgSql} AS bg FROM documents),
+         |h AS (SELECT doc_id, list_transform(bg, s -> ${tokHashSql("s")}) AS hs FROM t),
+         |m AS (SELECT doc_id,
+         |       ${DedupOps.mhSqls}
+         |       FROM h),
+         |sh AS (${DedupOps.simhashCoreSql})
+         |SELECT m.doc_id,
+         |       CAST(to_json([mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7]) AS VARCHAR) AS mh,
+         |       sh.simhash AS simhash16
+         |FROM m JOIN sh ON m.doc_id = sh.doc_id
+         |ORDER BY m.doc_id""".stripMargin,
+    "sx2_sql_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(vec_id % 4 AS INT) AS grp,
+         |                  sqrt(${dotDSql("embedding", "embedding")}) AS nrm
+         |           FROM embeddings)
+         |SELECT grp,
+         |       CAST(to_json((list(vec_id ORDER BY nrm DESC, vec_id ASC))[1:5])
+         |         AS VARCHAR) AS top_ids,
+         |       count(*) AS n_vecs
+         |FROM e GROUP BY grp ORDER BY grp""".stripMargin)
+}
