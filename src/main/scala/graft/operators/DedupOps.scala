@@ -239,6 +239,29 @@ object DedupOps {
     }
     require(converged, s"label propagation did not converge in $MaxCcIterations rounds")
     edges.unpersist()
+    shapeClusters(s, dir, labels)
+  }
+
+  /** D6b — same contract and oracle as [[dedupClusters]], components
+    * computed by the alternating large-star/small-star rewrite
+    * ([[StarComponents]]) instead of label propagation: the guard for
+    * the 100× case where near-dup components are long transitive
+    * CHAINS (large diameter), where propagation's round count grows
+    * with log(diameter) but star stays O(log n) with a shrinking edge
+    * working set. Both variants stay registered so the driver
+    * hash-gates them against the identical recursive-closure oracle. */
+  def dedupClustersStar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshCore(s, dir)
+      .filter(col("is_near_dup") === 1).select(col("a"), col("b"))
+    val (labels, _) = StarComponents.components(pairs)
+    shapeClusters(s, dir, labels)
+  }
+
+  /** Shared tail of d6/d6b: singleton docs (never in the pair graph —
+    * the vast majority at scale) rejoin as their own cluster; keeper =
+    * the component's min doc. */
+  private def shapeClusters(s: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
     val singletons = Tables.documents(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
@@ -305,7 +328,8 @@ object DedupOps {
     "d3b_simhash_neardup" -> (simhashNearDup _),
     "d4_ngram_jaccard" -> (ngramJaccard _),
     "d5_embed_neardup" -> (embedNearDup _),
-    "d6_dedup_clusters" -> (dedupClusters _))
+    "d6_dedup_clusters" -> (dedupClusters _),
+    "d6b_star_clusters" -> (dedupClustersStar _))
 
   private[operators] val bgSql =
     s"list_distinct(${shinglesSql(tokensSql("text"), 2)})"
@@ -407,23 +431,28 @@ object DedupOps {
          |FROM p
          |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY nn_cos DESC, nn_id) = 1
          |ORDER BY vec_id""".stripMargin,
-    // d6 reuses the full d2 oracle verbatim as a CTE (drift-proof, like
-    // x5) and states the components as a recursive transitive closure —
-    // the UNION (not UNION ALL) in the recursive term is the fixpoint
-    "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE d2 AS (
-         |${oraclesD2Body}
-         |),
-         |near AS (SELECT a, b FROM d2 WHERE is_near_dup = 1),
-         |edges AS (SELECT a AS x, b AS y FROM near
-         |          UNION SELECT b AS x, a AS y FROM near),
-         |reach(src, node) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x
-         |)
-         |SELECT src AS doc_id,
-         |       min(node) AS cluster_id,
-         |       CASE WHEN min(node) = src THEN 1 ELSE 0 END AS is_keeper
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+    "d6_dedup_clusters" -> d6OracleSql,
+    // d6b computes the SAME result by a different algorithm — identical
+    // oracle, so the driver hash-gates both against one ground truth
+    "d6b_star_clusters" -> d6OracleSql)
+
+  // d6 reuses the full d2 oracle verbatim as a CTE (drift-proof, like
+  // x5) and states the components as a recursive transitive closure —
+  // the UNION (not UNION ALL) in the recursive term is the fixpoint
+  private lazy val d6OracleSql: String =
+    s"""WITH RECURSIVE d2 AS (
+       |${oraclesD2Body}
+       |),
+       |near AS (SELECT a, b FROM d2 WHERE is_near_dup = 1),
+       |edges AS (SELECT a AS x, b AS y FROM near
+       |          UNION SELECT b AS x, a AS y FROM near),
+       |reach(src, node) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x
+       |)
+       |SELECT src AS doc_id,
+       |       min(node) AS cluster_id,
+       |       CASE WHEN min(node) = src THEN 1 ELSE 0 END AS is_keeper
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.StarComponents
+import org.apache.spark.sql.functions._
+
+/** Large-star/small-star connected components: the O(log n) round
+  * guarantee on the pathological input (a long chain — maximum
+  * diameter per edge), exact agreement with driver-side union-find
+  * ground truth on an adversarial random graph, and edge-case
+  * contracts (empty graph, input normalization). */
+class StarComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val (df, rounds) = StarComponents.components(edges.toDF("a", "b"))
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  /** Driver-side union-find for ground truth (test-only; the operator
+    * under test never sees it). */
+  private def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+  }
+
+  test("10k-vertex chain collapses to one min-rooted star in O(log n) rounds") {
+    val n = 10000L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val (labels, rounds) = labelsOf(chain)
+    assert(labels.size === n)
+    assert(labels.values.forall(_ == 0L))
+    // propagation without pointer jumping would need ~n rounds, with
+    // jumping ~log2(diameter)=14; star must stay in the same class:
+    // 2*ceil(log2 n) = 28 is the generous O(log n) ceiling
+    assert(rounds <= 28, s"chain took $rounds rounds — not O(log n)")
+  }
+
+  test("chain with the minimum in the MIDDLE converges equally fast") {
+    // ids descend then ascend: 5000..1,0,1..4999 relabeled uniquely —
+    // vertex 0 sits mid-chain, so collapse must spread both ways
+    val n = 10001L
+    val ids = ((1L to 5000L).reverse :+ 0L) ++ (5001L to 10000L)
+    val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val (labels, rounds) = labelsOf(chain)
+    assert(labels.size === n)
+    assert(labels.values.forall(_ == 0L))
+    assert(rounds <= 28, s"mid-min chain took $rounds rounds")
+  }
+
+  test("adversarial random graph matches union-find ground truth exactly") {
+    // deterministic LCG: many small components of mixed shape plus one
+    // large sparse one; ids sparse and shuffled so labels != indices
+    var seed = 0x5DEECE66DL
+    def nextLong(bound: Long): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 17, bound)
+    }
+    val edges = (1 to 3000).map { _ =>
+      val a = nextLong(4000) * 7 + 3 // sparse, non-contiguous ids
+      val b = nextLong(4000) * 7 + 3
+      (a, b) // self-loops and duplicates land here on purpose
+    }
+    val expected = unionFind(4000L * 7 + 3, edges.filter(e => e._1 != e._2))
+    val (labels, rounds) = labelsOf(edges)
+    assert(labels === expected)
+    assert(rounds <= 28, s"random graph took $rounds rounds")
+  }
+
+  test("empty and trivial edge lists") {
+    val (empty, r0) = labelsOf(Seq.empty)
+    assert(empty.isEmpty && r0 === 0)
+    // one edge, reversed orientation + duplicate + self-loop noise
+    val (one, _) = labelsOf(Seq((7L, 3L), (3L, 7L), (7L, 7L)))
+    assert(one === Map(3L -> 3L, 7L -> 3L))
+  }
+
+  test("d6b star clusters equal d6 propagation clusters on the real corpus") {
+    val d6 = graft.operators.DedupOps.dedupClusters(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val d6b = graft.operators.DedupOps.dedupClustersStar(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(d6b === d6)
+    assert(d6.nonEmpty)
+  }
+}
