@@ -77,9 +77,33 @@ object VariantOps {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** V3 — malformed-input routing, the bad-data reality at 100 TB: a
+    * deterministic corruption (truncate the raw `props` JSON for
+    * event_id % 7 == 3) feeds `try_parse_json`, whose NULL routes the
+    * row to a MALFORMED leg instead of failing the job — the streaming
+    * pipelines' element-scoped failure containment, restated for batch
+    * ingest. Both engines judge the IDENTICAL corrupted text with
+    * their own parser (Spark: try_parse_json; DuckDB: json_valid), so
+    * the hash gate cross-checks accept/reject agreement row by row. */
+  def malformedRoute(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("event_id")) // CPU-bound parse over a single-row-group scan (see v1)
+      .withColumn("raw",
+        when(col("event_id") % 7 === 3,
+          expr("substring(props, 1, length(props) - 2)"))
+          .otherwise(col("props")))
+      .withColumn("v", try_parse_json(col("raw")))
+      .select(
+        col("event_id"),
+        when(col("v").isNull, lit("MALFORMED")).otherwise(lit("OK")).as("route"),
+        try_variant_get(col("v"), "$.k", "long").as("k"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_variant_extract" -> (variantExtract _),
-    "v2_variant_props" -> (variantProps _))
+    "v2_variant_props" -> (variantProps _),
+    "v3_malformed_route" -> (malformedRoute _))
 
   val oracles: Map[String, String] = Map(
     // same field arithmetic as the T3 oracle, unfiltered (see
@@ -98,5 +122,15 @@ object VariantOps {
         |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
         |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "v3_malformed_route" ->
+      """SELECT event_id,
+        |       CASE WHEN json_valid(raw) THEN 'OK' ELSE 'MALFORMED' END AS route,
+        |       CASE WHEN json_valid(raw) THEN CAST(raw->>'$.k' AS BIGINT) END AS k
+        |FROM (SELECT event_id,
+        |             CASE WHEN event_id % 7 = 3
+        |                  THEN substring(props, 1, length(props) - 2)
+        |                  ELSE props END AS raw
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin)
 }
