@@ -21,6 +21,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries that persist internally (x5's shared ANN corpus, d2's
+      // signature table) must not leak their cache into later queries:
+      // storage memory would grow across the 70+ query run, and a later
+      // query whose plan matches a cached fragment would silently read
+      // another query's cache (Bench defends identically)
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -33,11 +33,17 @@ object Common {
     * and measured 3× the whole query's agg cost (a1: 0.9 s vs 0.3 s
     * at sf0.1).
     *
-    * Domain: exact while the GROUP total satisfies |Σc|·10⁴ < 2⁶³
-    * (group money totals under ~9·10¹⁴ — global TPC-H revenue at
-    * 100 TB is ~10¹⁴, an order inside the bound; rows are ±9·10¹⁴
-    * each). For wider domains substitute `sum(c.cast(DecimalType(18,
-    * 4)))` — same value, decimal-speed. */
+    * Domain: exact while the GROUP total satisfies |Σc|·10⁴ < 2⁶³,
+    * i.e. group totals under ~9.2·10¹⁴. That bound is REAL at the
+    * 100 TB design point: global TPC-H revenue at SF ~100k is ~2·10¹⁶,
+    * so a handful-of-groups rollup like a1 (~6 groups, ~3·10¹⁵ each)
+    * crosses it. Crossing is LOUD, not silent: Spark 4 runs ANSI mode
+    * by default, so the long accumulator raises ARITHMETIC_OVERFLOW
+    * the moment a partial sum exceeds 2⁶³ (DecimalScaleSpec pins
+    * this), and the remedy is substituting
+    * `sum(c.cast(DecimalType(18, 4)))` — same value, decimal-speed.
+    * Do NOT run money aggregates with `spark.sql.ansi.enabled=false`:
+    * that config turns this exact overflow into a silent wrap. */
   private def scaledSum(c: Column): Column =
     (sum(round(c * 10000).cast("long")).cast(DecimalType(28, 0)) *
       lit(new java.math.BigDecimal("0.0001")))

@@ -116,9 +116,14 @@ object JoinOps {
         // per-row product and the group sum stay in primitive long
         // codegen; one decimal conversion per group restores the exact
         // decimal(38,8) total the decimal restatement produced.
+        // decimal(28,0): any long fits in 19 digits, and (28,0)×(8,8)
+        // lands on decimal(37,8) — INSIDE Spark's 38-digit cap, so the
+        // product stays exact. A (38,0) cast here would make the
+        // multiply type (47,8), which adjustPrecisionScale clamps to
+        // (38,6) and silently HALF_UP-rounds the 8-decimal total.
         (sum((round(col("l_extendedprice") * 10000) *
               round((lit(1.0) - col("l_discount")) * 10000)).cast("long"))
-          .cast("decimal(38,0)") * lit(new java.math.BigDecimal("0.00000001")))
+          .cast("decimal(28,0)") * lit(new java.math.BigDecimal("0.00000001")))
           .cast("decimal(38,8)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("p_brand"))

@@ -90,17 +90,15 @@ object ResponseOps {
       "sid string, syncid string, api_type int, fpt_einvoice_res_code string, " +
         "fpt_einvoice_res_msg string, fpt_einvoice_res_json string, gdt_res string")
 
-  /** [[staging]]'s record view with the payload available as the `pj`
-    * struct — the Spark restatement of the reference parsing each
-    * record into a POJO a single time
-    * (`InvoiceResponseBatchProcessor.java:306-316`) and passing the
-    * object around. The round-4 shape probed the payload STRING with
-    * per-field `get_json_object`, and after `CollapseProject` every
-    * probe leg re-paid the full synthesize+parse round trip (t7's
-    * four-probe sniff measured 1.6 s at sf0.1; t8/t9/g4b/r4 similar).
-    * Struct field access is plain column arithmetic and prunes. */
-  private[graft] def parsed(s: SparkSession, dir: String): DataFrame =
-    staging(s, dir)
+  // Note on `pj`: consumers read payload fields through the struct
+  // column, never by probing the payload STRING — the Spark
+  // restatement of the reference parsing each record into a POJO a
+  // single time (`InvoiceResponseBatchProcessor.java:306-316`). The
+  // round-4 shape probed with per-field `get_json_object`, and after
+  // `CollapseProject` every probe leg re-paid the full
+  // synthesize+parse round trip (t7's four-probe sniff measured 1.6 s
+  // at sf0.1; t8/t9/g4b/r4 similar). Struct field access is plain
+  // column arithmetic and prunes.
 
   /** G1 — key extraction with JSON fallback
     * (`job/InvoiceResponse.java:98-118`): typed column first, then
@@ -111,7 +109,7 @@ object ResponseOps {
     lit(0).cast("tinyint"))
 
   def keyExtract(s: SparkSession, dir: String): DataFrame =
-    parsed(s, dir)
+    staging(s, dir)
       .select(col("id"), batchKey.as("batch_key"))
       .orderBy(col("id"))
 
@@ -119,7 +117,7 @@ object ResponseOps {
     * (`InvoiceResponseKafkaRouter.java:52-70` default-throw,
     * `InvoiceResponseBatchProcessor.java:285-287`). */
   def apiDomain(s: SparkSession, dir: String): DataFrame =
-    parsed(s, dir)
+    staging(s, dir)
       .select(col("id"), batchKey.as("batch_key"),
         when(batchKey.isin(graft.model.InvoiceModel.ApiTypes: _*),
           lit("valid")).otherwise(lit("rejected")).as("domain_status"))
@@ -140,7 +138,7 @@ object ResponseOps {
   /** T7 — polymorphic payload sniff
     * (`InvoiceResponseBatchProcessor.java:306-316`). */
   def sniff(s: SparkSession, dir: String): DataFrame =
-    parsed(s, dir)
+    staging(s, dir)
       .select(col("id"),
         coalesce(sniffedKind, lit("unknown")).as("sniffed_kind"))
       .orderBy(col("id"))
@@ -176,7 +174,7 @@ object ResponseOps {
     * "Tạo mới thành công"/success when res_msg is null; res_resource
     * fpt; data = res_json (nullable). */
   def items(s: SparkSession, dir: String): DataFrame =
-    parsed(s, dir)
+    staging(s, dir)
       .filter(itemEligible)
       .select(col("id") +: itemFields: _*)
       .orderBy(col("id"))
@@ -187,7 +185,7 @@ object ResponseOps {
     * (`InvoiceResponseBatchProcessor.java:130-140`). */
   private def bucketed(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("batch_key")).orderBy(col("id"))
-    parsed(s, dir)
+    staging(s, dir)
       .withColumn("batch_key", batchKey)
       .filter(col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
       .withColumn("batch_id",
@@ -218,7 +216,7 @@ object ResponseOps {
     * (murmur3 `hash()` is not). */
   def saltedBuckets(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.md5Long
-    val salted = parsed(s, dir)
+    val salted = staging(s, dir)
       .withColumn("batch_key", batchKey)
       .filter(col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
       .withColumn("salt", (md5Long(col("sid")) % SaltBuckets).cast("int"))
@@ -305,7 +303,7 @@ object ResponseOps {
     * (`created_date = now()` at `:143` and the always-null
     * `updated_date` excluded from oracle-compared output.) */
   def logProject(s: SparkSession, dir: String): DataFrame = {
-    val st = parsed(s, dir).withColumn("batch_key", batchKey)
+    val st = staging(s, dir).withColumn("batch_key", batchKey)
       .filter(col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
     val isIn = col("kind") === "InvIn"
     st.select(
@@ -330,7 +328,7 @@ object ResponseOps {
     * in the success log (T9); this is the delete side, stated as an
     * anti-join — staging rows whose id was NOT processed remain. */
   def deleteRemaining(s: SparkSession, dir: String): DataFrame = {
-    val st = parsed(s, dir).withColumn("batch_key", batchKey)
+    val st = staging(s, dir).withColumn("batch_key", batchKey)
     val processed = st.filter(
       col("batch_key").isin(graft.model.InvoiceModel.ApiTypes: _*))
       .select(col("id"))

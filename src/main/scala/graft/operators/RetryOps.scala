@@ -96,7 +96,7 @@ object RetryOps {
     * routes DELETE. Failures take `next_retry_secs = base · 2^(n+1)`
     * (increment-then-pow, `:295-299` — same as T5). */
   def responseRetry(s: SparkSession, dir: String): DataFrame = {
-    val st = ResponseOps.parsed(s, dir)
+    val st = ResponseOps.staging(s, dir)
       .withColumn("retry_count", (col("id") % 5).cast("tinyint"))
     val sniffed = ResponseOps.sniffedKind
     // deserialized-record api_type: payload field only, POJO default 0

@@ -38,4 +38,22 @@ class DecimalScaleSpec extends SparkSpec {
       sum(col("value").cast("decimal(18,4)")).cast("double").as("exact"))
     assert(both.filter(!(col("fast") <=> col("exact"))).count() === 0)
   }
+
+  test("dsum overflow past 2^63/10^4 group totals raises loudly, never wraps") {
+    import graft.operators.Common.dsum
+    import spark.implicits._
+    // Spark 4 defaults to ANSI mode, under which the long accumulator
+    // raises ARITHMETIC_OVERFLOW instead of silently wrapping — the
+    // safety contract scaledSum's doc promises at the 100 TB domain
+    // edge (three rows of 9e14: each scaled value fits a long, the
+    // group total 2.7e19 does not)
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    val huge = Seq(9e14, 9e14, 9e14).toDF("v")
+    val e = intercept[Exception] { huge.agg(dsum($"v")).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("ARITHMETIC_OVERFLOW")))
+    // sane domains are untouched
+    assert(Seq(1.5, 2.25).toDF("v").agg(dsum($"v")).head().getDouble(0) === 3.75)
+  }
 }
