@@ -196,6 +196,23 @@ object JoinOps {
       .orderBy(col("l_event_id"))
   }
 
+  /** JX7 — as-of join with a match-window TOLERANCE (the kdb/pandas
+    * `merge_asof(tolerance=...)` surface): a click only matches a
+    * purchase at most one hour older. Needs NO new operator: the inner
+    * as-of picks the LATEST right row ≤ l_ts, and if that row is
+    * outside the window then no in-tolerance match exists at all, so
+    * tolerance is exactly a post-join filter over the matched pair —
+    * the planner keeps it above the merge, and rows outside the window
+    * drop like unmatched keys. Same shape at any scale as JX5. */
+  def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val (l, r) = asofSides(s, dir)
+    graft.plans.AsofJoin.asof(l, r,
+        Seq(l("user_id")), Seq(r("r_user")), l("l_ts"), r("r_ts"))
+      .filter(col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR"))
+      .select(asofOutCols: _*)
+      .orderBy(col("l_event_id"))
+  }
+
   /** Interval width of the JX6 attribution windows and of the buckets
     * that cover them — equal by construction, so every range spans at
     * most two buckets (the `sequence` generalizes to wider ranges). */
@@ -267,6 +284,7 @@ object JoinOps {
     "jx4_asof_window" -> (asofWindow _),
     "jx5_asof_native" -> (asofNative _),
     "jx6_range_bucketed" -> (rangeBucketed _),
+    "jx7_asof_tolerance" -> (asofTolerance _),
     "j1_sid_syncid" -> (sidSyncidJoin _),
     "j2_dim_broadcast" -> (dimBroadcast _),
     "j3_part_supp" -> (partSuppJoin _),
@@ -299,6 +317,17 @@ object JoinOps {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "jx4_asof_window" -> asofOracle,
     "jx5_asof_native" -> asofOracle,
+    // DuckDB's native ASOF picks the same latest-at-or-before row, so
+    // the tolerance restates as the identical post-join predicate —
+    // applied in an OUTER block behind a MATERIALIZED barrier: DuckDB
+    // inlines plain CTEs and folds the WHERE into the ASOF ON clause,
+    // rejecting the second inequality ("Multiple ASOF JOIN
+    // inequalities")
+    "jx7_asof_tolerance" ->
+      s"""WITH m AS MATERIALIZED ($asofOracle)
+         |SELECT * FROM m
+         |WHERE r_ts >= l_ts - INTERVAL 1 HOUR
+         |ORDER BY l_event_id""".stripMargin,
     "jx6_range_bucketed" ->
       """WITH l AS (SELECT event_id AS l_event_id, user_id,
         |                  CAST(ts AS TIMESTAMP) AS l_ts

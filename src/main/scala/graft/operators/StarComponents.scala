@@ -50,8 +50,11 @@ object StarComponents {
     * @param edges two Long columns (a, b); orientation, duplicates and
     *              self-loops are all tolerated (normalized up front).
     * @return (labels, rounds): one (doc_id, label) row per vertex that
-    *         appears in `edges`, label = minimum vertex id of its
-    *         component; rounds = alternating rounds until fixpoint.
+    *         appears in a non-degenerate (a ≠ b) edge — a vertex with
+    *         only self-loops is a singleton and is the caller's to
+    *         rejoin, like any other absent vertex; label = minimum
+    *         vertex id of its component; rounds = alternating rounds
+    *         until fixpoint.
     */
   def components(edges: DataFrame): (DataFrame, Int) = {
     val cols = edges.columns

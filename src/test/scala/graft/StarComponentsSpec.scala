@@ -76,6 +76,24 @@ class StarComponentsSpec extends SparkSpec {
     assert(rounds <= 28, s"random graph took $rounds rounds")
   }
 
+  test("property: labels == union-find on arbitrary random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // graph shapes scalecheck explores that the fixed cases don't:
+    // dense multigraphs, heavy self-loop/duplicate noise, id collisions
+    val edgeGen = for {
+      a <- Gen.choose(0L, 60L)
+      b <- Gen.choose(0L, 60L)
+    } yield (a * 13 + 1, b * 13 + 1) // sparse non-contiguous ids
+    val graphGen = Gen.choose(0, 120).flatMap(Gen.listOfN(_, edgeGen))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAllNoShrink(graphGen) { edges =>
+        val (labels, _) = labelsOf(edges)
+        labels == unionFind(61L * 13 + 1, edges.filter(e => e._1 != e._2))
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("empty and trivial edge lists") {
     val (empty, r0) = labelsOf(Seq.empty)
     assert(empty.isEmpty && r0 === 0)
