@@ -122,12 +122,58 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TX6's relative df threshold DENOMINATOR: a bigram is boilerplate
+    * when it appears in ≥ 1/[[BoilerplateDfDenom]] of distinct texts.
+    * Relative, not absolute — an absolute cutoff silently saturates
+    * (everything common) or starves (nothing common) as the corpus
+    * grows. */
+  val BoilerplateDfDenom = 20
+
+  /** TX6 — boilerplate detection by bigram document frequency: a
+    * doc's boilerplate ratio is the fraction of its DISTINCT bigrams
+    * that appear in ≥ 1/[[BoilerplateDfDenom]] of distinct TEXTS
+    * (navbars, licence headers and templated spans share exactly
+    * these high-df shingles). df counts distinct text bodies, not
+    * rows — exact-dup copies of one document must not promote its
+    * every bigram to "boilerplate" (the corpus carries ~20 copies per
+    * unique text, so a row-count df would saturate at ratio 1.0
+    * corpus-wide). Reuses the compiled d2 shingle expression; df
+    * comes from one hash-shuffle groupBy with a distinct-aggregate
+    * over the exploded (text, bigram) set; the distinct-text total is
+    * a one-row aggregate cross-joined in (no driver-side collect);
+    * and because high-df bigrams are by definition the HEAD of the
+    * frequency distribution, the common set is small and broadcasts —
+    * the per-doc aggregate then needs no second big shuffle beyond
+    * its own groupBy(doc_id). All integer math plus ONE final
+    * division, so the ratio is bit-identical across engines. */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions.hashedShingleSet
+    val docs = Tables.documents(s, dir)
+    val ex = docs
+      .select(col("doc_id"), md5(col("text")).as("tm"),
+        explode(hashedShingleSet(toks, 2)).as("h"))
+    val nTexts = docs.agg(countDistinct(md5(col("text"))).as("n_texts"))
+    val common = ex.groupBy(col("h"))
+      .agg(countDistinct(col("tm")).as("df"))
+      .crossJoin(broadcast(nTexts))
+      .filter(col("df") * BoilerplateDfDenom >= col("n_texts"))
+      .select(col("h"), lit(1).as("is_common"))
+    ex.join(broadcast(common), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("is_common"), lit(0))).as("n_common"))
+      .withColumn("boilerplate_ratio",
+        col("n_common").cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality" -> (quality _),
     "tx3_langid" -> (langId _),
     "tx4_fingerprint" -> (fingerprint _),
-    "tx5_stratified_sample" -> (stratifiedSample _))
+    "tx5_stratified_sample" -> (stratifiedSample _),
+    "tx6_boilerplate" -> (boilerplate _))
 
   private val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val toksSql = tokensSql("text")
@@ -175,5 +221,25 @@ object TextOps {
          |FROM documents
          |WHERE ${md5LongSql("'smp:' || CAST(doc_id AS VARCHAR)")} % 100 < $rateSql
          |ORDER BY doc_id""".stripMargin
-    })
+    },
+    // same hashed-distinct-bigram contract as the d2/d4 oracles
+    // (DedupOps.bgSql + tokHashSql); sums cast to BIGINT because
+    // DuckDB's sum(int) widens to HUGEINT, which the comparer would
+    // see as a dtype mismatch against Spark's long
+    "tx6_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, md5(text) AS tm,
+         |             list_distinct(list_transform(${DedupOps.bgSql},
+         |               s -> ${tokHashSql("s")})) AS hs
+         |           FROM documents),
+         |ex AS (SELECT doc_id, tm, unnest(hs) AS h FROM t),
+         |df AS (SELECT h FROM ex GROUP BY h
+         |       HAVING count(DISTINCT tm) * $BoilerplateDfDenom >=
+         |              (SELECT count(DISTINCT md5(text)) FROM documents))
+         |SELECT e.doc_id,
+         |       count(*) AS n_bigrams,
+         |       CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |       CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS boilerplate_ratio
+         |FROM ex e LEFT JOIN df d ON e.h = d.h
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin)
 }
