@@ -167,13 +167,57 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TX7's context-window token budget. */
+  val PackSeqLen = 512
+
+  /** TX7 — sequence packing: assign each doc to a training context
+    * window (bin) so concatenated windows fill a [[PackSeqLen]] token
+    * budget — the standard pre-tokenization packing pass. The
+    * SCALABLE restatement of first-fit: docs are packed in a
+    * deterministic order (doc_id) and a doc starts a new bin when the
+    * running token total would cross the budget; that's a cumulative
+    * sum + integer division, NOT a sequential bin-packing loop. The
+    * cumsum windows per LANGUAGE (packing never mixes languages
+    * here), so no window collapses to a single global partition — at
+    * 100 TB the partition key widens to (lang, shard) with the same
+    * plan shape, shards pre-sized so each window partition holds a
+    * bounded token mass. Token counts are tx1's integer subword
+    * estimate; bin_id and bin_pos are pure integer math. Docs longer
+    * than the budget get a bin of their own (oversize = 1 — the
+    * pipeline's signal to truncate or split downstream). */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = aggregate(toks, lit(0L),
+      (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
+    val byLang = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+    // greedy boundary rule: doc d opens a new bin iff the cumsum
+    // BEFORE d, taken within d's current bin budget, plus n_tok
+    // crosses PackSeqLen. The closed form with plain cumsum: bin
+    // boundaries are where floor(cum/L) advances — docs spanning a
+    // boundary belong to the bin their LAST token lands in under the
+    // running total, which matches greedy fill-then-spill packing of
+    // an append-only stream (each bin may overhang its budget by at
+    // most one doc; exact-budget packing would need the sequential
+    // loop this restatement deliberately avoids)
+    docs
+      .withColumn("cum", sum(col("n_tok")).over(byLang))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        ((col("cum") - lit(1)) / PackSeqLen).cast("long").as("bin_id"),
+        ((col("cum") - lit(1)) % PackSeqLen).cast("long").as("bin_end_pos"),
+        when(col("n_tok") > PackSeqLen, 1).otherwise(0).as("oversize"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality" -> (quality _),
     "tx3_langid" -> (langId _),
     "tx4_fingerprint" -> (fingerprint _),
     "tx5_stratified_sample" -> (stratifiedSample _),
-    "tx6_boilerplate" -> (boilerplate _))
+    "tx6_boilerplate" -> (boilerplate _),
+    "tx7_seqpack" -> (seqPack _))
 
   private val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val toksSql = tokensSql("text")
@@ -241,5 +285,22 @@ object TextOps {
          |       CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |         / count(*) AS boilerplate_ratio
          |FROM ex e LEFT JOIN df d ON e.h = d.h
-         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin)
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    // same subword fold as tx1; cum is a per-lang running sum, so the
+    // bin arithmetic is integer-exact on both engines (every doc has
+    // >= 1 token, so cum >= 1 and truncation == floor)
+    "tx7_seqpack" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform($toksSql, t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+         |               (acc, x) -> acc + x) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, lang, n_tok,
+         |             sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+         |      FROM d)
+         |SELECT doc_id, lang, n_tok,
+         |       CAST((cum - 1) // $PackSeqLen AS BIGINT) AS bin_id,
+         |       CAST((cum - 1) % $PackSeqLen AS BIGINT) AS bin_end_pos,
+         |       CASE WHEN n_tok > $PackSeqLen THEN 1 ELSE 0 END AS oversize
+         |FROM c ORDER BY doc_id""".stripMargin)
 }
