@@ -90,11 +90,56 @@ object WindowOps {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** W6 — funnel analysis: per user, the first `view`, the first `click`
+    * strictly after that view, and the first `purchase` strictly after
+    * that click — the classic ordered-conversion funnel (the
+    * MATCH_RECOGNIZE shape, restated as three chained conditional
+    * window-mins so it needs no pattern engine). All three windows
+    * partition on user_id with a whole-partition frame and no ordering,
+    * so the physical plan is ONE exchange on user_id feeding three
+    * Window nodes and the final per-user aggregate — the groupBy reuses
+    * the same hash partitioning, no second shuffle. At 100 TB the fan-in
+    * is per-user event counts (bounded by retention), and a skewed
+    * power-user key is the same AQE-skew/salting case as w4. Conditional
+    * min ignores nulls on both engines, and `ts > v` with v NULL is
+    * NULL → excluded, so stage k is reachable only through stage k-1. */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    funnelCore(ScanOps.eventsTs(s, dir))
+
+  /** Funnel core over any (user_id, event_type, ts) frame — split out so
+    * the ordering rule (stage k reachable only through stage k-1) is unit-testable on
+    * crafted rows. */
+  def funnelCore(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v",
+        min(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("ts") > col("v"),
+          col("ts"))).over(byUser))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c"),
+          col("ts"))).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(min(col("v")).as("first_view"),
+        min(col("c")).as("first_click"),
+        min(col("p")).as("first_purchase"))
+      .withColumn("funnel_stage",
+        when(col("first_purchase").isNotNull, 3)
+          .when(col("first_click").isNotNull, 2)
+          .when(col("first_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_tumbling" -> (tumbling _),
     "w3_sliding" -> (sliding _),
     "w4_session" -> (session _),
-    "w5_gapfill" -> (gapfill _))
+    "w5_gapfill" -> (gapfill _),
+    "w6_funnel" -> (funnel _))
 
   val oracles: Map[String, String] = Map(
     "w2_tumbling" ->
@@ -155,5 +200,23 @@ object WindowOps {
         |         ROWS UNBOUNDED PRECEDING) AS locf_value
         |FROM spine s LEFT JOIN hourly h
         |  ON s.user_id = h.user_id AND s.hour = h.hour
-        |ORDER BY s.user_id, s.hour""".stripMargin)
+        |ORDER BY s.user_id, s.hour""".stripMargin,
+    "w6_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |            FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |                   OVER (PARTITION BY user_id) AS v FROM ev),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > v THEN ts END)
+        |                   OVER (PARTITION BY user_id) AS c FROM s1),
+        |s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c THEN ts END)
+        |                   OVER (PARTITION BY user_id) AS p FROM s2)
+        |SELECT user_id,
+        |       min(v) AS first_view,
+        |       min(c) AS first_click,
+        |       min(p) AS first_purchase,
+        |       CASE WHEN min(p) IS NOT NULL THEN 3
+        |            WHEN min(c) IS NOT NULL THEN 2
+        |            WHEN min(v) IS NOT NULL THEN 1
+        |            ELSE 0 END AS funnel_stage
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin)
 }
