@@ -321,6 +321,89 @@ object DedupOps {
       .orderBy(col("vec_id"))
   }
 
+  /** D7 split modulus: `doc_id % 5 == 0` plays the incoming snapshot
+    * batch, the rest the already-ingested corpus. */
+  val IncomingMod = 5
+
+  /** D7's content key width: the head fingerprint hashes the first
+    * [[HeadKeyTokens]] tokens. Full-text md5 is the degenerate
+    * whole-document case of the same key; the truncated head is the
+    * re-crawl key (pages that differ only in tail boilerplate /
+    * timestamps dedup together), and it is the variant the harness
+    * corpus actually exercises — its near-dups share heads, never the
+    * full text. */
+  val HeadKeyTokens = 8
+
+  /** D7 — incremental dedup, the corpus-UPDATE path: a new snapshot
+    * batch arrives and each incoming doc is verdicted against BOTH the
+    * existing corpus and the rest of its own batch — `dup_of_corpus`
+    * beats `dup_in_batch` beats `new` (a doc can be both; corpus
+    * membership is the stronger fact). D1-D6 dedup a corpus in place;
+    * real pipelines re-crawl, and re-hashing 100 TB per snapshot is the
+    * anti-pattern this operator exists to avoid.
+    *
+    * Shape: the existing side collapses to a DISTINCT key set (at
+    * 100 TB that set is the persisted key INDEX of the corpus, written
+    * bucketed by key so this join is exchange-free on the big side —
+    * the incoming batch alone shuffles); the within-batch keeper is a
+    * row_number over the same key, so the left join's partitioning
+    * is reused and the window adds NO second exchange. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val headKey =
+      md5(concat_ws(" ", slice(tokens(col("text")), 1, HeadKeyTokens)))
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), headKey.as("head_key"))
+    val incoming = hashed.filter(col("doc_id") % IncomingMod === 0)
+    val existing = hashed.filter(col("doc_id") % IncomingMod =!= 0)
+      .select(col("head_key")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val w = Window.partitionBy(col("head_key")).orderBy(col("doc_id"))
+    incoming
+      .join(existing, Seq("head_key"), "left")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("head_key"),
+        when(col("in_corpus") === 1, lit("dup_of_corpus"))
+          .when(col("rn") > 1, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** D8 eval-set modulus (`doc_id % 97 == 0` plays the benchmark) and
+    * shingle width (word 3-grams — the published decontamination
+    * n-gram range is 8-13 tokens on real corpora; 3 keeps overlap
+    * non-degenerate on the harness's short synthetic texts while the
+    * plan is width-independent). */
+  val EvalMod = 97
+  val DecontamK = 3
+
+  /** D8 — eval-set decontamination: flag every training doc sharing ANY
+    * hashed [[DecontamK]]-gram with the benchmark set — the standard
+    * pre-training leakage scan (an eval question inside the training
+    * corpus inflates the benchmark). The eval side is tiny by
+    * construction (that's what makes it an eval set), so its distinct
+    * shingle set BROADCASTS and the corpus side never shuffles: explode
+    * → broadcast-hash left join → per-doc count, with the groupBy the
+    * only exchange. At 100 TB the corpus explode streams scan-bound;
+    * the eval shingle set stays a few MB regardless of corpus size. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions._
+    val docs = Tables.documents(s, dir)
+    val ex = docs.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"),
+        explode(hashedShingleSet(tokens(col("text")), DecontamK)).as("h"))
+    val evalShingles = docs.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(hashedShingleSet(tokens(col("text")), DecontamK)).as("h"))
+      .distinct()
+      .withColumn("is_eval", lit(1))
+    ex.join(broadcast(evalShingles), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_eval"), lit(0))).as("n_overlap"))
+      .withColumn("is_contaminated",
+        when(col("n_overlap") > 0, 1).otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
@@ -329,10 +412,16 @@ object DedupOps {
     "d4_ngram_jaccard" -> (ngramJaccard _),
     "d5_embed_neardup" -> (embedNearDup _),
     "d6_dedup_clusters" -> (dedupClusters _),
-    "d6b_star_clusters" -> (dedupClustersStar _))
+    "d6b_star_clusters" -> (dedupClustersStar _),
+    "d7_incremental_dedup" -> (incrementalDedup _),
+    "d8_decontaminate" -> (decontaminate _))
 
   private[operators] val bgSql =
     s"list_distinct(${shinglesSql(tokensSql("text"), 2)})"
+
+  /** d8's word-trigram twin of [[bgSql]]. */
+  private[operators] val tgSql =
+    s"list_distinct(${shinglesSql(tokensSql("text"), DecontamK)})"
 
 
   private[operators] val mhSqls = MinHashAB.zipWithIndex.map { case ((a, b), j) =>
@@ -434,7 +523,38 @@ object DedupOps {
     "d6_dedup_clusters" -> d6OracleSql,
     // d6b computes the SAME result by a different algorithm — identical
     // oracle, so the driver hash-gates both against one ground truth
-    "d6b_star_clusters" -> d6OracleSql)
+    "d6b_star_clusters" -> d6OracleSql,
+    "d7_incremental_dedup" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' ')) AS head_key
+         |           FROM documents),
+         |inc AS (SELECT doc_id, head_key,
+         |               row_number() OVER (PARTITION BY head_key ORDER BY doc_id) AS rn
+         |        FROM h WHERE doc_id % $IncomingMod = 0),
+         |ex AS (SELECT DISTINCT head_key FROM h WHERE doc_id % $IncomingMod <> 0)
+         |SELECT i.doc_id, i.head_key,
+         |       CASE WHEN e.head_key IS NOT NULL THEN 'dup_of_corpus'
+         |            WHEN i.rn > 1 THEN 'dup_in_batch'
+         |            ELSE 'new' END AS verdict
+         |FROM inc i LEFT JOIN ex e ON i.head_key = e.head_key
+         |ORDER BY i.doc_id""".stripMargin,
+    // same hashed-distinct-shingle contract as tx6/d2, at k=3; sums
+    // cast to BIGINT (DuckDB sum(int) widens to HUGEINT)
+    "d8_decontaminate" ->
+      s"""WITH ex AS (SELECT doc_id,
+         |              unnest(list_distinct(list_transform($tgSql,
+         |                s -> ${tokHashSql("s")}))) AS h
+         |            FROM documents WHERE doc_id % $EvalMod <> 0),
+         |ev AS (SELECT DISTINCT unnest(list_distinct(list_transform($tgSql,
+         |         s -> ${tokHashSql("s")}))) AS h
+         |       FROM documents WHERE doc_id % $EvalMod = 0)
+         |SELECT e.doc_id,
+         |       count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN v.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+         |       CASE WHEN sum(CASE WHEN v.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |            THEN 1 ELSE 0 END AS is_contaminated
+         |FROM ex e LEFT JOIN ev v ON e.h = v.h
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin)
 
   // d6 reuses the full d2 oracle verbatim as a CTE (drift-proof, like
   // x5) and states the components as a recursive transitive closure —

@@ -70,4 +70,49 @@ class DedupGuaranteesSpec extends SparkSpec {
     // and no false positives below the threshold flag
     assert(found.subsetOf(truth), "a pair flagged near-dup exceeds the hamming bound")
   }
+
+  test("d7 verdict precedence: corpus-dup beats batch-dup beats new") {
+    val out = DedupOps.incrementalDedup(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("head_key"), r.getAs[String]("verdict"))).toMap
+    // every verdicted doc is from the incoming batch
+    assert(out.keys.forall(_ % DedupOps.IncomingMod == 0))
+    // recompute ground truth from the raw table with an independent
+    // key derivation (plain Scala string ops, not the Column expr)
+    val all = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val head = r.getAs[String]("text").split(" ", -1)
+          .take(DedupOps.HeadKeyTokens).mkString(" ")
+        r.getAs[Long]("doc_id") -> head
+      }
+    val corpusKeys = all.collect {
+      case (id, m) if id % DedupOps.IncomingMod != 0 => m
+    }.toSet
+    val firstInBatch = all.filter(_._1 % DedupOps.IncomingMod == 0)
+      .groupBy(_._2).map { case (m, xs) => m -> xs.map(_._1).min }
+    out.foreach { case (id, (_, verdict)) =>
+      val m = all.find(_._1 == id).get._2
+      val expected =
+        if (corpusKeys(m)) "dup_of_corpus"
+        else if (firstInBatch(m) != id) "dup_in_batch"
+        else "new"
+      assert(verdict === expected, s"doc $id")
+    }
+    // the fixture exercises all three verdicts
+    assert(out.values.map(_._2).toSet ===
+      Set("new", "dup_in_batch", "dup_of_corpus"))
+  }
+
+  test("d8's plan broadcasts the eval shingle set; corpus side never shuffles pre-agg") {
+    val plan = DedupOps.decontaminate(spark, Sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+    // the corpus leg reaches its per-doc aggregate through exactly one
+    // doc_id exchange; the only other hash exchange allowed is the
+    // tiny eval-side distinct (and the presentation sort's range
+    // exchange, which partitions on doc_id but is not hash)
+    val docEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(docEx === 1, s"corpus side shuffled more than the agg:\n$plan")
+  }
 }
