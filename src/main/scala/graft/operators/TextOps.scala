@@ -210,6 +210,46 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** TX8 — repetition filters (the Gopher-family quality signals that
+    * tx2's diversity ratio can't see): the longest SAME-TOKEN run and
+    * the duplicated-bigram fraction per doc. A stuttering generator or
+    * a scraped page of repeated menus shows up as a long run / high
+    * dup-bigram share even when overall lexical diversity looks fine.
+    *
+    * max_run avoids a sequential fold on purpose (a struct-accumulator
+    * `aggregate` triggers a DuckDB lambda CSE quirk that double-counts —
+    * and a fold is order-serial anyway): run STARTS are the positions
+    * where a token differs from its predecessor, so run lengths are
+    * adjacent-start differences — three nested array HOFs, all integer
+    * math, identical on both engines (`try_element_at`/`[i]` both yield
+    * NULL past the end). Still one narrow per-row projection: no
+    * shuffle, O(tokens) per row, codegen'd. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionCore(Tables.documents(s, dir))
+
+  /** Repetition core over any (doc_id, text) frame — split out so the
+    * run-length arithmetic is property-testable against a plain Scala
+    * reference on random token lists. */
+  def repetitionCore(docs: DataFrame): DataFrame = {
+    val n = size(toks)
+    val starts = filter(sequence(lit(1), n), i =>
+      i === 1 || element_at(toks, i) =!= element_at(toks, i - 1))
+    val runs = transform(sequence(lit(1), size(starts)), j =>
+      coalesce(try_element_at(starts, j + 1), n + 1) - element_at(starts, j))
+    val nBg = greatest(n - 1, lit(0)).cast("long")
+    val nDistBg = size(array_distinct(shingles(toks, 2))).cast("long")
+    docs
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        array_max(runs).as("max_run"),
+        nBg.as("n_bigrams"),
+        (nBg - nDistBg).as("n_dup_bigrams"),
+        when(nBg > 0, (nBg - nDistBg).cast("double") / nBg)
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality" -> (quality _),
@@ -217,7 +257,8 @@ object TextOps {
     "tx4_fingerprint" -> (fingerprint _),
     "tx5_stratified_sample" -> (stratifiedSample _),
     "tx6_boilerplate" -> (boilerplate _),
-    "tx7_seqpack" -> (seqPack _))
+    "tx7_seqpack" -> (seqPack _),
+    "tx8_repetition" -> (repetition _))
 
   private val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val toksSql = tokensSql("text")
@@ -302,5 +343,27 @@ object TextOps {
          |       CAST((cum - 1) // $PackSeqLen AS BIGINT) AS bin_id,
          |       CAST((cum - 1) % $PackSeqLen AS BIGINT) AS bin_end_pos,
          |       CASE WHEN n_tok > $PackSeqLen THEN 1 ELSE 0 END AS oversize
-         |FROM c ORDER BY doc_id""".stripMargin)
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // run starts → adjacent-start differences, as in the Spark side;
+    // DuckDB lists are 1-indexed and [i] past the end is NULL, matching
+    // try_element_at
+    "tx8_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |r AS (SELECT doc_id, t,
+         |             list_filter(generate_series(1, len(t)),
+         |               i -> i = 1 OR t[i] <> t[i-1]) AS starts
+         |      FROM d)
+         |SELECT doc_id,
+         |       CAST(len(t) AS INT) AS n_tokens,
+         |       CAST(list_max(list_transform(generate_series(1, len(starts)),
+         |         j -> coalesce(starts[j+1], len(t)+1) - starts[j])) AS INT) AS max_run,
+         |       CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
+         |       CAST(greatest(len(t) - 1, 0)
+         |         - len(list_distinct(${shinglesSql("t", 2)})) AS BIGINT) AS n_dup_bigrams,
+         |       CASE WHEN len(t) > 1
+         |            THEN CAST(greatest(len(t) - 1, 0)
+         |                   - len(list_distinct(${shinglesSql("t", 2)})) AS DOUBLE)
+         |                 / (len(t) - 1)
+         |            ELSE 0.0 END AS dup_bigram_ratio
+         |FROM r ORDER BY doc_id""".stripMargin)
 }

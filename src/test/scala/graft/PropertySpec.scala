@@ -69,4 +69,29 @@ class PropertySpec extends SparkSpec {
       once == twice
     }, 5)
   }
+
+  test("tx8 max_run equals the plain-Scala run-length reference on random token lists") {
+    import spark.implicits._
+    // small alphabet so runs actually form; batch the random docs into
+    // ONE DataFrame per prop evaluation to keep the round-trips cheap
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))
+    check(Prop.forAllNoShrink(Gen.listOfN(25, docGen)) { docs =>
+      def refRun(ts: List[String]): Int =
+        ts.foldLeft(("", 0, 0)) { case ((prev, cur, mx), t) =>
+          val c = if (t == prev) cur + 1 else 1
+          (t, c, math.max(mx, c))
+        }._3
+      def refDup(ts: List[String]): Long =
+        if (ts.size < 2) 0L
+        else (ts.size - 1) - ts.sliding(2).map(_.mkString(" ")).toSet.size
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      graft.operators.TextOps.repetitionCore(df).collect().forall { r =>
+        val ts = docs(r.getAs[Long]("doc_id").toInt)
+        r.getAs[Int]("max_run") == refRun(ts) &&
+          r.getAs[Long]("n_dup_bigrams") == refDup(ts)
+      }
+    }, 5)
+  }
 }
