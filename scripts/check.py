@@ -15,6 +15,7 @@ doubles.
 """
 import json, sys, glob, os, math
 import duckdb
+import pandas as pd
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -70,8 +71,18 @@ for name, sql in sorted(oracle.items()):
         if mismatch:
             break
     if mismatch:
-        print(f"FAIL {name}: {mismatch}"); fails += 1
-    else:
-        print(f"OK   {name} ({len(srows)} rows)")
+        print(f"FAIL {name}: {mismatch}"); fails += 1; continue
+    # Simulate the DRIVER's compare path: pandas sort_values over every
+    # column (sorted by name) before hashing. Nested cells (dict/list/
+    # ndarray) crash that sort with "unhashable type" — round 4 shipped
+    # three queries that passed the row-by-row compare above but were
+    # driver-red for exactly this. Any query output must survive it.
+    try:
+        sdf = pd.DataFrame(srows, columns=scols)
+        sdf[sorted(scols)].sort_values(by=sorted(scols))
+    except Exception as e:
+        print(f"FAIL {name}: driver-sim sort failed: {type(e).__name__}: {e}")
+        fails += 1; continue
+    print(f"OK   {name} ({len(srows)} rows)")
 print(f"{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} / {len(oracle)} queries")
 sys.exit(1 if fails else 0)
