@@ -32,6 +32,63 @@ object ShingleExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  def maxRunLength(toks: Column): Column =
+    GraftSqlBridge.column(MaxRunLength(GraftSqlBridge.expression(toks)))
+}
+
+/** Longest run of equal adjacent elements in a string array, one
+  * compiled pass per row.
+  *
+  * Replaces tx8's HOF restatement (run starts via `filter(sequence)`,
+  * lengths via adjacent-start differences): lambdas there reference
+  * `element_at(toks, i)`, and after `CollapseProject` inlines the
+  * `split(text)` that produces `toks` into the lambda body, the text is
+  * re-split PER ELEMENT — O(tokens²) per row with an interpreted split
+  * in the middle (measured: tx8 alone ran >13 min at sf0.1; this pass
+  * is <0.2 s). Empty array → null, matching `array_max(empty)` in the
+  * HOF form and `list_max(empty)` in the oracle.
+  */
+case class MaxRunLength(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  /** Null for EMPTY input (mirroring `array_max(empty)`), not just for
+    * null input. */
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    var prev = if (arr.isNullAt(0)) null else arr.getUTF8String(0)
+    var cur = 1
+    var best = 1
+    var i = 1
+    while (i < n) {
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      // null-safe equality: split() never emits nulls, but a null run
+      // counting as a run is the least surprising total order here
+      val eq = if (prev == null) t == null else prev.equals(t)
+      cur = if (eq) cur + 1 else 1
+      if (cur > best) best = cur
+      prev = t
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxRunLength =
+    copy(child = newChild)
+
+  override def prettyName: String = "max_run_length"
 }
 
 /** Sorted DISTINCT `tokHash` values of the word k-grams of a token

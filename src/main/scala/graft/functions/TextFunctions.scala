@@ -49,6 +49,14 @@ object TextFunctions {
   def tokHashSql(x: String): String = s"(${md5LongSql(x)} % $HashMod)"
 
   /** Word k-grams ("shingles") of a token array, k fixed at call site.
+    *
+    * HOT-PATH WARNING: the lambda reads `element_at(toks, i)`, so if
+    * `toks` is a projected `split(...)`, `CollapseProject` inlines the
+    * split into the lambda body and the text is re-split PER ELEMENT —
+    * O(tokens²) per row. Operators must use the compiled
+    * [[graft.functions.HashedShingleSet]] instead; this form remains as
+    * the spec-side reference implementation only.
+    *
     * Spark arrays are 0-indexed; the DuckDB twin is 1-indexed — both
     * yield `size - k + 1` shingles joined with single spaces. Fewer
     * than k tokens → empty array on BOTH engines (DuckDB's

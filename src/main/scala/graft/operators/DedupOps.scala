@@ -404,6 +404,37 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** D9 — quality-aware keeper selection: within each content-key
+    * cluster (d7's head fingerprint — re-crawl copies share it), keep
+    * the doc with the HIGHEST quality instead of d1/d6's lowest-id
+    * policy; score here is distinct-token count (tx2's diversity
+    * numerator), ties break to the lower doc_id so the verdict is
+    * total. This is the policy layer every real dedup pipeline puts on
+    * top of cluster identification — "which copy survives" matters as
+    * much as "what is a copy" when near-dups differ in truncation or
+    * boilerplate. One exchange: the rank, the cluster size and the
+    * keeper flag are a row_number + count over the SAME cluster-key
+    * partitioning, and the scoring is a narrow per-row projection
+    * ahead of it. At 100 TB this shape is skew-safe (cluster sizes are
+    * re-crawl multiplicities, bounded), and swapping the score for a
+    * model-based quality column changes nothing in the plan. */
+  def qualityKeeper(s: SparkSession, dir: String): DataFrame = {
+    val headKey =
+      md5(concat_ws(" ", slice(tokens(col("text")), 1, HeadKeyTokens)))
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), headKey.as("cluster_key"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("score"))
+    val byKey = Window.partitionBy(col("cluster_key"))
+    scored
+      .withColumn("rn",
+        row_number().over(byKey.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("cluster_sz", count(lit(1)).over(byKey))
+      .select(col("doc_id"), col("cluster_key"), col("score"),
+        col("cluster_sz"),
+        when(col("rn") === 1, 1).otherwise(0).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
@@ -414,7 +445,8 @@ object DedupOps {
     "d6_dedup_clusters" -> (dedupClusters _),
     "d6b_star_clusters" -> (dedupClustersStar _),
     "d7_incremental_dedup" -> (incrementalDedup _),
-    "d8_decontaminate" -> (decontaminate _))
+    "d8_decontaminate" -> (decontaminate _),
+    "d9_quality_keeper" -> (qualityKeeper _))
 
   private[operators] val bgSql =
     s"list_distinct(${shinglesSql(tokensSql("text"), 2)})"
@@ -554,7 +586,20 @@ object DedupOps {
          |       CASE WHEN sum(CASE WHEN v.h IS NOT NULL THEN 1 ELSE 0 END) > 0
          |            THEN 1 ELSE 0 END AS is_contaminated
          |FROM ex e LEFT JOIN ev v ON e.h = v.h
-         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin)
+         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    // d7's head key + tx2's diversity numerator; count(*) OVER is
+    // BIGINT on both engines, row_number ties broken by doc_id
+    "d9_quality_keeper" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' ')) AS cluster_key,
+         |             CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) AS score
+         |           FROM documents)
+         |SELECT doc_id, cluster_key, score,
+         |       count(*) OVER (PARTITION BY cluster_key) AS cluster_sz,
+         |       CASE WHEN row_number() OVER (PARTITION BY cluster_key
+         |              ORDER BY score DESC, doc_id) = 1
+         |            THEN 1 ELSE 0 END AS is_keeper
+         |FROM h ORDER BY doc_id""".stripMargin)
 
   // d6 reuses the full d2 oracle verbatim as a CTE (drift-proof, like
   // x5) and states the components as a recursive transitive closure —

@@ -216,14 +216,16 @@ object TextOps {
     * a scraped page of repeated menus shows up as a long run / high
     * dup-bigram share even when overall lexical diversity looks fine.
     *
-    * max_run avoids a sequential fold on purpose (a struct-accumulator
-    * `aggregate` triggers a DuckDB lambda CSE quirk that double-counts —
-    * and a fold is order-serial anyway): run STARTS are the positions
-    * where a token differs from its predecessor, so run lengths are
-    * adjacent-start differences — three nested array HOFs, all integer
-    * math, identical on both engines (`try_element_at`/`[i]` both yield
-    * NULL past the end). Still one narrow per-row projection: no
-    * shuffle, O(tokens) per row, codegen'd. */
+    * Both signals are compiled single-pass expressions
+    * ([[graft.functions.MaxRunLength]] / the d2 shingle set): the HOF
+    * restatement (run starts via `filter(sequence)`, lengths via
+    * adjacent-start differences) put `element_at(toks, i)` inside
+    * lambdas, and `CollapseProject` inlines the `split(text)` producing
+    * `toks` into the lambda body — the text was re-split PER ELEMENT,
+    * O(tokens²) per row (tx8 alone ran >13 min at sf0.1; now <0.2 s).
+    * Distinct bigrams count HASHED (same md5-60bit contract as d4/tx6,
+    * mirrored in the oracle). Still one narrow per-row projection: no
+    * shuffle, O(tokens) per row. */
   def repetition(s: SparkSession, dir: String): DataFrame =
     repetitionCore(Tables.documents(s, dir))
 
@@ -231,23 +233,124 @@ object TextOps {
     * run-length arithmetic is property-testable against a plain Scala
     * reference on random token lists. */
   def repetitionCore(docs: DataFrame): DataFrame = {
+    import graft.functions.ShingleExpressions.{hashedShingleSet, maxRunLength}
     val n = size(toks)
-    val starts = filter(sequence(lit(1), n), i =>
-      i === 1 || element_at(toks, i) =!= element_at(toks, i - 1))
-    val runs = transform(sequence(lit(1), size(starts)), j =>
-      coalesce(try_element_at(starts, j + 1), n + 1) - element_at(starts, j))
     val nBg = greatest(n - 1, lit(0)).cast("long")
-    val nDistBg = size(array_distinct(shingles(toks, 2))).cast("long")
+    val nDistBg = size(hashedShingleSet(toks, 2)).cast("long")
     docs
       .select(
         col("doc_id"),
         n.as("n_tokens"),
-        array_max(runs).as("max_run"),
+        maxRunLength(toks).as("max_run"),
         nBg.as("n_bigrams"),
         (nBg - nDistBg).as("n_dup_bigrams"),
         when(nBg > 0, (nBg - nDistBg).cast("double") / nBg)
           .otherwise(lit(0.0)).as("dup_bigram_ratio"))
       .orderBy(col("doc_id"))
+  }
+
+  /** TX9's PII patterns — email, dotted-quad IPv4, dashed phone. Kept to
+    * the regex subset where Java (Spark) and RE2 (DuckDB) agree exactly:
+    * character classes, bounded repetition, ASCII `\b`/`\d` — no
+    * backreferences, no lookaround (RE2 has neither). */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** TX9 — PII scan + redaction: count and strip emails, IPv4 addresses
+    * and phone numbers — the scrubbing pass every published web-corpus
+    * pipeline runs before training. The harness corpus is synthetic
+    * vocabulary text, so each doc is salted with a deterministic
+    * contact line derived from doc_id (same concat on both engines) —
+    * the patterns then have real matches to find and the redaction
+    * machinery is proven end-to-end, not vacuously on zero matches.
+    * Redaction order is email → IP → phone (emails contain dotted hosts
+    * an IP pass could clip; phones contain no dots, so they commute).
+    * The compared surface carries the match COUNTS plus the md5 of the
+    * redacted text — byte-level proof both engines replaced the same
+    * spans — not the text itself. Per-row narrow projection: no
+    * shuffle, scan-bound at 100 TB like tx1-tx4. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com via 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 40).cast("string"),
+      lit(" tel +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" ."))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(aug, PiiEmailRe, "[EMAIL]"),
+          PiiIpRe, "[IP]"),
+        PiiPhoneRe, "[PHONE]")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        regexp_count(aug, lit(PiiEmailRe)).cast("int").as("n_emails"),
+        regexp_count(regexp_replace(aug, PiiEmailRe, "[EMAIL]"), lit(PiiIpRe))
+          .cast("int").as("n_ips"),
+        regexp_count(aug, lit(PiiPhoneRe)).cast("int").as("n_phones"),
+        length(redacted).as("n_chars_redacted"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TX10's vocabulary size per language. */
+  val VocabTopK = 20
+
+  /** TX10 — vocabulary induction: the [[VocabTopK]] most frequent tokens
+    * per language with their counts — the term-frequency pass that seeds
+    * a tokenizer vocabulary (and the word-level df companion to tx6's
+    * bigram df). Two-level aggregation: the explode streams scan-bound
+    * into a map-side partial groupBy(lang, token) — the ONLY full
+    * shuffle, and it carries at most |vocab| × |langs| rows out of the
+    * combiners regardless of corpus size; the per-lang top-k is a
+    * window row_number over the already-collapsed counts, which
+    * WindowGroupLimit prunes to k rows per partition before the final
+    * sort. Ties break on the token itself, so rank is total and the
+    * compared surface deterministic. */
+  def vocab(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rk") <= VocabTopK)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** TX11 — corpus mixture weights: per (lang, source) cell, the token
+    * mass, its share of the corpus, and the up/down-sampling weight that
+    * would flatten the mixture to uniform over cells — the data-mixing
+    * computation behind every published pre-training recipe (target
+    * shares here are uniform; a weighted target is the same plan with a
+    * literal map). Cell aggregation is one shuffle whose output is
+    * |cells| rows; the corpus total is a one-row aggregate broadcast
+    * back — no driver-side collect, no second pass over the data. The
+    * weight double divides target_share by actual_share in one
+    * expression tree replicated exactly in the oracle, so the floats are
+    * bit-identical. */
+  def mixture(s: SparkSession, dir: String): DataFrame = {
+    val nTok = aggregate(toks, lit(0L),
+      (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), nTok.as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val totals = cells.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens")).as("actual_share"),
+        (lit(1.0) / col("n_cells")).as("target_share"),
+        ((lit(1.0) / col("n_cells")) /
+          (col("n_tokens").cast("double") / col("tot_tokens"))).as("weight"))
+      .orderBy(col("lang"), col("source"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -258,7 +361,10 @@ object TextOps {
     "tx5_stratified_sample" -> (stratifiedSample _),
     "tx6_boilerplate" -> (boilerplate _),
     "tx7_seqpack" -> (seqPack _),
-    "tx8_repetition" -> (repetition _))
+    "tx8_repetition" -> (repetition _),
+    "tx9_pii_scrub" -> (piiScrub _),
+    "tx10_vocab" -> (vocab _),
+    "tx11_mixture" -> (mixture _))
 
   private val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val toksSql = tokensSql("text")
@@ -344,26 +450,85 @@ object TextOps {
          |       CAST((cum - 1) % $PackSeqLen AS BIGINT) AS bin_end_pos,
          |       CASE WHEN n_tok > $PackSeqLen THEN 1 ELSE 0 END AS oversize
          |FROM c ORDER BY doc_id""".stripMargin,
-    // run starts → adjacent-start differences, as in the Spark side;
-    // DuckDB lists are 1-indexed and [i] past the end is NULL, matching
-    // try_element_at
+    // run starts → adjacent-start differences (the oracle restates the
+    // run-length scan declaratively; DuckDB lists are 1-indexed and [i]
+    // past the end is NULL); distinct bigrams HASHED, the d4/tx6 contract
     "tx8_repetition" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS t FROM documents),
          |r AS (SELECT doc_id, t,
          |             list_filter(generate_series(1, len(t)),
-         |               i -> i = 1 OR t[i] <> t[i-1]) AS starts
+         |               i -> i = 1 OR t[i] <> t[i-1]) AS starts,
+         |             list_distinct(list_transform(${shinglesSql("t", 2)},
+         |               s -> ${tokHashSql("s")})) AS hbg
          |      FROM d)
          |SELECT doc_id,
          |       CAST(len(t) AS INT) AS n_tokens,
          |       CAST(list_max(list_transform(generate_series(1, len(starts)),
          |         j -> coalesce(starts[j+1], len(t)+1) - starts[j])) AS INT) AS max_run,
          |       CAST(greatest(len(t) - 1, 0) AS BIGINT) AS n_bigrams,
-         |       CAST(greatest(len(t) - 1, 0)
-         |         - len(list_distinct(${shinglesSql("t", 2)})) AS BIGINT) AS n_dup_bigrams,
+         |       CAST(greatest(len(t) - 1, 0) - len(hbg) AS BIGINT) AS n_dup_bigrams,
          |       CASE WHEN len(t) > 1
-         |            THEN CAST(greatest(len(t) - 1, 0)
-         |                   - len(list_distinct(${shinglesSql("t", 2)})) AS DOUBLE)
+         |            THEN CAST(greatest(len(t) - 1, 0) - len(hbg) AS DOUBLE)
          |                 / (len(t) - 1)
          |            ELSE 0.0 END AS dup_bigram_ratio
-         |FROM r ORDER BY doc_id""".stripMargin)
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // same deterministic salt, patterns and email→IP→phone redaction
+    // order as piiScrub; DuckDB regexp_replace needs the 'g' flag
+    // (default is first-match-only; Spark replaces all)
+    "tx9_pii_scrub" ->
+      s"""WITH a AS (SELECT doc_id,
+         |             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+         |                  || '@mail.example.com via 10.'
+         |                  || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+         |                  || CAST(doc_id % 40 AS VARCHAR)
+         |                  || ' tel +1-555-'
+         |                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |                  || ' .' AS aug
+         |           FROM documents),
+         |r AS (SELECT doc_id, aug,
+         |             regexp_replace(aug, '$PiiEmailRe', '[EMAIL]', 'g') AS noemail
+         |      FROM a),
+         |f AS (SELECT doc_id, aug, noemail,
+         |             regexp_replace(
+         |               regexp_replace(noemail, '$PiiIpRe', '[IP]', 'g'),
+         |               '$PiiPhoneRe', '[PHONE]', 'g') AS red
+         |      FROM r)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(aug, '$PiiEmailRe')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(noemail, '$PiiIpRe')) AS INT) AS n_ips,
+         |       CAST(len(regexp_extract_all(aug, '$PiiPhoneRe')) AS INT) AS n_phones,
+         |       CAST(length(red) AS INT) AS n_chars_redacted,
+         |       md5(red) AS redacted_md5
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "tx10_vocab" ->
+      s"""WITH c AS (SELECT lang, unnest($toksSql) AS tok FROM documents),
+         |g AS (SELECT lang, tok, count(*) AS cnt FROM c GROUP BY lang, tok)
+         |SELECT lang, tok, cnt,
+         |       CAST(row_number() OVER (PARTITION BY lang
+         |              ORDER BY cnt DESC, tok) AS INT) AS rk
+         |FROM g
+         |QUALIFY rk <= $VocabTopK
+         |ORDER BY lang, rk""".stripMargin,
+    // CAST(1 AS DOUBLE), not 1.0 — DuckDB's 1.0 is DECIMAL and
+    // DECIMAL/BIGINT division stays DECIMAL, diverging from Spark's
+    // double; sums cast to BIGINT (DuckDB widens to HUGEINT)
+    "tx11_mixture" ->
+      s"""WITH d AS (SELECT lang, source,
+         |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform($toksSql, t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+         |               (acc, x) -> acc + x) AS n_tok
+         |           FROM documents),
+         |cells AS (SELECT lang, source, count(*) AS n_docs,
+         |                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |          FROM d GROUP BY lang, source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |             count(*) AS n_cells
+         |      FROM cells)
+         |SELECT lang, source, n_docs, n_tokens,
+         |       CAST(n_tokens AS DOUBLE) / tot_tokens AS actual_share,
+         |       CAST(1 AS DOUBLE) / n_cells AS target_share,
+         |       (CAST(1 AS DOUBLE) / n_cells)
+         |         / (CAST(n_tokens AS DOUBLE) / tot_tokens) AS weight
+         |FROM cells, t
+         |ORDER BY lang, source""".stripMargin)
 }

@@ -134,12 +134,39 @@ object WindowOps {
       .orderBy(col("user_id"))
   }
 
+  /** W7 — weekly cohort retention: users are cohorted by the week of
+    * their first event; each cell is how many of that cohort were
+    * active `week_offset` weeks later — the standard retention
+    * triangle. Three exchanges, each over a SHRINKING set: the
+    * activity distinct collapses events to user-weeks (bounded by
+    * users × weeks, not event count), the cohort week is a window min
+    * on user_id over that collapsed set, and the final cell aggregate
+    * groups the same rows by (cohort_week, offset). countDistinct in
+    * the cell agg is exact-safe here because each (user, week) row is
+    * already unique — Spark plans it as a re-keyed aggregate, not an
+    * Expand. Week truncation is ISO-Monday on both engines; the
+    * offset divides an exact day difference by 7, all integer math. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val act = ScanOps.eventsTs(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    act
+      .withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_tumbling" -> (tumbling _),
     "w3_sliding" -> (sliding _),
     "w4_session" -> (session _),
     "w5_gapfill" -> (gapfill _),
-    "w6_funnel" -> (funnel _))
+    "w6_funnel" -> (funnel _),
+    "w7_retention" -> (retention _))
 
   val oracles: Map[String, String] = Map(
     "w2_tumbling" ->
@@ -218,5 +245,19 @@ object WindowOps {
         |            WHEN min(c) IS NOT NULL THEN 2
         |            WHEN min(v) IS NOT NULL THEN 1
         |            ELSE 0 END AS funnel_stage
-        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w7_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |                    CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+        |                      AS TIMESTAMP) AS week
+        |             FROM events),
+        |w AS (SELECT user_id, week,
+        |             min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |      FROM act)
+        |SELECT cohort_week,
+        |       CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+        |       count(DISTINCT user_id) AS n_active
+        |FROM w
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin)
 }
