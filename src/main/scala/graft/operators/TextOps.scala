@@ -329,22 +329,26 @@ object TextOps {
     * computation behind every published pre-training recipe (target
     * shares here are uniform; a weighted target is the same plan with a
     * literal map). Cell aggregation is one shuffle whose output is
-    * |cells| rows; the corpus total is a one-row aggregate broadcast
-    * back — no driver-side collect, no second pass over the data. The
-    * weight double divides target_share by actual_share in one
-    * expression tree replicated exactly in the oracle, so the floats are
-    * bit-identical. */
+    * |cells| rows; the corpus totals are a GLOBAL WINDOW over that
+    * collapsed cell set — a single-partition exchange of |cells| ≤
+    * |langs|·|sources| rows, safe at any corpus size, and it avoids
+    * the second full scan a separate `cells.agg` subtree would plan
+    * (Spark computes an unshared aggregate-of-aggregate from the source
+    * twice). The weight double divides target_share by actual_share in
+    * one expression tree replicated exactly in the oracle, so the
+    * floats are bit-identical. */
   def mixture(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nTok = aggregate(toks, lit(0L),
       (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
     val cells = Tables.documents(s, dir)
       .select(col("lang"), col("source"), nTok.as("n_tok"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val totals = cells.agg(
-      sum(col("n_tokens")).as("tot_tokens"),
-      count(lit(1)).as("n_cells"))
-    cells.crossJoin(broadcast(totals))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("n_cells", count(lit(1)).over(all))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("tot_tokens")).as("actual_share"),
         (lit(1.0) / col("n_cells")).as("target_share"),

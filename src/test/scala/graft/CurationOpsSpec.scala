@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps, WindowOps}
+
+/** Edge-semantics for the round-5 curation operators (tx9-tx11, w7,
+  * d9): the oracle hash-compare proves engine parity on the harness
+  * corpus; these pin the CONTRACTS on crafted rows — redaction spans,
+  * rank tie-breaks, cohort arithmetic — that the synthetic data may
+  * not exercise. */
+class CurationOpsSpec extends SparkSpec {
+
+  test("tx9: every salted doc has its email, IP and phone found and redacted") {
+    val rows = TextOps.piiScrub(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // the deterministic salt plants exactly one of each per doc; the
+    // synthetic corpus text itself contains none
+    assert(rows.forall(_.getAs[Int]("n_emails") == 1))
+    assert(rows.forall(_.getAs[Int]("n_ips") == 1))
+    assert(rows.forall(_.getAs[Int]("n_phones") == 1))
+  }
+
+  test("tx9: redaction replaces the exact spans (crafted string)") {
+    // reproduce the operator's regex chain on a hand-built value
+    val df = spark.range(1).select(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            lit("mail a.b@x.co then 1.2.3.4 and +1-555-0042 end"),
+            TextOps.PiiEmailRe, "[EMAIL]"),
+          TextOps.PiiIpRe, "[IP]"),
+        TextOps.PiiPhoneRe, "[PHONE]").as("red"))
+    assert(df.head().getString(0) ==
+      "mail [EMAIL] then [IP] and [PHONE] end")
+  }
+
+  test("tx10: ranks are 1..k per lang, counts non-increasing within a lang") {
+    val rows = TextOps.vocab(spark, Sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rs) =>
+      val ranked = rs.sortBy(_.getAs[Int]("rk"))
+      assert(ranked.map(_.getAs[Int]("rk")).toSeq ==
+        (1 to ranked.length).toSeq)
+      val cnts = ranked.map(_.getAs[Long]("cnt")).toSeq
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+      assert(ranked.length <= TextOps.VocabTopK)
+    }
+  }
+
+  test("tx11: shares sum to 1 and weights invert the mixture") {
+    val rows = TextOps.mixture(spark, Sf).collect()
+    val actual = rows.map(_.getAs[Double]("actual_share")).sum
+    assert(math.abs(actual - 1.0) < 1e-9)
+    // weight * actual_share == target_share (same double tree)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") * r.getAs[Double]("actual_share")
+        - r.getAs[Double]("target_share")) < 1e-12)
+    }
+  }
+
+  test("w7: offset 0 covers every user exactly once across cohorts") {
+    val rows = WindowOps.retention(spark, Sf).collect()
+    // each user appears in its cohort's offset-0 cell by construction,
+    // so summing offset-0 counts = distinct users with any event
+    val atZero = rows.filter(_.getAs[Int]("week_offset") == 0)
+      .map(_.getAs[Long]("n_active")).sum
+    val users = operators.ScanOps.eventsTs(spark, Sf)
+      .select(col("user_id")).distinct().count()
+    assert(atZero == users)
+    // retention never exceeds the cohort's own size
+    val cohortSize = atZero // offset-0 per cohort is the cohort size
+    assert(rows.forall(_.getAs[Long]("n_active") <= cohortSize))
+  }
+
+  test("d9: exactly one keeper per cluster, and it has the cluster-max score") {
+    val rows = DedupOps.qualityKeeper(spark, Sf).collect()
+    rows.groupBy(_.getAs[String]("cluster_key")).foreach { case (_, rs) =>
+      val keepers = rs.filter(_.getAs[Int]("is_keeper") == 1)
+      assert(keepers.length == 1)
+      val best = rs.map(_.getAs[Long]("score")).max
+      assert(keepers.head.getAs[Long]("score") == best)
+      // tie-break: lowest doc_id among max-score members
+      val tied = rs.filter(_.getAs[Long]("score") == best)
+        .map(_.getAs[Long]("doc_id")).min
+      assert(keepers.head.getAs[Long]("doc_id") == tied)
+      assert(rs.forall(_.getAs[Long]("cluster_sz") == rs.length))
+    }
+  }
+}
