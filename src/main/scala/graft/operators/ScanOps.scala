@@ -109,11 +109,36 @@ object ScanOps {
       .orderBy(col("event_id"))
   }
 
+  /** S6 — point-in-time snapshot: each user's LATEST event at a cutoff
+    * timestamp — the state-reconstruction read every CDC/warehouse
+    * pipeline runs (the reference's MySQL tables hold exactly this
+    * "current state"; a log-structured lake recomputes it from the
+    * event stream). One exchange on user_id; the row_number-over-desc
+    * gets WindowGroupLimit's map-side top-1 pruning, so each partition
+    * ships at most one row per user it saw — at 100 TB this is the
+    * latest-record compaction shape, and writing the input bucketed by
+    * user_id would make it exchange-free. The cutoff filter is pushed
+    * to the parquet scan as a plain ts predicate. */
+  def latestSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    eventsTs(s, dir)
+      .filter(col("ts") <= to_timestamp(lit("2024-01-20 00:00:00")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("ts").as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_scan_in" -> (scanIn _),
     "s3_scan_out" -> (scanOut _),
     "s4_retry_claim" -> (retryClaim _),
     "s5_max_id" -> (maxId _),
+    "s6_latest_snapshot" -> (latestSnapshot _),
     "u1_union6" -> (union6 _),
     "u2_side_union" -> (sideUnion _))
 
@@ -139,6 +164,14 @@ object ScanOps {
       """SELECT CAST(coalesce(max(event_id), 0) AS BIGINT) AS max_id
         |FROM events
         |WHERE event_type = 'purchase' AND user_id % 4 = 2""".stripMargin,
+    "s6_latest_snapshot" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |       value AS last_value, CAST(ts AS TIMESTAMP) AS last_ts
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20 00:00:00'
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
     "u1_union6" ->
       """SELECT event_id, 'topic_' || event_type AS source_topic,
         |       CAST(NULL AS TINYINT) AS retry_count

@@ -225,7 +225,75 @@ object SimilarityOps {
         col("n_vecs"))
       .orderBy(col("bucket"))
 
+  /** X7 — one Lloyd's refinement of the IVF coarse quantizer: assign to
+    * the deterministic seed centroids (X3's), recompute each cell's
+    * mean, re-assign — the codebook-training step X3's doc comment
+    * defers to ("centroids come from a sampled k-means fit"). Output is
+    * each vector's before/after cell and its cosine to the refined
+    * centroid.
+    *
+    * Per iteration: ONE broadcast join (centroid set ≪ corpus) + one
+    * argmax window keyed on vec_id + one (cell, dim) aggregate — no
+    * all-pairs stage anywhere, and the centroid tables never leave the
+    * executors (no driver collect; MLlib centralizes centroids on the
+    * driver instead, which is also fine at k·d scale — this stays
+    * pure-DataFrame to keep the lineage declarative). At 100 TB you run
+    * the update on a SAMPLE (codebooks don't need the full corpus) and
+    * only the final assign touches every row.
+    *
+    * Determinism: the mean is an exact DECIMAL sum divided as double,
+    * then cast to float — elements reach decimal THROUGH double (see
+    * the inline note: DuckDB's direct FLOAT→DECIMAL misrounds), a
+    * double→decimal(20,9) rounding tie is impossible (a halfway point
+    * at scale 9 has 5⁹ in its denominator; binary floats cannot
+    * represent it), decimal→double is correctly rounded on both
+    * engines, and the refined-centroid cosine then follows the
+    * [[graft.functions.FloatVecDot]] fold contract like every other
+    * compared double. */
+  def kmeansRefine(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val seeds = c
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    def assign(vecs: DataFrame, cents: DataFrame, tag: String): DataFrame = {
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      vecs.join(broadcast(cents))
+        .withColumn("cent_cos",
+          dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("arn", row_number().over(aw))
+        .filter(col("arn") === 1)
+        .drop("cv", "cn", "arn")
+        .withColumnRenamed("cent_id", tag)
+        .withColumnRenamed("cent_cos", s"cos_$tag")
+    }
+    val a1 = assign(c, seeds, "c1")
+    val refined = a1
+      .select(col("c1").as("cent_id"), posexplode(col("v")))
+      // float → DOUBLE (exact) → decimal: DuckDB's direct FLOAT→DECIMAL
+      // computes f·10^scale in FLOAT arithmetic and misrounds (measured:
+      // 0.054249506... → 0.054249508); via DOUBLE both engines round the
+      // exact binary value HALF_UP identically
+      .select(col("cent_id"), (col("pos") + 1).as("dim"),
+        col("col").cast("double").cast("decimal(20,9)").as("x"))
+      .groupBy(col("cent_id"), col("dim"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).cast("float").as("cx"))
+      .groupBy(col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+        e => e.getField("cx")).as("cv"))
+      .withColumn("cn", sqrt(dotD(col("cv"), col("cv"))))
+    assign(a1.select(col("vec_id"), col("v"), col("nrm"), col("c1")),
+        refined, "c2")
+      .select(col("vec_id"), col("c1"), col("c2"),
+        when(col("c1") =!= col("c2"), 1).otherwise(0).as("moved"),
+        col("cos_c2").as("cos2"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x7_kmeans" -> (kmeansRefine _),
     "x6_topk_agg" -> (topkAggJson _),
     "x1_knn_brute" -> (knnBrute _),
     "x2_ann_lsh" -> (annLsh _),
@@ -335,8 +403,40 @@ object SimilarityOps {
 
   private def oracleBase(name: String): String = oraclesBase(name)
 
+  /** x7: the same unrolled assign → decimal-exact mean → re-assign as
+    * [[kmeansRefine]]; the refined centroid list is rebuilt in dim
+    * order so the dot-product fold order matches the Spark side. */
+  private def kmeansSql: String =
+    s"""WITH c AS ($corpusSql),
+       |seeds AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM c
+       |          WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}),
+       |a1 AS (SELECT vec_id, v, nrm, cent_id AS c1 FROM (
+       |         SELECT c.vec_id, c.v, c.nrm, s.cent_id,
+       |                ${dotDSql("c.v", "s.cv")} / (c.nrm * s.cn) AS cent_cos
+       |         FROM c CROSS JOIN seeds s)
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cent_cos DESC, cent_id) = 1),
+       |ex AS (SELECT c1 AS cent_id, u.dim,
+       |              CAST(CAST(v[u.dim] AS DOUBLE) AS DECIMAL(20,9)) AS x
+       |       FROM a1, unnest(generate_series(1, len(v))) AS u(dim)),
+       |m AS (SELECT cent_id, dim,
+       |             CAST(CAST(sum(x) AS DOUBLE) / count(*) AS FLOAT) AS cx
+       |      FROM ex GROUP BY cent_id, dim),
+       |nc AS (SELECT cent_id, list(cx ORDER BY dim) AS cv FROM m GROUP BY cent_id),
+       |nc2 AS (SELECT cent_id, cv, sqrt(${dotDSql("cv", "cv")}) AS cn FROM nc),
+       |a2 AS (SELECT vec_id, c1, cent_id AS c2, cent_cos AS cos2 FROM (
+       |         SELECT a1.vec_id, a1.c1, n.cent_id,
+       |                ${dotDSql("a1.v", "n.cv")} / (a1.nrm * n.cn) AS cent_cos
+       |         FROM a1 CROSS JOIN nc2 n)
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                  ORDER BY cent_cos DESC, cent_id) = 1)
+       |SELECT vec_id, c1, c2,
+       |       CASE WHEN c1 <> c2 THEN 1 ELSE 0 END AS moved, cos2
+       |FROM a2 ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
+      ("x7_kmeans" -> kmeansSql) +
       ("x6_topk_agg" ->
         s"""WITH e AS ($corpusSql)
            |SELECT bucket,
