@@ -435,6 +435,33 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** D10's split shares (percent): train 80 / val 10 / test 10. */
+  val SplitTrainPct = 80
+  val SplitValPct = 10
+
+  /** D10 — leakage-safe train/val/test assignment: the split hash is
+    * keyed on the CONTENT-CLUSTER key (d7/d9's head fingerprint), not
+    * the doc id, so every near-dup copy of a document lands in the SAME
+    * split — hashing doc_ids instead silently leaks near-dup train text
+    * into the eval splits, the exact contamination d8 exists to detect.
+    * Same seeded-md5 determinism contract as tx5 (stable under
+    * repartition, re-runs and engine swaps). Zero shuffle: key, bucket
+    * and split label are one narrow projection; the final sort is
+    * presentation only. */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val headKey =
+      md5(concat_ws(" ", slice(tokens(col("text")), 1, HeadKeyTokens)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), headKey.as("cluster_key"))
+      .withColumn("split_bucket",
+        (md5Long(concat(lit("split:"), col("cluster_key"))) % 100).cast("int"))
+      .withColumn("split",
+        when(col("split_bucket") < SplitTrainPct, lit("train"))
+          .when(col("split_bucket") < SplitTrainPct + SplitValPct, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
@@ -446,7 +473,8 @@ object DedupOps {
     "d6b_star_clusters" -> (dedupClustersStar _),
     "d7_incremental_dedup" -> (incrementalDedup _),
     "d8_decontaminate" -> (decontaminate _),
-    "d9_quality_keeper" -> (qualityKeeper _))
+    "d9_quality_keeper" -> (qualityKeeper _),
+    "d10_cluster_split" -> (clusterSplit _))
 
   private[operators] val bgSql =
     s"list_distinct(${shinglesSql(tokensSql("text"), 2)})"
@@ -587,6 +615,17 @@ object DedupOps {
          |            THEN 1 ELSE 0 END AS is_contaminated
          |FROM ex e LEFT JOIN ev v ON e.h = v.h
          |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    // d7's head key + tx5's seeded-md5 bucket contract
+    "d10_cluster_split" ->
+      s"""WITH h AS (SELECT doc_id,
+         |             md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' ')) AS cluster_key
+         |           FROM documents)
+         |SELECT doc_id, cluster_key,
+         |       CAST(${md5LongSql("'split:' || cluster_key")} % 100 AS INT) AS split_bucket,
+         |       CASE WHEN ${md5LongSql("'split:' || cluster_key")} % 100 < $SplitTrainPct THEN 'train'
+         |            WHEN ${md5LongSql("'split:' || cluster_key")} % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
     // d7's head key + tx2's diversity numerator; count(*) OVER is
     // BIGINT on both engines, row_number ties broken by doc_id
     "d9_quality_keeper" ->

@@ -72,6 +72,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_active") <= cohortSize))
   }
 
+  test("d10: every member of a cluster lands in the same split") {
+    val rows = DedupOps.clusterSplit(spark, Sf).collect()
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
+      Set("train", "val", "test")))
+    rows.groupBy(_.getAs[String]("cluster_key")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[String]("split")).toSet.size == 1)
+    }
+    // the shares land near 80/10/10 at cluster granularity
+    val n = rows.length.toDouble
+    val train = rows.count(_.getAs[String]("split") == "train") / n
+    assert(train > 0.5 && train < 1.0)
+  }
+
   test("d9: exactly one keeper per cluster, and it has the cluster-max score") {
     val rows = DedupOps.qualityKeeper(spark, Sf).collect()
     rows.groupBy(_.getAs[String]("cluster_key")).foreach { case (_, rs) =>
