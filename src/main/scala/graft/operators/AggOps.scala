@@ -38,7 +38,7 @@ object AggOps {
         dsum(col("l_quantity")).as("sum_qty"))
       .select(col("l_returnflag"), col("l_linestatus"), col("gl"),
         col("n_items"), col("sum_qty"))
-      .orderBy(col("gl"), col("l_returnflag"), col("l_linestatus"))
+      .transform(Common.presented(_, col("gl"), col("l_returnflag"), col("l_linestatus")))
 
   /** A3 — CUBE (o_orderstatus, o_orderpriority): all four grouping
     * sets of the order dimensions. */
@@ -52,7 +52,7 @@ object AggOps {
         dsum(col("o_totalprice")).as("sum_price"))
       .select(col("o_orderstatus"), col("o_orderpriority"), col("gl"),
         col("n_orders"), col("sum_price"))
-      .orderBy(col("gl"), col("o_orderstatus"), col("o_orderpriority"))
+      .transform(Common.presented(_, col("gl"), col("o_orderstatus"), col("o_orderpriority")))
 
   /** Pivot columns are an explicit list — with an inferred list the
     * plan needs a driver-side distinct scan first, and the output
@@ -68,7 +68,7 @@ object AggOps {
       .groupBy(col("cohort"))
       .pivot("event_type", EventTypes)
       .agg(dsum(col("value")))
-      .orderBy(col("cohort"))
+      .transform(Common.presented(_, col("cohort")))
 
   /** A6 — nested-type OUTPUT surface: per user, the first three
     * (event_id, value) pairs as an `array<struct>` plus a summary
@@ -98,7 +98,6 @@ object AggOps {
         dsum(col("value")).as("sum_value")).as("stats"))
     top3.join(stats, Seq("user_id"))
       .select(col("user_id"), col("top3"), col("stats"))
-      .orderBy(col("user_id"))
   }
 
   /** A6 compare surface: same plan as [[nestedAgg]] with the nested
@@ -120,7 +119,7 @@ object AggOps {
         col("stats").getField("n").as("n"),
         col("stats").getField("sum_value").cast("decimal(18,4)").cast("string")
           .as("sum_value"))).as("stats"))
-      .orderBy(col("user_id"))
+      .transform(Common.presented(_, col("user_id")))
 
   /** A7 — map-typed OUTPUT: per cohort, event_type → count as a real
     * MAP column (completing the complex-type surface next to A6's
@@ -136,7 +135,6 @@ object AggOps {
       .agg(map_from_entries(
         sort_array(collect_list(struct(col("event_type"), col("cnt")))))
         .as("type_counts"))
-      .orderBy(col("cohort"))
 
   /** A7 compare surface: the map serialized to JSON. All values are
     * long/string, and the map was built in sorted-key order on both
@@ -144,7 +142,7 @@ object AggOps {
   def mapAggJson(s: SparkSession, dir: String): DataFrame =
     mapAgg(s, dir)
       .select(col("cohort"), to_json(col("type_counts")).as("type_counts"))
-      .orderBy(col("cohort"))
+      .transform(Common.presented(_, col("cohort")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a7_map" -> (mapAggJson _),

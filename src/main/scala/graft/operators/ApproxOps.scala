@@ -34,7 +34,6 @@ object ApproxOps {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
-      .orderBy(col("event_type"))
 
   /** AP2 — value quantiles per event_type: mergeable-sketch percentiles
     * next to the exact ones (Spark's exact `percentile` is a full sort
@@ -55,7 +54,6 @@ object ApproxOps {
         col("exact_q")(1).as("exact_p95"),
         col("exact_q")(2).as("exact_p99"),
         col("n_events"))
-      .orderBy(col("event_type"))
 
   /** AP1 compare surface: raw sketch estimates are engine-specific, so
     * the REGISTERED query emits what IS deterministic and
@@ -72,7 +70,7 @@ object ApproxOps {
         (abs(col("approx_users") - col("exact_users")).cast("double") <=
           greatest(col("exact_users") * 0.15, lit(5.0))).cast("int")
           .as("within_bound"))
-      .orderBy(col("event_type"))
+      .transform(Common.presented(_, col("event_type")))
 
   /** AP2 compare surface (same pattern as [[hllDistinctChecked]]): the
     * exact quantiles in the output are DISCRETE — the value at rank
@@ -111,7 +109,7 @@ object ApproxOps {
         Seq("event_type"))
       .select(col("event_type") +: Ps.map { case (_, nm) => col(s"exact_$nm") } :+
         col("n_events") :+ bounds.cast("int").as("within_bound"): _*)
-      .orderBy(col("event_type"))
+      .transform(Common.presented(_, col("event_type")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -53,7 +53,7 @@ object DedupOps {
     Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy(col("keep_id"))
+      .transform(Common.presented(_, col("keep_id")))
 
   /** D2 — MinHash + LSH near-dedup with exact-Jaccard verification:
     * shingle → minhash → band signatures → bucket join → verify. Output
@@ -68,7 +68,7 @@ object DedupOps {
     * ~3 s of d2's 3.9 s at sf0.1. One compiled pass per row brings the
     * signature side under 0.3 s with bit-identical hashes. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashLshCore(s, dir).orderBy(col("a"), col("b"))
+    Common.presented(minhashLshCore(s, dir), col("a"), col("b"))
 
   /** [[minhashLsh]] without the presentation sort — for composition
     * (D6): the sort sits below `edges.persist()` there and EliminateSorts
@@ -122,7 +122,7 @@ object DedupOps {
   def simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), simhashSig(16).as("simhash"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
 
   /** Max hamming distance (of [[Simhash60Bits]]) for a D3b near-dup —
     * the classic 64-bit/k=3 configuration, scaled to the 60-bit
@@ -164,7 +164,7 @@ object DedupOps {
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
       .select(col("a"), col("b"), col("hamming"),
         when(col("hamming") <= SimhashMaxHamming, 1).otherwise(0).as("is_near_dup"))
-      .orderBy(col("a"), col("b"))
+      .transform(Common.presented(_, col("a"), col("b")))
   }
 
   /** Iteration cap for [[dedupClusters]] — with pointer jumping the
@@ -273,7 +273,7 @@ object DedupOps {
     labels.unionByName(singletons)
       .select(col("doc_id"), col("label").as("cluster_id"),
         when(col("label") === col("doc_id"), 1).otherwise(0).as("is_keeper"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** D4 — blocked n-gram Jaccard: exact pairwise similarity, but ONLY
@@ -300,7 +300,7 @@ object DedupOps {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.lang").as("lang"), col("x.source").as("source"),
         inter.as("inter_cnt"), uni.as("union_cnt"))
-      .orderBy(col("a"), col("b"))
+      .transform(Common.presented(_, col("a"), col("b")))
   }
 
   /** D5 — embedding near-dup: nearest neighbor within a 16-bucket
@@ -323,7 +323,7 @@ object DedupOps {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("nn_id"), col("nn_cos"),
         when(col("nn_cos") > 0.35, 1).otherwise(0).as("is_near_dup"))
-      .orderBy(col("vec_id"))
+      .transform(Common.presented(_, col("vec_id")))
   }
 
   /** D7 split modulus: `doc_id % 5 == 0` plays the incoming snapshot
@@ -370,7 +370,7 @@ object DedupOps {
         when(col("in_corpus") === 1, lit("dup_of_corpus"))
           .when(col("rn") > 1, lit("dup_in_batch"))
           .otherwise(lit("new")).as("verdict"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** D8 eval-set modulus (`doc_id % 97 == 0` plays the benchmark) and
@@ -406,7 +406,7 @@ object DedupOps {
         sum(coalesce(col("is_eval"), lit(0))).as("n_overlap"))
       .withColumn("is_contaminated",
         when(col("n_overlap") > 0, 1).otherwise(0))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** D9 — quality-aware keeper selection: within each content-key
@@ -437,7 +437,7 @@ object DedupOps {
       .select(col("doc_id"), col("cluster_key"), col("score"),
         col("cluster_sz"),
         when(col("rn") === 1, 1).otherwise(0).as("is_keeper"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** D10's split shares (percent): train 80 / val 10 / test 10. */
@@ -464,7 +464,7 @@ object DedupOps {
         when(col("split_bucket") < SplitTrainPct, lit("train"))
           .when(col("split_bucket") < SplitTrainPct + SplitValPct, lit("val"))
           .otherwise(lit("test")))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

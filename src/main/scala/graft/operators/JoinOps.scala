@@ -45,7 +45,7 @@ object JoinOps {
     reqs.join(resps, Seq("sid", "syncid"), "inner")
       .select(col("sid"), col("syncid"), col("req_id"), col("api_type"),
         col("res_code"))
-      .orderBy(col("req_id"))
+      .transform(Common.presented(_, col("req_id")))
   }
 
   /** Broadcast-dimension join: orders ⋈ customer ⋈ nation, revenue by
@@ -62,7 +62,7 @@ object JoinOps {
       .groupBy(col("n_name"))
       .agg(dsum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("orders_cnt"))
-      .orderBy(col("n_name"))
+      .transform(Common.presented(_, col("n_name")))
   }
 
   /** W1 — sort + limit / top-k (`AsyncInvInSource.java:55` `ORDER BY id
@@ -95,7 +95,7 @@ object JoinOps {
         // identical operands cannot
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .transform(Common.presented(_, col("l_returnflag"), col("l_linestatus")))
 
   /** J3 — fact ⋈ two dims with a broadcast chain up to region: revenue
     * by (r_name via supplier nation, p_brand). lineitem is the only
@@ -128,7 +128,7 @@ object JoinOps {
           .cast("decimal(28,0)") * lit(new java.math.BigDecimal("0.00000001")))
           .cast("decimal(38,8)").cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy(col("r_name"), col("p_brand"))
+      .transform(Common.presented(_, col("r_name"), col("p_brand")))
   }
 
   /** Shared asof-join inputs: clicks are the probe side, purchases the
@@ -183,7 +183,7 @@ object JoinOps {
       .select(col("l_event_id"), col("user_id"), col("l_ts"), col("l_value"),
         col("m.r_event_id").as("r_event_id"), col("m.r_ts").as("r_ts"),
         col("m.r_value").as("r_value"))
-      .orderBy(col("l_event_id"))
+      .transform(Common.presented(_, col("l_event_id")))
   }
 
   /** JX5 — as-of join through the custom operator
@@ -195,7 +195,7 @@ object JoinOps {
     graft.plans.AsofJoin.asof(l, r,
         Seq(l("user_id")), Seq(r("r_user")), l("l_ts"), r("r_ts"))
       .select(asofOutCols: _*)
-      .orderBy(col("l_event_id"))
+      .transform(Common.presented(_, col("l_event_id")))
   }
 
   /** JX7 — as-of join with a match-window TOLERANCE (the kdb/pandas
@@ -212,7 +212,7 @@ object JoinOps {
         Seq(l("user_id")), Seq(r("r_user")), l("l_ts"), r("r_ts"))
       .filter(col("r_ts") >= col("l_ts") - expr("INTERVAL 1 HOUR"))
       .select(asofOutCols: _*)
-      .orderBy(col("l_event_id"))
+      .transform(Common.presented(_, col("l_event_id")))
   }
 
   /** Interval width of the JX6 attribution windows and of the buckets
@@ -249,7 +249,7 @@ object JoinOps {
         col("l_ts") >= col("win_start") && col("l_ts") < col("win_end"))
       .select(col("l_event_id"), col("user_id"), col("l_ts"),
         col("r_event_id"), col("win_start"))
-      .orderBy(col("l_event_id"), col("r_event_id"))
+      .transform(Common.presented(_, col("l_event_id"), col("r_event_id")))
   }
 
   /** J4 — left-semi join (§2.6 surface completion; k3 covers anti):
@@ -262,7 +262,7 @@ object JoinOps {
     Tables.orders(s, dir)
       .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
+      .transform(Common.presented(_, col("o_orderkey")))
   }
 
   /** A5 — multi-distinct aggregation: two COUNT(DISTINCT) over
@@ -278,7 +278,7 @@ object JoinOps {
         countDistinct(col("l_suppkey")).as("n_suppliers"),
         countDistinct(col("l_partkey")).as("n_parts"),
         dsum(col("l_quantity")).as("sum_qty"))
-      .orderBy(col("l_returnflag"))
+      .transform(Common.presented(_, col("l_returnflag")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j4_semi" -> (semiJoin _),

@@ -51,7 +51,7 @@ object MultimodalOps {
       length(col("payload")).as("n_bytes"),
       md5(col("payload")).as("digest"),
       col("meta.n_frames").as("n_frames"))
-      .orderBy(col("media_id"))
+      .transform(Common.presented(_, col("media_id")))
 
   /** M2 — frame sampling: videos explode to one row per sampled frame
     * index (stride [[FrameStep]]) — the shape a frame-extract UDF stage
@@ -63,7 +63,7 @@ object MultimodalOps {
         posexplode(sequence(lit(0), col("meta.n_frames") - 1, lit(FrameStep))))
       .select(col("media_id"), col("n_frames"), col("pos").as("sample_seq"),
         col("col").as("frame_idx"))
-      .orderBy(col("media_id"), col("sample_seq"))
+      .transform(Common.presented(_, col("media_id"), col("sample_seq")))
 
   /** One decoded-media feature row (what a real image/audio decoder
     * would emit per payload). */
@@ -114,7 +114,7 @@ object MultimodalOps {
   def decodeStub(s: SparkSession, dir: String): DataFrame =
     decodeFeatures(s, dir).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
-      .orderBy(col("media_id"))
+      .transform(Common.presented(_, col("media_id")))
 
   /** Resize target (longest edge). */
   val FitEdge = 256
@@ -137,7 +137,7 @@ object MultimodalOps {
         when(w <= FitEdge && h <= FitEdge, h)
           .otherwise(expr(s"meta.height * $FitEdge div greatest(meta.width, meta.height, 1)"))
           .cast("int").as("target_h"))
-      .orderBy(col("media_id"))
+      .transform(Common.presented(_, col("media_id")))
   }
 
   /** Byte-level downsample (the resample stage a real codec would do):

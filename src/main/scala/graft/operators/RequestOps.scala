@@ -41,7 +41,7 @@ object RequestOps {
         (row_number().over(byUser) - 1).as("pos"),
         col("event_id"),
         col("props"))
-      .orderBy(col("user_id"), col("pos"))
+      .transform(Common.presented(_, col("user_id"), col("pos")))
   }
 
   /** Synthetic invoice-element JSON built from event columns. Field
@@ -123,13 +123,13 @@ object RequestOps {
         col("sid"),
         when(col("syncid").isNotNull, lit("packet")).otherwise(lit("generated")).as("syncid_src"),
         col("api_type"))
-      .orderBy(col("event_id"))
+      .transform(Common.presented(_, col("event_id")))
 
   /** T3 (reject branch) — the element-level rejection taxonomy routed to
     * the retry queue. Error messages and their precedence mirror the
     * reference's throw order (stax `:65` → sid `:78` → api_type `:95`). */
   def rejects(s: SparkSession, dir: String): DataFrame =
-    rejectsCore(s, dir).orderBy(col("event_id"))
+    Common.presented(rejectsCore(s, dir), col("event_id"))
 
   /** [[rejects]] without the presentation sort — for composition into
     * downstream operators (K2) that re-sort anyway: an inner `orderBy`
@@ -152,7 +152,7 @@ object RequestOps {
       .withColumn("group_id",
         pmod(col("pos"), lit(graft.model.InvoiceModel.GroupIdBuckets)).cast("tinyint"))
       .select(col("user_id"), col("pos"), col("event_id"), col("group_id"))
-      .orderBy(col("user_id"), col("pos"))
+      .transform(Common.presented(_, col("user_id"), col("pos")))
 
   /** T5 — retry re-transform with exponential backoff and max-retry
     * cutoff (`InvoiceRequestTransformer.java:113-136`). Three-way routing:
@@ -165,7 +165,7 @@ object RequestOps {
     * retry_count/success are derived deterministically from event
     * columns. */
   def retryBackoff(s: SparkSession, dir: String): DataFrame =
-    retryBackoffCore(s, dir).orderBy(col("event_id"))
+    Common.presented(retryBackoffCore(s, dir), col("event_id"))
 
   /** [[retryBackoff]] without the presentation sort (see
     * [[rejectsCore]]). */

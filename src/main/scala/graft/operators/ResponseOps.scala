@@ -111,7 +111,7 @@ object ResponseOps {
   def keyExtract(s: SparkSession, dir: String): DataFrame =
     staging(s, dir)
       .select(col("id"), batchKey.as("batch_key"))
-      .orderBy(col("id"))
+      .transform(Common.presented(_, col("id")))
 
   /** T6 — api_type domain check {10..14}
     * (`InvoiceResponseKafkaRouter.java:52-70` default-throw,
@@ -121,7 +121,7 @@ object ResponseOps {
       .select(col("id"), batchKey.as("batch_key"),
         when(batchKey.isin(graft.model.InvoiceModel.ApiTypes: _*),
           lit("valid")).otherwise(lit("rejected")).as("domain_status"))
-      .orderBy(col("id"))
+      .transform(Common.presented(_, col("id")))
 
   /** The T7 sniff expression over the parsed `pj` struct, shared with
     * RetryOps.responseRetry so the probe set can never diverge between
@@ -141,7 +141,7 @@ object ResponseOps {
     staging(s, dir)
       .select(col("id"),
         coalesce(sniffedKind, lit("unknown")).as("sniffed_kind"))
-      .orderBy(col("id"))
+      .transform(Common.presented(_, col("id")))
 
   /** The T8 item fields (`InvoiceResponseItemFactory.java:16-66`),
     * shared by [[items]] and [[itemPackets]] so the default-message /
@@ -177,7 +177,7 @@ object ResponseOps {
     staging(s, dir)
       .filter(itemEligible)
       .select(col("id") +: itemFields: _*)
-      .orderBy(col("id"))
+      .transform(Common.presented(_, col("id")))
 
   /** Valid-domain rows with their G2 batch bucket: `batch_id` =
     * (rank within batch_key) div BatchSize — the deterministic batch
@@ -198,7 +198,7 @@ object ResponseOps {
       .groupBy(col("batch_key"), col("batch_id"))
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("min_id"),
         max(col("id")).as("max_id"))
-      .orderBy(col("batch_key"), col("batch_id"))
+      .transform(Common.presented(_, col("batch_key"), col("batch_id")))
 
   /** Salt fan-out for [[saltedBuckets]]. */
   val SaltBuckets = 8
@@ -227,7 +227,7 @@ object ResponseOps {
       .groupBy(col("batch_key"), col("salt"), col("batch_id"))
       .agg(count(lit(1)).as("cnt"), min(col("id")).as("min_id"),
         max(col("id")).as("max_id"))
-      .orderBy(col("batch_key"), col("salt"), col("batch_id"))
+      .transform(Common.presented(_, col("batch_key"), col("salt"), col("batch_id")))
   }
 
   /** G3 — dedup / idempotence guard
@@ -244,7 +244,7 @@ object ResponseOps {
       .select(col("kind"), col("dup_id"), col("id"),
         concat_ws("_", col("kind"), col("dup_id"), col("sid"), col("syncid"))
           .as("record_key"))
-      .orderBy(col("kind"), col("dup_id"))
+      .transform(Common.presented(_, col("kind"), col("dup_id")))
   }
 
   /** G4 — batch → packet aggregation
@@ -260,7 +260,7 @@ object ResponseOps {
         count(lit(1)).as("packet_size"),
         to_json(sort_array(collect_list(struct(col("id"), col("sid")))))
           .as("inv_pack_res"))
-      .orderBy(col("batch_key"), col("batch_id"))
+      .transform(Common.presented(_, col("batch_key"), col("batch_id")))
 
   /** G4b — full-fidelity packets: the complete T8 item shape
     * (`InvoiceResponsePacket.InvoiceResponseItem` — sid, sync_sid,
@@ -278,7 +278,7 @@ object ResponseOps {
         struct(transform(sort_array(collect_list(col("item"))),
           x => x.getField("it")).as("inv_pack_res")),
         Map("ignoreNullFields" -> "false")).as("packet_json"))
-      .orderBy(col("batch_key"), col("batch_id"))
+      .transform(Common.presented(_, col("batch_key"), col("batch_id")))
 
   /** R2 — api_type → response-topic routing
     * (`InvoiceResponseKafkaRouter.java:52-70`; topic names
@@ -294,7 +294,7 @@ object ResponseOps {
           .when(col("batch_key") === 13, lit("mtt.rep.response"))
           .when(col("batch_key") === 14, lit("mtt.adj.response"))
           .as("topic"))
-      .orderBy(col("id"))
+      .transform(Common.presented(_, col("id")))
 
   /** T9 — staging row → success-log projection
     * (`TransactionalLogAndDeleteSink.java:134-170`, 13-column binding at
@@ -320,7 +320,7 @@ object ResponseOps {
         col("sid"),
         col("syncid"),
         when(!isIn, col("pj.gdt_res")).as("gdt_res"))
-      .orderBy(col("id"))
+      .transform(Common.presented(_, col("id")))
   }
 
   /** K3 (batch restatement) — transactional log-and-delete
@@ -334,7 +334,7 @@ object ResponseOps {
       .select(col("id"))
     st.join(processed, Seq("id"), "left_anti")
       .select(col("id"), col("batch_key"))
-      .orderBy(col("id"))
+      .transform(Common.presented(_, col("id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -82,7 +82,7 @@ object RetryOps {
       retryAt(lit(RetryBaseSeconds)).as("next_retry_at"),
       col("error_message"))
     updates.unionByName(deadLetters).unionByName(creates)
-      .orderBy(col("id"), col("op"))
+      .transform(Common.presented(_, col("id"), col("op")))
   }
 
   /** R4 — response-side retry re-transform
@@ -118,7 +118,7 @@ object RetryOps {
           .as("next_retry_secs"),
         when(failed, (col("retry_count") + 1).cast("tinyint"))
           .as("new_retry_count"))
-      .orderBy(col("id"))
+      .transform(Common.presented(_, col("id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -90,7 +90,7 @@ object ScanOps {
         (col("event_id") % 5).cast("tinyint").as("retry_count"))
     topics.reduce(_ unionByName _)
       .unionByName(retry, allowMissingColumns = true)
-      .orderBy(col("source_topic"), col("event_id"))
+      .transform(Common.presented(_, col("source_topic"), col("event_id")))
   }
 
   /** U2 — side-output union (`job/InvoiceRequest.java:96-98`): the three
@@ -106,7 +106,7 @@ object ScanOps {
     branch("UPDATE", "invoice_retry")
       .unionByName(branch("DELETE", "invoice_retry"))
       .unionByName(branch("MAX_RETRY", "invoice_error_log"))
-      .orderBy(col("event_id"))
+      .transform(Common.presented(_, col("event_id")))
   }
 
   /** S6 — point-in-time snapshot: each user's LATEST event at a cutoff
@@ -130,7 +130,7 @@ object ScanOps {
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_type"), col("value").as("last_value"),
         col("ts").as("last_ts"))
-      .orderBy(col("user_id"))
+      .transform(Common.presented(_, col("user_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -52,7 +52,7 @@ object SimilarityOps {
   /** Shared X1-X4 tail: (query_id, neighbor_id, cos) pairs → dense-rank
     * top-[[K]] per query, cosine-desc with neighbor-id tie-break. Sort-free
     * (for composition — X5); the registered queries add the presentation
-    * ORDER BY via [[topKPerQuery]]. */
+    * order via Common.presented. */
   private def topKCore(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -62,13 +62,10 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  private def topKPerQuery(pairs: DataFrame): DataFrame =
-    topKCore(pairs).orderBy(col("query_id"), col("rank"))
-
   /** X1 — brute-force cosine top-k for queries vec_id < [[NumQueries]],
     * self-match excluded. */
   def knnBrute(s: SparkSession, dir: String): DataFrame =
-    knnBruteCore(s, dir).orderBy(col("query_id"), col("rank"))
+    Common.presented(knnBruteCore(s, dir), col("query_id"), col("rank"))
 
   private def knnBruteCore(s: SparkSession, dir: String): DataFrame =
     knnBruteCore(corpus(s, dir))
@@ -84,7 +81,7 @@ object SimilarityOps {
   /** X2 — ANN: identical contract to X1 but each query probes only its
     * sign-LSH bucket. */
   def annLsh(s: SparkSession, dir: String): DataFrame =
-    annLshCore(s, dir).orderBy(col("query_id"), col("rank"))
+    Common.presented(annLshCore(s, dir), col("query_id"), col("rank"))
 
   private def annLshCore(s: SparkSession, dir: String): DataFrame =
     annLshCore(corpus(s, dir))
@@ -109,7 +106,7 @@ object SimilarityOps {
     * multi-probe (n nearest cells) buys recall — same plan shape, the
     * assignment join stays a broadcast (centroid set ≪ corpus). */
   def annIvf(s: SparkSession, dir: String): DataFrame =
-    annIvfCore(s, dir).orderBy(col("query_id"), col("rank"))
+    Common.presented(annIvfCore(s, dir), col("query_id"), col("rank"))
 
   private def annIvfCore(s: SparkSession, dir: String): DataFrame =
     annIvfCore(corpus(s, dir))
@@ -145,7 +142,7 @@ object SimilarityOps {
     * re-sharding of the corpus (the probe list is generated query-side).
     * Probe buckets are pairwise distinct, so no pair dedup is needed. */
   def annMultiProbe(s: SparkSession, dir: String): DataFrame =
-    annMultiProbeCore(s, dir).orderBy(col("query_id"), col("rank"))
+    Common.presented(annMultiProbeCore(s, dir), col("query_id"), col("rank"))
 
   private def annMultiProbeCore(s: SparkSession, dir: String): DataFrame =
     annMultiProbeCore(corpus(s, dir))
@@ -194,7 +191,7 @@ object SimilarityOps {
         (col("n_lsh").cast("double") / K).as("recall_lsh"),
         (col("n_ivf").cast("double") / K).as("recall_ivf"),
         (col("n_mp").cast("double") / K).as("recall_mp"))
-      .orderBy(col("query_id"))
+      .transform(Common.presented(_, col("query_id")))
   }
 
   /** X6 — per-bucket top-k through the custom [[graft.functions.TopKByAgg]]
@@ -211,7 +208,6 @@ object SimilarityOps {
         GraftSqlBridge.expression(col("vec_id")), K).toAggregateExpression())
     e.groupBy(col("bucket"))
       .agg(agg.as("top_ids"), count(lit(1)).as("n_vecs"))
-      .orderBy(col("bucket"))
   }
 
   /** X6 compare surface: `top_ids` serialized to JSON — the driver's
@@ -223,7 +219,7 @@ object SimilarityOps {
     topkAgg(s, dir)
       .select(col("bucket"), to_json(col("top_ids")).as("top_ids"),
         col("n_vecs"))
-      .orderBy(col("bucket"))
+      .transform(Common.presented(_, col("bucket")))
 
   /** X7 — one Lloyd's refinement of the IVF coarse quantizer: assign to
     * the deterministic seed centroids (X3's), recompute each cell's
@@ -289,7 +285,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("c1"), col("c2"),
         when(col("c1") =!= col("c2"), 1).otherwise(0).as("moved"),
         col("cos_c2").as("cos2"))
-      .orderBy(col("vec_id"))
+      .transform(Common.presented(_, col("vec_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

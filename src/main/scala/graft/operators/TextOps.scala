@@ -40,7 +40,7 @@ object TextOps {
         aggregate(toks, lit(0L),
           (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
           .as("n_subwords"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
 
   /** TX2 — quality scoring: stopword count/ratio, lexical diversity,
     * mean token length, and a bucket from integer-only comparisons (no
@@ -61,7 +61,7 @@ object TextOps {
           .when(nStop * 2L > nTok, lit("boilerplate"))
           .when(nDist * 3L < nTok, lit("repetitive"))
           .otherwise(lit("ok")).as("quality_bucket"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** TX3 — language ID, n-gram/function-word heuristic: a doc is called
@@ -78,7 +78,7 @@ object TextOps {
         col("lang").as("labeled_lang"),
         hits.as("en_hits"),
         when(hits >= 2, lit("en")).otherwise(lit("und")).as("pred_lang"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** TX4 — document fingerprint: polynomial rolling hash over per-token
@@ -94,7 +94,7 @@ object TextOps {
           transform(toks, t => tokHash(t)),
           lit(0L),
           (acc, h) => (acc * 131L + h) % HashMod).as("fingerprint"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
 
   /** Per-language sampling rates (percent) for TX5 — the shape of a
     * corpus-rebalancing pass (downsample the dominant language, keep
@@ -119,7 +119,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), bucket.cast("int").as("smp_bucket"),
         rate.cast("int").as("smp_rate"))
       .filter(col("smp_bucket") < col("smp_rate"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** TX6's relative df threshold DENOMINATOR: a bigram is boilerplate
@@ -164,7 +164,7 @@ object TextOps {
         sum(coalesce(col("is_common"), lit(0))).as("n_common"))
       .withColumn("boilerplate_ratio",
         col("n_common").cast("double") / col("n_bigrams"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** TX7's context-window token budget. */
@@ -207,7 +207,7 @@ object TextOps {
         ((col("cum") - lit(1)) / PackSeqLen).cast("long").as("bin_id"),
         ((col("cum") - lit(1)) % PackSeqLen).cast("long").as("bin_end_pos"),
         when(col("n_tok") > PackSeqLen, 1).otherwise(0).as("oversize"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** TX8 — repetition filters (the Gopher-family quality signals that
@@ -246,7 +246,7 @@ object TextOps {
         (nBg - nDistBg).as("n_dup_bigrams"),
         when(nBg > 0, (nBg - nDistBg).cast("double") / nBg)
           .otherwise(lit(0.0)).as("dup_bigram_ratio"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** TX9's PII patterns — email, dotted-quad IPv4, dashed phone. Kept to
@@ -296,7 +296,7 @@ object TextOps {
         regexp_count(aug, lit(PiiPhoneRe)).cast("int").as("n_phones"),
         length(redacted).as("n_chars_redacted"),
         md5(redacted).as("redacted_md5"))
-      .orderBy(col("doc_id"))
+      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** TX10's vocabulary size per language. */
@@ -323,7 +323,7 @@ object TextOps {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))))
       .filter(col("rk") <= VocabTopK)
-      .orderBy(col("lang"), col("rk"))
+      .transform(Common.presented(_, col("lang"), col("rk")))
   }
 
   /** TX11 — corpus mixture weights: per (lang, source) cell, the token
@@ -357,7 +357,7 @@ object TextOps {
         (lit(1.0) / col("n_cells")).as("target_share"),
         ((lit(1.0) / col("n_cells")) /
           (col("n_tokens").cast("double") / col("tot_tokens"))).as("weight"))
-      .orderBy(col("lang"), col("source"))
+      .transform(Common.presented(_, col("lang"), col("source")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

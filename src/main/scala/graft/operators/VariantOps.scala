@@ -58,7 +58,7 @@ object VariantOps {
         coalesce(vg("$.sid"), vg("$.inv.sid")).as("sid"),
         coalesce(vg("$.syncid"), vg("$.inv.syncid")).as("syncid"),
         try_variant_get(col("v"), "$.api_type", "int").as("api_type"))
-      .orderBy(col("event_id"))
+      .transform(Common.presented(_, col("event_id")))
   }
 
   /** V2 — typed aggregation over variant-extracted values from the raw
@@ -75,7 +75,7 @@ object VariantOps {
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
-      .orderBy(col("event_type"))
+      .transform(Common.presented(_, col("event_type")))
 
   /** V3 — malformed-input routing, the bad-data reality at 100 TB: a
     * deterministic corruption (truncate the raw `props` JSON for
@@ -98,7 +98,7 @@ object VariantOps {
         col("event_id"),
         when(col("v").isNull, lit("MALFORMED")).otherwise(lit("OK")).as("route"),
         try_variant_get(col("v"), "$.k", "long").as("k"))
-      .orderBy(col("event_id"))
+      .transform(Common.presented(_, col("event_id")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_variant_extract" -> (variantExtract _),

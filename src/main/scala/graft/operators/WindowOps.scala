@@ -35,7 +35,7 @@ object WindowOps {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
         col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy(col("win_start"), col("event_type"))
+      .transform(Common.presented(_, col("win_start"), col("event_type")))
 
   /** W3 — sliding 1-hour window every 30 minutes: each event lands in
     * exactly len/slide = 2 windows. */
@@ -45,7 +45,7 @@ object WindowOps {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
         col("n_events"), col("sum_value"))
-      .orderBy(col("win_start"))
+      .transform(Common.presented(_, col("win_start")))
 
   /** W4 — per-user session windows with a 30-minute inactivity gap.
     * Spark session semantics: an event extends the session iff its ts is
@@ -58,7 +58,7 @@ object WindowOps {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("user_id"), col("w.start").as("sess_start"),
         col("w.end").as("sess_end"), col("n_events"), col("sum_value"))
-      .orderBy(col("user_id"), col("sess_start"))
+      .transform(Common.presented(_, col("user_id"), col("sess_start")))
 
   /** W5 — gap filling / resampling: a dense hourly spine per user
     * (`sequence` between that user's first and last event hour),
@@ -87,7 +87,7 @@ object WindowOps {
       .select(col("user_id"), col("hour"),
         coalesce(col("cnt"), lit(0L)).as("n_events"),
         last(col("sumv"), ignoreNulls = true).over(w).as("locf_value"))
-      .orderBy(col("user_id"), col("hour"))
+      .transform(Common.presented(_, col("user_id"), col("hour")))
   }
 
   /** W6 — funnel analysis: per user, the first `view`, the first `click`
@@ -131,7 +131,7 @@ object WindowOps {
           .when(col("first_click").isNotNull, 2)
           .when(col("first_view").isNotNull, 1)
           .otherwise(0))
-      .orderBy(col("user_id"))
+      .transform(Common.presented(_, col("user_id")))
   }
 
   /** W7 — weekly cohort retention: users are cohorted by the week of
@@ -157,7 +157,7 @@ object WindowOps {
       .groupBy(col("cohort_week"),
         (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
-      .orderBy(col("cohort_week"), col("week_offset"))
+      .transform(Common.presented(_, col("cohort_week"), col("week_offset")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
