@@ -453,10 +453,16 @@ object DedupOps {
     * repartition, re-runs and engine swaps). Zero shuffle: key, bucket
     * and split label are one narrow projection; the final sort is
     * presentation only. */
-  def clusterSplit(s: SparkSession, dir: String): DataFrame = {
+  def clusterSplit(s: SparkSession, dir: String): DataFrame =
+    Common.presented(clusterSplitCore(Tables.documents(s, dir)), col("doc_id"))
+
+  /** Split core over any (doc_id, text) frame — sort-free narrow
+    * projection, so it binds unchanged to a streaming source
+    * (StreamingCurationSpec). */
+  def clusterSplitCore(docs: DataFrame): DataFrame = {
     val headKey =
       md5(concat_ws(" ", slice(tokens(col("text")), 1, HeadKeyTokens)))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), headKey.as("cluster_key"))
       .withColumn("split_bucket",
         (md5Long(concat(lit("split:"), col("cluster_key"))) % 100).cast("int"))
@@ -464,7 +470,6 @@ object DedupOps {
         when(col("split_bucket") < SplitTrainPct, lit("train"))
           .when(col("split_bucket") < SplitTrainPct + SplitValPct, lit("val"))
           .otherwise(lit("test")))
-      .transform(Common.presented(_, col("doc_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

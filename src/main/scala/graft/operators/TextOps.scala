@@ -45,11 +45,16 @@ object TextOps {
   /** TX2 — quality scoring: stopword count/ratio, lexical diversity,
     * mean token length, and a bucket from integer-only comparisons (no
     * float threshold can flip between engines). */
-  def quality(s: SparkSession, dir: String): DataFrame = {
+  def quality(s: SparkSession, dir: String): DataFrame =
+    Common.presented(qualityCore(Tables.documents(s, dir)), col("doc_id"))
+
+  /** Quality core over any (doc_id, text) frame — sort-free, so it
+    * binds unchanged to a streaming source (StreamingCurationSpec). */
+  def qualityCore(docs: DataFrame): DataFrame = {
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
     val nDist = size(array_distinct(toks)).cast("long")
-    Tables.documents(s, dir)
+    docs
       .select(
         col("doc_id"),
         nTok.as("n_tokens"),
@@ -61,7 +66,6 @@ object TextOps {
           .when(nStop * 2L > nTok, lit("boilerplate"))
           .when(nDist * 3L < nTok, lit("repetitive"))
           .otherwise(lit("ok")).as("quality_bucket"))
-      .transform(Common.presented(_, col("doc_id")))
   }
 
   /** TX3 — language ID, n-gram/function-word heuristic: a doc is called

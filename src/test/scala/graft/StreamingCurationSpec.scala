@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps}
+
+/** The curation operators as a STREAMING ingest path: a document
+  * stream flows through exact dedup (stateful, on the content hash),
+  * quality scoring and the leakage-safe split assignment — the same
+  * sort-free cores the batch queries register, bound unchanged to a
+  * MemoryStream. This is the "re-crawl arrives as a stream" deployment
+  * shape of d1/tx2/d10: the narrow projections stream as-is, and the
+  * only state is the dedup key set (at 100 TB:
+  * dropDuplicatesWithinWatermark bounds it by event time — the
+  * unbounded form here matches d1's whole-corpus semantics).
+  */
+class StreamingCurationSpec extends SparkSpec {
+
+  test("document stream: dedup by content hash, score quality, assign cluster-coherent splits") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val deduped = in.toDF().toDF("doc_id", "text")
+      .withColumn("tm", md5(col("text"))).dropDuplicates("tm").drop("tm")
+    val q1 = TextOps.qualityCore(deduped).writeStream.format("memory")
+      .queryName("curated_quality").outputMode("append").start()
+    val q2 = DedupOps.clusterSplitCore(deduped).writeStream.format("memory")
+      .queryName("curated_split").outputMode("append").start()
+    try {
+      val long = ("tok " * 40).trim
+      in.addData(
+        1L -> s"alpha beta $long",
+        2L -> "short text",
+        3L -> s"alpha beta $long")   // exact dup of doc 1 in the same batch
+      q1.processAllAvailable(); q2.processAllAvailable()
+      in.addData(
+        4L -> s"alpha beta $long",   // exact dup of doc 1, next batch
+        5L -> s"gamma delta $long")
+      q1.processAllAvailable(); q2.processAllAvailable()
+
+      val quality = spark.table("curated_quality").collect()
+      // exact dups dropped WITHIN and ACROSS batches by the stateful dedup
+      assert(quality.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 5L))
+      val byId = quality.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(byId(2L).getAs[String]("quality_bucket") == "too_short")
+      // 42 tokens, only ~4 distinct -> diversity flag fires
+      assert(byId(1L).getAs[String]("quality_bucket") == "repetitive")
+
+      val split = spark.table("curated_split").collect()
+      assert(split.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 5L))
+      assert(split.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+      // the assignment is the deterministic batch rule: same key -> same
+      // split regardless of arrival order or batch boundary
+      val batch = DedupOps.clusterSplitCore(
+        Seq(1L -> s"alpha beta $long", 2L -> "short text",
+          5L -> s"gamma delta $long").toDF("doc_id", "text")).collect()
+      assert(batch.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap ==
+        split.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap)
+    } finally { q1.stop(); q2.stop() }
+  }
+}
