@@ -65,6 +65,21 @@ object MultimodalOps {
         col("col").as("frame_idx"))
       .transform(Common.presented(_, col("media_id"), col("sample_seq")))
 
+  /** M5 — exact dedup of media payloads per modality: d1's
+    * hash-groupBy over the BINARY column (re-encoded assets, mirrored
+    * uploads and re-crawled media are byte-identical far more often
+    * than text is). One shuffle on (kind, digest) with map-side
+    * partial agg; the payload bytes never cross the exchange — only
+    * the 32-char digest does, which is the whole point of hashing
+    * before grouping at 100 TB. */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .groupBy(col("kind"), md5(col("payload")).as("digest"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        max(length(col("payload"))).as("n_bytes"))
+      .transform(Common.presented(_, col("kind"), col("keep_id")))
+
   /** One decoded-media feature row (what a real image/audio decoder
     * would emit per payload). */
   case class MediaFeature(
@@ -162,7 +177,8 @@ object MultimodalOps {
     "m1_media_meta" -> (mediaMeta _),
     "m2_frame_sample" -> (frameSample _),
     "m3_decode_stub" -> ((s, d) => decodeStub(s, d)),
-    "m4_resize_plan" -> (resizePlan _))
+    "m4_resize_plan" -> (resizePlan _),
+    "m5_media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
     "m1_media_meta" ->
@@ -174,6 +190,18 @@ object MultimodalOps {
         |       md5(props) AS digest,
         |       CAST(1 + event_id % 240 AS INT) AS n_frames
         |FROM events ORDER BY media_id""".stripMargin,
+    // length() on the Spark binary column is BYTE length -> octet_length
+    "m5_media_dedup" ->
+      """SELECT CASE WHEN event_type = 'click' THEN 'image'
+        |            WHEN event_type = 'view' THEN 'video'
+        |            ELSE 'audio' END AS kind,
+        |       md5(props) AS digest,
+        |       min(event_id) AS keep_id,
+        |       count(*) AS n_copies,
+        |       CAST(max(octet_length(encode(props))) AS INT) AS n_bytes
+        |FROM events
+        |GROUP BY kind, digest
+        |ORDER BY kind, keep_id""".stripMargin,
     "m2_frame_sample" ->
       """SELECT media_id, n_frames,
         |       CAST(u.f // 30 AS INT) AS sample_seq,

@@ -364,6 +364,45 @@ object TextOps {
       .transform(Common.presented(_, col("lang"), col("source")))
   }
 
+  /** TX12's rarity rule denominator: a token is RARE when its corpus
+    * count × [[RareDenom]] < total corpus tokens (relative, like tx6's
+    * df threshold — an absolute cutoff drifts with corpus size). */
+  val RareDenom = 10000L
+
+  /** TX12 — corpus-frequency scoring, the integer-exact core of an
+    * n-gram LM quality filter (the published pipelines score documents
+    * against a reference LM; the engine-side computation is exactly
+    * this shape — per-token corpus frequencies joined back to the
+    * exploded document, aggregated per doc). Emitted signals: rare
+    * (OOV-ish) token count under the relative [[RareDenom]] rule and
+    * the mean corpus frequency of the doc's tokens. All integer until
+    * the final division, so cross-engine exact; a log-prob variant
+    * would hit libm ulp differences between JVM and C and is exactly
+    * what the raw counts let a consumer compute downstream.
+    *
+    * Plan: one groupBy(token) over the exploded corpus (map-side
+    * partial, output is vocab-sized), the totals as a one-row
+    * broadcast, and a shuffle join of exploded docs against the vocab
+    * on token — at 100 TB the HEAD of the vocab (which covers almost
+    * all token occurrences) broadcasts and the remaining tail join is
+    * tiny; the per-doc aggregate reuses nothing bigger than doc_id. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("total_tokens"))
+    ex.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") * RareDenom < col("total_tokens"), 1L)
+          .otherwise(0L)).as("n_rare"),
+        sum(col("cnt")).as("sum_freq"),
+        (sum(col("cnt")).cast("double") / count(lit(1))).as("mean_freq"))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality" -> (quality _),
@@ -375,7 +414,8 @@ object TextOps {
     "tx8_repetition" -> (repetition _),
     "tx9_pii_scrub" -> (piiScrub _),
     "tx10_vocab" -> (vocab _),
-    "tx11_mixture" -> (mixture _))
+    "tx11_mixture" -> (mixture _),
+    "tx12_lm_score" -> (lmScore _))
 
   private val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val toksSql = tokensSql("text")
@@ -541,5 +581,20 @@ object TextOps {
          |       (CAST(1 AS DOUBLE) / n_cells)
          |         / (CAST(n_tokens AS DOUBLE) / tot_tokens) AS weight
          |FROM cells, t
-         |ORDER BY lang, source""".stripMargin)
+         |ORDER BY lang, source""".stripMargin,
+    // counts stay integer to the end (DuckDB sums widen to HUGEINT ->
+    // cast BIGINT); the single double division matches the Spark side
+    "tx12_lm_score" ->
+      s"""WITH ex AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM ex GROUP BY tok),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM vocab)
+         |SELECT doc_id,
+         |       count(*) AS n_tokens,
+         |       CAST(sum(CASE WHEN cnt * $RareDenom < total_tokens
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |       CAST(sum(cnt) AS BIGINT) AS sum_freq,
+         |       CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_freq
+         |FROM ex JOIN vocab USING (tok), t
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin)
 }
