@@ -246,11 +246,16 @@ object SimilarityOps {
     * engines, and the refined-centroid cosine then follows the
     * [[graft.functions.FloatVecDot]] fold contract like every other
     * compared double. */
-  def kmeansRefine(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  def kmeansRefine(s: SparkSession, dir: String): DataFrame =
+    kmeansRefineCore(corpus(s, dir),
+      col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NumCentroids)
+
+  /** [[kmeansRefine]] over any (vec_id, v, nrm) frame with an arbitrary
+    * seed predicate — split out so the refinement contract is
+    * unit-testable on crafted clusters (KMeansSpec). */
+  def kmeansRefineCore(c: DataFrame, seedPred: Column): DataFrame = {
     val seeds = c
-      .filter(col("vec_id") >= NumQueries &&
-        col("vec_id") < NumQueries + NumCentroids)
+      .filter(seedPred)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         col("nrm").as("cn"))
     def assign(vecs: DataFrame, cents: DataFrame, tag: String): DataFrame = {
