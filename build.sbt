@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through instead of being wrapped
+// by the sbt logger: Bench/Verify emit machine-parsed lines (the
+// driver json.loads the Bench line; a "[info] " prefix breaks it —
+// BENCH_r04 recorded parsed: null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
