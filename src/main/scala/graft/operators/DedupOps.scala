@@ -307,7 +307,11 @@ object DedupOps {
     * sign-LSH partition, flagged when cosine exceeds 0.35 (far from any
     * observed pair boundary in the harness data; the flag is derived
     * from bit-identical doubles on both engines). */
-  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Common.presented(embedNearDupCore(s, dir), col("vec_id"))
+
+  /** [[embedNearDup]] without the presentation sort — D11 composes it. */
+  def embedNearDupCore(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"),
         signBucket(col("embedding"), 4).as("bucket"))
@@ -323,6 +327,27 @@ object DedupOps {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("nn_id"), col("nn_cos"),
         when(col("nn_cos") > 0.35, 1).otherwise(0).as("is_near_dup"))
+  }
+
+  /** D11 — SEMANTIC dedup clusters: D5's embedding near-dup pairs →
+    * connected components → canonical keepers, through the SAME
+    * [[StarComponents]] stage d6b uses for text pairs — the clustering
+    * machinery is modality-agnostic; only the pair generator changes
+    * (hashed shingles for text, sign-LSH cosine for embeddings). The
+    * oracle restates the closure recursively over the D5 pair SQL, so
+    * the whole composition is hash-gated end-to-end. */
+  def embedClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = embedNearDupCore(s, dir)
+      .filter(col("is_near_dup") === 1)
+      .select(col("vec_id").as("a"), col("nn_id").as("b"))
+    val (labels, _) = StarComponents.components(pairs)
+    val singletons = Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("vec_id").as("label"))
+    labels.withColumnRenamed("doc_id", "vec_id")
+      .unionByName(singletons)
+      .select(col("vec_id"), col("label").as("cluster_id"),
+        when(col("label") === col("vec_id"), 1).otherwise(0).as("is_keeper"))
       .transform(Common.presented(_, col("vec_id")))
   }
 
@@ -484,7 +509,24 @@ object DedupOps {
     "d7_incremental_dedup" -> (incrementalDedup _),
     "d8_decontaminate" -> (decontaminate _),
     "d9_quality_keeper" -> (qualityKeeper _),
-    "d10_cluster_split" -> (clusterSplit _))
+    "d10_cluster_split" -> (clusterSplit _),
+    "d11_embed_clusters" -> (embedClusters _))
+
+  /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
+    * as a recursive-closure CTE. */
+  private val d5CoreSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding AS v,
+       |                  ${signBucketSql("embedding", 4)} AS bucket,
+       |                  sqrt(${dotDSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |p AS (SELECT x.vec_id AS vec_id, y.vec_id AS nn_id,
+       |             ${dotDSql("x.v", "y.v")} / (x.nrm * y.nrm) AS nn_cos
+       |      FROM e x JOIN e y
+       |        ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+       |SELECT vec_id, nn_id, nn_cos,
+       |       CASE WHEN nn_cos > 0.35 THEN 1 ELSE 0 END AS is_near_dup
+       |FROM p
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY nn_cos DESC, nn_id) = 1""".stripMargin
 
   private[operators] val bgSql =
     s"list_distinct(${shinglesSql(tokensSql("text"), 2)})"
@@ -577,20 +619,28 @@ object DedupOps {
          |  ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
          |ORDER BY a, b""".stripMargin,
     "d5_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS v,
-         |                  ${signBucketSql("embedding", 4)} AS bucket,
-         |                  sqrt(${dotDSql("embedding", "embedding")}) AS nrm
-         |           FROM embeddings),
-         |p AS (SELECT x.vec_id AS vec_id, y.vec_id AS nn_id,
-         |             ${dotDSql("x.v", "y.v")} / (x.nrm * y.nrm) AS nn_cos
-         |      FROM e x JOIN e y
-         |        ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
-         |SELECT vec_id, nn_id, nn_cos,
-         |       CASE WHEN nn_cos > 0.35 THEN 1 ELSE 0 END AS is_near_dup
-         |FROM p
-         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY nn_cos DESC, nn_id) = 1
+      s"""$d5CoreSql
          |ORDER BY vec_id""".stripMargin,
     "d6_dedup_clusters" -> d6OracleSql,
+    // d11 reuses the full d5 oracle verbatim as a CTE (drift-proof,
+    // like d6 reuses d2) and states the components as the same
+    // recursive transitive closure, seeded from embeddings vec_ids
+    "d11_embed_clusters" ->
+      s"""WITH RECURSIVE d5 AS (
+         |$d5CoreSql
+         |),
+         |near AS (SELECT vec_id AS a, nn_id AS b FROM d5 WHERE is_near_dup = 1),
+         |edges AS (SELECT a AS x, b AS y FROM near
+         |          UNION SELECT b AS x, a AS y FROM near),
+         |reach(src, node) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT r.src, e.y FROM reach r JOIN edges e ON r.node = e.x
+         |)
+         |SELECT src AS vec_id,
+         |       min(node) AS cluster_id,
+         |       CASE WHEN min(node) = src THEN 1 ELSE 0 END AS is_keeper
+         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin,
     // d6b computes the SAME result by a different algorithm — identical
     // oracle, so the driver hash-gates both against one ground truth
     "d6b_star_clusters" -> d6OracleSql,
