@@ -166,7 +166,47 @@ object WindowOps {
     "w4_session" -> (session _),
     "w5_gapfill" -> (gapfill _),
     "w6_funnel" -> (funnel _),
-    "w7_retention" -> (retention _))
+    "w7_retention" -> (retention _),
+    "w8_anomaly" -> (anomaly _))
+
+  /** W8's outlier rule: |x − μ| · [[AnomalyDenom]] > [[AnomalyNum]] · σ,
+    * i.e. a 2.5-sigma cut stated in integer-scaled form. */
+  val AnomalyNum = 25L
+  val AnomalyDenom = 10L
+
+  /** W8 — per-group anomaly detection: flag events whose value sits
+    * beyond 2.5σ of their event_type's distribution — the monitoring
+    * query every pipeline runs over its metric streams. Moments come
+    * from ONE pass of exact scaled-long sums (Σx, Σx² via the
+    * decimal(18,4)-equivalent contract, partition-order-independent),
+    * broadcast back to the narrow scan — two scans, one tiny exchange,
+    * no window over the full data. The σ comparison is squared on both
+    * sides (|x−μ|² vs z²·σ²) so no sqrt enters the flag — all double
+    * arithmetic on identical operands, no rounding divergence. At
+    * 100 TB the stats side collapses to |event_type| rows map-side and
+    * the flag pass is scan-bound. */
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Common.dsum
+    val ev = ScanOps.eventsTs(s, dir).select(col("event_id"),
+      col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      dsum(col("value")).as("sum_v"),
+      dsum(col("value") * col("value")).as("sum_v2"),
+      count(lit(1)).as("n"))
+    // μ = Σx/n, σ² = Σx²/n − μ² — identical double expression trees on
+    // both engines over exact decimal-derived operands
+    val mu = col("sum_v") / col("n")
+    val varE = col("sum_v2") / col("n") - mu * mu
+    val dev = col("value") - mu
+    val isOut = (dev * dev) * (AnomalyDenom * AnomalyDenom) >
+      varE * (AnomalyNum * AnomalyNum)
+    ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        mu.as("mean_v"),
+        when(isOut, 1).otherwise(0).as("is_anomaly"))
+      .filter(col("is_anomaly") === 1)
+      .transform(Common.presented(_, col("event_id")))
+  }
 
   val oracles: Map[String, String] = Map(
     "w2_tumbling" ->
@@ -259,5 +299,21 @@ object WindowOps {
         |       count(DISTINCT user_id) AS n_active
         |FROM w
         |GROUP BY cohort_week, week_offset
-        |ORDER BY cohort_week, week_offset""".stripMargin)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // dsum contract for both moments; the sigma comparison is squared
+    // (|x-mu|^2 * 100 > var * 625) so no sqrt enters the flag
+    "w8_anomaly" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+        |stats AS (SELECT event_type,
+        |                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+        |                 CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v2,
+        |                 count(*) AS n
+        |          FROM ev GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |       sum_v / n AS mean_v,
+        |       CAST(1 AS INT) AS is_anomaly
+        |FROM ev e JOIN stats s ON e.event_type = s.event_type
+        |WHERE ((value - sum_v / n) * (value - sum_v / n)) * 100
+        |      > (sum_v2 / n - (sum_v / n) * (sum_v / n)) * 625
+        |ORDER BY event_id""".stripMargin)
 }
