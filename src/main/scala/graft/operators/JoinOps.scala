@@ -131,6 +131,40 @@ object JoinOps {
       .transform(Common.presented(_, col("r_name"), col("p_brand")))
   }
 
+  /** A8 — the classic shipping-priority analytic (TPC-H Q3 shape):
+    * segment-filtered customers ⋈ open orders ⋈ late-shipped lineitems,
+    * revenue per order, top 10. The canonical "multi-join + agg +
+    * top-k" plan: customer (filtered, small) broadcasts into orders,
+    * that join result broadcasts into the lineitem scan, so the fact
+    * table reaches its partial agg with ZERO pre-agg shuffles; the
+    * top-10 is TakeOrderedAndProject (per-partition top-k + driver
+    * merge of k·p rows — never a global sort). Revenue uses j3's
+    * exact scaled-long product contract. At 100 TB orders stops
+    * broadcasting and the plan degrades gracefully to one sort-merge
+    * join on l_orderkey — same declarative program. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_date(lit("1998-01-01"))
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(
+        (sum((round(col("l_extendedprice") * 10000) *
+              round((lit(1.0) - col("l_discount")) * 10000)).cast("long"))
+          .cast("decimal(28,0)") * lit(new java.math.BigDecimal("0.00000001")))
+          .cast("decimal(38,8)").cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   /** Shared asof-join inputs: clicks are the probe side, purchases the
     * state side — "the latest purchase by this user at or before the
     * click". Column names are pre-disambiguated so the joined output
@@ -289,6 +323,7 @@ object JoinOps {
     "jx7_asof_tolerance" -> (asofTolerance _),
     "j1_sid_syncid" -> (sidSyncidJoin _),
     "j2_dim_broadcast" -> (dimBroadcast _),
+    "a8_ship_priority" -> (shippingPriority _),
     "j3_part_supp" -> (partSuppJoin _),
     "a1_lineitem_agg" -> (lineitemAgg _),
     "w1_topk" -> (topK _))
@@ -362,6 +397,20 @@ object JoinOps {
     "w1_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "a8_ship_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                 * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
     "a1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
