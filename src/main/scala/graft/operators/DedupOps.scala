@@ -497,6 +497,39 @@ object DedupOps {
           .otherwise(lit("test")))
   }
 
+  /** D12 — split-leakage audit: for every val/test document, how many
+    * of its word [[DecontamK]]-grams also occur in ANY train document —
+    * the acceptance check on d10's split (cluster-keyed assignment
+    * stops whole-document near-dups from crossing splits; this measures
+    * what remains: partial overlaps, shared boilerplate, quotes). d8's
+    * shape with the roles reversed: there the eval side was tiny and
+    * broadcast; here the reference side (train ≈ 80% of the corpus) is
+    * the big one, so the probe is a plain shuffle equi-join on the
+    * shingle hash — AQE-splittable, no broadcast assumption — and the
+    * distinct train-shingle set collapses map-side before it. At
+    * 100 TB the train shingle index is written once, bucketed by hash,
+    * and every new split proposal joins against it exchange-free. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions.hashedShingleSet
+    val docs = Tables.documents(s, dir)
+    val split = clusterSplitCore(docs).select(col("doc_id"), col("split"))
+    val sh = docs
+      .select(col("doc_id"),
+        explode(hashedShingleSet(tokens(col("text")), DecontamK)).as("h"))
+      .join(split, Seq("doc_id"))
+    val trainSh = sh.filter(col("split") === "train")
+      .select(col("h")).distinct()
+      .withColumn("in_train", lit(1))
+    sh.filter(col("split") =!= "train")
+      .join(trainSh, Seq("h"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("in_train"), lit(0))).as("n_train_overlap"))
+      .withColumn("is_leaky",
+        when(col("n_train_overlap") > 0, 1).otherwise(0))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
@@ -510,7 +543,8 @@ object DedupOps {
     "d8_decontaminate" -> (decontaminate _),
     "d9_quality_keeper" -> (qualityKeeper _),
     "d10_cluster_split" -> (clusterSplit _),
-    "d11_embed_clusters" -> (embedClusters _))
+    "d11_embed_clusters" -> (embedClusters _),
+    "d12_split_leakage" -> (splitLeakage _))
 
   /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
     * as a recursive-closure CTE. */
@@ -686,6 +720,26 @@ object DedupOps {
          |            WHEN ${md5LongSql("'split:' || cluster_key")} % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
          |            ELSE 'test' END AS split
          |FROM h ORDER BY doc_id""".stripMargin,
+    // d10's split rule + d8's hashed-trigram contract, roles reversed
+    // (train is the reference side); sums cast to BIGINT
+    "d12_split_leakage" ->
+      s"""WITH sp AS (SELECT doc_id,
+         |              CASE WHEN ${md5LongSql(s"'split:' || md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' '))")} % 100 < $SplitTrainPct THEN 'train'
+         |                   WHEN ${md5LongSql(s"'split:' || md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' '))")} % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
+         |                   ELSE 'test' END AS split,
+         |              list_distinct(list_transform($tgSql,
+         |                s -> ${tokHashSql("s")})) AS hs
+         |            FROM documents),
+         |ex AS (SELECT doc_id, split, unnest(hs) AS h FROM sp),
+         |tr AS (SELECT DISTINCT h FROM ex WHERE split = 'train')
+         |SELECT e.doc_id, e.split,
+         |       count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_train_overlap,
+         |       CASE WHEN sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+         |            THEN 1 ELSE 0 END AS is_leaky
+         |FROM ex e LEFT JOIN tr t ON e.h = t.h
+         |WHERE e.split <> 'train'
+         |GROUP BY e.doc_id, e.split ORDER BY e.doc_id""".stripMargin,
     // d7's head key + tx2's diversity numerator; count(*) OVER is
     // BIGINT on both engines, row_number ties broken by doc_id
     "d9_quality_keeper" ->
