@@ -16,6 +16,32 @@ import graft.operators.{DedupOps, TextOps}
   */
 class StreamingCurationSpec extends SparkSpec {
 
+  test("dedup state survives a restart: pre-restart content still dedups after resume") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("cur_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("cur_out").toString
+    val in = MemoryStream[(Long, String)]
+    def start() = in.toDF().toDF("doc_id", "text")
+      .withColumn("tm", md5(col("text"))).dropDuplicates("tm").drop("tm")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    in.addData(1L -> "alpha text one", 2L -> "beta text two")
+    q1.processAllAvailable(); q1.stop()
+    // dup of doc 1 arrives AFTER the restart — only the checkpointed
+    // dedup state can know to drop it
+    in.addData(3L -> "alpha text one", 4L -> "gamma text three")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L))
+    } finally q2.stop()
+  }
+
   test("document stream: dedup by content hash, score quality, assign cluster-coherent splits") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
