@@ -403,7 +403,29 @@ object TextOps {
       .transform(Common.presented(_, col("doc_id")))
   }
 
+  /** TX13 — the curation dashboard rollup: doc counts and token mass
+    * per (quality_bucket, split) cell — the report every curation run
+    * ends with ("how much survives each gate, and is the split
+    * balanced across quality strata"). Composes the SAME cores the
+    * gates themselves run (tx2's buckets, d10's splits) so the report
+    * can never drift from the pipeline; one doc_id equi-join of two
+    * narrow projections over the same scan, then a cell aggregate —
+    * at 100 TB the join disappears if the two projections are fused
+    * into one pass (they only need `text`), which is a mechanical
+    * rewrite the DRY composition is worth more than here. */
+  def curationReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = qualityCore(docs).select(col("doc_id"),
+      col("quality_bucket"), col("n_tokens"))
+    val sp = DedupOps.clusterSplitCore(docs).select(col("doc_id"), col("split"))
+    q.join(sp, Seq("doc_id"))
+      .groupBy(col("quality_bucket"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .transform(Common.presented(_, col("quality_bucket"), col("split")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx13_curation_report" -> (curationReport _),
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality" -> (quality _),
     "tx3_langid" -> (langId _),
@@ -596,5 +618,27 @@ object TextOps {
          |       CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_freq
          |FROM ex JOIN vocab USING (tok), t
          |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    // tx2's bucket rule + d10's split rule, joined on doc_id
+    "tx13_curation_report" ->
+      s"""WITH q AS (SELECT doc_id,
+         |             CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |             CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS BIGINT) AS n_stop,
+         |             CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_dist,
+         |             CASE WHEN CAST(len($toksSql) AS BIGINT) < 30 THEN 'too_short'
+         |                  WHEN CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS BIGINT) * 2 > CAST(len($toksSql) AS BIGINT) THEN 'boilerplate'
+         |                  WHEN CAST(len(list_distinct($toksSql)) AS BIGINT) * 3 < CAST(len($toksSql) AS BIGINT) THEN 'repetitive'
+         |                  ELSE 'ok' END AS quality_bucket
+         |           FROM documents),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN ${md5LongSql(s"'split:' || md5(array_to_string(${tokensSql("text")}[1:${DedupOps.HeadKeyTokens}], ' '))")} % 100 < ${DedupOps.SplitTrainPct} THEN 'train'
+         |              WHEN ${md5LongSql(s"'split:' || md5(array_to_string(${tokensSql("text")}[1:${DedupOps.HeadKeyTokens}], ' '))")} % 100 < ${DedupOps.SplitTrainPct + DedupOps.SplitValPct} THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM documents)
+         |SELECT quality_bucket, split,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM q JOIN sp USING (doc_id)
+         |GROUP BY quality_bucket, split
+         |ORDER BY quality_bucket, split""".stripMargin)
 }
