@@ -72,6 +72,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_active") <= cohortSize))
   }
 
+  test("tx13: the fused report equals the composed join of the gate cores") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val fused = TextOps.curationReport(spark, Sf).collect().toSeq
+    val composed = TextOps.qualityCore(docs)
+      .select(col("doc_id"), col("quality_bucket"), col("n_tokens"))
+      .join(DedupOps.clusterSplitCore(docs)
+        .select(col("doc_id"), col("split")), Seq("doc_id"))
+      .groupBy(col("quality_bucket"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("quality_bucket"), col("split"))
+      .collect().toSeq
+    assert(fused == composed)
+  }
+
   test("d10: every member of a cluster lands in the same split") {
     val rows = DedupOps.clusterSplit(spark, Sf).collect()
     assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(
