@@ -70,6 +70,24 @@ class PropertySpec extends SparkSpec {
     }, 5)
   }
 
+  test("presented(df, keys) is row-for-row identical to orderBy(keys) on random frames") {
+    import spark.implicits._
+    // the single-partition presentation sort must preserve the exact
+    // global order of the range sort it replaced (ties included: both
+    // are followed by the same deterministic unique-key ordering in
+    // registered queries, but the invariant is checked on DUPLICATE
+    // keys too via the secondary column)
+    val rowGen = Gen.zip(Gen.choose(0, 5), Gen.choose(-100, 100))
+    check(Prop.forAllNoShrink(Gen.listOfN(60, rowGen)) { rows =>
+      val df = rows.toDF("k", "v")
+      val a = graft.operators.Common.presented(df, col("k"), col("v"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      val b = df.orderBy(col("k"), col("v"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      a == b
+    }, 5)
+  }
+
   test("tx8 max_run equals the plain-Scala run-length reference on random token lists") {
     import spark.implicits._
     // small alphabet so runs actually form; batch the random docs into
