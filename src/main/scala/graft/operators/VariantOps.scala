@@ -119,7 +119,7 @@ object VariantOps {
       """SELECT event_type,
         |       count(*) AS n_events,
         |       count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
-        |       sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
         |       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

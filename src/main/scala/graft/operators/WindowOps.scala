@@ -301,9 +301,11 @@ object WindowOps {
         |GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
     // dsum contract for both moments; the sigma comparison is squared
-    // (|x-mu|^2 * 100 > var * 625) so no sqrt enters the flag
+    // (|x-mu|^2 · denom^2 > var · num^2) so no sqrt enters the flag; the
+    // squared constants are interpolated from the same AnomalyNum/Denom the
+    // Spark side uses, so editing the threshold keeps both engines in sync
     "w8_anomaly" ->
-      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      s"""WITH ev AS (SELECT event_id, event_type, value FROM events),
         |stats AS (SELECT event_type,
         |                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
         |                 CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v2,
@@ -313,7 +315,7 @@ object WindowOps {
         |       sum_v / n AS mean_v,
         |       CAST(1 AS INT) AS is_anomaly
         |FROM ev e JOIN stats s ON e.event_type = s.event_type
-        |WHERE ((value - sum_v / n) * (value - sum_v / n)) * 100
-        |      > (sum_v2 / n - (sum_v / n) * (sum_v / n)) * 625
+        |WHERE ((value - sum_v / n) * (value - sum_v / n)) * ${AnomalyDenom * AnomalyDenom}
+        |      > (sum_v2 / n - (sum_v / n) * (sum_v / n)) * ${AnomalyNum * AnomalyNum}
         |ORDER BY event_id""".stripMargin)
 }

@@ -67,9 +67,13 @@ class CurationOpsSpec extends SparkSpec {
     val users = operators.ScanOps.eventsTs(spark, Sf)
       .select(col("user_id")).distinct().count()
     assert(atZero == users)
-    // retention never exceeds the cohort's own size
-    val cohortSize = atZero // offset-0 per cohort is the cohort size
-    assert(rows.forall(_.getAs[Long]("n_active") <= cohortSize))
+    // retention never exceeds the cohort's OWN offset-0 size
+    val sizeByCohort = rows.filter(_.getAs[Int]("week_offset") == 0)
+      .map(r => r.get(r.fieldIndex("cohort_week")) -> r.getAs[Long]("n_active"))
+      .toMap
+    assert(rows.forall { r =>
+      r.getAs[Long]("n_active") <= sizeByCohort(r.get(r.fieldIndex("cohort_week")))
+    })
   }
 
   test("tx13: the fused report equals the composed join of the gate cores") {
