@@ -133,8 +133,44 @@ object ScanOps {
       .transform(Common.presented(_, col("user_id")))
   }
 
+  /** S7 — SCD Type-2 history reconstruction: turn the change log into
+    * per-entity validity intervals — `valid_from` = the change's ts,
+    * `valid_to` = the NEXT change's ts (open-ended for the current
+    * row), `version` = change ordinal. This is the other half of S6's
+    * CDC pair: S6 reconstructs "current state", S7 the full
+    * slowly-changing-dimension history a warehouse joins facts against
+    * (`FOR SYSTEM_TIME AS OF` is jx5's asof join over exactly this
+    * shape).
+    *
+    * One exchange on user_id; `lead` and `row_number` share the single
+    * (user_id × order) window frame, so both come from one sort within
+    * the hash partition. Ordering uses the RAW nanosecond ts (then
+    * event_id) — sorting the truncated-to-micros timestamp could
+    * disagree with the oracle's nanosecond sort on sub-microsecond
+    * ties. At 100 TB: bucket the log by user_id and the exchange
+    * disappears; appending a day's changes re-versions only the tail
+    * (max version per entity, same partitioning). */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("version", row_number().over(w))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("version"),
+        col("event_type").as("state"),
+        col("value"),
+        timestamp_micros(expr("ts div 1000")).as("valid_from"),
+        timestamp_micros(expr("next_ts div 1000")).as("valid_to"),
+        when(col("next_ts").isNull, 1).otherwise(0).as("is_current"))
+      .transform(Common.presented(_, col("user_id"), col("version")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_scan_in" -> (scanIn _),
+    "s7_scd2" -> (scd2 _),
     "s3_scan_out" -> (scanOut _),
     "s4_retry_claim" -> (retryClaim _),
     "s5_max_id" -> (maxId _),
@@ -143,6 +179,19 @@ object ScanOps {
     "u2_side_union" -> (sideUnion _))
 
   val oracles: Map[String, String] = Map(
+    // the window orders by the raw TIMESTAMP_NS ts — same total order
+    // as Spark's raw-nanos sort; only the OUTPUT columns truncate to µs
+    "s7_scd2" ->
+      """SELECT user_id,
+        |       CAST(row_number() OVER w AS INT) AS version,
+        |       event_type AS state,
+        |       value,
+        |       CAST(ts AS TIMESTAMP) AS valid_from,
+        |       CAST(lead(ts, 1) OVER w AS TIMESTAMP) AS valid_to,
+        |       CAST(CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "s2_scan_in" ->
       """SELECT event_id, user_id, event_type, value, props, CAST(ts AS TIMESTAMP) AS ts
         |FROM events

@@ -439,8 +439,47 @@ object TextOps {
       nTok.as("n_tokens"))
   }
 
+  /** TX14's chunk geometry: fixed window, fixed stride (overlap =
+    * [[ChunkSize]] − [[ChunkStride]] chars), the standard RAG/context
+    * splitter. Stated as constants so the oracle SQL interpolates the
+    * same numbers. */
+  val ChunkSize = 200
+  val ChunkStride = 150
+
+  /** TX14 — overlapping document chunking: explode each doc into
+    * fixed-size character windows every [[ChunkStride]] chars (the
+    * retrieval/context-packing splitter: each chunk carries its byte
+    * geometry plus a content digest so a downstream index can dedup
+    * chunks without re-reading text). Narrow per-row work — the chunk
+    * starts come from `sequence()` on the doc's own length, so the
+    * explode multiplies rows ~len/stride with NO shuffle; at 100 TB
+    * this is a scan-bound map stage whose output feeds straight into
+    * the embedding/indexing stage. chunk_idx = start/stride is exact
+    * (starts are stride multiples), so the key needs no window
+    * function. An empty doc still yields its one empty chunk (start 0)
+    * on both engines — sequence(0,0,s) == generate_series(0,0,s). */
+  def chunk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0),
+          greatest(length(col("text")) - 1, lit(0)),
+          lit(ChunkStride))).as("chunk_start"))
+      .select(
+        col("doc_id"),
+        (col("chunk_start") / ChunkStride).cast("int").as("chunk_idx"),
+        col("chunk_start").cast("int").as("chunk_start"),
+        length(substring_index_free).as("chunk_len"),
+        md5(substring_index_free).as("chunk_md5"))
+      .transform(Common.presented(_, col("doc_id"), col("chunk_idx")))
+
+  /** The chunk slice both TX14 output columns share (1-based substring,
+    * overrun truncates — identical in Spark and DuckDB). */
+  private def substring_index_free: Column =
+    expr(s"substring(text, chunk_start + 1, $ChunkSize)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx13_curation_report" -> (curationReport _),
+    "tx14_chunk" -> (chunk _),
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality" -> (quality _),
     "tx3_langid" -> (langId _),
@@ -655,5 +694,18 @@ object TextOps {
          |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM q JOIN sp USING (doc_id)
          |GROUP BY quality_bucket, split
-         |ORDER BY quality_bucket, split""".stripMargin)
+         |ORDER BY quality_bucket, split""".stripMargin,
+    // same stride grid: generate_series and sequence() are both
+    // inclusive-stop, so the start sets match exactly (incl. the
+    // empty-doc start-0 chunk)
+    "tx14_chunk" ->
+      s"""SELECT doc_id,
+         |       CAST(start // $ChunkStride AS INT) AS chunk_idx,
+         |       CAST(start AS INT) AS chunk_start,
+         |       CAST(length(substring(text, start + 1, $ChunkSize)) AS INT) AS chunk_len,
+         |       md5(substring(text, start + 1, $ChunkSize)) AS chunk_md5
+         |FROM (SELECT doc_id, text,
+         |             unnest(generate_series(0, greatest(length(text) - 1, 0), $ChunkStride)) AS start
+         |      FROM documents)
+         |ORDER BY doc_id, chunk_idx""".stripMargin)
 }

@@ -167,7 +167,8 @@ object WindowOps {
     "w5_gapfill" -> (gapfill _),
     "w6_funnel" -> (funnel _),
     "w7_retention" -> (retention _),
-    "w8_anomaly" -> (anomaly _))
+    "w8_anomaly" -> (anomaly _),
+    "w9_streaks" -> (streaks _))
 
   /** W8's outlier rule: |x − μ| · [[AnomalyDenom]] > [[AnomalyNum]] · σ,
     * i.e. a 2.5-sigma cut stated in integer-scaled form. */
@@ -208,7 +209,57 @@ object WindowOps {
       .transform(Common.presented(_, col("event_id")))
   }
 
+  /** Nanoseconds per UTC day — W9's integer day grid. Day indices come
+    * from raw-nanos integer division on BOTH engines, so no
+    * timezone/truncation semantics can diverge. */
+  val DayNanos = 86400L * 1000 * 1000 * 1000
+
+  /** W9 — activity streaks (gaps-and-islands): per user, the longest
+    * run of CONSECUTIVE active days, total active days, and number of
+    * distinct runs — the engagement metric over any event log.
+    * Classic island key: within a user's ordered distinct days,
+    * `day − row_number()` is constant exactly along a consecutive run.
+    *
+    * Scale shape: one distinct over (user_id, day) — map-side partial —
+    * then every window/group stage keys on user_id, so AFTER the one
+    * exchange the island window, island agg and per-user rollup are all
+    * partition-local (Catalyst reuses the hash partitioning; no second
+    * shuffle). Days as integers (raw nanos div 86400e9), never calendar
+    * types. */
+  def streaks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = graft.sources.Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts div $DayNanos").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+    islands.groupBy(col("user_id"))
+      .agg(
+        sum(col("run_len")).as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("run_len")).as("longest_streak"))
+      .transform(Common.presented(_, col("user_id")))
+  }
+
   val oracles: Map[String, String] = Map(
+    "w9_streaks" ->
+      s"""WITH days AS (SELECT DISTINCT user_id,
+        |                     epoch_ns(ts) // $DayNanos AS day
+        |              FROM events),
+        |isl AS (SELECT user_id,
+        |               day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |        FROM days),
+        |runs AS (SELECT user_id, island, count(*) AS run_len
+        |         FROM isl GROUP BY user_id, island)
+        |SELECT user_id,
+        |       CAST(sum(run_len) AS BIGINT) AS n_active_days,
+        |       count(*) AS n_islands,
+        |       CAST(max(run_len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "w2_tumbling" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
         |       date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS win_end,
