@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{FloatVecDot, HashedShingleSet, MinHashSig, SimHashLong, SortedIntersectCount, TopKByAgg}
+import graft.functions.{BloomBuildAgg, BloomMightContain, FloatVecDot, HashedShingleSet, MinHashSig, SimHashLong, SortedIntersectCount, TopKByAgg}
 
 /** SQL surface for the library's custom Catalyst expressions
   * (`spark.sql("SELECT float_vec_dot(a, b) ...")`).
@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKByAgg].getName, "topk_by"),
       GraftExtensions.topkBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      GraftExtensions.bloomBuildBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      GraftExtensions.bloomProbeBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
@@ -100,6 +108,30 @@ object GraftExtensions {
     TopKByAgg(args(0), args(1), intLiteral(args(2), "topk_by k"))
   }
 
+  private[graft] val bloomBuildBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3,
+      "bloom_build(key, expectedItems, fpp) takes a bigint key and literal sizing")
+    val items = args(1) match {
+      case Literal(v: Long, _) => v
+      case Literal(v: Int, _) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"bloom_build expectedItems must be an integer literal, got $other")
+    }
+    val fpp = args(2) match {
+      case Literal(v: Double, _) => v
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"bloom_build fpp must be a numeric literal, got $other")
+    }
+    BloomBuildAgg(args(0), items, fpp)
+  }
+
+  private[graft] val bloomProbeBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "bloom_might_contain(bloom, key) takes a constant binary sketch and a bigint key")
+    BloomMightContain(args(0), args(1))
+  }
+
   /** Register every function on a live session. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "float_vec_dot", dotBuilder)
@@ -108,5 +140,7 @@ object GraftExtensions {
     GraftSqlBridge.registerFunction(spark, "minhash_sig", minhashBuilder)
     GraftSqlBridge.registerFunction(spark, "sorted_intersect_count", intersectBuilder)
     GraftSqlBridge.registerFunction(spark, "topk_by", topkBuilder)
+    GraftSqlBridge.registerFunction(spark, "bloom_build", bloomBuildBuilder)
+    GraftSqlBridge.registerFunction(spark, "bloom_might_contain", bloomProbeBuilder)
   }
 }

@@ -112,9 +112,53 @@ object ApproxOps {
       .transform(Common.presented(_, col("event_type")))
   }
 
+  /** AP3's build-side predicate and sketch sizing (fpp 3% ≈ a few KB at
+    * these key counts; at 100 TB size `BloomExpectedItems` to the build
+    * side's distinct-key estimate and the bitmap stays ~1.2 MB per 10⁶
+    * keys). */
+  val BloomPriceMin = 490000.0
+  val BloomExpectedItems = 1L << 16
+  val BloomFpp = 0.03
+
+  /** AP3 — user-level runtime filter: semi-join `customer` to its
+    * high-value orders with a Bloom filter built over the SELECTIVE
+    * build side, probed BEFORE the join ([[graft.functions.BloomBuildAgg]]
+    * / [[graft.functions.BloomMightContain]]).
+    *
+    * Dataflow at 100 TB: the build side aggregates to ONE few-KB sketch
+    * row map-side (bitwise-OR merge); only the sketch crosses to the
+    * driver — an aggregate scalar like d6's convergence sum, never row
+    * data — and returns to executors as a plan constant, exactly the
+    * scalar-subquery dataflow of Spark's own `InjectRuntimeFilter`. The
+    * probe scan then drops ~(1−sel−fpp) of its rows inside whole-stage
+    * codegen before the exchange, so the exact semi-join that clears
+    * the fpp false positives shuffles only survivors. The RESULT is
+    * exact (bloom has no false negatives; the semi-join removes false
+    * positives) — hence a plain IN-subquery oracle. */
+  def bloomSemi(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{BloomBuildAgg, BloomMightContain}
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val build = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > BloomPriceMin)
+      .select(col("o_custkey"))
+    val sketch = build.agg(column(
+      BloomBuildAgg(expression(col("o_custkey")), BloomExpectedItems, BloomFpp)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned = Tables.customer(s, dir)
+      .filter(column(BloomMightContain(
+        expression(lit(sketch)), expression(col("c_custkey")))))
+    pruned
+      .join(build.distinct().withColumnRenamed("o_custkey", "c_custkey"),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .transform(Common.presented(_, col("c_custkey")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ap1_hll_distinct" -> (hllDistinctChecked _),
-    "ap2_quantiles" -> (quantilesChecked _))
+    "ap2_quantiles" -> (quantilesChecked _),
+    "ap3_bloom_semi" -> (bloomSemi _))
 
   /** The oracles check the deterministic halves (exact companions +
     * row surface) and pin `within_bound` to 1 — the Spark side
@@ -147,5 +191,13 @@ object ApproxOps {
         |       CAST(1 AS INT) AS within_bound
         |FROM ranked
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin,
+    // exact semantics: the bloom only changes the PLAN (probe-scan
+    // pruning); the final semi-join clears its false positives
+    "ap3_bloom_semi" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_totalprice > $BloomPriceMin)
+        |ORDER BY c_custkey""".stripMargin)
 }
