@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ScanOps, TextOps, WindowOps}
+import graft.sources.Tables
+
+/** Structural contracts for the round-6 log/text reshaping operators:
+  * TX14 chunk geometry, S7 SCD-2 interval algebra, W9 island algebra.
+  * Each is checked against the source table it derives from, not
+  * against itself. */
+class HistoryOpsSpec extends SparkSpec {
+
+  test("tx14: chunks tile each doc on the stride grid and digest the real slice") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextOps.chunk(spark, Sf).collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet, "every doc chunks, even empty ones")
+    byDoc.foreach { case (id, cs) =>
+      val text = docs(id)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // dense idx from 0; starts on the stride grid
+      assert(sorted.map(_.getAs[Int]("chunk_idx")).toSeq ==
+        sorted.indices.toSeq)
+      sorted.foreach { c =>
+        val start = c.getAs[Int]("chunk_start")
+        assert(start == c.getAs[Int]("chunk_idx") * TextOps.ChunkStride)
+        val slice = text.substring(math.min(start, text.length),
+          math.min(start + TextOps.ChunkSize, text.length))
+        assert(c.getAs[Int]("chunk_len") == slice.length)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(slice.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(c.getAs[String]("chunk_md5") == hex)
+      }
+      // coverage: last chunk reaches the end of the doc
+      val last = sorted.last
+      assert(last.getAs[Int]("chunk_start") + last.getAs[Int]("chunk_len") ==
+        text.length || text.isEmpty)
+      // every char position is inside some chunk (stride ≤ size)
+      assert(TextOps.ChunkStride <= TextOps.ChunkSize)
+    }
+  }
+
+  test("s7: SCD-2 intervals chain per user with one open current row") {
+    val rows = ScanOps.scd2(spark, Sf).collect()
+    val n = Tables.events(spark, Sf).count()
+    assert(rows.length == n, "every change becomes a version row")
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getAs[Int]("version"))
+      // versions dense from 1
+      assert(sorted.map(_.getAs[Int]("version")).toSeq ==
+        (1 to sorted.length).toSeq, s"user $u")
+      // exactly one open (current) interval, and it is the last
+      assert(sorted.count(_.getAs[Int]("is_current") == 1) == 1)
+      assert(sorted.last.getAs[Int]("is_current") == 1)
+      assert(sorted.last.isNullAt(sorted.last.fieldIndex("valid_to")))
+      // intervals chain: each closed row's valid_to == successor's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"), s"user $u gap")
+          assert(!a.getAs[java.sql.Timestamp]("valid_from")
+            .after(a.getAs[java.sql.Timestamp]("valid_to")), s"user $u order")
+        case _ =>
+      }
+    }
+  }
+
+  test("w9: island algebra matches a plain-Scala reference") {
+    val days = Tables.events(spark, Sf)
+      .select(col("user_id"), expr(s"ts div ${WindowOps.DayNanos}").as("day"))
+      .distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val rows = WindowOps.streaks(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSet == days.keySet)
+    rows.foreach { r =>
+      val ds = days(r.getAs[Long]("user_id"))
+      // reference: split the sorted day list at gaps > 1
+      val runs = ds.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (run :: rest), d) if run.head == d - 1 => (d :: run) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(_.length)
+      assert(r.getAs[Long]("n_active_days") == ds.length)
+      assert(r.getAs[Long]("n_islands") == runs.length)
+      assert(r.getAs[Long]("longest_streak") == runs.max)
+      assert(r.getAs[Long]("longest_streak") <= r.getAs[Long]("n_active_days"))
+    }
+  }
+}
