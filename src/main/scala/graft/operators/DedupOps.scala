@@ -262,6 +262,39 @@ object DedupOps {
     shapeClusters(s, dir, labels)
   }
 
+  /** D13 — INCREMENTAL clustering: merge a new batch's near-dup pairs
+    * into an existing cluster assignment without re-clustering the
+    * corpus. The production shape of d6 at 100 TB: daily dedup never
+    * reruns connected components over every historical edge — it
+    * contracts yesterday's assignment to STAR edges (doc → its label,
+    * one edge per non-root member) and runs components over
+    * stars ∪ batch-touching pairs only, a graph whose size is
+    * O(corpus members-in-clusters + batch edges), independent of the
+    * historical EDGE count (the expensive part: LSH pairs are quadratic
+    * in bucket occupancy, the assignment is linear in docs).
+    *
+    * Star contraction preserves connectivity exactly, so the merged
+    * labels are IDENTICAL to a full re-cluster — the registered query
+    * recomputes the "yesterday" phase from the same parquet (batch =
+    * doc_id % 10 == 0) to stay deterministic, and the driver hash-gates
+    * it against the very same recursive-closure oracle as d6/d6b;
+    * StarComponentsSpec pins d13 == d6b row-for-row. */
+  def incrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshCore(s, dir)
+      .filter(col("is_near_dup") === 1).select(col("a"), col("b"))
+      .persist()
+    val batchTouch = col("a") % 10 === 0 || col("b") % 10 === 0
+    // "yesterday": components over pairs fully inside the corpus slice
+    val (labels0, _) = StarComponents.components(pairs.filter(!batchTouch))
+    // contract to star edges and merge with the batch's pairs
+    val stars = labels0.filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id").as("a"), col("label").as("b"))
+    val (merged, _) = StarComponents.components(
+      stars.unionByName(pairs.filter(batchTouch)))
+    pairs.unpersist() // both phases are checkpoint-backed past this point
+    shapeClusters(s, dir, merged)
+  }
+
   /** Shared tail of d6/d6b: singleton docs (never in the pair graph —
     * the vast majority at scale) rejoin as their own cluster; keeper =
     * the component's min doc. */
@@ -544,7 +577,8 @@ object DedupOps {
     "d9_quality_keeper" -> (qualityKeeper _),
     "d10_cluster_split" -> (clusterSplit _),
     "d11_embed_clusters" -> (embedClusters _),
-    "d12_split_leakage" -> (splitLeakage _))
+    "d12_split_leakage" -> (splitLeakage _),
+    "d13_incremental_clusters" -> (incrementalClusters _))
 
   /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
     * as a recursive-closure CTE. */
@@ -678,6 +712,9 @@ object DedupOps {
     // d6b computes the SAME result by a different algorithm — identical
     // oracle, so the driver hash-gates both against one ground truth
     "d6b_star_clusters" -> d6OracleSql,
+    // d13's star-contraction merge provably equals a full re-cluster,
+    // so it shares that ground truth too
+    "d13_incremental_clusters" -> d6OracleSql,
     "d7_incremental_dedup" ->
       s"""WITH h AS (SELECT doc_id,
          |             md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' ')) AS head_key

@@ -110,4 +110,34 @@ class StarComponentsSpec extends SparkSpec {
     assert(d6b === d6)
     assert(d6.nonEmpty)
   }
+
+  test("d13 incremental merge equals a full re-cluster on the real corpus") {
+    val full = graft.operators.DedupOps.dedupClustersStar(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val inc = graft.operators.DedupOps.incrementalClusters(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
+  test("star contraction preserves components: merge(stars ∪ delta) == full CC") {
+    // synthetic two-phase graph: old edges cluster {1..5}+{10,11};
+    // delta edges attach {20,21} and BRIDGE the two old components
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (10L, 11L), (3L, 4L))
+    val delta = Seq((20L, 21L), (21L, 10L), (10L, 5L))
+    import spark.implicits._
+    val (labels0, _) = graft.operators.StarComponents.components(
+      oldEdges.toDF("a", "b"))
+    val stars = labels0.filter($"doc_id" =!= $"label")
+      .select($"doc_id".as("a"), $"label".as("b"))
+    val (merged, _) = graft.operators.StarComponents.components(
+      stars.unionByName(delta.toDF("a", "b")))
+    val (direct, _) = graft.operators.StarComponents.components(
+      (oldEdges ++ delta).toDF("a", "b"))
+    val m = merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = direct.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === d)
+    // the bridge really merged everything into min-vertex 1
+    assert(d.values.toSet === Set(1L))
+  }
 }
