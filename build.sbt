@@ -16,6 +16,12 @@ run / fork := true
 // driver json.loads the Bench line; a "[info] " prefix breaks it —
 // BENCH_r04 recorded parsed: null for exactly this reason).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and the trailing "[success] Total time: ..." line sbt prints
+// AFTER the Bench JSON breaks a parse-the-last-line driver (every
+// BENCH_r0N.json so far records parsed: null with that [success] line
+// sitting right behind the metric line in the captured tail). Silence
+// it so the Bench/Verify JSON is the LAST stdout line.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

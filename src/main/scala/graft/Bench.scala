@@ -50,14 +50,27 @@ object Bench {
         } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
       name -> r
     }
+    // 3-decimal seconds: ms precision is already below run-to-run noise,
+    // and it keeps the one-line JSON compact enough to survive a
+    // bounded-tail capture of the run's stdout
     val qs = results.map {
-      case (k, Right(v)) => s""""$k":$v"""
+      case (k, Right(v)) => s""""$k":${"%.3f".format(v)}"""
       case (k, Left(err)) => s""""$k":"ERROR:$err""""
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, Right(v)) => v }
     val errors = results.count(_._2.isLeft)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    // durable copy for post-hoc analysis (the printed line is the
+    // driver contract; stdout tails get truncated)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    // LAST stdout line (showSuccess := false suppresses sbt's trailing
+    // "[success]" line; spark.stop() above keeps shutdown logs off
+    // stderr from landing after it on interleaved captures)
+    println(line)
   }
 }
