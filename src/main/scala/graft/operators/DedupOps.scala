@@ -336,6 +336,39 @@ object DedupOps {
       .transform(Common.presented(_, col("a"), col("b")))
   }
 
+  /** D14 — asymmetric CONTAINMENT (quote/subset detection): within the
+    * same (lang, source) blocks as d4, `|A∩B| / |A|` and `|A∩B| / |B|`
+    * over the hashed-bigram sets. Jaccard misses the case a curation
+    * pipeline cares about most — a short doc wholly quoted inside a
+    * long one scores low Jaccard but containment ≈ 1 from the short
+    * side — so the keep/drop gate reads the DIRECTIONAL ratio
+    * (`is_subset` fires when either direction clears 80%). Same
+    * compiled sorted-merge intersection and the same blocked-pair
+    * bound as d4: one extra division per pair, zero new shuffles; the
+    * ratios are double divisions of exact integers, bit-identical on
+    * both engines. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions._
+    val d = Common.spread(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        hashedShingleSet(tokens(col("text")), 2).as("hs"))
+    val inter = sortedIntersectCount(col("x.hs"), col("y.hs")).cast("long")
+    val sizeA = size(col("x.hs")).cast("long")
+    val sizeB = size(col("y.hs")).cast("long")
+    val contA = inter.cast("double") / sizeA.cast("double")
+    val contB = inter.cast("double") / sizeB.cast("double")
+    d.as("x").join(d.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+      // a bigram-less doc (< 2 tokens) has no containment direction
+      .filter(sizeA > 0 && sizeB > 0)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        sizeA.as("size_a"), sizeB.as("size_b"), inter.as("inter_cnt"),
+        contA.as("cont_a_in_b"), contB.as("cont_b_in_a"),
+        when(contA >= 0.8 || contB >= 0.8, 1).otherwise(0).as("is_subset"))
+      .transform(Common.presented(_, col("a"), col("b")))
+  }
+
   /** D5 — embedding near-dup: nearest neighbor within a 16-bucket
     * sign-LSH partition, flagged when cosine exceeds 0.35 (far from any
     * observed pair boundary in the harness data; the flag is derived
@@ -578,7 +611,8 @@ object DedupOps {
     "d10_cluster_split" -> (clusterSplit _),
     "d11_embed_clusters" -> (embedClusters _),
     "d12_split_leakage" -> (splitLeakage _),
-    "d13_incremental_clusters" -> (incrementalClusters _))
+    "d13_incremental_clusters" -> (incrementalClusters _),
+    "d14_containment" -> (containment _))
 
   /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
     * as a recursive-closure CTE. */
@@ -685,6 +719,23 @@ object DedupOps {
          |       CAST(len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS BIGINT) AS union_cnt
          |FROM t x JOIN t y
          |  ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+    "d14_containment" ->
+      s"""WITH t AS (SELECT doc_id, lang, source,
+         |             list_distinct(list_transform($bgSql, s -> ${tokHashSql("s")})) AS hs
+         |           FROM documents)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |       CAST(len(x.hs) AS BIGINT) AS size_a,
+         |       CAST(len(y.hs) AS BIGINT) AS size_b,
+         |       CAST(len(list_intersect(x.hs, y.hs)) AS BIGINT) AS inter_cnt,
+         |       CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / CAST(len(x.hs) AS DOUBLE) AS cont_a_in_b,
+         |       CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / CAST(len(y.hs) AS DOUBLE) AS cont_b_in_a,
+         |       CAST(CASE WHEN CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / CAST(len(x.hs) AS DOUBLE) >= 0.8
+         |                   OR CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) / CAST(len(y.hs) AS DOUBLE) >= 0.8
+         |                 THEN 1 ELSE 0 END AS INT) AS is_subset
+         |FROM t x JOIN t y
+         |  ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
+         |WHERE len(x.hs) > 0 AND len(y.hs) > 0
          |ORDER BY a, b""".stripMargin,
     "d5_embed_neardup" ->
       s"""$d5CoreSql

@@ -189,6 +189,41 @@ object JoinOps {
   private val asofOutCols = Seq("l_event_id", "user_id", "l_ts", "l_value",
     "r_event_id", "r_ts", "r_value").map(col)
 
+  /** JX8 — `FOR SYSTEM_TIME AS OF` as a composition: probe each click
+    * against the SCD-2 dimension S7 builds (here: the user's
+    * signup/purchase change history), matching the version whose
+    * validity interval contains the click. Because SCD-2 intervals
+    * tile each user's timeline ([valid_from, next valid_from)), "the
+    * interval containing ts" IS "the latest change ≤ ts" — so the
+    * temporal-table lookup needs no interval join at all, just the
+    * jx5 as-of merge against the change log, with `version`/`state`
+    * riding along. One shuffle+sort per side (none when both are
+    * bucketed by user_id, ScaleSpec's layout), O(1) merge state —
+    * the warehouse point-in-time enrichment at any scale. */
+  def pitScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = ScanOps.eventsTs(s, dir)
+    val dim = ev.filter(col("event_type").isin("signup", "purchase") &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("state_version", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .select(col("user_id").as("r_user"), col("ts").as("state_since"),
+        col("event_type").as("state"), col("value").as("state_value"),
+        col("state_version"))
+    val probe = ev.filter(col("event_type") === "click" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"))
+    graft.plans.AsofJoin.asof(probe, dim,
+        Seq(probe("user_id")), Seq(dim("r_user")),
+        probe("l_ts"), dim("state_since"))
+      .select(col("l_event_id"), col("user_id"), col("l_ts"),
+        col("state"), col("state_version"), col("state_since"),
+        col("state_value"))
+      .transform(Common.presented(_, col("l_event_id")))
+  }
+
   /** JX4 — as-of join, composable restatement (the (a)-tier from the
     * brief's custom-operator ladder): tag and union both sides, sort
     * each user's timeline with right rows first at equal ts (inclusive
@@ -321,6 +356,7 @@ object JoinOps {
     "jx5_asof_native" -> (asofNative _),
     "jx6_range_bucketed" -> (rangeBucketed _),
     "jx7_asof_tolerance" -> (asofTolerance _),
+    "jx8_pit_scd2" -> (pitScd2 _),
     "j1_sid_syncid" -> (sidSyncidJoin _),
     "j2_dim_broadcast" -> (dimBroadcast _),
     "a8_ship_priority" -> (shippingPriority _),
@@ -354,6 +390,22 @@ object JoinOps {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "jx4_asof_window" -> asofOracle,
     "jx5_asof_native" -> asofOracle,
+    // temporal-table lookup == as-of against the change log (intervals
+    // tile the timeline), so DuckDB's ASOF JOIN is the exact oracle
+    "jx8_pit_scd2" ->
+      """WITH dim AS (SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS state_since,
+        |                    event_type AS state, value AS state_value,
+        |                    CAST(row_number() OVER (PARTITION BY user_id
+        |                      ORDER BY ts, event_id) AS INT) AS state_version
+        |             FROM events
+        |             WHERE event_type IN ('signup', 'purchase')),
+        |probe AS (SELECT event_id AS l_event_id, user_id,
+        |                 CAST(ts AS TIMESTAMP) AS l_ts
+        |          FROM events WHERE event_type = 'click')
+        |SELECT l_event_id, user_id, l_ts, state, state_version, state_since, state_value
+        |FROM probe ASOF JOIN dim
+        |  ON probe.user_id = dim.r_user AND dim.state_since <= probe.l_ts
+        |ORDER BY l_event_id""".stripMargin,
     // DuckDB's native ASOF picks the same latest-at-or-before row, so
     // the tolerance restates as the identical post-join predicate —
     // applied in an OUTER block behind a MATERIALIZED barrier: DuckDB
