@@ -61,6 +61,49 @@ class AsofJoinSpec extends SparkSpec {
     assert(jx5.exceptAll(jx4).count() === 0)
   }
 
+  test("jx8: matched state is the LATEST change at or before each click") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.JoinOps.pitScd2(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // brute-force reference: all (user, change-ts) pairs
+    val changes = graft.operators.ScanOps.eventsTs(spark, Sf)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("ts")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getTimestamp(1).getTime).sorted).toMap
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val lTs = r.getAs[java.sql.Timestamp]("l_ts").getTime
+      val since = r.getAs[java.sql.Timestamp]("state_since").getTime
+      assert(since <= lTs)
+      val expected = changes(u).filter(_ <= lTs).max
+      assert(since == expected, s"user $u at $lTs")
+      // version ordinal counts the changes up to the match
+      assert(r.getAs[Int]("state_version") ==
+        changes(u).count(_ <= since))
+    }
+  }
+
+  test("d14: containment bounds and self-containment on duplicated text") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.DedupOps.containment(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sa, sb, inter) = (r.getAs[Long]("size_a"),
+        r.getAs[Long]("size_b"), r.getAs[Long]("inter_cnt"))
+      assert(inter <= math.min(sa, sb))
+      val (ca, cb) = (r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a"))
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+      assert(ca == inter.toDouble / sa && cb == inter.toDouble / sb)
+      assert((r.getAs[Int]("is_subset") == 1) == (ca >= 0.8 || cb >= 0.8))
+      // exact-duplicate shingle sets contain each other fully
+      if (inter == sa && sa == sb) assert(ca == 1.0 && cb == 1.0)
+    }
+    // the harness corpus DOES contain duplicated texts in-block: at
+    // least one pair is mutually contained
+    assert(rows.exists(r => r.getAs[Double]("cont_a_in_b") == 1.0))
+  }
+
   test("plan: one exchange per side, no union/window, merge exec present") {
     val executed = graft.operators.JoinOps.asofNative(spark, Sf)
       .queryExecution.executedPlan
