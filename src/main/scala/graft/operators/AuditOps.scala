@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality constraint audit — the "expectations" check every
+  * production pipeline runs before trusting a snapshot (the reference
+  * enforces the same classes inline while transforming: required
+  * fields, api_type domain {10..14}, per-key uniqueness —
+  * `/root/reference/src/main/java/com/thaihoc/process/request/InvoiceRequestTransformer.java:57-96`
+  * rejects on exactly these. Here they're ALSO a standalone audit
+  * operator, because at 100 TB you audit data you did not produce).
+  *
+  * One row per declared constraint: rows checked, violations, pass
+  * flag. Plan shape: each table contributes ONE scan-bound aggregate
+  * (all of a table's constraint counters are conditional sums fused
+  * into a single partial agg — adding a constraint adds a column, not
+  * a scan), the referential check is a broadcast-dim anti-join
+  * collapsed to a count, and the per-constraint rows union at the end
+  * (a union of 1-row aggregates — no shuffle anywhere but the dim
+  * broadcast and each agg's own 1-row exchange). */
+object AuditOps {
+
+  def constraints(s: SparkSession, dir: String): DataFrame = {
+    val one = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    // events: nullability, domain, uniqueness — one fused scan
+    val ev = Tables.events(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      one(col("user_id").isNull).as("null_user"),
+      one(col("props").isNull).as("null_props"),
+      one(col("value").isNull || col("value") < 0.0).as("bad_value"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_event_id"))
+    def evRow(name: String, violations: org.apache.spark.sql.Column) =
+      ev.select(lit(name).as("constraint_name"), col("n_rows"),
+        violations.cast("long").as("n_violations"))
+    // orders → customer referential integrity: broadcast the dim keys,
+    // count orphans (anti-join collapsed to a conditional count so the
+    // fact side is ONE pass — null FK counts as its own constraint)
+    val orphans = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_outer")
+      .agg(count(lit(1)).as("n_rows"),
+        one(col("o_custkey").isNull).as("null_fk"),
+        one(col("o_custkey").isNotNull && col("c_custkey").isNull)
+          .as("orphan_fk"))
+    def ordRow(name: String, violations: org.apache.spark.sql.Column) =
+      orphans.select(lit(name).as("constraint_name"), col("n_rows"),
+        violations.cast("long").as("n_violations"))
+    // lineitem value ranges — one fused scan
+    val li = Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      one(col("l_quantity") <= 0).as("bad_qty"),
+      one(col("l_discount") < 0.0 || col("l_discount") > 1.0).as("bad_disc"))
+    def liRow(name: String, violations: org.apache.spark.sql.Column) =
+      li.select(lit(name).as("constraint_name"), col("n_rows"),
+        violations.cast("long").as("n_violations"))
+    evRow("events.user_id_not_null", col("null_user"))
+      .unionByName(evRow("events.props_not_null", col("null_props")))
+      .unionByName(evRow("events.value_non_negative", col("bad_value")))
+      .unionByName(evRow("events.event_id_unique", col("dup_event_id")))
+      .unionByName(ordRow("orders.o_custkey_not_null", col("null_fk")))
+      .unionByName(ordRow("orders.o_custkey_in_customer", col("orphan_fk")))
+      .unionByName(liRow("lineitem.l_quantity_positive", col("bad_qty")))
+      .unionByName(liRow("lineitem.l_discount_in_unit_range", col("bad_disc")))
+      .select(col("constraint_name"), col("n_rows"), col("n_violations"),
+        when(col("n_violations") === 0, 1).otherwise(0).as("pass"))
+      .transform(Common.presented(_, col("constraint_name")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_constraints" -> (constraints _))
+
+  val oracles: Map[String, String] = Map(
+    "dq1_constraints" ->
+      """WITH ev AS (SELECT count(*) AS n_rows,
+        |                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user,
+        |                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |                   CAST(sum(CASE WHEN value IS NULL OR value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_value,
+        |                   count(*) - count(DISTINCT event_id) AS dup_event_id
+        |            FROM events),
+        |ord AS (SELECT count(*) AS n_rows,
+        |               CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_fk,
+        |               CAST(sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_fk
+        |        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |li AS (SELECT count(*) AS n_rows,
+        |              CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_qty,
+        |              CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc
+        |       FROM lineitem),
+        |rows_out AS (
+        |  SELECT 'events.user_id_not_null' AS constraint_name, n_rows, null_user AS n_violations FROM ev
+        |  UNION ALL SELECT 'events.props_not_null', n_rows, null_props FROM ev
+        |  UNION ALL SELECT 'events.value_non_negative', n_rows, bad_value FROM ev
+        |  UNION ALL SELECT 'events.event_id_unique', n_rows, dup_event_id FROM ev
+        |  UNION ALL SELECT 'orders.o_custkey_not_null', n_rows, null_fk FROM ord
+        |  UNION ALL SELECT 'orders.o_custkey_in_customer', n_rows, orphan_fk FROM ord
+        |  UNION ALL SELECT 'lineitem.l_quantity_positive', n_rows, bad_qty FROM li
+        |  UNION ALL SELECT 'lineitem.l_discount_in_unit_range', n_rows, bad_disc FROM li)
+        |SELECT constraint_name, n_rows, n_violations,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass
+        |FROM rows_out
+        |ORDER BY constraint_name""".stripMargin)
+}
