@@ -32,9 +32,17 @@ object AuditOps {
       one(col("props").isNull).as("null_props"),
       one(col("value").isNull || col("value") < 0.0).as("bad_value"),
       (count(lit(1)) - countDistinct(col("event_id"))).as("dup_event_id"))
-    def evRow(name: String, violations: org.apache.spark.sql.Column) =
-      ev.select(lit(name).as("constraint_name"), col("n_rows"),
-        violations.cast("long").as("n_violations"))
+    // unpivot each 1-row aggregate into per-constraint rows with ONE
+    // explode — a unionByName of per-constraint selects would inline
+    // (and re-execute) the whole aggregate subtree per branch, scanning
+    // every table once per constraint (PlanContractSpec pins the
+    // one-scan-per-table shape)
+    def unpivot(agg: DataFrame, pairs: (String, String)*): DataFrame =
+      agg.select(explode(array(pairs.map { case (name, c) =>
+          struct(lit(name).as("constraint_name"), col("n_rows"),
+            col(c).cast("long").as("n_violations"))
+        }: _*)).as("r"))
+        .select(col("r.constraint_name"), col("r.n_rows"), col("r.n_violations"))
     // orders → customer referential integrity: broadcast the dim keys,
     // count orphans (anti-join collapsed to a conditional count so the
     // fact side is ONE pass — null FK counts as its own constraint)
@@ -45,25 +53,22 @@ object AuditOps {
         one(col("o_custkey").isNull).as("null_fk"),
         one(col("o_custkey").isNotNull && col("c_custkey").isNull)
           .as("orphan_fk"))
-    def ordRow(name: String, violations: org.apache.spark.sql.Column) =
-      orphans.select(lit(name).as("constraint_name"), col("n_rows"),
-        violations.cast("long").as("n_violations"))
     // lineitem value ranges — one fused scan
     val li = Tables.lineitem(s, dir).agg(
       count(lit(1)).as("n_rows"),
       one(col("l_quantity") <= 0).as("bad_qty"),
       one(col("l_discount") < 0.0 || col("l_discount") > 1.0).as("bad_disc"))
-    def liRow(name: String, violations: org.apache.spark.sql.Column) =
-      li.select(lit(name).as("constraint_name"), col("n_rows"),
-        violations.cast("long").as("n_violations"))
-    evRow("events.user_id_not_null", col("null_user"))
-      .unionByName(evRow("events.props_not_null", col("null_props")))
-      .unionByName(evRow("events.value_non_negative", col("bad_value")))
-      .unionByName(evRow("events.event_id_unique", col("dup_event_id")))
-      .unionByName(ordRow("orders.o_custkey_not_null", col("null_fk")))
-      .unionByName(ordRow("orders.o_custkey_in_customer", col("orphan_fk")))
-      .unionByName(liRow("lineitem.l_quantity_positive", col("bad_qty")))
-      .unionByName(liRow("lineitem.l_discount_in_unit_range", col("bad_disc")))
+    unpivot(ev,
+        "events.user_id_not_null" -> "null_user",
+        "events.props_not_null" -> "null_props",
+        "events.value_non_negative" -> "bad_value",
+        "events.event_id_unique" -> "dup_event_id")
+      .unionByName(unpivot(orphans,
+        "orders.o_custkey_not_null" -> "null_fk",
+        "orders.o_custkey_in_customer" -> "orphan_fk"))
+      .unionByName(unpivot(li,
+        "lineitem.l_quantity_positive" -> "bad_qty",
+        "lineitem.l_discount_in_unit_range" -> "bad_disc"))
       .select(col("constraint_name"), col("n_rows"), col("n_violations"),
         when(col("n_violations") === 0, 1).otherwise(0).as("pass"))
       .transform(Common.presented(_, col("constraint_name")))

@@ -228,8 +228,14 @@ object WindowOps {
     * types. */
   def streaks(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // repartition on user_id ALONE before the distinct: hash(user_id)
+    // satisfies ClusteredDistribution(user_id, day) (subset rule), so
+    // the dedup, the island window and both rollups all reuse this ONE
+    // exchange — a plain .distinct() would hash on (user_id, day) and
+    // force a second exchange for the window (PlanContractSpec pins it)
     val days = graft.sources.Tables.events(s, dir)
       .select(col("user_id"), expr(s"ts div $DayNanos").as("day"))
+      .repartition(col("user_id"))
       .distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val islands = days

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Structural plan contracts for the round-6 operators — the
+  * scale-critical properties the timings can't pin (a regression that
+  * adds a scan or an exchange still "passes" at harness SF; these
+  * assertions fail it loudly). */
+class PlanContractSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): SparkPlan = {
+    val p = df.queryExecution.executedPlan
+    p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+  }
+
+  private def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(f) ++ p.subqueries.flatMap(collectAll(_)(f))
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    collectAll(p) { case s: FileSourceScanExec => s }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    collectAll(p) { case e: ShuffleExchangeExec => e }
+
+  test("ap3: bloom probe filters the scan BELOW any exchange; dims broadcast") {
+    val p = executed(graft.operators.ApproxOps.bloomSemi(spark, Sf))
+    val txt = p.toString
+    assert(txt.contains("bloom_might_contain"), "probe expression missing from plan")
+    // the probe-side filter must sit in the same (pre-exchange) stage
+    // as the customer scan: no ShuffleExchange between scan and filter
+    val filterAboveScan = p.collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("bloom_might_contain") => f
+    }
+    assert(filterAboveScan.isDefined, "bloom filter node not found")
+    assert(shuffles(filterAboveScan.get).isEmpty,
+      "an exchange crept between the probe scan and the bloom filter")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "the cleared-FP semi-join should broadcast the slim key side")
+  }
+
+  test("dq1: one scan per audited table — constraints fuse, they don't re-scan") {
+    val p = executed(graft.operators.AuditOps.constraints(spark, Sf))
+    val byTable = scans(p).groupBy(_.relation.location.rootPaths.head.getName)
+    // events, orders, customer, lineitem — exactly one scan each
+    assert(byTable.keySet == Set("events.parquet", "orders.parquet",
+      "customer.parquet", "lineitem.parquet"), byTable.keySet.toString)
+    byTable.foreach { case (t, ss) =>
+      assert(ss.size == 1, s"$t scanned ${ss.size}×— a constraint added a scan")
+    }
+  }
+
+  test("tx14: chunking is scan-bound — only the presentation exchange") {
+    val p = executed(graft.operators.TextOps.chunk(spark, Sf))
+    assert(shuffles(p).size <= 1, p.toString.take(2000))
+    assert(scans(p).size == 1)
+  }
+
+  test("s7/w9/jx8: exactly the one data exchange (plus presentation)") {
+    Seq[DataFrame](
+      graft.operators.ScanOps.scd2(spark, Sf),
+      graft.operators.WindowOps.streaks(spark, Sf)).foreach { df =>
+      val p = executed(df)
+      assert(shuffles(p).size <= 2, p.toString.take(2000))
+      assert(scans(p).size == 1, "these read the events log once")
+    }
+    // jx8: probe + dim sides shuffle once each, plus presentation
+    val p8 = executed(graft.operators.JoinOps.pitScd2(spark, Sf))
+    assert(shuffles(p8).size <= 3, p8.toString.take(2000))
+  }
+}
