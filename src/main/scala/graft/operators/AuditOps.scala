@@ -22,27 +22,40 @@ import graft.sources.Tables
   * broadcast and each agg's own 1-row exchange). */
 object AuditOps {
 
+  private val one = (c: org.apache.spark.sql.Column) =>
+    sum(when(c, 1L).otherwise(0L))
+
+  /** The events-table audit counters as ONE fused aggregate over any
+    * frame with the events schema — sort-free and source-agnostic, so
+    * the same core audits a parquet snapshot (dq1) or each micro-batch
+    * of a stream (StreamingAuditSpec: the per-batch data-quality
+    * monitor every ingest pipeline runs in foreachBatch before
+    * committing a batch downstream). */
+  def eventsAuditCore(ev: DataFrame): DataFrame =
+    unpivot(ev.agg(
+        count(lit(1)).as("n_rows"),
+        one(col("user_id").isNull).as("null_user"),
+        one(col("props").isNull).as("null_props"),
+        one(col("value").isNull || col("value") < 0.0).as("bad_value"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("dup_event_id")),
+      "events.user_id_not_null" -> "null_user",
+      "events.props_not_null" -> "null_props",
+      "events.value_non_negative" -> "bad_value",
+      "events.event_id_unique" -> "dup_event_id")
+
+  /** Unpivot a 1-row counter aggregate into per-constraint rows with
+    * ONE explode — a unionByName of per-constraint selects would
+    * inline (and re-execute) the whole aggregate subtree per branch,
+    * scanning every table once per constraint (PlanContractSpec pins
+    * the one-scan-per-table shape). */
+  private def unpivot(agg: DataFrame, pairs: (String, String)*): DataFrame =
+    agg.select(explode(array(pairs.map { case (name, c) =>
+        struct(lit(name).as("constraint_name"), col("n_rows"),
+          col(c).cast("long").as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.constraint_name"), col("r.n_rows"), col("r.n_violations"))
+
   def constraints(s: SparkSession, dir: String): DataFrame = {
-    val one = (c: org.apache.spark.sql.Column) =>
-      sum(when(c, 1L).otherwise(0L))
-    // events: nullability, domain, uniqueness — one fused scan
-    val ev = Tables.events(s, dir).agg(
-      count(lit(1)).as("n_rows"),
-      one(col("user_id").isNull).as("null_user"),
-      one(col("props").isNull).as("null_props"),
-      one(col("value").isNull || col("value") < 0.0).as("bad_value"),
-      (count(lit(1)) - countDistinct(col("event_id"))).as("dup_event_id"))
-    // unpivot each 1-row aggregate into per-constraint rows with ONE
-    // explode — a unionByName of per-constraint selects would inline
-    // (and re-execute) the whole aggregate subtree per branch, scanning
-    // every table once per constraint (PlanContractSpec pins the
-    // one-scan-per-table shape)
-    def unpivot(agg: DataFrame, pairs: (String, String)*): DataFrame =
-      agg.select(explode(array(pairs.map { case (name, c) =>
-          struct(lit(name).as("constraint_name"), col("n_rows"),
-            col(c).cast("long").as("n_violations"))
-        }: _*)).as("r"))
-        .select(col("r.constraint_name"), col("r.n_rows"), col("r.n_violations"))
     // orders → customer referential integrity: broadcast the dim keys,
     // count orphans (anti-join collapsed to a conditional count so the
     // fact side is ONE pass — null FK counts as its own constraint)
@@ -58,11 +71,7 @@ object AuditOps {
       count(lit(1)).as("n_rows"),
       one(col("l_quantity") <= 0).as("bad_qty"),
       one(col("l_discount") < 0.0 || col("l_discount") > 1.0).as("bad_disc"))
-    unpivot(ev,
-        "events.user_id_not_null" -> "null_user",
-        "events.props_not_null" -> "null_props",
-        "events.value_non_negative" -> "bad_value",
-        "events.event_id_unique" -> "dup_event_id")
+    eventsAuditCore(Tables.events(s, dir))
       .unionByName(unpivot(orphans,
         "orders.o_custkey_not_null" -> "null_fk",
         "orders.o_custkey_in_customer" -> "orphan_fk"))
