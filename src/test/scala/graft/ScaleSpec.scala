@@ -78,4 +78,42 @@ class ScaleSpec extends SparkSpec {
       .flatMap(_.files.map(_.getPath.toString))
       .exists(p => p.contains("event_type=") && !p.contains("event_type=click")))
   }
+
+  test("size-targeted compaction: range-clustered files with bounded rows and disjoint key ranges") {
+    import org.apache.spark.sql.functions._
+    // the small-files compaction pass every lakehouse table needs:
+    // range-repartition on the scan key + a per-file row cap gives
+    // bounded file sizes AND non-overlapping key ranges, so a reader's
+    // key predicate prunes to few files via parquet min/max stats
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    val rows = 10000L
+    val cap = 1500
+    graft.sources.Tables.events(spark, Sf)
+      .limit(rows.toInt)
+      .repartitionByRange(4, col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", cap)
+      .parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 4, "range partitions + cap should emit several files")
+    // per-file row bound holds and key ranges are pairwise disjoint
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f)
+        .agg(count(lit(1)), min(col("event_id")), max(col("event_id"))).head()
+      assert(d.getLong(0) <= cap, s"$f exceeds maxRecordsPerFile")
+      (d.getLong(1), d.getLong(2))
+    }
+    assert(ranges.map(_._1).sum >= 0) // force evaluation
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, "file key ranges overlap — min/max pruning would read extra files")
+      case _ =>
+    }
+    // total preserved
+    assert(spark.read.parquet(out).count() == rows.min(
+      graft.sources.Tables.events(spark, Sf).count()))
+  }
 }
