@@ -112,4 +112,61 @@ class PropertySpec extends SparkSpec {
       }
     }, 5)
   }
+
+  test("property: bloom filter never false-negatives and codegen == library probe") {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import graft.functions.{BloomBuildAgg, BloomMightContain}
+    import spark.implicits._
+    val keysGen = Gen.nonEmptyListOf(Gen.choose(-100000L, 100000L))
+    check(Prop.forAllNoShrink(keysGen, keysGen) { (members, probes) =>
+      val bytes = members.toDF("k")
+        .agg(column(BloomBuildAgg(expression(col("k")), 4096, 0.03)
+          .toAggregateExpression()))
+        .head().getAs[Array[Byte]](0)
+      val lib = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      val hits = (members ++ probes).distinct.toDF("k")
+        .select(col("k"), column(BloomMightContain(
+          expression(lit(bytes)), expression(col("k")))).as("hit"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      members.forall(hits(_)) && // no false negatives, ever
+        hits.forall { case (k, h) => h == lib.mightContainLong(k) }
+    }, 10)
+  }
+
+  test("property: containment ratios match a plain-Scala shingle reference") {
+    import spark.implicits._
+    import graft.functions.ShingleExpressions._
+    import graft.functions.TextFunctions.tokens
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    // plain-Scala reference: hashed-bigram sets via the same md5-60bit rule
+    def hs(text: String): Set[Long] = {
+      val ts = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ts.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet[String]
+        .map { s =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val d = md.digest(s.getBytes("UTF-8"))
+          (0 until 15).foldLeft(0L) { (h, k) =>
+            val b = d(k / 2) & 0xff
+            (h << 4) | (if (k % 2 == 0) b >>> 4 else b & 0xf)
+          }
+        }
+    }
+    check(Prop.forAllNoShrink(textGen, textGen) { (ta, tb) =>
+      val (sa, sb) = (hs(ta), hs(tb))
+      sa.isEmpty || sb.isEmpty || {
+        val df = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+          .select(col("doc_id"),
+            hashedShingleSet(tokens(col("text")), 2).as("hs"))
+        val inter = df.as("x").join(df.as("y"),
+            col("x.doc_id") < col("y.doc_id"))
+          .select(sortedIntersectCount(col("x.hs"), col("y.hs")).cast("long"),
+            size(col("x.hs")).cast("long"), size(col("y.hs")).cast("long"))
+          .head()
+        inter.getLong(0) == (sa & sb).size &&
+          inter.getLong(1) == sa.size && inter.getLong(2) == sb.size
+      }
+    }, 15)
+  }
 }
