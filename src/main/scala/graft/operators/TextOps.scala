@@ -477,9 +477,86 @@ object TextOps {
   private def substring_index_free: Column =
     expr(s"substring(text, chunk_start + 1, $ChunkSize)")
 
+  /** TX16's hash-bucket resolution: keep thresholds are integer
+    * fractions of this modulus, so sampling decisions are exact
+    * integer comparisons on both engines. */
+  val SampleMod = 1000000L
+
+  /** TX16 — mixture-driven DOWNSAMPLING toward uniform (lang, source)
+    * cells: the op that USES tx11's mixture math. Every cell keeps a
+    * deterministic hash-share of its docs sized so each cell
+    * contributes the same expected token mass — the smallest cell's —
+    * with no upsampling. keep iff
+    * `md5("sample:"+doc_id) mod SampleMod < min_cell_tokens·SampleMod/cell_tokens`
+    * (all BIGINT math). Deterministic per doc_id: reshuffling, engine
+    * swap or re-runs keep the identical sample — the reproducibility
+    * property a training-data freeze needs.
+    *
+    * Plan: tx11's cell aggregate (tiny) + a one-row min broadcast back
+    * onto the doc scan — the decision is a per-row integer compare, so
+    * at 100 TB the sample is one scan-bound pass over the corpus. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val nTok = aggregate(toks, lit(0L),
+      (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), nTok.as("n_tok"))
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tok")).as("cell_tokens"))
+    val mn = cells.agg(min(col("cell_tokens")).as("min_tokens"))
+    // integer division (Column./ is double division — a rounding hazard)
+    val thr = expr(s"(min_tokens * $SampleMod) div cell_tokens")
+    val bucket = pmod(md5Long(concat(lit("sample:"), col("doc_id").cast("string"))),
+      lit(SampleMod))
+    docs
+      .join(broadcast(cells), Seq("lang", "source"))
+      .crossJoin(broadcast(mn))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+        bucket.as("bucket"), thr.as("thr"),
+        when(bucket < thr, 1).otherwise(0).as("kept"))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
+  /** TX17 — token-budget corpus selection: per language, keep the
+    * highest-scoring docs until HALF the language's token mass is
+    * spent — the data-mixing step that turns quality scores into an
+    * actual training corpus. Score here is lexical diversity
+    * (distinct-token count, integer; ties by doc_id) — any integer
+    * score column slots in. The budget is RELATIVE (half of each
+    * lang's total), so the operator is scale-free; kept is a pure
+    * window computation: cumulative tokens in score order ≤
+    * lang_total/2.
+    *
+    * Plan: ONE exchange on lang; the score sort, running sum and lang
+    * total all share that partitioning (WindowExec chains, no second
+    * shuffle). At 100 TB: lang alone can skew — widen the key to
+    * (lang, shard) with per-shard budgets, same plan. */
+  def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTok = aggregate(toks, lit(0L),
+      (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(array_distinct(toks)).cast("long").as("score"),
+        nTok.as("n_tok"))
+    val byScore = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val whole = Window.partitionBy(col("lang"))
+    docs
+      .withColumn("cum_tok", sum(col("n_tok")).over(byScore))
+      .withColumn("lang_tokens", sum(col("n_tok")).over(whole))
+      .select(col("doc_id"), col("lang"), col("score"), col("n_tok"),
+        col("cum_tok"), col("lang_tokens"),
+        // stated as 2·cum ≤ total: pure integer compare, no division
+        when(col("cum_tok") * 2 <= col("lang_tokens"), 1).otherwise(0)
+          .as("kept"))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx13_curation_report" -> (curationReport _),
     "tx14_chunk" -> (chunk _),
+    "tx16_weighted_sample" -> (weightedSample _),
+    "tx17_budget_select" -> (budgetSelect _),
     "tx1_token_stats" -> (tokenStats _),
     "tx2_quality" -> (quality _),
     "tx3_langid" -> (langId _),
@@ -695,6 +772,41 @@ object TextOps {
          |FROM q JOIN sp USING (doc_id)
          |GROUP BY quality_bucket, split
          |ORDER BY quality_bucket, split""".stripMargin,
+    // same subword rule as tx1/tx11; thresholds are BIGINT // division
+    "tx16_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform($toksSql, t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+         |               (acc, x) -> acc + x) AS n_tok
+         |           FROM documents),
+         |cells AS (SELECT lang, source, CAST(sum(n_tok) AS BIGINT) AS cell_tokens
+         |          FROM d GROUP BY lang, source),
+         |mn AS (SELECT min(cell_tokens) AS min_tokens FROM cells)
+         |SELECT doc_id, lang, source, n_tok,
+         |       ${md5LongSql(s"'sample:' || CAST(doc_id AS VARCHAR)")} % $SampleMod AS bucket,
+         |       (min_tokens * $SampleMod) // cell_tokens AS thr,
+         |       CAST(CASE WHEN ${md5LongSql(s"'sample:' || CAST(doc_id AS VARCHAR)")} % $SampleMod
+         |                      < (min_tokens * $SampleMod) // cell_tokens
+         |                 THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM d JOIN cells USING (lang, source), mn
+         |ORDER BY doc_id""".stripMargin,
+    "tx17_budget_select" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             CAST(len(list_distinct($toksSql)) AS BIGINT) AS score,
+         |             list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |               list_transform($toksSql, t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+         |               (acc, x) -> acc + x) AS n_tok
+         |           FROM documents)
+         |SELECT doc_id, lang, score, n_tok,
+         |       CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+         |       CAST(sum(n_tok) OVER (PARTITION BY lang) AS BIGINT) AS lang_tokens,
+         |       CAST(CASE WHEN CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 2
+         |                      <= CAST(sum(n_tok) OVER (PARTITION BY lang) AS BIGINT)
+         |                 THEN 1 ELSE 0 END AS INT) AS kept
+         |FROM d
+         |ORDER BY doc_id""".stripMargin,
     // same stride grid: generate_series and sequence() are both
     // inclusive-stop, so the start sets match exactly (incl. the
     // empty-doc start-0 chunk)

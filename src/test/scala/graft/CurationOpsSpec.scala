@@ -118,4 +118,49 @@ class CurationOpsSpec extends SparkSpec {
       assert(rs.forall(_.getAs[Long]("cluster_sz") == rs.length))
     }
   }
+
+  test("tx16: smallest cell keeps everything; kept mass ≈ min cell; deterministic") {
+    val rows = TextOps.weightedSample(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val cells = rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+    val cellTokens = cells.view.mapValues(_.map(_.getAs[Long]("n_tok")).sum).toMap
+    val minTokens = cellTokens.values.min
+    cells.foreach { case (cell, rs) =>
+      val thr = rs.head.getAs[Long]("thr")
+      assert(rs.forall(_.getAs[Long]("thr") == thr), s"$cell thr not constant")
+      assert(thr == minTokens * TextOps.SampleMod / cellTokens(cell))
+      assert(rs.forall(r => (r.getAs[Int]("kept") == 1) ==
+        (r.getAs[Long]("bucket") < thr)))
+      // the smallest cell's threshold is the full modulus: keep all
+      if (cellTokens(cell) == minTokens)
+        assert(rs.forall(_.getAs[Int]("kept") == 1), s"$cell should keep all")
+      // expected kept mass is the min cell's (hash-uniform; generous band)
+      val keptTok = rs.filter(_.getAs[Int]("kept") == 1).map(_.getAs[Long]("n_tok")).sum
+      assert(keptTok <= 2 * minTokens + 1000, s"$cell kept $keptTok of min $minTokens")
+    }
+    // determinism: a second run is bit-identical
+    val again = TextOps.weightedSample(spark, Sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("tx17: kept set is the maximal score-ordered prefix within half the lang budget") {
+    val rows = TextOps.budgetSelect(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val total = rs.head.getAs[Long]("lang_tokens")
+      assert(rs.map(_.getAs[Long]("n_tok")).sum == total)
+      val ordered = rs.sortBy(r => (-r.getAs[Long]("score"), r.getAs[Long]("doc_id")))
+      // kept is a PREFIX in score order
+      val keptFlags = ordered.map(_.getAs[Int]("kept"))
+      assert(!keptFlags.sliding(2).exists { case Array(a, b) => a == 0 && b == 1; case _ => false },
+        s"$lang: kept set is not a prefix")
+      val keptTok = ordered.takeWhile(_.getAs[Int]("kept") == 1)
+        .map(_.getAs[Long]("n_tok")).sum
+      assert(keptTok * 2 <= total, s"$lang over budget")
+      // maximality: the first dropped doc would cross the budget
+      ordered.dropWhile(_.getAs[Int]("kept") == 1).headOption.foreach { next =>
+        assert((keptTok + next.getAs[Long]("n_tok")) * 2 > total, s"$lang not maximal")
+      }
+    }
+  }
 }
