@@ -50,27 +50,38 @@ object Bench {
         } catch { case e: Throwable => Left(e.getClass.getSimpleName) }
       name -> r
     }
+    // Locale.ROOT: the default-locale formatter would emit "1,234" under
+    // e.g. de_DE — invalid JSON, defeating the parse-the-last-line contract.
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // 3-decimal seconds: ms precision is already below run-to-run noise,
     // and it keeps the one-line JSON compact enough to survive a
     // bounded-tail capture of the run's stdout
     val qs = results.map {
-      case (k, Right(v)) => s""""$k":${"%.3f".format(v)}"""
+      case (k, Right(v)) => s""""$k":${sec(v)}"""
       case (k, Left(err)) => s""""$k":"ERROR:$err""""
     }.mkString("{", ",", "}")
     val ok = results.collect { case (_, Right(v)) => v }
     val errors = results.count(_._2.isLeft)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
-    // durable copy for post-hoc analysis (the printed line is the
-    // driver contract; stdout tails get truncated)
+    val full =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    // The per-query map (~3.7 KB at 106 queries) is wider than a bounded
+    // stdout-tail capture, which keeps the END of stdout — so a long last
+    // line gets its FRONT cut off and never JSON-parses. Print the full
+    // record second-to-last (humans / full captures) and a compact summary
+    // with no per-query map as the very last line: short enough to survive
+    // any tail window intact. The full per-query record is also durable at
+    // target/bench.json.
+    val compact =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},"errors":$errors,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench.json"), line + "\n")
+      java.nio.file.Paths.get("target/bench.json"), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    // LAST stdout line (showSuccess := false suppresses sbt's trailing
+    // LAST stdout lines (showSuccess := false suppresses sbt's trailing
     // "[success]" line; spark.stop() above keeps shutdown logs off
     // stderr from landing after it on interleaved captures)
-    println(line)
+    println(full)
+    println(compact)
   }
 }

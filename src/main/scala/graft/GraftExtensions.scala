@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       GraftExtensions.bloomProbeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("asof_le"),
+      new ExpressionInfo(classOf[graft.plans.AsofLE].getName, "asof_le"),
+      GraftExtensions.asofLeBuilder))
+    ext.injectResolutionRule(_ => graft.plans.AsofSqlRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
@@ -132,6 +137,12 @@ object GraftExtensions {
     BloomMightContain(args(0), args(1))
   }
 
+  private[graft] val asofLeBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "asof_le(probeTs, buildTs) takes the LEFT (probe) and RIGHT (build) timestamps")
+    graft.plans.AsofLE(args(0), args(1))
+  }
+
   /** Register every function on a live session. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "float_vec_dot", dotBuilder)
@@ -142,5 +153,6 @@ object GraftExtensions {
     GraftSqlBridge.registerFunction(spark, "topk_by", topkBuilder)
     GraftSqlBridge.registerFunction(spark, "bloom_build", bloomBuildBuilder)
     GraftSqlBridge.registerFunction(spark, "bloom_might_contain", bloomProbeBuilder)
+    GraftSqlBridge.registerFunction(spark, "asof_le", asofLeBuilder)
   }
 }

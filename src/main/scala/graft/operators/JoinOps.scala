@@ -169,7 +169,7 @@ object JoinOps {
     * state side — "the latest purchase by this user at or before the
     * click". Column names are pre-disambiguated so the joined output
     * needs no qualification. */
-  private def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[operators] def asofSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = ScanOps.eventsTs(s, dir)
     // null keys / timestamps can never match under asof (equi-join null
     // semantics + an unordered ts): filter them HERE so the window
@@ -186,7 +186,7 @@ object JoinOps {
     (l, r)
   }
 
-  private val asofOutCols = Seq("l_event_id", "user_id", "l_ts", "l_value",
+  private[operators] val asofOutCols = Seq("l_event_id", "user_id", "l_ts", "l_value",
     "r_event_id", "r_ts", "r_value").map(col)
 
   /** JX8 — `FOR SYSTEM_TIME AS OF` as a composition: probe each click
@@ -203,11 +203,22 @@ object JoinOps {
   def pitScd2(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = ScanOps.eventsTs(s, dir)
+    // Pre-dedup the dimension to ONE change per (user_id, µs-truncated
+    // ts): two sub-µs changes collapse to the same state_since after
+    // truncation, and an as-of match against duplicate keys is
+    // engine-arbitrary (DuckDB ASOF picks an unspecified row among
+    // ties). Keeping the max-event_id row per group — via lead() over
+    // the SAME (user_id)-partitioned sort the version numbering uses,
+    // so dedup adds no extra exchange — makes state_since unique per
+    // user and both the as-of match and state_version deterministic.
+    val wUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
     val dim = ev.filter(col("event_type").isin("signup", "purchase") &&
         col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("nxt_ts", lead(col("ts"), 1).over(wUser))
+      .filter(col("nxt_ts").isNull || col("nxt_ts") =!= col("ts"))
       .withColumn("state_version", row_number().over(
-        Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))))
+        Window.partitionBy(col("user_id")).orderBy(col("ts"))))
       .select(col("user_id").as("r_user"), col("ts").as("state_since"),
         col("event_type").as("state"), col("value").as("state_value"),
         col("state_version"))
@@ -364,7 +375,7 @@ object JoinOps {
     "a1_lineitem_agg" -> (lineitemAgg _),
     "w1_topk" -> (topK _))
 
-  private val asofOracle =
+  private[operators] val asofOracle =
     """WITH l AS (SELECT event_id AS l_event_id, user_id,
       |                  CAST(ts AS TIMESTAMP) AS l_ts, value AS l_value
       |           FROM events WHERE event_type = 'click'),
@@ -391,14 +402,21 @@ object JoinOps {
     "jx4_asof_window" -> asofOracle,
     "jx5_asof_native" -> asofOracle,
     // temporal-table lookup == as-of against the change log (intervals
-    // tile the timeline), so DuckDB's ASOF JOIN is the exact oracle
+    // tile the timeline), so DuckDB's ASOF JOIN is the exact oracle.
+    // The dim dedups to the max-event_id change per (user, µs ts) —
+    // mirroring the Spark side — so ASOF never faces tied state_since
+    // keys (where its pick among duplicates is unspecified).
     "jx8_pit_scd2" ->
-      """WITH dim AS (SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS state_since,
+      """WITH chg AS (SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS state_since,
         |                    event_type AS state, value AS state_value,
-        |                    CAST(row_number() OVER (PARTITION BY user_id
-        |                      ORDER BY ts, event_id) AS INT) AS state_version
+        |                    row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+        |                      ORDER BY event_id DESC) AS rn
         |             FROM events
         |             WHERE event_type IN ('signup', 'purchase')),
+        |dim AS (SELECT r_user, state_since, state, state_value,
+        |               CAST(row_number() OVER (PARTITION BY r_user
+        |                 ORDER BY state_since) AS INT) AS state_version
+        |        FROM chg WHERE rn = 1),
         |probe AS (SELECT event_id AS l_event_id, user_id,
         |                 CAST(ts AS TIMESTAMP) AS l_ts
         |          FROM events WHERE event_type = 'click')

@@ -49,11 +49,39 @@ object SqlSurfaceOps {
         |ORDER BY grp""".stripMargin)
   }
 
+  /** SX3 — the AS-OF JOIN driven from SQL TEXT: `asof_le(l_ts, r_ts)`
+    * in the ON clause marks the inner join, [[graft.plans.AsofSqlRewrite]]
+    * rewrites it to the [[graft.plans.AsofJoin]] logical node, and the
+    * injected strategy plans the sorted-merge exec — the same plan (and
+    * the same DuckDB `ASOF JOIN` oracle) as jx5's DataFrame-API path.
+    * Build-time sessions get the rewrite as an injected resolution rule
+    * (ExtensionsBuildSpec); on this live driver session the rule is
+    * applied to the analyzed plan via [[graft.plans.AsofSqlRewrite.force]]. */
+  def sqlAsof(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    graft.plans.AsofJoin.installStrategy(s)
+    val (l, r) = JoinOps.asofSides(s, dir)
+    l.createOrReplaceTempView("asof_l_sqlsurface")
+    r.createOrReplaceTempView("asof_r_sqlsurface")
+    val df = s.sql(
+      """SELECT l_event_id, user_id, l_ts, l_value, r_event_id, r_ts, r_value
+        |FROM asof_l_sqlsurface l JOIN asof_r_sqlsurface r
+        |  ON l.user_id = r.r_user AND asof_le(l.l_ts, r.r_ts)""".stripMargin)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(s,
+        graft.plans.AsofSqlRewrite.force(
+          org.apache.spark.sql.GraftSqlBridge.logicalPlan(df)))
+      .transform(Common.presented(_, org.apache.spark.sql.functions.col("l_event_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sx1_sql_signatures" -> (sqlSignatures _),
-    "sx2_sql_topk" -> (sqlTopkByNorm _))
+    "sx2_sql_topk" -> (sqlTopkByNorm _),
+    "sx3_sql_asof" -> (sqlAsof _))
 
   val oracles: Map[String, String] = Map(
+    // same oracle as jx4/jx5: the SQL-text path must agree bit-for-bit
+    // with the DataFrame-API path and DuckDB's native ASOF JOIN
+    "sx3_sql_asof" -> JoinOps.asofOracle,
     "sx1_sql_signatures" ->
       s"""WITH t AS (SELECT doc_id, ${DedupOps.bgSql} AS bg FROM documents),
          |h AS (SELECT doc_id, list_transform(bg, s -> ${tokHashSql("s")}) AS hs FROM t),

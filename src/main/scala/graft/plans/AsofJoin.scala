@@ -75,15 +75,20 @@ object AsofJoin {
       leftKeys: Seq[Column], rightKeys: Seq[Column],
       leftTs: Column, rightTs: Column): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsofJoinStrategy
+    installStrategy(spark)
     GraftSqlBridge.ofRows(spark, AsofJoin(
       GraftSqlBridge.logicalPlan(left), GraftSqlBridge.logicalPlan(right),
       leftKeys.map(GraftSqlBridge.expression),
       rightKeys.map(GraftSqlBridge.expression),
       GraftSqlBridge.expression(leftTs), GraftSqlBridge.expression(rightTs)))
   }
+
+  /** Idempotently install [[AsofJoinStrategy]] on a LIVE session (the
+    * `spark.sql.extensions` path covers build-time sessions). */
+  def installStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofJoinStrategy
 }
 
 /** Plans [[AsofJoin]] to [[AsofJoinExec]]. Registered via

@@ -30,10 +30,15 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * contract already supports downstream). */
 object StreamingScd2 {
 
-  /** One CDC change record (timestamps as epoch micros — the same
-    * truncation the batch operator emits). */
-  case class Change(userId: Long, eventId: Long, tsMicros: Long,
-      state: String, value: Double)
+  /** One CDC change record. `tsNanos` is the RAW nanosecond event time:
+    * ordering must happen at full precision (the batch operator sorts by
+    * raw ts then event_id — a micros-truncated sort could assign
+    * versions in a different order on sub-microsecond ties); only the
+    * emitted valid_from/valid_to truncate to micros. */
+  case class Change(userId: Long, eventId: Long, tsNanos: Long,
+      state: String, value: Double) {
+    def tsMicros: Long = Math.floorDiv(tsNanos, 1000L)
+  }
 
   /** One history row of the changelog. */
   case class Scd2Row(userId: Long, version: Int, state: String,
@@ -50,7 +55,7 @@ object StreamingScd2 {
 
     override def handleInputRows(key: Long, rows: Iterator[Change],
         timerValues: TimerValues): Iterator[Scd2Row] = {
-      val ordered = rows.toList.sortBy(c => (c.tsMicros, c.eventId))
+      val ordered = rows.toList.sortBy(c => (c.tsNanos, c.eventId))
       if (ordered.isEmpty) Iterator.empty
       else {
         var cur = if (open.exists()) Option(open.get()) else None

@@ -55,6 +55,22 @@ class ExtensionsBuildSpec extends AnyFunSuite {
         .map(x => (x.getString(0), x.getString(1))).sorted.toSeq
       // l1@10 -> r1@8; l2@20 -> r2@15; l3@5 -> no purchase at/before -> dropped
       assert(rows === Seq(("l1", "r1"), ("l2", "r2")))
+
+      // SQL-TEXT as-of: the injected asof_le function + resolution rule
+      // (AsofSqlRewrite) turn a plain INNER JOIN ... ON k-eq AND
+      // asof_le(lts, rts) into the AsofJoin node, and the injected
+      // strategy plans it — no DataFrame API, no manual install. The
+      // marker is Unevaluable, so these results EXISTING proves the
+      // rewrite fired (a leftover marker cannot be planned at all).
+      l.createOrReplaceTempView("ebs_l")
+      r.createOrReplaceTempView("ebs_r")
+      val sqlJoined = s.sql(
+        """SELECT ltag, rtag FROM ebs_l JOIN ebs_r
+          |  ON ebs_l.k = ebs_r.rk AND asof_le(ebs_l.lts, ebs_r.rts)""".stripMargin)
+      assert(sqlJoined.queryExecution.executedPlan.toString.contains("AsofJoin"))
+      val sqlRows = sqlJoined.collect()
+        .map(x => (x.getString(0), x.getString(1))).sorted.toSeq
+      assert(sqlRows === Seq(("l1", "r1"), ("l2", "r2")))
     } finally {
       s.stop()
       SparkSession.clearActiveSession()

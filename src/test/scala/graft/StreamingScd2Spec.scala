@@ -12,15 +12,17 @@ import graft.streaming.StreamingScd2.{Change, Scd2Row}
   * and a checkpoint restart. */
 class StreamingScd2Spec extends SparkSpec {
 
-  /** The harness events as Change records ordered by (ts, event_id). */
+  /** The harness events as Change records — RAW nanosecond ts, ordered
+    * by (tsNanos, event_id): the same full-precision order the batch
+    * operator versions by. */
   private def allChanges: Seq[Change] = {
     graft.sources.Tables.events(spark, Sf)
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"), col("value"))
+        col("ts"), col("event_type"), col("value"))
       .collect()
       .map(r => Change(r.getLong(0), r.getLong(1), r.getLong(2),
         r.getString(3), r.getDouble(4)))
-      .sortBy(c => (c.tsMicros, c.eventId))
+      .sortBy(c => (c.tsNanos, c.eventId))
       .toSeq
   }
 
