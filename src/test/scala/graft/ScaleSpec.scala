@@ -47,6 +47,50 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("d7 production shape: batch dedup against a PERSISTED bucketed corpus index, zero index-side shuffle") {
+    // the corpus key index is written ONCE, bucketed on the dedup key;
+    // every later snapshot batch joins against those files with no
+    // corpus-side exchange — re-hashing / re-shuffling the 100 TB
+    // corpus per snapshot is exactly what d7 exists to avoid
+    import graft.operators.DedupOps
+    val hashed = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), DedupOps.headKey.as("head_key"))
+    spark.sql("DROP TABLE IF EXISTS corpus_idx_bkt")
+    hashed.filter(col("doc_id") % DedupOps.IncomingMod =!= 0)
+      .select(col("head_key")).distinct()
+      .withColumn("in_corpus", lit(1))
+      .write.bucketBy(8, "head_key").sortBy("head_key")
+      .saveAsTable("corpus_idx_bkt")
+    try {
+      // forbid broadcast: tiny harness index would otherwise broadcast
+      // and prove nothing about the fact-sized-index plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val incoming = hashed.filter(col("doc_id") % DedupOps.IncomingMod === 0)
+      val out = DedupOps.incrementalDedupAgainst(
+        incoming, spark.table("corpus_idx_bkt"))
+      val plan = out.queryExecution.executedPlan.toString
+      // exactly ONE exchange in the whole job — the incoming batch's —
+      // and the window reuses it (same head_key partitioning)
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(exchanges === 1, s"want 1 exchange (incoming side only), got $exchanges:\n" +
+        plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+      assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(5).mkString("\n"))
+      assert(plan.contains("Bucketed: true"), "index scan must read as bucketed")
+      // verdict parity with the self-contained batch restatement
+      val fromIndex = out.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      val restated = DedupOps.incrementalDedup(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      assert(fromIndex === restated)
+      assert(fromIndex.nonEmpty &&
+        fromIndex.map(_._3).toSet === Set("dup_of_corpus", "dup_in_batch", "new"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS corpus_idx_bkt")
+    }
+  }
+
   test("partitioned layout: a partition-column filter prunes at the directory level") {
     val dir = Files.createTempDirectory("ev_part").toString
     Tables.events(spark, Sf).write

@@ -120,6 +120,46 @@ class StarComponentsSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("CHAINED increments: 4 successive star-contraction merges equal full CC at every step") {
+    // production runs the d13 merge DAILY: each day's assignment is the
+    // contraction of the PREVIOUS MERGED assignment (itself already a
+    // contraction), not of a fresh full cluster — so associativity of
+    // star contraction under REPEATED contraction is what actually
+    // carries the incremental pipeline. Replay a deterministic edge
+    // stream in 5 batches and pin, after EVERY merge, exact equality
+    // with a full re-cluster over the prefix.
+    var seed = 0xC0FFEEL
+    def nextLong(bound: Long): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 17, bound)
+    }
+    // a != b: components() drops pure-self-loop vertices, so allowing
+    // them would turn the step-equality check into a statement about
+    // that corner instead of about contraction chaining
+    val stream = Iterator.continually {
+      val a = nextLong(300) * 11 + 5
+      val b = nextLong(300) * 11 + 5
+      (a, b)
+    }.filter(e => e._1 != e._2).take(400).toSeq
+    val batches = stream.grouped(80).toSeq // bootstrap + 4 daily merges
+    var assignment = StarComponents.components(batches.head.toDF("a", "b"))._1
+    batches.zipWithIndex.drop(1).foreach { case (batch, day) =>
+      val stars = assignment.filter($"doc_id" =!= $"label")
+        .select($"doc_id".as("a"), $"label".as("b"))
+      assignment = StarComponents.components(
+        stars.unionByName(batch.toDF("a", "b")))._1
+      val merged = assignment.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val direct = StarComponents.components(
+          batches.take(day + 1).flatten.toDF("a", "b"))._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(merged === direct, s"drift after day-$day merge")
+    }
+    // the final assignment is non-trivial: real clusters formed
+    val finalLabels = assignment.collect().map(_.getLong(1)).toSet
+    assert(finalLabels.size > 1 && finalLabels.size < 300)
+  }
+
   test("star contraction preserves components: merge(stars ∪ delta) == full CC") {
     // synthetic two-phase graph: old edges cluster {1..5}+{10,11};
     // delta edges attach {20,21} and BRIDGE the two old components
