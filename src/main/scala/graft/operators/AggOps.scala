@@ -40,6 +40,27 @@ object AggOps {
         col("n_items"), col("sum_qty"))
       .transform(Common.presented(_, col("gl"), col("l_returnflag"), col("l_linestatus")))
 
+  /** A9 — arbitrary GROUPING SETS: the general surface rollup/cube are
+    * special cases of — here {(flag, status), (status), ()}, a set
+    * collection NO rollup can express (the (status)-only subtotal
+    * skips the (flag) level). Same single-shuffle plan as a2/a3:
+    * Expand fans each input row into its matching sets BEFORE the
+    * exchange, partial aggregation still applies. */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gl"),
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gl"),
+        col("n_items"), col("sum_qty"))
+      .transform(Common.presented(_, col("gl"), col("l_returnflag"), col("l_linestatus")))
+
   /** A3 — CUBE (o_orderstatus, o_orderpriority): all four grouping
     * sets of the order dimensions. */
   def cubeAgg(s: SparkSession, dir: String): DataFrame =
@@ -147,6 +168,7 @@ object AggOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a7_map" -> (mapAggJson _),
     "a2_rollup" -> (rollupAgg _),
+    "a9_grouping_sets" -> (groupingSetsAgg _),
     "a3_cube" -> (cubeAgg _),
     "a4_pivot" -> (pivotAgg _),
     "a6_nested" -> (nestedAggJson _))
@@ -164,6 +186,14 @@ object AggOps {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gl, l_returnflag, l_linestatus""".stripMargin,
+    "a9_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gl,
+        |       count(*) AS n_items,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY gl, l_returnflag, l_linestatus""".stripMargin,
     "a3_cube" ->
       """SELECT o_orderstatus, o_orderpriority,

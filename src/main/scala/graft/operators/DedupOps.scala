@@ -480,6 +480,60 @@ object DedupOps {
           .otherwise(lit("new")).as("verdict"))
   }
 
+  /** D15 — MinHash-LSH INCREMENTAL dedup: the FUZZY counterpart of d7.
+    * d7 verdicts a snapshot batch by exact head-key; real re-crawls
+    * mostly deliver near-duplicates (boilerplate drift, timestamps), so
+    * the production pipeline ALSO probes the corpus's persisted LSH
+    * band index with the incoming batch's band signatures — corpus
+    * side stays put (at 100 TB: a table bucketed on (band, sig), same
+    * exchange-free pattern ScaleSpec pins for d7's key index; the
+    * registered query restates both sides from parquet for
+    * determinism). Candidates verify with the exact sorted-merge
+    * Jaccard (d2's compiled trio), then collapse to one verdict per
+    * incoming doc: its candidate count, near-dup count, and the
+    * smallest matching corpus doc. Only the incoming batch's bands
+    * shuffle; pair space is bounded by band-bucket occupancy exactly
+    * as in d2. */
+  def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions._
+    val hsets = Tables.documents(s, dir).select(col("doc_id"),
+      hashedShingleSet(tokens(col("text")), 2).as("bg"))
+    val sigs = hsets
+      .select(col("doc_id"), minhashSig(col("bg"), MinHashAB).as("mh"))
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(bnd =>
+          element_at(col("mh"), 2 * bnd + 1) * HashMod +
+            element_at(col("mh"), 2 * bnd + 2)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val incoming = sigs.filter(col("doc_id") % IncomingMod === 0)
+    val bandIndex = sigs.filter(col("doc_id") % IncomingMod =!= 0)
+    val cand = incoming.as("x").join(bandIndex.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val inter = sortedIntersectCount(col("ba.bg"), col("bb.bg")).cast("long")
+    val uni = (size(col("ba.bg")) + size(col("bb.bg"))).cast("long") - inter
+    val verified = cand
+      .join(hsets.as("ba"), col("a") === col("ba.doc_id"))
+      .join(hsets.as("bb"), col("b") === col("bb.doc_id"))
+      .select(col("a"), col("b"),
+        when(inter * JaccardNum >= uni, 1).otherwise(0).as("nd"))
+    val agg = verified.groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(col("nd")).cast("long").as("n_dup"),
+        min(when(col("nd") === 1, col("b"))).as("dup_of"))
+    Tables.documents(s, dir).filter(col("doc_id") % IncomingMod === 0)
+      .select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("dup_of"),
+        when(coalesce(col("n_dup"), lit(0L)) > 0, lit("near_dup_of_corpus"))
+          .otherwise(lit("new")).as("verdict"))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
   /** D8 eval-set modulus (`doc_id % 97 == 0` plays the benchmark) and
     * shingle width (word 3-grams — the published decontamination
     * n-gram range is 8-13 tokens on real corpora; 3 keeps overlap
@@ -622,6 +676,7 @@ object DedupOps {
     "d6_dedup_clusters" -> (dedupClusters _),
     "d6b_star_clusters" -> (dedupClustersStar _),
     "d7_incremental_dedup" -> (incrementalDedup _),
+    "d15_minhash_incremental" -> (minhashIncremental _),
     "d8_decontaminate" -> (decontaminate _),
     "d9_quality_keeper" -> (qualityKeeper _),
     "d10_cluster_split" -> (clusterSplit _),
@@ -796,6 +851,42 @@ object DedupOps {
          |            ELSE 'new' END AS verdict
          |FROM inc i LEFT JOIN ex e ON i.head_key = e.head_key
          |ORDER BY i.doc_id""".stripMargin,
+    // d2's signature/band/verify machinery, restricted to incoming->
+    // corpus candidate pairs and collapsed to one verdict per incoming
+    // doc; counts cast to BIGINT (DuckDB sum(int) widens to HUGEINT)
+    "d15_minhash_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $bgSql AS bg FROM documents),
+         |h AS (SELECT doc_id, bg, list_transform(bg, s -> ${tokHashSql("s")}) AS hs FROM t),
+         |m AS (SELECT doc_id,
+         |       $mhSqls
+         |       FROM h),
+         |sigs AS (
+         |  $bandSelects
+         |),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM sigs x JOIN sigs y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |         WHERE x.doc_id % $IncomingMod = 0 AND y.doc_id % $IncomingMod <> 0),
+         |th AS (SELECT doc_id, list_distinct(hs) AS bg FROM h),
+         |ver AS (SELECT a, b,
+         |          CASE WHEN len(list_intersect(ta.bg, tb.bg)) * $JaccardNum >=
+         |                    len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg))
+         |               THEN 1 ELSE 0 END AS nd
+         |        FROM cand JOIN th ta ON cand.a = ta.doc_id
+         |                 JOIN th tb ON cand.b = tb.doc_id),
+         |agg AS (SELECT a AS doc_id, count(*) AS n_cand,
+         |               CAST(sum(nd) AS BIGINT) AS n_dup,
+         |               min(CASE WHEN nd = 1 THEN b END) AS dup_of
+         |        FROM ver GROUP BY a)
+         |SELECT d.doc_id,
+         |       coalesce(n_cand, 0) AS n_cand,
+         |       coalesce(n_dup, 0) AS n_dup,
+         |       dup_of,
+         |       CASE WHEN coalesce(n_dup, 0) > 0 THEN 'near_dup_of_corpus'
+         |            ELSE 'new' END AS verdict
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
+         |LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // same hashed-distinct-shingle contract as tx6/d2, at k=3; sums
     // cast to BIGINT (DuckDB sum(int) widens to HUGEINT)
     "d8_decontaminate" ->

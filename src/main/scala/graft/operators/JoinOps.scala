@@ -332,6 +332,31 @@ object JoinOps {
       .transform(Common.presented(_, col("l_event_id"), col("r_event_id")))
   }
 
+  /** J5 — FULL OUTER join (§2.6 surface completion: inner j1, broadcast
+    * j2/j3, semi j4, anti k3, as-of jx4-jx8 — full-outer is the last
+    * join type): the request/response reconciliation report, where
+    * unmatched rows on EITHER side are the interesting ones (requests
+    * never answered, responses never requested). Sort-merge full outer
+    * — one shuffle per side, no broadcast (full-outer cannot broadcast:
+    * both sides must surface their unmatched rows). USING(sid)
+    * coalesces the key on both engines. */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val reqs = ev.filter(col("event_id") % 3 === 0)
+      .select(concat(lit("S"), col("event_id")).as("sid"),
+        col("event_id").as("req_id"))
+    val resps = ev.filter(col("event_id") % 2 === 0)
+      .select(concat(lit("S"), col("event_id")).as("sid"),
+        col("event_id").as("res_id"),
+        concat(lit("R"), col("user_id")).as("res_code"))
+    reqs.join(resps, Seq("sid"), "full_outer")
+      .select(col("sid"), col("req_id"), col("res_id"), col("res_code"),
+        when(col("req_id").isNotNull && col("res_id").isNotNull, lit("matched"))
+          .when(col("req_id").isNotNull, lit("request_only"))
+          .otherwise(lit("response_only")).as("side"))
+      .transform(Common.presented(_, col("sid")))
+  }
+
   /** J4 — left-semi join (§2.6 surface completion; k3 covers anti):
     * orders with at least one heavy lineitem. Semi ships NO columns
     * from the right side and stops probing a key at the first match —
@@ -362,6 +387,7 @@ object JoinOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j4_semi" -> (semiJoin _),
+    "j5_full_outer" -> (fullOuterJoin _),
     "a5_distinct_agg" -> (distinctAgg _),
     "jx4_asof_window" -> (asofWindow _),
     "jx5_asof_native" -> (asofNative _),
@@ -387,6 +413,20 @@ object JoinOps {
       |ORDER BY l_event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "j5_full_outer" ->
+      """WITH reqs AS (SELECT 'S' || CAST(event_id AS VARCHAR) AS sid,
+        |                     event_id AS req_id
+        |              FROM events WHERE event_id % 3 = 0),
+        |resps AS (SELECT 'S' || CAST(event_id AS VARCHAR) AS sid,
+        |                 event_id AS res_id,
+        |                 'R' || CAST(user_id AS VARCHAR) AS res_code
+        |          FROM events WHERE event_id % 2 = 0)
+        |SELECT sid, req_id, res_id, res_code,
+        |       CASE WHEN req_id IS NOT NULL AND res_id IS NOT NULL THEN 'matched'
+        |            WHEN req_id IS NOT NULL THEN 'request_only'
+        |            ELSE 'response_only' END AS side
+        |FROM reqs FULL JOIN resps USING (sid)
+        |ORDER BY sid""".stripMargin,
     "j4_semi" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders o

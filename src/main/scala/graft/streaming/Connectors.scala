@@ -19,6 +19,131 @@ import org.apache.spark.sql.Row
   */
 object Connectors {
 
+  /** The reference's full `application.properties` surface
+    * (`/root/reference/src/main/resources/application.properties`,
+    * consumed at `util/FlinkJobUtils.java:28-87`), parsed into the
+    * option maps Spark's Kafka/JDBC connectors take. SAME property
+    * names, so an operator of the reference deploys this library with
+    * their existing config file:
+    *
+    *   - `kafka.bootstrap.servers`, `kafka.sasl.username/password` →
+    *     `kafka.*` options incl. the PlainLoginModule JAAS line the
+    *     reference builds (`FlinkJobUtils.java:37-43`);
+    *   - `kafka.starting.offsets` EARLIEST/LATEST/COMMITTED_OFFSETS →
+    *     Spark `startingOffsets` (COMMITTED_OFFSETS maps to "resume
+    *     from checkpoint": Spark tracks offsets in the query
+    *     checkpoint, its committed-offset analogue — on a fresh start
+    *     it falls back to latest, matching the reference's default);
+    *   - the 5×2 `kafka.topic.*` request/response topics, kept as
+    *     suffix-keyed maps (one multi-topic subscription replaces the
+    *     reference's 5 separate sources);
+    *   - `mysql.*` JDBC url/credentials plus the batch/poll sizing the
+    *     jobs use (`batch.size`, `polling.interval.ms`, `fetch.size`,
+    *     `max.retries`);
+    *   - `app.*` retry policy / `group.id.max.value` (T4's pmod
+    *     domain).
+    */
+  final case class PipelineConf(
+      bootstrapServers: String,
+      saslUsername: Option[String],
+      saslPassword: Option[String],
+      startingOffsets: String, // "earliest" | "latest" | "" (checkpoint)
+      requestTopics: Map[String, String],  // crt/upd/del/rep/adj → topic
+      responseTopics: Map[String, String],
+      groupIds: Map[String, String],
+      jdbcUrl: String,
+      jdbcUser: String,
+      jdbcPassword: String,
+      jdbcTable: String,
+      jdbcBatchSize: Int,
+      jdbcBatchIntervalMs: Long,
+      jdbcMaxRetries: Int,
+      jdbcPollIntervalMs: Long,
+      jdbcFetchSize: Int,
+      groupIdMaxValue: Int,
+      appMaxRetries: Int,
+      appRetryIntervalMs: Long) {
+
+    /** The `kafka.`-prefixed option map for `readStream`/`writeStream`
+      * — SASL_PLAINTEXT + PLAIN JAAS exactly as the reference wires
+      * its consumers/producers (`FlinkJobUtils.java:37-43,70-77`). */
+    def kafkaOptions: Map[String, String] = {
+      val base = Map("kafka.bootstrap.servers" -> bootstrapServers)
+      val sasl = for (u <- saslUsername; p <- saslPassword) yield Map(
+        "kafka.security.protocol" -> "SASL_PLAINTEXT",
+        "kafka.sasl.mechanism" -> "PLAIN",
+        "kafka.sasl.jaas.config" ->
+          ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+            s"""username="$u" password="$p";"""))
+      base ++ sasl.getOrElse(Map.empty) ++
+        (if (startingOffsets.nonEmpty) Map("startingOffsets" -> startingOffsets)
+         else Map.empty)
+    }
+  }
+
+  object PipelineConf {
+    private val Ops = Seq("crt", "upd", "del", "rep", "adj")
+
+    /** Parse the reference's property names. Required keys throw with
+      * the key name (the `params.getRequired` contract of
+      * `FlinkJobUtils.java:29-34`); sized options fall back to the
+      * reference's documented defaults. */
+    def fromProperties(p: java.util.Properties): PipelineConf = {
+      def req(k: String): String = {
+        val v = p.getProperty(k)
+        require(v != null && v.nonEmpty, s"missing required property: $k")
+        v
+      }
+      def opt(k: String): Option[String] = Option(p.getProperty(k)).filter(_.nonEmpty)
+      val offsets = opt("kafka.starting.offsets").map(_.toUpperCase)
+        .getOrElse("LATEST") match {
+        case "EARLIEST" => "earliest"
+        case "LATEST" => "latest"
+        case "COMMITTED_OFFSETS" => "" // checkpoint-held offsets
+        case other => throw new IllegalArgumentException(
+          s"unsupported kafka.starting.offsets: $other")
+      }
+      PipelineConf(
+        bootstrapServers = req("kafka.bootstrap.servers"),
+        saslUsername = opt("kafka.sasl.username"),
+        saslPassword = opt("kafka.sasl.password"),
+        startingOffsets = offsets,
+        requestTopics = Ops.flatMap(o =>
+          opt(s"kafka.topic.$o.request").map(o -> _)).toMap,
+        responseTopics = Ops.flatMap(o =>
+          opt(s"kafka.topic.$o.response").map(o -> _)).toMap,
+        groupIds = Ops.flatMap(o =>
+          opt(s"kafka.group.id.$o.request").map(o -> _)).toMap,
+        jdbcUrl = req("mysql.jdbc.url"),
+        jdbcUser = req("mysql.username"),
+        jdbcPassword = req("mysql.password"),
+        jdbcTable = opt("mysql.table.name").getOrElse("async_inv_in"),
+        jdbcBatchSize = opt("mysql.batch.size").map(_.toInt).getOrElse(2000),
+        jdbcBatchIntervalMs =
+          opt("mysql.batch.interval.ms").map(_.toLong).getOrElse(5000L),
+        jdbcMaxRetries = opt("mysql.max.retries").map(_.toInt).getOrElse(3),
+        jdbcPollIntervalMs =
+          opt("mysql.polling.interval.ms").map(_.toLong).getOrElse(500L),
+        jdbcFetchSize = opt("mysql.fetch.size").map(_.toInt).getOrElse(2000),
+        groupIdMaxValue =
+          opt("group.id.max.value").map(_.toInt).getOrElse(4),
+        appMaxRetries = opt("app.max.retries").map(_.toInt).getOrElse(3),
+        appRetryIntervalMs =
+          opt("app.retry.interval.ms").map(_.toLong).getOrElse(10000L))
+    }
+  }
+
+  /** [[kafkaStringSource]] bound from a parsed [[PipelineConf]]: one
+    * subscription over all request topics, SASL + offsets applied. */
+  def kafkaRequestSource(spark: SparkSession, conf: PipelineConf): DataFrame =
+    conf.kafkaOptions.foldLeft(
+        spark.readStream.format("kafka")
+          .option("subscribe", conf.requestTopics.values.mkString(","))) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      .load()
+      .select(col("value").cast("string").as("value"), col("topic"))
+
   /** S1 — Kafka value-as-string source over n topics
     * (`util/FlinkJobUtils.java:28-62`; starting offsets map to the
     * reference's EARLIEST/LATEST/COMMITTED modes). One subscription
