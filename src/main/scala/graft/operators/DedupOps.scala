@@ -719,17 +719,23 @@ object DedupOps {
 
   /** DuckDB simhash builder: the bit-vote fold for `bits` signature
     * bits (shared shape for the 16-bit d3 and 60-bit d3b oracles). */
-  private def simhashSql(bits: Int): String = {
+  /** Generalized over (relation, id, token-source column) so the m6
+    * media oracle can restate the same bit-vote fold over a CTE. */
+  private[operators] def simhashSqlOver(bits: Int, idCol: String,
+      tokenCol: String, rel: String): String = {
     val terms = (0 until bits).map { i =>
       s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
          |  list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
          |  (acc, v) -> acc + v) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
     }.mkString(" +\n       ")
-    s"""SELECT doc_id, $terms AS simhash
-       |FROM (SELECT doc_id,
-       |        list_transform(${tokensSql("text")}, t -> ${md5LongSql("t")}) AS hs
-       |      FROM documents) h""".stripMargin
+    s"""SELECT $idCol, $terms AS simhash
+       |FROM (SELECT $idCol,
+       |        list_transform(${tokensSql(tokenCol)}, t -> ${md5LongSql("t")}) AS hs
+       |      FROM $rel) h""".stripMargin
   }
+
+  private def simhashSql(bits: Int): String =
+    simhashSqlOver(bits, "doc_id", "text", "documents")
 
   private[operators] val simhashCoreSql: String = simhashSql(16)
   private val simhash60Sql: String = simhashSql(Simhash60Bits)

@@ -173,7 +173,62 @@ object MultimodalOps {
       .toDF("media_id", "payload", "orig_bytes", "new_bytes")
   }
 
+  /** M6 — perceptual NEAR-dup of media: the fuzzy stage after M5's
+    * exact dedup, mirroring the text pipeline's d1→d3b laddering.
+    * Byte-identical copies first collapse to ONE representative per
+    * (kind, digest) — this is what keeps the banded join out of
+    * quadratic territory on duplicate-heavy media (every identical
+    * payload shares a signature, so skipping this step would put whole
+    * copy-groups into one LSH bucket). Representatives then compare by
+    * banded hamming over a 60-bit perceptual signature, d3b's exact
+    * pigeonhole machinery (4×15-bit bands recall every pair at hamming
+    * ≤ 3), kind-scoped so image/audio/video never cross-match. The
+    * signature derives from the STUB decode (payload → UTF-8 token
+    * stream → [[graft.functions.SimHashLong]]); a real deployment
+    * swaps the token stream for decoded DCT/chroma features — the
+    * representative-collapse, banding and recall guarantee are the
+    * production part. */
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.functions.TextFunctions.tokens
+    val bandBits = DedupOps.Simhash60BandBits
+    val phash = GraftSqlBridge.column(graft.functions.SimHashLong(
+      GraftSqlBridge.expression(tokens(decode(col("payload"), "UTF-8"))),
+      DedupOps.Simhash60Bits))
+    val reps = media(s, dir)
+      .select(col("media_id"), col("kind"),
+        md5(col("payload")).as("digest"), phash.as("phash"))
+      .groupBy(col("kind"), col("digest"))
+      .agg(min(col("media_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("phash")).as("phash")) // identical payloads → identical phash
+    val chunks = reps.select(col("kind"), col("rep_id"), col("n_copies"),
+      col("phash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("phash"), bandBits * i)
+          .bitwiseAND((1 << bandBits) - 1)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.kind") === col("y.kind") && col("x.band") === col("y.band") &&
+          col("x.chunk") === col("y.chunk") &&
+          col("x.rep_id") < col("y.rep_id"))
+      .select(col("x.kind").as("kind"),
+        col("x.rep_id").as("a"), col("y.rep_id").as("b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"),
+        col("x.n_copies").as("n_copies_a"), col("y.n_copies").as("n_copies_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .select(col("kind"), col("a"), col("b"), col("hamming"),
+        when(col("hamming") <= DedupOps.SimhashMaxHamming, 1).otherwise(0)
+          .as("is_near_dup"),
+        col("n_copies_a"), col("n_copies_b"))
+      .transform(Common.presented(_, col("kind"), col("a"), col("b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_media_neardup" -> (mediaNearDup _),
     "m1_media_meta" -> (mediaMeta _),
     "m2_frame_sample" -> (frameSample _),
     "m3_decode_stub" -> ((s, d) => decodeStub(s, d)),
@@ -181,6 +236,41 @@ object MultimodalOps {
     "m5_media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
+    // d3b's 60-bit bit-vote fold + banded-hamming restatement over the
+    // media stand-in (props IS the decoded payload under the stub
+    // codec); counts stay BIGINT on both engines
+    "m6_media_neardup" -> {
+      val bandBits = DedupOps.Simhash60BandBits
+      val mask = (1 << bandBits) - 1
+      s"""WITH m AS (SELECT event_id AS media_id,
+         |                  CASE WHEN event_type = 'click' THEN 'image'
+         |                       WHEN event_type = 'view' THEN 'video'
+         |                       ELSE 'audio' END AS kind,
+         |                  props, md5(props) AS digest
+         |           FROM events),
+         |sig AS (${DedupOps.simhashSqlOver(DedupOps.Simhash60Bits,
+                      "media_id", "props", "m")}),
+         |reps AS (SELECT kind, digest, min(m.media_id) AS rep_id,
+         |                count(*) AS n_copies, min(simhash) AS phash
+         |         FROM m JOIN sig USING (media_id)
+         |         GROUP BY kind, digest),
+         |chunks AS (SELECT kind, rep_id, n_copies, phash, u.band,
+         |                  (phash >> ($bandBits * u.band)) & $mask AS chunk
+         |           FROM reps, unnest([0, 1, 2, 3]) AS u(band)),
+         |cand AS (SELECT DISTINCT x.kind AS kind,
+         |                x.rep_id AS a, y.rep_id AS b,
+         |                x.phash AS pa, y.phash AS pb,
+         |                x.n_copies AS n_copies_a, y.n_copies AS n_copies_b
+         |         FROM chunks x JOIN chunks y
+         |           ON x.kind = y.kind AND x.band = y.band
+         |              AND x.chunk = y.chunk AND x.rep_id < y.rep_id)
+         |SELECT kind, a, b,
+         |       CAST(bit_count(xor(pa, pb)) AS INT) AS hamming,
+         |       CASE WHEN bit_count(xor(pa, pb)) <= ${DedupOps.SimhashMaxHamming}
+         |            THEN 1 ELSE 0 END AS is_near_dup,
+         |       n_copies_a, n_copies_b
+         |FROM cand ORDER BY kind, a, b""".stripMargin
+    },
     "m1_media_meta" ->
       """SELECT event_id AS media_id,
         |       CASE WHEN event_type = 'click' THEN 'image'

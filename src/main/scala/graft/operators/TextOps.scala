@@ -552,7 +552,35 @@ object TextOps {
       .transform(Common.presented(_, col("doc_id")))
   }
 
+  /** TX18 — n-gram NOVELTY: per doc, the fraction of its distinct
+    * (hashed) trigrams whose FIRST corpus occurrence (min doc_id over
+    * docs containing the gram) is this doc — the dataset-curation
+    * novelty signal (a crawl of reposts scores ~0; fresh content ~1).
+    * Stated through first-occurrence rather than any scan order, so
+    * it's deterministic and order-free on both engines. Shape: explode
+    * distinct trigrams (scan-bound, d8's compiled shingle set), ONE
+    * hash shuffle on the gram for the min-doc aggregate, join back on
+    * the same key (partitioning reused), one groupBy per doc. At
+    * 100 TB the gram→first_doc table is the persistable artifact —
+    * later snapshots probe it exactly like d15's band index. */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions.hashedShingleSet
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(hashedShingleSet(tokens(col("text")), DedupOps.DecontamK)).as("h"))
+    val first = grams.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx18_novelty" -> (ngramNovelty _),
     "tx13_curation_report" -> (curationReport _),
     "tx14_chunk" -> (chunk _),
     "tx16_weighted_sample" -> (weightedSample _),
@@ -574,6 +602,22 @@ object TextOps {
   private val toksSql = tokensSql("text")
 
   val oracles: Map[String, String] = Map(
+    // d8's hashed-distinct-trigram contract (DedupOps.tgSql);
+    // novelty through min-doc first occurrence, order-free
+    "tx18_novelty" ->
+      s"""WITH e AS (SELECT doc_id,
+         |             unnest(list_distinct(list_transform(${DedupOps.tgSql},
+         |               s -> ${graft.functions.TextFunctions.tokHashSql("s")}))) AS h
+         |           FROM documents),
+         |f AS (SELECT h, min(doc_id) AS first_doc FROM e GROUP BY h)
+         |SELECT e.doc_id,
+         |       count(*) AS n_grams,
+         |       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS novelty
+         |FROM e JOIN f USING (h)
+         |GROUP BY e.doc_id
+         |ORDER BY e.doc_id""".stripMargin,
     "tx1_token_stats" ->
       s"""SELECT doc_id,
          |       CAST(length(text) AS INT) AS n_chars,

@@ -160,7 +160,54 @@ object WindowOps {
       .transform(Common.presented(_, col("cohort_week"), col("week_offset")))
   }
 
+  /** W10 — multi-touch ATTRIBUTION: every purchase distributes credit
+    * over the user's clicks in the preceding 2 hours — linear weight
+    * 1/n plus a last-touch flag, the two standard marketing/conversion
+    * models in one pass. The click↔purchase pairing reuses JX6's
+    * bucketed range-join shape (explode each purchase's 2-hour
+    * look-back into fixed-width buckets, equi-join clicks on
+    * (user, bucket), filter exact containment — no
+    * BroadcastNestedLoopJoin, pair space bounded by bucket occupancy);
+    * the per-purchase weights are then one window over p_event_id,
+    * which AQE plans on the join's output without re-reading either
+    * side. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = ScanOps.eventsTs(s, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"),
+        expr(s"unix_micros(ts) div $AttrBucketMicros").as("bkt"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withColumn("bkt", explode(sequence(
+        expr(s"unix_micros(p_ts - INTERVAL 2 HOURS) div $AttrBucketMicros"),
+        expr(s"unix_micros(p_ts) div $AttrBucketMicros"))))
+    val byPurchase = Window.partitionBy(col("p_event_id"))
+    val lastTouch = Window.partitionBy(col("p_event_id"))
+      .orderBy(col("c_ts").desc, col("c_event_id").desc)
+    val linearW = lit(1.0) / count(lit(1)).over(byPurchase)
+    p.join(c, col("user_id") === col("c_user") && p("bkt") === c("bkt") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 2 HOURS"))
+      .select(col("p_event_id"), col("user_id"), col("p_ts"),
+        col("c_event_id"), col("c_ts"), col("p_value"))
+      .withColumn("n_touch", count(lit(1)).over(byPurchase))
+      .withColumn("linear_w", linearW)
+      .withColumn("last_touch",
+        when(row_number().over(lastTouch) === 1, 1).otherwise(0))
+      .withColumn("attributed_value", col("p_value") * linearW)
+      .drop("p_value")
+      .transform(Common.presented(_, col("p_event_id"), col("c_event_id")))
+  }
+
+  /** W10's look-back width and its covering-bucket width (equal, so a
+    * window spans ≤ 2 buckets — the JX6 construction). */
+  val AttrBucketMicros = 7200000000L // 2 hours
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w10_attribution" -> (attribution _),
     "w2_tumbling" -> (tumbling _),
     "w3_sliding" -> (sliding _),
     "w4_session" -> (session _),
@@ -251,6 +298,30 @@ object WindowOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // the raw inequality join is the oracle's privilege (DuckDB plans
+    // it fine at oracle scale); the Spark side uses the bucketed
+    // equi-join restatement — identical pairs by construction
+    "w10_attribution" ->
+      """WITH c AS (SELECT event_id AS c_event_id, user_id,
+        |                  CAST(ts AS TIMESTAMP) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_event_id, user_id,
+        |             CAST(ts AS TIMESTAMP) AS p_ts, value AS p_value
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p_event_id, p.user_id AS user_id, p_ts, p_value,
+        |             c_event_id, c_ts
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.c_ts <= p.p_ts
+        |        AND c.c_ts > p.p_ts - INTERVAL 2 HOUR)
+        |SELECT p_event_id, user_id, p_ts, c_event_id, c_ts,
+        |       count(*) OVER w AS n_touch,
+        |       CAST(1 AS DOUBLE) / count(*) OVER w AS linear_w,
+        |       CASE WHEN row_number() OVER (PARTITION BY p_event_id
+        |                    ORDER BY c_ts DESC, c_event_id DESC) = 1
+        |            THEN 1 ELSE 0 END AS last_touch,
+        |       p_value * (CAST(1 AS DOUBLE) / count(*) OVER w) AS attributed_value
+        |FROM j WINDOW w AS (PARTITION BY p_event_id)
+        |ORDER BY p_event_id, c_event_id""".stripMargin,
     "w9_streaks" ->
       s"""WITH days AS (SELECT DISTINCT user_id,
         |                     epoch_ns(ts) // $DayNanos AS day
