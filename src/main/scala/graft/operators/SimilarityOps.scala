@@ -293,7 +293,68 @@ object SimilarityOps {
       .transform(Common.presented(_, col("vec_id")))
   }
 
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each (64-dim
+    * embeddings → 4×16), [[NumCentroids]] codes per subspace — the
+    * 8^4 = 4096-cell product grid an IVF-PQ index pairs with x3's
+    * coarse quantizer. */
+  val PqM = 4
+  val PqSubDim = 16
+
+  /** X8 — PRODUCT QUANTIZATION encode: compress every vector to
+    * [[PqM]] codebook indices + its quantization error — the memory
+    * layer of billion-scale ANN (IVF-PQ): 64 floats (256 B) become 4
+    * codes (4 B here, ~1 B/code in production) and distance math
+    * becomes per-subspace table lookups.
+    *
+    * Codebooks reuse the x3/x7 convention — the deterministic seed
+    * slice plays the "trained" centroids (a production fit samples the
+    * corpus, trains per-subspace k-means with x7's refinement, and
+    * broadcasts the result; the encode plan below is IDENTICAL either
+    * way). Distances are squared-L2 via three dot products
+    * (|x|² − 2x·c + |c|², the compiled [[graft.functions.FloatVecDot]]),
+    * nearest code per (vector, subspace) by a WindowGroupLimit-pruned
+    * row_number, and the per-vector roll-up pivots the [[PqM]] rows
+    * back to columns — qerr sums the four subspace distortions in
+    * FIXED column order, not float-aggregation order, so the double is
+    * bit-stable. Scale shape: one narrow explode (×[[PqM]]), one
+    * broadcast of (M × K) sub-centroids, one hash shuffle on vec_id
+    * for the pivot. The corpus never self-joins. */
+  def pqEncode(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val sub = c.select(col("vec_id"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "s")
+    val cents = sub
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids)
+      .select(col("m").as("cm"), col("vec_id").as("cent_id"),
+        col("s").as("cs"))
+    val d2 = dotD(col("s"), col("s")) - lit(2.0) * dotD(col("s"), col("cs")) +
+      dotD(col("cs"), col("cs"))
+    // nearest code per subspace as a min over (d2, cent_id) STRUCTS —
+    // lexicographic struct ordering IS the (distance, id-tiebreak)
+    // argmin, and stating all four subspaces as aggregates of one
+    // groupBy(vec_id) folds the whole encode into a SINGLE hash
+    // shuffle with map-side partials (a row_number window would
+    // partition by (vec_id, m) and force a second exchange for this
+    // pivot — measured and removed; PlanContractSpec pins it)
+    def bestAt(m: Int) =
+      min(when(col("m") === m, struct(col("d2"), col("cent_id"))))
+    val best = sub.join(broadcast(cents), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("cent_id"), d2.as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(bestAt(0).as("b0"), bestAt(1).as("b1"),
+        bestAt(2).as("b2"), bestAt(3).as("b3"))
+    best.select(col("vec_id"),
+        col("b0.cent_id").as("code0"), col("b1.cent_id").as("code1"),
+        col("b2.cent_id").as("code2"), col("b3.cent_id").as("code3"),
+        (col("b0.d2") + col("b1.d2") + col("b2.d2") + col("b3.d2")).as("qerr"))
+      .transform(Common.presented(_, col("vec_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x8_pq_encode" -> (pqEncode _),
     "x7_kmeans" -> (kmeansRefine _),
     "x6_topk_agg" -> (topkAggJson _),
     "x1_knn_brute" -> (knnBrute _),
@@ -435,8 +496,38 @@ object SimilarityOps {
        |       CASE WHEN c1 <> c2 THEN 1 ELSE 0 END AS moved, cos2
        |FROM a2 ORDER BY vec_id""".stripMargin
 
+  /** X8 oracle: list slices are 1-based inclusive in DuckDB
+    * (`v[a:b]`); qerr adds the four subspace distortions in the same
+    * fixed order as the Spark pivot. */
+  private def pqSql =
+    s"""WITH e AS ($corpusSql),
+       |sub AS (SELECT vec_id, u.m,
+       |               v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS s
+       |        FROM e, unnest([0, 1, 2, 3]) AS u(m)),
+       |cent AS (SELECT m, vec_id AS cent_id, s AS cs FROM sub
+       |         WHERE vec_id >= $NumQueries
+       |           AND vec_id < ${NumQueries + NumCentroids}),
+       |d AS (SELECT sub.vec_id, sub.m, cent.cent_id,
+       |             ${dotDSql("s", "s")} - 2 * ${dotDSql("s", "cs")}
+       |               + ${dotDSql("cs", "cs")} AS d2
+       |      FROM sub JOIN cent USING (m)),
+       |best AS (SELECT vec_id, m, cent_id, d2,
+       |                row_number() OVER (PARTITION BY vec_id, m
+       |                  ORDER BY d2, cent_id) AS rn
+       |         FROM d)
+       |SELECT vec_id,
+       |       max(CASE WHEN m = 0 THEN cent_id END) AS code0,
+       |       max(CASE WHEN m = 1 THEN cent_id END) AS code1,
+       |       max(CASE WHEN m = 2 THEN cent_id END) AS code2,
+       |       max(CASE WHEN m = 3 THEN cent_id END) AS code3,
+       |       max(CASE WHEN m = 0 THEN d2 END) + max(CASE WHEN m = 1 THEN d2 END)
+       |         + max(CASE WHEN m = 2 THEN d2 END) + max(CASE WHEN m = 3 THEN d2 END) AS qerr
+       |FROM best WHERE rn = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
+      ("x8_pq_encode" -> pqSql) +
       ("x7_kmeans" -> kmeansSql) +
       ("x6_topk_agg" ->
         s"""WITH e AS ($corpusSql)

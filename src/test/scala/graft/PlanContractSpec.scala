@@ -75,4 +75,29 @@ class PlanContractSpec extends SparkSpec {
     val p8 = executed(graft.operators.JoinOps.pitScd2(spark, Sf))
     assert(shuffles(p8).size <= 3, p8.toString.take(2000))
   }
+
+  test("w10: attribution pairs via the bucketed equi-join — never a nested-loop join") {
+    // the raw inequality restatement silently plans as
+    // BroadcastNestedLoopJoin (per-pair work, quadratic per user at
+    // scale); the bucket-key equi-join is the whole point of the op
+    val p = executed(graft.operators.WindowOps.attribution(spark, Sf))
+    val txt = p.toString
+    assert(!txt.contains("BroadcastNestedLoopJoin") &&
+      !txt.contains("CartesianProduct"), txt.take(2000))
+    assert(txt.contains("Join"), "pairing join missing")
+  }
+
+  test("x8: PQ encode never self-joins the corpus — one scan + broadcast codebooks") {
+    val p = executed(graft.operators.SimilarityOps.pqEncode(spark, Sf))
+    // sub-centroids reach the assignment via broadcast; the corpus
+    // side is scanned for the explode and again for the codebook slice
+    // (both tiny projections), but NO shuffle-join of corpus × corpus
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "codebooks must broadcast")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "PQ encode must not shuffle-join the corpus")
+    // vec_id pivot + presentation are the only exchanges
+    assert(shuffles(p).size <= 2, p.toString.take(2000))
+  }
 }
