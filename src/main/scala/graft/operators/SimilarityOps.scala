@@ -319,8 +319,12 @@ object SimilarityOps {
     * bit-stable. Scale shape: one narrow explode (×[[PqM]]), one
     * broadcast of (M × K) sub-centroids, one hash shuffle on vec_id
     * for the pivot. The corpus never self-joins. */
-  def pqEncode(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
+  def pqEncode(s: SparkSession, dir: String): DataFrame =
+    pqEncodeCore(corpus(s, dir))
+      .transform(Common.presented(_, col("vec_id")))
+
+  /** [[pqEncode]] without the presentation sort — X9 composes it. */
+  def pqEncodeCore(c: DataFrame): DataFrame = {
     val sub = c.select(col("vec_id"),
         posexplode(array((0 until PqM).map(m =>
           slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
@@ -350,10 +354,72 @@ object SimilarityOps {
         col("b0.cent_id").as("code0"), col("b1.cent_id").as("code1"),
         col("b2.cent_id").as("code2"), col("b3.cent_id").as("code3"),
         (col("b0.d2") + col("b1.d2") + col("b2.d2") + col("b3.d2")).as("qerr"))
-      .transform(Common.presented(_, col("vec_id")))
+  }
+
+  /** X9 — ADC search over the PQ codes (the query path x8's encode
+    * exists for): each query precomputes a distance TABLE to every
+    * sub-centroid ([[PqM]]×[[NumCentroids]] doubles — that's the
+    * "asymmetric" part: the query stays full-precision, the corpus is
+    * 4 codes), and a corpus vector's approximate distance is the sum
+    * of 4 table lookups by its codes. At 10¹⁰ vectors this is why
+    * IVF-PQ wins: the scan reads 4 ints per vector instead of 64
+    * floats (16× less IO), distances cost 4 additions instead of a
+    * 64-dim dot product, and the table build is O(Q·M·K) — independent
+    * of corpus size.
+    *
+    * Shape: codes melt to (vec_id, m, code) rows (narrow ×[[PqM]]
+    * explode); the Q×M×K distance table BROADCASTS onto the (m, code)
+    * equi-join; the per-(query, vector) sum pivots the 4 subspace
+    * rows back in FIXED order (bit-stable doubles, as x8); top-k per
+    * query is the WindowGroupLimit shape. One hash shuffle on
+    * (query_id, vec_id) + the top-k's query_id exchange. */
+  def pqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    val adc = pqAdcDistances(s, dir)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adc"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
+  /** The full (query × corpus) ADC distance frame, pre-top-k — PqSpec
+    * pins the ADC identity on it. */
+  private[graft] def pqAdcDistances(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val codes = pqEncodeCore(c)
+      .select(col("vec_id"),
+        posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+    val qsub = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .withColumnRenamed("pos", "qm").withColumnRenamed("col", "qs")
+    val cents = c
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids)
+      .select(col("vec_id").as("cent_id"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .withColumnRenamed("pos", "cm").withColumnRenamed("col", "cs")
+    // Q × M × K distance table — tiny and corpus-size-independent
+    val dt = qsub.join(cents, col("qm") === col("cm"))
+      .select(col("query_id"), col("qm").as("m"), col("cent_id"),
+        (dotD(col("qs"), col("qs")) - lit(2.0) * dotD(col("qs"), col("cs")) +
+          dotD(col("cs"), col("cs"))).as("pd"))
+    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
+    codes.join(broadcast(dt),
+        codes("m") === dt("m") && col("code") === col("cent_id") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), codes("m"), col("pd"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x9_pq_adc" -> (pqAdcSearch _),
     "x8_pq_encode" -> (pqEncode _),
     "x7_kmeans" -> (kmeansRefine _),
     "x6_topk_agg" -> (topkAggJson _),
@@ -525,9 +591,48 @@ object SimilarityOps {
        |FROM best WHERE rn = 1
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  /** X9 oracle: the same ADC pipeline — codes from [[pqSql]] (nested
+    * as a subquery), per-query distance table, fixed-order 4-term sum,
+    * rank by (adc, vec_id). */
+  private def pqAdcSql =
+    s"""WITH e AS ($corpusSql),
+       |codes0 AS (SELECT * FROM ($pqSql) pq),
+       |codes AS (SELECT vec_id, u.m,
+       |                 CASE u.m WHEN 0 THEN code0 WHEN 1 THEN code1
+       |                          WHEN 2 THEN code2 ELSE code3 END AS code
+       |          FROM codes0, unnest([0, 1, 2, 3]) AS u(m)),
+       |qsub AS (SELECT vec_id AS query_id, u.m,
+       |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS qs
+       |         FROM e, unnest([0, 1, 2, 3]) AS u(m)
+       |         WHERE vec_id < $NumQueries),
+       |cent AS (SELECT vec_id AS cent_id, u.m,
+       |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS cs
+       |         FROM e, unnest([0, 1, 2, 3]) AS u(m)
+       |         WHERE vec_id >= $NumQueries
+       |           AND vec_id < ${NumQueries + NumCentroids}),
+       |dt AS (SELECT query_id, qsub.m, cent_id,
+       |              ${dotDSql("qs", "qs")} - 2 * ${dotDSql("qs", "cs")}
+       |                + ${dotDSql("cs", "cs")} AS pd
+       |       FROM qsub JOIN cent USING (m)),
+       |j AS (SELECT dt.query_id, codes.vec_id, codes.m, dt.pd
+       |      FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.cent_id
+       |      WHERE dt.query_id <> codes.vec_id),
+       |adc AS (SELECT query_id, vec_id,
+       |               max(CASE WHEN m = 0 THEN pd END) + max(CASE WHEN m = 1 THEN pd END)
+       |                 + max(CASE WHEN m = 2 THEN pd END) + max(CASE WHEN m = 3 THEN pd END) AS adc
+       |        FROM j GROUP BY query_id, vec_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc, vec_id) AS INT) AS rank,
+       |       vec_id AS neighbor_id, adc
+       |FROM adc
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
       ("x8_pq_encode" -> pqSql) +
+      ("x9_pq_adc" -> pqAdcSql) +
       ("x7_kmeans" -> kmeansSql) +
       ("x6_topk_agg" ->
         s"""WITH e AS ($corpusSql)
