@@ -83,10 +83,70 @@ object AuditOps {
       .transform(Common.presented(_, col("constraint_name")))
   }
 
+  /** DQ2 — snapshot-over-snapshot DISTRIBUTION DRIFT: the monitor a
+    * daily ingest runs before promoting a new corpus slice — per
+    * (lang, length-bucket) cell, old-vs-new doc shares and a drift
+    * flag when either direction shifts more than 2×. The flag is
+    * stated as INTEGER cross-multiplication
+    * (`n_new·total_old > 2·n_old·total_new`, and symmetrically) — the
+    * PSI-style ratio test without ln(), so it is hash-exact across
+    * engines AND zero-count cells degrade correctly (a bucket that
+    * appears from nowhere always flags; 0-vs-0 never does). Old/new
+    * reuse d7's snapshot convention. One exchange on the cell key;
+    * totals are a single-partition window over the COLLAPSED cells
+    * (tx11's pattern — bounded by langs × buckets, not docs). */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isNew = (col("doc_id") % DedupOps.IncomingMod === 0)
+    val cells = graft.sources.Tables.documents(s, dir)
+      .select(col("lang"),
+        least(lit(9), expr("n_chars div 100")).cast("int").as("len_bucket"),
+        when(isNew, 1L).otherwise(0L).as("is_new"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(lit(1L) - col("is_new")).as("n_old"),
+        sum(col("is_new")).as("n_new"))
+    val all = Window.partitionBy()
+    cells
+      .withColumn("total_old", sum(col("n_old")).over(all))
+      .withColumn("total_new", sum(col("n_new")).over(all))
+      .select(col("lang"), col("len_bucket"), col("n_old"), col("n_new"),
+        (col("n_old").cast("double") / col("total_old")).as("share_old"),
+        (col("n_new").cast("double") / col("total_new")).as("share_new"),
+        when(col("n_new") * col("total_old") > lit(2L) * col("n_old") * col("total_new"), 1)
+          .when(col("n_old") * col("total_new") > lit(2L) * col("n_new") * col("total_old"), 1)
+          .otherwise(0).as("drift"))
+      .transform(Common.presented(_, col("lang"), col("len_bucket")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq1_constraints" -> (constraints _))
+    "dq1_constraints" -> (constraints _),
+    "dq2_drift" -> (drift _))
 
   val oracles: Map[String, String] = Map(
+    // sums widen to HUGEINT in DuckDB -> CAST back; shares are
+    // DOUBLE/BIGINT divisions (exact on both engines); the drift flag
+    // is pure integer arithmetic
+    "dq2_drift" ->
+      s"""WITH d AS (SELECT lang,
+         |                  CAST(least(9, n_chars // 100) AS INT) AS len_bucket,
+         |                  CASE WHEN doc_id % ${DedupOps.IncomingMod} = 0
+         |                       THEN 1 ELSE 0 END AS is_new
+         |           FROM documents),
+         |cells AS (SELECT lang, len_bucket,
+         |                 CAST(sum(1 - is_new) AS BIGINT) AS n_old,
+         |                 CAST(sum(is_new) AS BIGINT) AS n_new
+         |          FROM d GROUP BY lang, len_bucket),
+         |t AS (SELECT *, CAST(sum(n_old) OVER () AS BIGINT) AS total_old,
+         |             CAST(sum(n_new) OVER () AS BIGINT) AS total_new
+         |      FROM cells)
+         |SELECT lang, len_bucket, n_old, n_new,
+         |       CAST(n_old AS DOUBLE) / total_old AS share_old,
+         |       CAST(n_new AS DOUBLE) / total_new AS share_new,
+         |       CASE WHEN n_new * total_old > 2 * n_old * total_new THEN 1
+         |            WHEN n_old * total_new > 2 * n_new * total_old THEN 1
+         |            ELSE 0 END AS drift
+         |FROM t
+         |ORDER BY lang, len_bucket""".stripMargin,
     "dq1_constraints" ->
       """WITH ev AS (SELECT count(*) AS n_rows,
         |                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user,

@@ -418,7 +418,71 @@ object SimilarityOps {
       .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
   }
 
+  /** X10 — IVF-PQ: the production composition of the whole x-family.
+    * x3's coarse quantizer prunes the corpus to the query's cell
+    * (partition-pruned scan at 100 TB: the codes table is written
+    * cell-partitioned), x8's codes replace the vectors inside the cell,
+    * x9's ADC tables score them — so a query reads codes from ONE cell
+    * instead of the whole corpus, and scores them with 4 lookups each.
+    * This is the billion-scale ANN index (Johnson/Douze/Jégou's FAISS
+    * IVFADC) as three declarative stages; both quantizers share the
+    * deterministic seed-slice convention (a production fit trains each
+    * separately — the plan is unchanged). */
+  def ivfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val coarse = c
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cell_id"))
+    val assigned = c.join(broadcast(coarse))
+      .withColumn("cent_cos",
+        dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("cell_id"))
+    val codes = pqEncodeCore(c)
+      .select(col("vec_id"),
+        posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+      .join(assigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+    val qsub = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cell_id").as("q_cell"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .withColumnRenamed("pos", "qm").withColumnRenamed("col", "qs")
+    val cents = c
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids)
+      .select(col("vec_id").as("cent_id"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .withColumnRenamed("pos", "cm").withColumnRenamed("col", "cs")
+    val dt = qsub.join(cents, col("qm") === col("cm"))
+      .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
+        (dotD(col("qs"), col("qs")) - lit(2.0) * dotD(col("qs"), col("cs")) +
+          dotD(col("cs"), col("cs"))).as("pd"))
+    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
+    val adc = codes.join(broadcast(dt),
+        codes("m") === dt("m") && col("code") === col("cent_id") &&
+          col("cell_id") === col("q_cell") && // probe ONLY the query's cell
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cell_id"), codes("m"), col("pd"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell_id"))
+      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("cell_id").as("cell"), col("adc"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_ivfpq" -> (ivfPqSearch _),
     "x9_pq_adc" -> (pqAdcSearch _),
     "x8_pq_encode" -> (pqEncode _),
     "x7_kmeans" -> (kmeansRefine _),
@@ -629,10 +693,61 @@ object SimilarityOps {
        |QUALIFY rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** X10 oracle: x3's assignment CTE + x8's codes + x9's tables, with
+    * the probe restricted to the query's cell. */
+  private def ivfPqSql =
+    s"""WITH c AS ($corpusSql),
+       |coarse AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
+       |           WHERE vec_id >= $NumQueries
+       |             AND vec_id < ${NumQueries + NumCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, v, cell_id
+       |  FROM (SELECT c.vec_id, c.v, coarse.cell_id,
+       |               ${dotDSql("c.v", "coarse.cv")} / (c.nrm * coarse.cn) AS cent_cos
+       |        FROM c CROSS JOIN coarse)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cell_id) = 1),
+       |codes0 AS (SELECT * FROM ($pqSql) pq),
+       |codes AS (SELECT codes0.vec_id, u.m,
+       |                 CASE u.m WHEN 0 THEN code0 WHEN 1 THEN code1
+       |                          WHEN 2 THEN code2 ELSE code3 END AS code,
+       |                 assigned.cell_id
+       |          FROM codes0, unnest([0, 1, 2, 3]) AS u(m)
+       |          JOIN assigned ON codes0.vec_id = assigned.vec_id),
+       |qsub AS (SELECT vec_id AS query_id, cell_id AS q_cell, u.m,
+       |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS qs
+       |         FROM assigned, unnest([0, 1, 2, 3]) AS u(m)
+       |         WHERE vec_id < $NumQueries),
+       |cent AS (SELECT vec_id AS cent_id, u.m,
+       |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS cs
+       |         FROM c, unnest([0, 1, 2, 3]) AS u(m)
+       |         WHERE vec_id >= $NumQueries
+       |           AND vec_id < ${NumQueries + NumCentroids}),
+       |dt AS (SELECT query_id, q_cell, qsub.m, cent_id,
+       |              ${dotDSql("qs", "qs")} - 2 * ${dotDSql("qs", "cs")}
+       |                + ${dotDSql("cs", "cs")} AS pd
+       |       FROM qsub JOIN cent USING (m)),
+       |j AS (SELECT dt.query_id, codes.vec_id, codes.cell_id, codes.m, dt.pd
+       |      FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.cent_id
+       |                        AND codes.cell_id = dt.q_cell
+       |      WHERE dt.query_id <> codes.vec_id),
+       |adc AS (SELECT query_id, vec_id, cell_id,
+       |               max(CASE WHEN m = 0 THEN pd END) + max(CASE WHEN m = 1 THEN pd END)
+       |                 + max(CASE WHEN m = 2 THEN pd END) + max(CASE WHEN m = 3 THEN pd END) AS adc
+       |        FROM j GROUP BY query_id, vec_id, cell_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc, vec_id) AS INT) AS rank,
+       |       vec_id AS neighbor_id, cell_id AS cell, adc
+       |FROM adc
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
       ("x8_pq_encode" -> pqSql) +
       ("x9_pq_adc" -> pqAdcSql) +
+      ("x10_ivfpq" -> ivfPqSql) +
       ("x7_kmeans" -> kmeansSql) +
       ("x6_topk_agg" ->
         s"""WITH e AS ($corpusSql)
