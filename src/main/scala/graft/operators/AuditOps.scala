@@ -118,6 +118,34 @@ object AuditOps {
       .transform(Common.presented(_, col("lang"), col("len_bucket")))
   }
 
+  /** DQ2's streaming form: ONE micro-batch's (lang, length-bucket)
+    * counts vs a fixed REFERENCE distribution (the accepted corpus
+    * profile, broadcast — a few hundred cells regardless of corpus
+    * size). Same integer cross-multiplied 2× flag as [[drift]]; cells
+    * absent from either side surface with zero counts (a
+    * batch-invents-a-bucket event always flags). Bound per micro-batch
+    * from `foreachBatch` exactly like [[eventsAuditCore]] —
+    * StreamingAuditSpec plants a skewed batch and pins the flags. */
+  def driftAgainst(batch: DataFrame, reference: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = batch
+      .select(col("lang"),
+        least(lit(9), expr("n_chars div 100")).cast("int").as("len_bucket"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_batch"))
+    val joined = reference
+      .join(cells, Seq("lang", "len_bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_batch"))
+    val all = Window.partitionBy()
+    joined
+      .withColumn("total_ref", sum(col("n_ref")).over(all))
+      .withColumn("total_batch", sum(col("n_batch")).over(all))
+      .select(col("lang"), col("len_bucket"), col("n_ref"), col("n_batch"),
+        when(col("n_batch") * col("total_ref") > lit(2L) * col("n_ref") * col("total_batch"), 1)
+          .when(col("n_ref") * col("total_batch") > lit(2L) * col("n_batch") * col("total_ref"), 1)
+          .otherwise(0).as("drift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_constraints" -> (constraints _),
     "dq2_drift" -> (drift _))

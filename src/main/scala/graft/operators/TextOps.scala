@@ -579,7 +579,74 @@ object TextOps {
       .transform(Common.presented(_, col("doc_id")))
   }
 
+  /** C1 — the end-to-end TRAINING-SET MANIFEST: the whole curation
+    * pipeline as ONE registered query, emitting a per-document audit
+    * trail of why each doc was or wasn't selected —
+    *
+    *   1. exact dedup (d1's rule): keeper = min doc_id per md5(text);
+    *      losers status `dup`;
+    *   2. quality gate (tx2's buckets): non-`ok` keepers are
+    *      `low_quality`;
+    *   3. leakage-safe split (d10's content-cluster hash): non-train
+    *      survivors are `heldout`;
+    *   4. per-lang token budget (tx17's rule over the ELIGIBLE set):
+    *      score-ordered prefix while 2·cum ≤ lang total — `selected`,
+    *      the rest `over_budget`.
+    *
+    * Each stage reuses the exact formula its standalone query proved
+    * (same windows, same integer comparisons), restricted stage by
+    * stage — so the composition is oracle-checkable end to end. Scale
+    * shape: one shuffle on the content hash (keeper window), narrow
+    * quality/split projections, one shuffle on lang for the budget
+    * windows, and one broadcast-back of the tiny eligible-set
+    * decisions. */
+  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nTokBpe = aggregate(toks, lit(0L),
+      (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    val kw = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
+    val m = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        md5(col("text")).as("content_key"),
+        size(array_distinct(toks)).cast("long").as("score"),
+        nTokBpe.as("n_tok"),
+        when(nTok < 30, lit("too_short"))
+          .when(nStop * 2L > nTok, lit("boilerplate"))
+          .when(nDist * 3L < nTok, lit("repetitive"))
+          .otherwise(lit("ok")).as("quality_bucket"))
+      .withColumn("krn", row_number().over(kw))
+    val withSplit = m.join(
+      graft.operators.DedupOps.clusterSplitCore(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("split")),
+      Seq("doc_id"))
+    val elig = withSplit.filter(col("krn") === 1 &&
+      col("quality_bucket") === "ok" && col("split") === "train")
+    val byScore = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val whole = Window.partitionBy(col("lang"))
+    val kept = elig
+      .withColumn("cum_tok", sum(col("n_tok")).over(byScore))
+      .withColumn("lang_tokens", sum(col("n_tok")).over(whole))
+      .select(col("doc_id"),
+        when(col("cum_tok") * 2 <= col("lang_tokens"), 1).otherwise(0)
+          .as("kept"))
+    withSplit.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("quality_bucket"), col("split"),
+        col("n_tok"),
+        when(col("krn") > 1, lit("dup"))
+          .when(col("quality_bucket") =!= "ok", lit("low_quality"))
+          .when(col("split") =!= "train", lit("heldout"))
+          .when(col("kept") === 1, lit("selected"))
+          .otherwise(lit("over_budget")).as("status"))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_training_manifest" -> (trainingManifest _),
     "tx18_novelty" -> (ngramNovelty _),
     "tx13_curation_report" -> (curationReport _),
     "tx14_chunk" -> (chunk _),
@@ -601,7 +668,51 @@ object TextOps {
   private val stopList = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val toksSql = tokensSql("text")
 
+  /** C1's split rule, restated inline exactly as d10's oracle does. */
+  private def c1SplitSql: String = {
+    val key = md5LongSql(s"'split:' || md5(array_to_string(${tokensSql("text")}[1:${DedupOps.HeadKeyTokens}], ' '))")
+    s"""CASE WHEN $key % 100 < ${DedupOps.SplitTrainPct} THEN 'train'
+       |     WHEN $key % 100 < ${DedupOps.SplitTrainPct + DedupOps.SplitValPct} THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // every stage reuses the standalone oracle's formula: d1's
+    // min-per-md5 keeper, tx2's buckets, d10's split hash, tx17's
+    // 2·cum ≤ total prefix over the eligible set
+    "c1_training_manifest" ->
+      s"""WITH raw AS (SELECT doc_id, lang, text,
+         |               row_number() OVER (PARTITION BY md5(text)
+         |                 ORDER BY doc_id) AS krn
+         |             FROM documents),
+         |m AS (SELECT doc_id, lang, krn,
+         |        CAST(len(list_distinct($toksSql)) AS BIGINT) AS score,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform($toksSql, t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+         |          (acc, x) -> acc + x) AS n_tok,
+         |        CASE WHEN CAST(len($toksSql) AS BIGINT) < 30 THEN 'too_short'
+         |             WHEN CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS BIGINT) * 2
+         |                    > CAST(len($toksSql) AS BIGINT) THEN 'boilerplate'
+         |             WHEN CAST(len(list_distinct($toksSql)) AS BIGINT) * 3
+         |                    < CAST(len($toksSql) AS BIGINT) THEN 'repetitive'
+         |             ELSE 'ok' END AS quality_bucket,
+         |        $c1SplitSql AS split
+         |      FROM raw),
+         |b AS (SELECT doc_id,
+         |             CASE WHEN sum(n_tok) OVER cum * 2
+         |                         <= sum(n_tok) OVER (PARTITION BY lang)
+         |                  THEN 1 ELSE 0 END AS kept
+         |      FROM m WHERE krn = 1 AND quality_bucket = 'ok' AND split = 'train'
+         |      WINDOW cum AS (PARTITION BY lang ORDER BY score DESC, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT m.doc_id, m.lang, m.quality_bucket, m.split, m.n_tok,
+         |       CASE WHEN m.krn > 1 THEN 'dup'
+         |            WHEN m.quality_bucket <> 'ok' THEN 'low_quality'
+         |            WHEN m.split <> 'train' THEN 'heldout'
+         |            WHEN b.kept = 1 THEN 'selected'
+         |            ELSE 'over_budget' END AS status
+         |FROM m LEFT JOIN b USING (doc_id)
+         |ORDER BY m.doc_id""".stripMargin,
     // d8's hashed-distinct-trigram contract (DedupOps.tgSql);
     // novelty through min-doc first occurrence, order-free
     "tx18_novelty" ->

@@ -163,4 +163,38 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("c1: manifest statuses agree with the standalone stage queries") {
+    import org.apache.spark.sql.functions._
+    val manifest = TextOps.trainingManifest(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("quality_bucket"), r.getAs[String]("split"),
+          r.getAs[String]("status"))).toMap
+    assert(manifest.size == 500)
+    // stage agreement: quality buckets == tx2's, splits == d10's
+    val q = TextOps.quality(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("quality_bucket")).toMap
+    val sp = graft.operators.DedupOps.clusterSplit(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    manifest.foreach { case (id, (qb, s, _)) =>
+      assert(qb == q(id) && s == sp(id), s"doc $id stage drift")
+    }
+    // dup statuses are exactly d1's non-keepers (d1 emits one row per
+    // content group with its keep_id)
+    val keepIds = graft.operators.DedupOps.exact(spark, Sf).collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    manifest.foreach { case (id, (_, _, st)) =>
+      assert((st == "dup") == !keepIds(id), s"doc $id dup mismatch")
+    }
+    // the status ladder is exhaustive and ordered: selected implies
+    // keeper + ok + train
+    manifest.values.map(_._3).foreach(st =>
+      assert(Set("dup", "low_quality", "heldout", "selected", "over_budget")(st)))
+    manifest.foreach { case (id, (qb, s, st)) =>
+      if (st == "selected" || st == "over_budget") {
+        assert(keepIds(id) && qb == "ok" && s == "train", s"doc $id ladder")
+      }
+    }
+    assert(manifest.values.exists(_._3 == "selected"))
+  }
 }

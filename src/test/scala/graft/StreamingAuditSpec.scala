@@ -54,4 +54,48 @@ class StreamingAuditSpec extends SparkSpec {
       assert(b1("events.props_not_null") == 0L)
     } finally q.stop()
   }
+
+  case class Doc(doc_id: Long, lang: String, n_chars: Long)
+
+  test("per-batch drift monitor: a skewed batch flags against the broadcast reference") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // accepted corpus profile: 2 langs, balanced, one length bucket each
+    val reference = Seq(
+      ("en", 0, 100L), ("en", 1, 100L),
+      ("zh", 0, 100L), ("zh", 1, 100L))
+      .toDF("lang", "len_bucket", "n_ref")
+    val in = MemoryStream[Doc]
+    val results =
+      new scala.collection.mutable.ArrayBuffer[(Long, String, Int, Long, Int)]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.AuditOps.driftAgainst(batch, reference)
+          .collect().foreach { r =>
+            results.synchronized {
+              results += ((id, r.getAs[String]("lang"), r.getAs[Int]("len_bucket"),
+                r.getAs[Long]("n_batch"), r.getAs[Int]("drift")))
+            }
+          }
+        ()
+      }
+      .start()
+    try {
+      // batch 0 mirrors the reference mix exactly → no flags
+      in.addData((1 to 8).map(i => Doc(i,
+        if (i % 2 == 0) "en" else "zh", if (i % 4 < 2) 50L else 150L)): _*)
+      q.processAllAvailable()
+      // batch 1: all-zh, all-short, plus a bucket the reference never
+      // saw (fr) → zh/0 over-shares, en cells vanish, fr flags as new
+      in.addData((9 to 16).map(i => Doc(i, "zh", 50L)): _*)
+      in.addData(Doc(17, "fr", 950L))
+      q.processAllAvailable()
+      val byBatch = results.groupBy(_._1)
+      assert(byBatch(0L).forall(_._5 == 0), byBatch(0L).toString)
+      val b1 = byBatch(1L).map(t => ((t._2, t._3), t._5)).toMap
+      assert(b1(("zh", 0)) == 1, "over-shared cell must flag")
+      assert(b1(("en", 0)) == 1 && b1(("en", 1)) == 1, "vanished cells must flag")
+      assert(b1(("fr", 9)) == 1, "never-seen bucket must flag")
+    } finally q.stop()
+  }
 }
