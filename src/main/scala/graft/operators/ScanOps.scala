@@ -133,6 +133,49 @@ object ScanOps {
       .transform(Common.presented(_, col("user_id")))
   }
 
+  /** S8 — SNAPSHOT DIFF / change-data-feed: the I/U/D changelog between
+    * two point-in-time states of the keyed table — what a lakehouse
+    * MERGE consumes and what Delta/Iceberg expose as a change feed,
+    * recomputed here from the raw event log. State-at-cutoff reuses
+    * S6's latest-per-key rule, with `error` events playing the DELETE
+    * tombstone (a key whose latest event is an error is absent from
+    * that snapshot). The diff is one full-outer self-merge on user_id:
+    * absent→present = I, present→absent = D, both-present-but-changed
+    * = U; unchanged keys drop (that's what makes the feed incremental —
+    * at 100 TB its size tracks the CHANGED keys between cutoffs, not
+    * the table). Both snapshot windows and the join share the user_id
+    * hash partitioning; input bucketed by user_id → exchange-free. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def stateAt(cutoff: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      eventsTs(s, dir)
+        .filter(col("ts") <= to_timestamp(lit(cutoff)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("value"))
+    }
+    val a = stateAt("2024-01-10 00:00:00")
+      .select(col("user_id"), col("state").as("old_state"),
+        col("value").as("old_value"))
+    val b = stateAt("2024-01-20 00:00:00")
+      .select(col("user_id"), col("state").as("new_state"),
+        col("value").as("new_value"))
+    a.join(b, Seq("user_id"), "full_outer")
+      .withColumn("op",
+        when(col("old_state").isNull, lit("I"))
+          .when(col("new_state").isNull, lit("D"))
+          .when(col("old_state") =!= col("new_state") ||
+            col("old_value") =!= col("new_value"), lit("U"))
+          .otherwise(lit("=")))
+      .filter(col("op") =!= "=")
+      .select(col("user_id"), col("op"), col("old_state"), col("old_value"),
+        col("new_state"), col("new_value"))
+      .transform(Common.presented(_, col("user_id")))
+  }
+
   /** S7 — SCD Type-2 history reconstruction: turn the change log into
     * per-entity validity intervals — `valid_from` = the change's ts,
     * `valid_to` = the NEXT change's ts (open-ended for the current
@@ -175,10 +218,37 @@ object ScanOps {
     "s4_retry_claim" -> (retryClaim _),
     "s5_max_id" -> (maxId _),
     "s6_latest_snapshot" -> (latestSnapshot _),
+    "s8_snapshot_diff" -> (snapshotDiff _),
     "u1_union6" -> (union6 _),
     "u2_side_union" -> (sideUnion _))
 
   val oracles: Map[String, String] = Map(
+    // S6's latest-per-key rule at two cutoffs (error = delete
+    // tombstone), full-outer diff, unchanged keys dropped. NULL-safe
+    // change test via IS DISTINCT FROM (Spark's =!= on a U-row is
+    // never null because both sides are present there).
+    "s8_snapshot_diff" ->
+      """WITH st AS (SELECT user_id, event_type AS state, value,
+        |                   CAST(ts AS TIMESTAMP) AS tts, event_id
+        |            FROM events),
+        |a AS (SELECT user_id, state AS old_state, value AS old_value
+        |      FROM st WHERE tts <= TIMESTAMP '2024-01-10 00:00:00'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id
+        |               ORDER BY tts DESC, event_id DESC) = 1 AND state <> 'error'),
+        |b AS (SELECT user_id, state AS new_state, value AS new_value
+        |      FROM st WHERE tts <= TIMESTAMP '2024-01-20 00:00:00'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id
+        |               ORDER BY tts DESC, event_id DESC) = 1 AND state <> 'error')
+        |SELECT user_id,
+        |       CASE WHEN old_state IS NULL THEN 'I'
+        |            WHEN new_state IS NULL THEN 'D'
+        |            ELSE 'U' END AS op,
+        |       old_state, old_value, new_state, new_value
+        |FROM a FULL JOIN b USING (user_id)
+        |WHERE old_state IS NULL OR new_state IS NULL
+        |   OR old_state IS DISTINCT FROM new_state
+        |   OR old_value IS DISTINCT FROM new_value
+        |ORDER BY user_id""".stripMargin,
     // the window orders by the raw TIMESTAMP_NS ts — same total order
     // as Spark's raw-nanos sort; only the OUTPUT columns truncate to µs
     "s7_scd2" ->
