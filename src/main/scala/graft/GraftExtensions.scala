@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       GraftExtensions.bloomProbeBuilder))
     ext.injectFunction((
+      FunctionIdentifier("cms_build"),
+      new ExpressionInfo(classOf[graft.functions.CmsBuildAgg].getName, "cms_build"),
+      GraftExtensions.cmsBuildBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName, "cms_estimate"),
+      GraftExtensions.cmsEstimateBuilder))
+    ext.injectFunction((
       FunctionIdentifier("asof_le"),
       new ExpressionInfo(classOf[graft.plans.AsofLE].getName, "asof_le"),
       GraftExtensions.asofLeBuilder))
@@ -137,6 +145,17 @@ object GraftExtensions {
     BloomMightContain(args(0), args(1))
   }
 
+  private[graft] val cmsBuildBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "cms_build(key) takes one bigint argument")
+    graft.functions.CmsBuildAgg(args(0))
+  }
+
+  private[graft] val cmsEstimateBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "cms_estimate(cms, key) takes a constant binary sketch and a bigint key")
+    graft.functions.CmsEstimate(args(0), args(1))
+  }
+
   private[graft] val asofLeBuilder: Seq[Expression] => Expression = { args =>
     require(args.length == 2,
       "asof_le(probeTs, buildTs) takes the LEFT (probe) and RIGHT (build) timestamps")
@@ -154,5 +173,7 @@ object GraftExtensions {
     GraftSqlBridge.registerFunction(spark, "bloom_build", bloomBuildBuilder)
     GraftSqlBridge.registerFunction(spark, "bloom_might_contain", bloomProbeBuilder)
     GraftSqlBridge.registerFunction(spark, "asof_le", asofLeBuilder)
+    GraftSqlBridge.registerFunction(spark, "cms_build", cmsBuildBuilder)
+    GraftSqlBridge.registerFunction(spark, "cms_estimate", cmsEstimateBuilder)
   }
 }

@@ -155,10 +155,58 @@ object ApproxOps {
       .transform(Common.presented(_, col("c_custkey")))
   }
 
+  /** AP4's bound slack: estimate − true ≤ 24·N / [[graft.functions.Cms.Width]]
+    * (~9× the classic ε = e/w mean bound). With the min over
+    * [[graft.functions.Cms.Depth]] rows the per-key violation odds are
+    * ~(1/9e)^5 ≈ 2·10⁻⁷ — over thousands of fuzz keys the flag still
+    * pins to 1 deterministically in practice, which is what lets the
+    * oracle assert it as a constant. */
+  val CmsBoundNum = 24L
+
+  /** AP4 — count-min frequency sketch + heavy-hitter check: build ONE
+    * ~40 KB counter matrix over the corpus token stream (hashed
+    * tokens — unbounded domain, constant state: the frequency cousin
+    * of AP1's HLL and AP3's Bloom), then probe it for every distinct
+    * token and compare against the exact count computed alongside.
+    * `ge_true` pins the sketch's one-sided-error guarantee
+    * (estimate ≥ true ALWAYS — a violated row means the sketch is
+    * broken, not unlucky); `within_bound` pins the ε-overcount bound
+    * at [[CmsBoundNum]]/Width slack. The sketch crosses the driver as
+    * one scalar (AP3's dataflow) and probes inside whole-stage codegen
+    * as a plan-time constant. At 100 TB: the exact groupBy side is the
+    * expensive audit half and exists to CHECK the sketch; production
+    * reads the 40 KB sketch alone (per day, per source — elementwise
+    * addition composes windows). */
+  def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CmsBuildAgg, CmsEstimate}
+    import graft.functions.TextFunctions.{tokens, tokHash}
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .select(tokHash(col("tok")).as("tok_hash"))
+    val sketch = toks.agg(column(
+      CmsBuildAgg(expression(col("tok_hash"))).toAggregateExpression()).as("cms"))
+      .head().getAs[Array[Byte]](0)
+    val est = column(CmsEstimate(
+      expression(lit(sketch)), expression(col("tok_hash"))))
+    val counts = toks.groupBy(col("tok_hash"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .withColumn("total_n", sum(col("true_cnt"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    counts
+      .withColumn("est", est)
+      .select(col("tok_hash"), col("true_cnt"),
+        when(col("est") >= col("true_cnt"), 1).otherwise(0).as("ge_true"),
+        when((col("est") - col("true_cnt")) * graft.functions.Cms.Width
+          <= lit(CmsBoundNum) * col("total_n"), 1).otherwise(0).as("within_bound"))
+      .transform(Common.presented(_, col("tok_hash")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ap1_hll_distinct" -> (hllDistinctChecked _),
     "ap2_quantiles" -> (quantilesChecked _),
-    "ap3_bloom_semi" -> (bloomSemi _))
+    "ap3_bloom_semi" -> (bloomSemi _),
+    "ap4_cms_heavy" -> (cmsHeavy _))
 
   /** The oracles check the deterministic halves (exact companions +
     * row surface) and pin `within_bound` to 1 — the Spark side
@@ -199,5 +247,16 @@ object ApproxOps {
         |FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_totalprice > $BloomPriceMin)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    // ap1/ap2's convention: exact companion hash-compared, sketch
+    // guarantees pinned as constant-1 flags
+    "ap4_cms_heavy" ->
+      s"""WITH t AS (SELECT unnest(list_transform(${graft.functions.TextFunctions.tokensSql("text")},
+         |             t -> ${graft.functions.TextFunctions.tokHashSql("t")})) AS tok_hash
+         |           FROM documents)
+         |SELECT tok_hash, count(*) AS true_cnt,
+         |       CAST(1 AS INT) AS ge_true,
+         |       CAST(1 AS INT) AS within_bound
+         |FROM t GROUP BY tok_hash
+         |ORDER BY tok_hash""".stripMargin)
 }
