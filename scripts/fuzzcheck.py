@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Fuzzed-fixture parity gate (round-7 verdict #6).
 
-The 107 query/oracle pairs are proven on ONE fixed driver dataset; the
+Every registered query/oracle pair is proven on ONE fixed driver dataset; the
 Spark<->DuckDB parity rules (casts, regex dialect, decimal folds,
 row-sort hashing — see Common.scala and scripts/check.py) could in
 principle hold on that fixture by accident. This gate regenerates every

@@ -496,6 +496,9 @@ object DedupOps {
     * as in d2. */
   def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ShingleExpressions._
+    // persisted like d2's signature table: incoming and bandIndex both
+    // read this frame, and without the persist the whole corpus would
+    // shingle + MinHash TWICE (the measured hot path of d2)
     val hsets = Tables.documents(s, dir).select(col("doc_id"),
       hashedShingleSet(tokens(col("text")), 2).as("bg"))
     val sigs = hsets
@@ -505,6 +508,7 @@ object DedupOps {
           element_at(col("mh"), 2 * bnd + 1) * HashMod +
             element_at(col("mh"), 2 * bnd + 2)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      .persist()
     val incoming = sigs.filter(col("doc_id") % IncomingMod === 0)
     val bandIndex = sigs.filter(col("doc_id") % IncomingMod =!= 0)
     val cand = incoming.as("x").join(bandIndex.as("y"),
@@ -631,6 +635,17 @@ object DedupOps {
         when(col("split_bucket") < SplitTrainPct, lit("train"))
           .when(col("split_bucket") < SplitTrainPct + SplitValPct, lit("val"))
           .otherwise(lit("test")))
+  }
+
+  /** The d10 split rule as ONE column over `text` — for fusing into a
+    * wider projection (c1) without a second scan + join. Identical
+    * expression tree to [[clusterSplitCore]]'s. */
+  def splitCol: Column = {
+    val key = md5(concat_ws(" ", slice(tokens(col("text")), 1, HeadKeyTokens)))
+    val bucket = md5Long(concat(lit("split:"), key)) % 100
+    when(bucket < SplitTrainPct, lit("train"))
+      .when(bucket < SplitTrainPct + SplitValPct, lit("val"))
+      .otherwise(lit("test"))
   }
 
   /** D12 — split-leakage audit: for every val/test document, how many

@@ -167,8 +167,12 @@ object ScanOps {
       .withColumn("op",
         when(col("old_state").isNull, lit("I"))
           .when(col("new_state").isNull, lit("D"))
-          .when(col("old_state") =!= col("new_state") ||
-            col("old_value") =!= col("new_value"), lit("U"))
+          // NULL-safe (<=>): a state whose VALUE is null on one side
+          // only must read as U, matching the oracle's IS DISTINCT
+          // FROM — plain =!= returns null there and the row would
+          // silently drop out of the feed
+          .when(!(col("old_state") <=> col("new_state")) ||
+            !(col("old_value") <=> col("new_value")), lit("U"))
           .otherwise(lit("=")))
       .filter(col("op") =!= "=")
       .select(col("user_id"), col("op"), col("old_state"), col("old_value"),

@@ -293,6 +293,21 @@ object SimilarityOps {
       .transform(Common.presented(_, col("vec_id")))
   }
 
+  /** (id, m, subvector) rows for PQ: the ×[[PqM]] slice-explode every
+    * PQ stage starts from — shared so the subspace geometry can only
+    * change in one place. */
+  private def pqSubvectors(df: DataFrame, idAs: String, mAs: String,
+      sAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .withColumnRenamed("pos", mAs).withColumnRenamed("col", sAs)
+
+  /** Squared L2 between subvector columns via three compiled dot
+    * products — |x|² − 2x·c + |c|², the shared PQ distance. */
+  private def pqD2(x: Column, c: Column): Column =
+    dotD(x, x) - lit(2.0) * dotD(x, c) + dotD(c, c)
+
   /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims each (64-dim
     * embeddings → 4×16), [[NumCentroids]] codes per subspace — the
     * 8^4 = 4096-cell product grid an IVF-PQ index pairs with x3's
@@ -325,17 +340,13 @@ object SimilarityOps {
 
   /** [[pqEncode]] without the presentation sort — X9 composes it. */
   def pqEncodeCore(c: DataFrame): DataFrame = {
-    val sub = c.select(col("vec_id"),
-        posexplode(array((0 until PqM).map(m =>
-          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
-      .withColumnRenamed("pos", "m").withColumnRenamed("col", "s")
+    val sub = pqSubvectors(c, "vec_id", "m", "s")
     val cents = sub
       .filter(col("vec_id") >= NumQueries &&
         col("vec_id") < NumQueries + NumCentroids)
       .select(col("m").as("cm"), col("vec_id").as("cent_id"),
         col("s").as("cs"))
-    val d2 = dotD(col("s"), col("s")) - lit(2.0) * dotD(col("s"), col("cs")) +
-      dotD(col("cs"), col("cs"))
+    val d2 = pqD2(col("s"), col("cs"))
     // nearest code per subspace as a min over (d2, cent_id) STRUCTS —
     // lexicographic struct ordering IS the (distance, id-tiebreak)
     // argmin, and stating all four subspaces as aggregates of one
@@ -392,23 +403,14 @@ object SimilarityOps {
       .select(col("vec_id"),
         posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
-    val qsub = c.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"),
-        posexplode(array((0 until PqM).map(m =>
-          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
-      .withColumnRenamed("pos", "qm").withColumnRenamed("col", "qs")
-    val cents = c
-      .filter(col("vec_id") >= NumQueries &&
-        col("vec_id") < NumQueries + NumCentroids)
-      .select(col("vec_id").as("cent_id"),
-        posexplode(array((0 until PqM).map(m =>
-          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
-      .withColumnRenamed("pos", "cm").withColumnRenamed("col", "cs")
+    val qsub = pqSubvectors(c.filter(col("vec_id") < NumQueries),
+      "query_id", "qm", "qs")
+    val cents = pqSubvectors(c.filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids), "cent_id", "cm", "cs")
     // Q × M × K distance table — tiny and corpus-size-independent
     val dt = qsub.join(cents, col("qm") === col("cm"))
       .select(col("query_id"), col("qm").as("m"), col("cent_id"),
-        (dotD(col("qs"), col("qs")) - lit(2.0) * dotD(col("qs"), col("cs")) +
-          dotD(col("cs"), col("cs"))).as("pd"))
+        pqD2(col("qs"), col("cs")).as("pd"))
     def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
     codes.join(broadcast(dt),
         codes("m") === dt("m") && col("code") === col("cent_id") &&
@@ -448,22 +450,15 @@ object SimilarityOps {
         posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
       .join(assigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
-    val qsub = assigned.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("cell_id").as("q_cell"),
-        posexplode(array((0 until PqM).map(m =>
-          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
-      .withColumnRenamed("pos", "qm").withColumnRenamed("col", "qs")
-    val cents = c
-      .filter(col("vec_id") >= NumQueries &&
-        col("vec_id") < NumQueries + NumCentroids)
-      .select(col("vec_id").as("cent_id"),
-        posexplode(array((0 until PqM).map(m =>
-          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
-      .withColumnRenamed("pos", "cm").withColumnRenamed("col", "cs")
-    val dt = qsub.join(cents, col("qm") === col("cm"))
+    val queries = assigned.filter(col("vec_id") < NumQueries)
+    val qsub = pqSubvectors(queries, "query_id", "qm", "qs")
+    val cells = queries
+      .select(col("vec_id").as("query_id"), col("cell_id").as("q_cell"))
+    val cents = pqSubvectors(c.filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids), "cent_id", "cm", "cs")
+    val dt = qsub.join(cells, Seq("query_id")).join(cents, col("qm") === col("cm"))
       .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
-        (dotD(col("qs"), col("qs")) - lit(2.0) * dotD(col("qs"), col("cs")) +
-          dotD(col("cs"), col("cs"))).as("pd"))
+        pqD2(col("qs"), col("cs")).as("pd"))
     def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
     val adc = codes.join(broadcast(dt),
         codes("m") === dt("m") && col("code") === col("cent_id") &&

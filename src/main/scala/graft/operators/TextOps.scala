@@ -608,7 +608,11 @@ object TextOps {
     val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
     val nDist = size(array_distinct(toks)).cast("long")
     val kw = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
-    val m = Tables.documents(s, dir)
+    // split fused as one more column of the SAME projection (d10's
+    // rule via DedupOps.splitCol): a second documents scan joined back
+    // on doc_id is the composed-join shape tx13 measured 3× slower
+    // than fusing
+    val withSplit = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         md5(col("text")).as("content_key"),
         size(array_distinct(toks)).cast("long").as("score"),
@@ -616,13 +620,9 @@ object TextOps {
         when(nTok < 30, lit("too_short"))
           .when(nStop * 2L > nTok, lit("boilerplate"))
           .when(nDist * 3L < nTok, lit("repetitive"))
-          .otherwise(lit("ok")).as("quality_bucket"))
+          .otherwise(lit("ok")).as("quality_bucket"),
+        graft.operators.DedupOps.splitCol.as("split"))
       .withColumn("krn", row_number().over(kw))
-    val withSplit = m.join(
-      graft.operators.DedupOps.clusterSplitCore(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), col("split")),
-      Seq("doc_id"))
     val elig = withSplit.filter(col("krn") === 1 &&
       col("quality_bucket") === "ok" && col("split") === "train")
     val byScore = Window.partitionBy(col("lang"))

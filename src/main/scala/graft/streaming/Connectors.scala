@@ -95,7 +95,10 @@ object Connectors {
         v
       }
       def opt(k: String): Option[String] = Option(p.getProperty(k)).filter(_.nonEmpty)
-      val offsets = opt("kafka.starting.offsets").map(_.toUpperCase)
+      // Locale.ROOT: under e.g. tr-TR, "earliest".toUpperCase is
+      // "EARLİEST" (dotted İ) and a valid config would be rejected
+      val offsets = opt("kafka.starting.offsets")
+        .map(_.toUpperCase(java.util.Locale.ROOT))
         .getOrElse("LATEST") match {
         case "EARLIEST" => "earliest"
         case "LATEST" => "latest"
@@ -135,7 +138,12 @@ object Connectors {
 
   /** [[kafkaStringSource]] bound from a parsed [[PipelineConf]]: one
     * subscription over all request topics, SASL + offsets applied. */
-  def kafkaRequestSource(spark: SparkSession, conf: PipelineConf): DataFrame =
+  def kafkaRequestSource(spark: SparkSession, conf: PipelineConf): DataFrame = {
+    // topics parse as optional (a response-only deployment omits them),
+    // but SUBSCRIBING to none is always a config error — fail with the
+    // missing key name, not a downstream connector error on subscribe=""
+    require(conf.requestTopics.nonEmpty,
+      "missing required property: kafka.topic.<op>.request (no request topics configured)")
     conf.kafkaOptions.foldLeft(
         spark.readStream.format("kafka")
           .option("subscribe", conf.requestTopics.values.mkString(","))) {
@@ -143,6 +151,7 @@ object Connectors {
       }
       .load()
       .select(col("value").cast("string").as("value"), col("topic"))
+  }
 
   /** S1 — Kafka value-as-string source over n topics
     * (`util/FlinkJobUtils.java:28-62`; starting offsets map to the
