@@ -93,6 +93,21 @@ class ConnectorsConfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("mysql.jdbc.url"))
   }
 
+  test("subscribing with zero configured request topics fails loudly by key name") {
+    val p = full
+    Seq("crt", "upd", "del", "rep", "adj").foreach(o =>
+      p.remove(s"kafka.topic.$o.request"))
+    val c = PipelineConf.fromProperties(p) // parse itself is fine
+    assert(c.requestTopics.isEmpty)
+    // the guard fires before the session is touched — passing null
+    // keeps this suite free of SparkSession side effects (a stray
+    // getOrCreate here could pin a wrong master for later suites)
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.Connectors.kafkaRequestSource(
+        null.asInstanceOf[org.apache.spark.sql.SparkSession], c))
+    assert(e.getMessage.contains("kafka.topic"), e.getMessage)
+  }
+
   test("sizing defaults match the reference's documented values when keys are absent") {
     val p = props(
       "kafka.bootstrap.servers" -> "b:9092",
