@@ -293,6 +293,29 @@ object SimilarityOps {
       .transform(Common.presented(_, col("vec_id")))
   }
 
+  /** The coarse-quantizer centroid set shared by the whole IVF-PQ tier
+    * (x10/x11/x13): the deterministic seed slice, like x3. */
+  private def coarseCentroids(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+
+  /** Nearest-cell assignment of `vecs` against a broadcast coarse
+    * centroid set — per-vector independent (argmax over ≤ K centroids),
+    * so callers can assign any subset (the full corpus for an index
+    * build, just the queries for a probe) and get identical cells. */
+  private def coarseAssign(vecs: DataFrame, coarse: DataFrame): DataFrame = {
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cell_id"))
+    vecs.join(broadcast(coarse))
+      .withColumn("cent_cos",
+        dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"))
+  }
+
   /** (id, m, subvector) rows for PQ: the ×[[PqM]] slice-explode every
     * PQ stage starts from — shared so the subspace geometry can only
     * change in one place. */
@@ -338,14 +361,26 @@ object SimilarityOps {
     pqEncodeCore(corpus(s, dir))
       .transform(Common.presented(_, col("vec_id")))
 
-  /** [[pqEncode]] without the presentation sort — X9 composes it. */
-  def pqEncodeCore(c: DataFrame): DataFrame = {
-    val sub = pqSubvectors(c, "vec_id", "m", "s")
-    val cents = sub
+  /** The seed-slice sub-codebooks x8/x9/x10 quantize against: subspace
+    * `m`'s K centroids are the seed vectors' m-th slices. */
+  private[graft] def pqSeedCents(c: DataFrame): DataFrame =
+    pqSubvectors(c, "vec_id", "m", "s")
       .filter(col("vec_id") >= NumQueries &&
         col("vec_id") < NumQueries + NumCentroids)
       .select(col("m").as("cm"), col("vec_id").as("cent_id"),
         col("s").as("cs"))
+
+  /** [[pqEncode]] without the presentation sort — X9 composes it. */
+  def pqEncodeCore(c: DataFrame): DataFrame =
+    pqEncodeWith(c, pqSeedCents(c))
+
+  /** The x8 encode against an ARBITRARY sub-codebook set (cm, cent_id,
+    * cs) — the plan is identical whether the codebooks are the seed
+    * slice or trained (x12): the centroid side always broadcasts, so
+    * swapping codebooks never touches the corpus-side plan
+    * (PlanContractSpec pins both). */
+  def pqEncodeWith(c: DataFrame, cents: DataFrame): DataFrame = {
+    val sub = pqSubvectors(c, "vec_id", "m", "s")
     val d2 = pqD2(col("s"), col("cs"))
     // nearest code per subspace as a min over (d2, cent_id) STRUCTS —
     // lexicographic struct ordering IS the (distance, id-tiebreak)
@@ -432,19 +467,7 @@ object SimilarityOps {
     * separately — the plan is unchanged). */
   def ivfPqSearch(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    val coarse = c
-      .filter(col("vec_id") >= NumQueries &&
-        col("vec_id") < NumQueries + NumCentroids)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"),
-        col("nrm").as("cn"))
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cent_cos").desc, col("cell_id"))
-    val assigned = c.join(broadcast(coarse))
-      .withColumn("cent_cos",
-        dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("cell_id"))
+    val assigned = coarseAssign(c, coarseCentroids(c)).drop("nrm")
     val codes = pqEncodeCore(c)
       .select(col("vec_id"),
         posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
