@@ -21,13 +21,58 @@ import graft.sources.Tables
   */
 object ScanOps {
 
-  /** Harness events with wall-clock `ts` (the raw column arrives as
-    * nanos-since-epoch LongType, see Tables.table; `div 1000` keeps the
-    * arithmetic integral — a double division would lose precision above
-    * 2^53 ns). */
-  def eventsTs(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** Harness events with wall-clock `ts`, whatever physical type the
+    * parquet carries. The reference is schema-tolerant at ingestion
+    * (`process/request/InvoiceRequestTransformer.java:57-89` probes
+    * alternative field locations at runtime); this is the scan-layer
+    * equivalent — dispatch on the ARRIVED dtype in one place so a
+    * harness regen (TIMESTAMP(NANOS) → timestamp[us] or back) changes
+    * nothing downstream:
+    *   - TimestampType (µs instant): already wall-clock, pass through
+    *     (Tables.table turns NTZ inference off, so naive-µs parquet
+    *     arrives here — stored micros read as the epoch instant);
+    *   - TimestampNTZType (defensive — only if a caller re-enables
+    *     inference): cast to instant; sessions pin UTC so the mapping
+    *     is identity on the stored micros;
+    *   - LongType (raw nanos via `nanosAsLong`): integral `div 1000`
+    *     → micros (a double division would lose precision above
+    *     2^53 ns), then `timestamp_micros`. */
+  def eventsTs(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => ev
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        ev.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — extend the " +
+          "ScanOps.eventsTs dtype dispatch (EventsSchemaSpec pins the " +
+          "supported set)")
+    }
+  }
+
+  /** Micros-since-epoch as a Column, for integer time arithmetic (day
+    * grids, range buckets) over a frame whose `ts` may be either
+    * physical type. Twin of [[eventsTs]] — same dispatch, integral
+    * output. */
+  def tsMicros(df: DataFrame, c: String = "ts"): org.apache.spark.sql.Column =
+    expr(tsMicrosSql(df, c))
+
+  /** SQL-text twin of [[tsMicros]], for composing into larger `expr`
+    * strings (e.g. `(…) div DayMicros` — the integral `div` operator
+    * has no Column-API form, and a double division truncated back to
+    * long is one ulp away from a wrong bucket at a boundary). */
+  def tsMicrosSql(df: DataFrame, c: String = "ts"): String =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => s"unix_micros($c)"
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        s"unix_micros(cast($c as timestamp))"
+      case org.apache.spark.sql.types.LongType => s"$c div 1000"
+      case other => throw new IllegalStateException(
+        s"$c arrived as unsupported type $other for integer time arithmetic")
+    }
 
   /** S2 — incremental scan of `async_inv_in`
     * (`AsyncInvInSource.java:55`): two equality predicates + id
@@ -191,17 +236,17 @@ object ScanOps {
     *
     * One exchange on user_id; `lead` and `row_number` share the single
     * (user_id × order) window frame, so both come from one sort within
-    * the hash partition. Ordering uses the RAW nanosecond ts (then
-    * event_id) — sorting the truncated-to-micros timestamp could
-    * disagree with the oracle's nanosecond sort on sub-microsecond
-    * ties. At 100 TB: bucket the log by user_id and the exchange
-    * disappears; appending a day's changes re-versions only the tail
-    * (max version per entity, same partitioning). */
+    * the hash partition. Ordering uses the NORMALIZED ts (then
+    * event_id) from [[eventsTs]] — both engines see the same physical
+    * precision, so the version order agrees by construction. At
+    * 100 TB: bucket the log by user_id and the exchange disappears;
+    * appending a day's changes re-versions only the tail (max version
+    * per entity, same partitioning). */
   def scd2(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
+    eventsTs(s, dir)
       .withColumn("version", row_number().over(w))
       .withColumn("next_ts", lead(col("ts"), 1).over(w))
       .select(
@@ -209,8 +254,8 @@ object ScanOps {
         col("version"),
         col("event_type").as("state"),
         col("value"),
-        timestamp_micros(expr("ts div 1000")).as("valid_from"),
-        timestamp_micros(expr("next_ts div 1000")).as("valid_to"),
+        col("ts").as("valid_from"),
+        col("next_ts").as("valid_to"),
         when(col("next_ts").isNull, 1).otherwise(0).as("is_current"))
       .transform(Common.presented(_, col("user_id"), col("version")))
   }
@@ -253,8 +298,9 @@ object ScanOps {
         |   OR old_state IS DISTINCT FROM new_state
         |   OR old_value IS DISTINCT FROM new_value
         |ORDER BY user_id""".stripMargin,
-    // the window orders by the raw TIMESTAMP_NS ts — same total order
-    // as Spark's raw-nanos sort; only the OUTPUT columns truncate to µs
+    // both engines window over the same physical ts precision (the
+    // CAST is a no-op on timestamp[us] input), so the version order
+    // agrees; ties break on event_id on both sides
     "s7_scd2" ->
       """SELECT user_id,
         |       CAST(row_number() OVER w AS INT) AS version,

@@ -256,10 +256,14 @@ object WindowOps {
       .transform(Common.presented(_, col("event_id")))
   }
 
-  /** Nanoseconds per UTC day — W9's integer day grid. Day indices come
-    * from raw-nanos integer division on BOTH engines, so no
-    * timezone/truncation semantics can diverge. */
+  /** Nanoseconds / microseconds per UTC day — W9's integer day grid.
+    * Day indices come from integer division of the epoch offset on
+    * BOTH engines (the oracle divides epoch_ns by DayNanos, the Spark
+    * side divides ScanOps.tsMicros by DayMicros — the same index for
+    * any post-1970 instant), so no timezone/truncation semantics can
+    * diverge. */
   val DayNanos = 86400L * 1000 * 1000 * 1000
+  val DayMicros = 86400L * 1000 * 1000
 
   /** W9 — activity streaks (gaps-and-islands): per user, the longest
     * run of CONSECUTIVE active days, total active days, and number of
@@ -271,8 +275,8 @@ object WindowOps {
     * then every window/group stage keys on user_id, so AFTER the one
     * exchange the island window, island agg and per-user rollup are all
     * partition-local (Catalyst reuses the hash partitioning; no second
-    * shuffle). Days as integers (raw nanos div 86400e9), never calendar
-    * types. */
+    * shuffle). Days as integers (epoch micros div 86400e6), never
+    * calendar types. */
   def streaks(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // repartition on user_id ALONE before the distinct: hash(user_id)
@@ -280,8 +284,10 @@ object WindowOps {
     // the dedup, the island window and both rollups all reuse this ONE
     // exchange — a plain .distinct() would hash on (user_id, day) and
     // force a second exchange for the window (PlanContractSpec pins it)
-    val days = graft.sources.Tables.events(s, dir)
-      .select(col("user_id"), expr(s"ts div $DayNanos").as("day"))
+    val ev = graft.sources.Tables.events(s, dir)
+    val days = ev
+      .select(col("user_id"),
+        expr(s"(${ScanOps.tsMicrosSql(ev)}) div $DayMicros").as("day"))
       .repartition(col("user_id"))
       .distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))

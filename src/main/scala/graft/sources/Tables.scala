@@ -19,12 +19,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    // rejects by default; read nanos as long (callers convert with
-    // timestamp_micros(ts/1000) when they need wall-clock semantics).
-    // Set here — not in the session builders — so the driver's own session
-    // (which smoke-runs SparkEntry.entry) gets it too.
+    // events.parquet has shipped as both TIMESTAMP(NANOS) (rounds ≤7)
+    // and timestamp[us] (round 8+). Keep nanosAsLong on so a NANOS file
+    // reads as raw-long instead of erroring (it is a no-op for µs
+    // files); ALL ts consumers normalize through ScanOps.eventsTs /
+    // tsMicros, which dispatch on the arrived dtype — EventsSchemaSpec
+    // pins the supported set. Set here — not in the session builders —
+    // so the driver's own session (which smoke-runs SparkEntry.entry)
+    // gets it too.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // naive timestamp[us] parquet (round 8+ events.ts) would otherwise
+    // read as TimestampNTZ; with inference off the stored micros read
+    // as a plain epoch instant (TimestampType) — the same integers
+    // DuckDB sees, independent of session timezone
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -30,15 +30,12 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * contract already supports downstream). */
 object StreamingScd2 {
 
-  /** One CDC change record. `tsNanos` is the RAW nanosecond event time:
-    * ordering must happen at full precision (the batch operator sorts by
-    * raw ts then event_id — a micros-truncated sort could assign
-    * versions in a different order on sub-microsecond ties); only the
-    * emitted valid_from/valid_to truncate to micros. */
-  case class Change(userId: Long, eventId: Long, tsNanos: Long,
-      state: String, value: Double) {
-    def tsMicros: Long = Math.floorDiv(tsNanos, 1000L)
-  }
+  /** One CDC change record. `tsMicros` is the event time at the full
+    * precision the source delivers (µs — the batch operator
+    * ScanOps.scd2 orders by the same normalized-to-µs ts, so versions
+    * agree; ties break on eventId on both paths). */
+  case class Change(userId: Long, eventId: Long, tsMicros: Long,
+      state: String, value: Double)
 
   /** One history row of the changelog. */
   case class Scd2Row(userId: Long, version: Int, state: String,
@@ -55,7 +52,7 @@ object StreamingScd2 {
 
     override def handleInputRows(key: Long, rows: Iterator[Change],
         timerValues: TimerValues): Iterator[Scd2Row] = {
-      val ordered = rows.toList.sortBy(c => (c.tsNanos, c.eventId))
+      val ordered = rows.toList.sortBy(c => (c.tsMicros, c.eventId))
       if (ordered.isEmpty) Iterator.empty
       else {
         var cur = if (open.exists()) Option(open.get()) else None

@@ -70,8 +70,11 @@ class HistoryOpsSpec extends SparkSpec {
   }
 
   test("w9: island algebra matches a plain-Scala reference") {
-    val days = Tables.events(spark, Sf)
-      .select(col("user_id"), expr(s"ts div ${WindowOps.DayNanos}").as("day"))
+    val evRaw = Tables.events(spark, Sf)
+    val days = evRaw
+      .select(col("user_id"),
+        expr(s"(${operators.ScanOps.tsMicrosSql(evRaw)}) div ${WindowOps.DayMicros}")
+          .as("day"))
       .distinct().collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
     val rows = WindowOps.streaks(spark, Sf).collect()

@@ -12,17 +12,19 @@ import graft.streaming.StreamingScd2.{Change, Scd2Row}
   * and a checkpoint restart. */
 class StreamingScd2Spec extends SparkSpec {
 
-  /** The harness events as Change records — RAW nanosecond ts, ordered
-    * by (tsNanos, event_id): the same full-precision order the batch
-    * operator versions by. */
+  /** The harness events as Change records — normalized-to-µs ts,
+    * ordered by (tsMicros, event_id): the same full-precision order
+    * the batch operator versions by (ScanOps.eventsTs normalizes both
+    * paths identically, whatever the parquet physical type). */
   private def allChanges: Seq[Change] = {
-    graft.sources.Tables.events(spark, Sf)
+    graft.operators.ScanOps.eventsTs(spark, Sf)
       .select(col("user_id"), col("event_id"),
         col("ts"), col("event_type"), col("value"))
       .collect()
-      .map(r => Change(r.getLong(0), r.getLong(1), r.getLong(2),
+      .map(r => Change(r.getLong(0), r.getLong(1),
+        us(r.getAs[java.sql.Timestamp](2)),
         r.getString(3), r.getDouble(4)))
-      .sortBy(c => (c.tsNanos, c.eventId))
+      .sortBy(c => (c.tsMicros, c.eventId))
       .toSeq
   }
 
