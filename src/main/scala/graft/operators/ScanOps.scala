@@ -191,21 +191,60 @@ object ScanOps {
     * the table). Both snapshot windows and the join share the user_id
     * hash partitioning; input bucketed by user_id → exchange-free. */
   def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    def stateAt(cutoff: String): DataFrame =
+      visibleState(stateOf(eventsTs(s, dir)
+        .filter(col("ts") <= to_timestamp(lit(cutoff)))))
+    snapshotDiffAgainst(
+        stateAt("2024-01-10 00:00:00"), stateAt("2024-01-20 00:00:00"))
+      .transform(Common.presented(_, col("user_id")))
+  }
+
+  /** The latest-per-key compacted STATE of a change log, tombstones
+    * INCLUDED: one row per user carrying its latest (event_type →
+    * state, value, ts, event_id). `error` rows stay as explicit
+    * tombstones so the compaction is ASSOCIATIVE — `stateOf(stateOf(a)
+    * ∪ b) == stateOf(a ∪ b)` even when a tombstoned key receives a
+    * LATE out-of-order event (dropping tombstones would wrongly
+    * resurrect it); [[visibleState]] applies the drop at read time.
+    * This is the state-transition core both the batch s8 feed and the
+    * streaming monitor (StreamingCdfSpec) run. */
+  def stateOf(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def stateAt(cutoff: String): DataFrame = {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      eventsTs(s, dir)
-        .filter(col("ts") <= to_timestamp(lit(cutoff)))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1 && col("event_type") =!= "error")
-        .select(col("user_id"), col("event_type").as("state"),
-          col("value"))
-    }
-    val a = stateAt("2024-01-10 00:00:00")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("state"), col("value"),
+        col("ts"), col("event_id"))
+  }
+
+  /** A snapshot as readers see it: tombstoned keys dropped. */
+  def visibleState(state: DataFrame): DataFrame =
+    state.filter(col("state") =!= "error")
+      .select(col("user_id"), col("state"), col("value"))
+
+  /** One micro-batch advanced: compact the carried state with the new
+    * events — the streaming CDF's state transition (the carried side
+    * re-enters as events under its remembered ts/event_id, so
+    * within-batch ordering and late arrivals resolve by the same
+    * latest-wins rule as the batch query). */
+  def advanceState(state: DataFrame, batch: DataFrame): DataFrame =
+    stateOf(state
+      .select(col("user_id"), col("state").as("event_type"), col("value"),
+        col("ts"), col("event_id"))
+      .unionByName(batch.select(col("user_id"), col("event_type"),
+        col("value"), col("ts"), col("event_id"))))
+
+  /** The I/U/D feed between two visible snapshots — s8's diff half,
+    * shared by the registered batch query (two cutoff states of one
+    * log) and the per-micro-batch monitor (previous vs advanced
+    * state). */
+  def snapshotDiffAgainst(previous: DataFrame, current: DataFrame): DataFrame = {
+    val a = previous
       .select(col("user_id"), col("state").as("old_state"),
         col("value").as("old_value"))
-    val b = stateAt("2024-01-20 00:00:00")
+    val b = current
       .select(col("user_id"), col("state").as("new_state"),
         col("value").as("new_value"))
     a.join(b, Seq("user_id"), "full_outer")
@@ -222,7 +261,6 @@ object ScanOps {
       .filter(col("op") =!= "=")
       .select(col("user_id"), col("op"), col("old_state"), col("old_value"),
         col("new_state"), col("new_value"))
-      .transform(Common.presented(_, col("user_id")))
   }
 
   /** S7 — SCD Type-2 history reconstruction: turn the change log into

@@ -39,7 +39,7 @@ object SimilarityOps {
     * shape — assign-by-argmax, probe-own-cell — is identical). */
   val NumCentroids = 8
 
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").as("v"),
         signBucket(col("embedding"), BucketBits).as("bucket"))
@@ -70,7 +70,7 @@ object SimilarityOps {
   private def knnBruteCore(s: SparkSession, dir: String): DataFrame =
     knnBruteCore(corpus(s, dir))
 
-  private def knnBruteCore(c: DataFrame): DataFrame = {
+  private[graft] def knnBruteCore(c: DataFrame): DataFrame = {
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     topKCore(
@@ -295,26 +295,37 @@ object SimilarityOps {
 
   /** The coarse-quantizer centroid set shared by the whole IVF-PQ tier
     * (x10/x11/x13): the deterministic seed slice, like x3. */
-  private def coarseCentroids(c: DataFrame): DataFrame =
+  private[graft] def coarseCentroids(c: DataFrame): DataFrame =
     c.filter(col("vec_id") >= NumQueries &&
         col("vec_id") < NumQueries + NumCentroids)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"),
         col("nrm").as("cn"))
 
-  /** Nearest-cell assignment of `vecs` against a broadcast coarse
-    * centroid set — per-vector independent (argmax over ≤ K centroids),
-    * so callers can assign any subset (the full corpus for an index
-    * build, just the queries for a probe) and get identical cells. */
-  private def coarseAssign(vecs: DataFrame, coarse: DataFrame): DataFrame = {
+  /** Top-`nProbe` nearest cells of `vecs` against a broadcast coarse
+    * centroid set — per-vector independent (argmax over the
+    * [[NumCentroids]]-sized coarse codebook, cosine-desc with cell-id
+    * tie-break), so callers can rank cells for any subset (the full
+    * corpus for an index build, just the queries for a probe) and get
+    * identical cells. Input contract: `vecs` must carry (vec_id, v,
+    * nrm); output is (vec_id, v, nrm, cell_id, probe_rank) with one row
+    * per (vector, probed cell). */
+  private[graft] def coarseProbe(vecs: DataFrame, coarse: DataFrame,
+      nProbe: Int): DataFrame = {
     val aw = Window.partitionBy(col("vec_id"))
       .orderBy(col("cent_cos").desc, col("cell_id"))
     vecs.join(broadcast(coarse))
       .withColumn("cent_cos",
         dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("arn", row_number().over(aw))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"))
+      .filter(col("arn") <= nProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"),
+        col("arn").as("probe_rank"))
   }
+
+  /** Nearest-cell (probe_rank 1) assignment — the index-build side of
+    * [[coarseProbe]]. Same (vec_id, v, nrm) input contract. */
+  private def coarseAssign(vecs: DataFrame, coarse: DataFrame): DataFrame =
+    coarseProbe(vecs, coarse, 1).drop("probe_rank")
 
   /** (id, m, subvector) rows for PQ: the ×[[PqM]] slice-explode every
     * PQ stage starts from — shared so the subspace geometry can only
@@ -465,27 +476,52 @@ object SimilarityOps {
     * IVFADC) as three declarative stages; both quantizers share the
     * deterministic seed-slice convention (a production fit trains each
     * separately — the plan is unchanged). */
-  def ivfPqSearch(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val assigned = coarseAssign(c, coarseCentroids(c)).drop("nrm")
+  def ivfPqSearch(s: SparkSession, dir: String): DataFrame =
+    Common.presented(ivfPqProbeCore(corpus(s, dir), 1),
+      col("query_id"), col("rank"))
+
+  /** How many coarse cells x13 probes per query. */
+  val ProbeCells = 2
+
+  /** X13 — IVF-PQ MULTI-PROBE: x10 with each query probing its
+    * [[ProbeCells]] nearest coarse cells instead of one — the standard
+    * IVF recall lever (x4's flipped-bucket idea transplanted to the
+    * learned quantizer): a query sitting near a cell boundary recovers
+    * the neighbors that landed just across it. Cost scales linearly in
+    * the probed-cell count and stays a tiny fraction of the corpus;
+    * the candidate pair space is exactly (query × vectors of its P
+    * cells), each corpus vector still lives in ONE cell, and probe
+    * cells are pairwise distinct — so no pair dedup is needed and the
+    * plan shape (broadcast ADC tables onto the cell-pruned codes join)
+    * is unchanged from x10. */
+  def ivfPqMultiProbe(s: SparkSession, dir: String): DataFrame =
+    Common.presented(ivfPqProbeCore(corpus(s, dir), ProbeCells),
+      col("query_id"), col("rank"))
+
+  /** The x10/x13 probe pipeline over any (vec_id, v, nrm[, bucket])
+    * corpus frame: build-side coarse assign + PQ encode, query-side
+    * top-`nProbe` cells, ADC tables broadcast onto the cell-restricted
+    * codes join, per-query top-[[K]]. */
+  private[graft] def ivfPqProbeCore(c: DataFrame, nProbe: Int): DataFrame = {
+    val coarse = coarseCentroids(c)
+    val assigned = coarseAssign(c, coarse).drop("nrm")
     val codes = pqEncodeCore(c)
       .select(col("vec_id"),
         posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
       .join(assigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
-    val queries = assigned.filter(col("vec_id") < NumQueries)
-    val qsub = pqSubvectors(queries, "query_id", "qm", "qs")
-    val cells = queries
+    val queries = c.filter(col("vec_id") < NumQueries)
+    val probes = coarseProbe(queries, coarse, nProbe)
       .select(col("vec_id").as("query_id"), col("cell_id").as("q_cell"))
-    val cents = pqSubvectors(c.filter(col("vec_id") >= NumQueries &&
-        col("vec_id") < NumQueries + NumCentroids), "cent_id", "cm", "cs")
-    val dt = qsub.join(cells, Seq("query_id")).join(cents, col("qm") === col("cm"))
+    val qsub = pqSubvectors(queries, "query_id", "qm", "qs")
+    val dt = qsub.join(probes, Seq("query_id"))
+      .join(pqSeedCents(c), col("qm") === col("cm"))
       .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
         pqD2(col("qs"), col("cs")).as("pd"))
     def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
     val adc = codes.join(broadcast(dt),
         codes("m") === dt("m") && col("code") === col("cent_id") &&
-          col("cell_id") === col("q_cell") && // probe ONLY the query's cell
+          col("cell_id") === col("q_cell") && // probe ONLY the query's cells
           col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cell_id"), codes("m"), col("pd"))
       .groupBy(col("query_id"), col("vec_id"), col("cell_id"))
@@ -496,10 +532,155 @@ object SimilarityOps {
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), col("cell_id").as("cell"), col("adc"))
+  }
+
+  /** Where x11 persists its index: under ./target (sbt cwd) keyed by
+    * the source dir, so concurrent SFs never collide and reruns
+    * overwrite deterministically. */
+  private def indexRoot(dir: String): String =
+    "target/graft-index/" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  /** X11 — PERSISTED IVF-PQ INDEX SERVING: x10 split into its two real
+    * lifecycle phases. BUILD writes the codes table to parquet
+    * PARTITIONED BY cell_id (plus both codebooks beside it) — the
+    * at-rest layout of a billion-scale ANN index: 4 small ints per
+    * vector, physically clustered by coarse cell. SERVE then answers
+    * queries from the index alone: the probe joins the cell-partitioned
+    * codes on cell_id against the broadcast ADC tables, and Spark's
+    * dynamic partition pruning turns that join into a pruned scan —
+    * only the probed cells' files are read (PlanContractSpec asserts
+    * the dynamicpruning filter on the codes scan; PLANS.md documents
+    * it). At 100 TB this is the difference between a query reading a
+    * few hundred MB (its cells) and re-scanning the whole codes table;
+    * the build cost amortizes over every query served. Results are
+    * identical to x10 by construction — same oracle SQL. */
+  def ivfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val root = indexRoot(dir)
+    // BUILD: cell-partitioned codes + the two codebooks. cell_id is
+    // written as int (values < NumQueries+NumCentroids) so the
+    // read-back partition-inferred type matches the join key below
+    // with no cast on the fact side (a cast would block partition
+    // pruning); the output re-widens to long to match x10's schema.
+    val coarse = coarseCentroids(c)
+    pqEncodeCore(c)
+      .join(coarseAssign(c, coarse).select(col("vec_id"),
+        col("cell_id").cast("int").as("cell_id")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$root/codes")
+    coarse.write.mode("overwrite").parquet(s"$root/coarse")
+    pqSeedCents(c).write.mode("overwrite").parquet(s"$root/pq")
+    // SERVE: reads ONLY the index + the query vectors — the corpus
+    // never rescans on the probe path.
+    val codes = s.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("cell_id"),
+        posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+    val queries = c.filter(col("vec_id") < NumQueries)
+    val probes = coarseProbe(queries, s.read.parquet(s"$root/coarse"), 1)
+      .select(col("vec_id").as("query_id"),
+        col("cell_id").cast("int").as("q_cell"))
+    val qsub = pqSubvectors(queries, "query_id", "qm", "qs")
+    val dt = qsub.join(probes, Seq("query_id"))
+      .join(s.read.parquet(s"$root/pq"), col("qm") === col("cm"))
+      .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
+        pqD2(col("qs"), col("cs")).as("pd"))
+    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
+    val adc = codes.join(broadcast(dt),
+        codes("m") === dt("m") && col("code") === col("cent_id") &&
+          col("cell_id") === col("q_cell") && // → dynamic partition pruning
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cell_id"), codes("m"), col("pd"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell_id"))
+      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"),
+        col("cell_id").cast("long").as("cell"), col("adc"))
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
+  /** X12 fit — one Lloyd's step per SUBSPACE on the seed sub-codebooks
+    * (x7's refinement transplanted to PQ): assign every subvector to
+    * its nearest seed sub-centroid, recompute each (subspace, code)
+    * centroid as the decimal-exact per-dim mean of its members. The
+    * fit's (vec_id, m)-keyed argmin window is a second exchange x8's
+    * encode deliberately avoids — acceptable HERE because codebook
+    * training runs on a SAMPLE at scale (codebooks don't need the full
+    * corpus; x7's doc makes the same argument), and only the final
+    * encode touches every row. Determinism follows x7's contract:
+    * float → double (exact) → decimal(20,9) sums, mean as double, cast
+    * float — bit-identical on both engines. A code with no members in
+    * some subspace drops out of that subspace's codebook (both engines
+    * agree; the seed slice never produces this on the harness data). */
+  private[graft] def pqTrainedCents(c: DataFrame): DataFrame = {
+    val sub = pqSubvectors(c, "vec_id", "m", "s")
+    val aw = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("cent_id"))
+    val a1 = sub.join(broadcast(pqSeedCents(c)), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("cent_id"), col("s"),
+        pqD2(col("s"), col("cs")).as("d2"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+    a1.select(col("m"), col("cent_id"), posexplode(col("s")))
+      .select(col("m"), col("cent_id"), (col("pos") + 1).as("dim"),
+        col("col").cast("double").cast("decimal(20,9)").as("x"))
+      .groupBy(col("m"), col("cent_id"), col("dim"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).cast("float").as("cx"))
+      .groupBy(col("m"), col("cent_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+        e => e.getField("cx")).as("cs"))
+      .select(col("m").as("cm"), col("cent_id"), col("cs"))
+  }
+
+  /** X12 — the x8 encode against TRAINED codebooks through
+    * [[pqEncodeWith]]: proof the encode plan is codebook-agnostic
+    * (PlanContractSpec pins it — broadcast codebooks, no corpus
+    * self-join, regardless of where the centroids came from), and the
+    * quality payoff of training: PqSpec measures total quantization
+    * error strictly improving over the seed codebooks (a Lloyd's step
+    * never increases member distortion) plus ADC recall@[[K]] under
+    * both codebook sets. */
+  def pqEncodeTrained(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    pqEncodeWith(c, pqTrainedCents(c))
+      .transform(Common.presented(_, col("vec_id")))
+  }
+
+  /** X9's ADC top-[[K]] against an arbitrary sub-codebook set — the
+    * measurement arm for trained-vs-seed recall (PqSpec); the x9
+    * registered query stays on the seed path. */
+  private[graft] def adcTopKWith(c: DataFrame, cents: DataFrame): DataFrame = {
+    val codes = pqEncodeWith(c, cents)
+      .select(col("vec_id"),
+        posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+    val qsub = pqSubvectors(c.filter(col("vec_id") < NumQueries),
+      "query_id", "qm", "qs")
+    val dt = qsub.join(cents, col("qm") === col("cm"))
+      .select(col("query_id"), col("qm").as("m"), col("cent_id"),
+        pqD2(col("qs"), col("cs")).as("pd"))
+    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
+    val adc = codes.join(broadcast(dt),
+        codes("m") === dt("m") && col("code") === col("cent_id") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), codes("m"), col("pd"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("adc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x13_ivfpq_multiprobe" -> (ivfPqMultiProbe _),
+    "x12_pq_train" -> (pqEncodeTrained _),
+    "x11_ivfpq_serve" -> (ivfPqServe _),
     "x10_ivfpq" -> (ivfPqSearch _),
     "x9_pq_adc" -> (pqAdcSearch _),
     "x8_pq_encode" -> (pqEncode _),
@@ -761,11 +942,121 @@ object SimilarityOps {
        |QUALIFY rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** X13 oracle: [[ivfPqSql]] with the query-side cell assignment
+    * widened to the top-`nProbe` cells (rank ≤ P instead of = 1); the
+    * corpus side and the ADC math are unchanged. */
+  private def ivfPqMultiSql(nProbe: Int) =
+    s"""WITH c AS ($corpusSql),
+       |coarse AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
+       |           WHERE vec_id >= $NumQueries
+       |             AND vec_id < ${NumQueries + NumCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, cell_id
+       |  FROM (SELECT c.vec_id, coarse.cell_id,
+       |               ${dotDSql("c.v", "coarse.cv")} / (c.nrm * coarse.cn) AS cent_cos
+       |        FROM c CROSS JOIN coarse)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cell_id) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id AS q_cell
+       |  FROM (SELECT c.vec_id, coarse.cell_id,
+       |               ${dotDSql("c.v", "coarse.cv")} / (c.nrm * coarse.cn) AS cent_cos
+       |        FROM c CROSS JOIN coarse WHERE c.vec_id < $NumQueries)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cell_id) <= $nProbe),
+       |codes0 AS (SELECT * FROM ($pqSql) pq),
+       |codes AS (SELECT codes0.vec_id, u.m,
+       |                 CASE u.m WHEN 0 THEN code0 WHEN 1 THEN code1
+       |                          WHEN 2 THEN code2 ELSE code3 END AS code,
+       |                 assigned.cell_id
+       |          FROM codes0, unnest([0, 1, 2, 3]) AS u(m)
+       |          JOIN assigned ON codes0.vec_id = assigned.vec_id),
+       |qsub AS (SELECT vec_id AS query_id, u.m,
+       |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS qs
+       |         FROM c, unnest([0, 1, 2, 3]) AS u(m)
+       |         WHERE vec_id < $NumQueries),
+       |cent AS (SELECT vec_id AS cent_id, u.m,
+       |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS cs
+       |         FROM c, unnest([0, 1, 2, 3]) AS u(m)
+       |         WHERE vec_id >= $NumQueries
+       |           AND vec_id < ${NumQueries + NumCentroids}),
+       |dt AS (SELECT qsub.query_id, probes.q_cell, qsub.m, cent.cent_id,
+       |              ${dotDSql("qs", "qs")} - 2 * ${dotDSql("qs", "cs")}
+       |                + ${dotDSql("cs", "cs")} AS pd
+       |       FROM qsub JOIN probes ON qsub.query_id = probes.query_id
+       |                 JOIN cent ON qsub.m = cent.m),
+       |j AS (SELECT dt.query_id, codes.vec_id, codes.cell_id, codes.m, dt.pd
+       |      FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.cent_id
+       |                        AND codes.cell_id = dt.q_cell
+       |      WHERE dt.query_id <> codes.vec_id),
+       |adc AS (SELECT query_id, vec_id, cell_id,
+       |               max(CASE WHEN m = 0 THEN pd END) + max(CASE WHEN m = 1 THEN pd END)
+       |                 + max(CASE WHEN m = 2 THEN pd END) + max(CASE WHEN m = 3 THEN pd END) AS adc
+       |        FROM j GROUP BY query_id, vec_id, cell_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc, vec_id) AS INT) AS rank,
+       |       vec_id AS neighbor_id, cell_id AS cell, adc
+       |FROM adc
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** X12 oracle: the per-subspace Lloyd's step (assign to seed
+    * sub-centroids → decimal-exact per-dim means, x7's float→double→
+    * decimal convention) followed by [[pqSql]]'s encode against the
+    * trained codebooks. */
+  private def pqTrainSql =
+    s"""WITH e AS ($corpusSql),
+       |sub AS (SELECT vec_id, u.m,
+       |               v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS s
+       |        FROM e, unnest([0, 1, 2, 3]) AS u(m)),
+       |seed AS (SELECT m, vec_id AS cent_id, s AS cs FROM sub
+       |         WHERE vec_id >= $NumQueries
+       |           AND vec_id < ${NumQueries + NumCentroids}),
+       |a1 AS (SELECT vec_id, m, s, cent_id FROM (
+       |         SELECT sub.vec_id, sub.m, sub.s, seed.cent_id,
+       |                ${dotDSql("s", "s")} - 2 * ${dotDSql("s", "cs")}
+       |                  + ${dotDSql("cs", "cs")} AS d2
+       |         FROM sub JOIN seed USING (m))
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |                                  ORDER BY d2, cent_id) = 1),
+       |ex AS (SELECT m, cent_id, u.dim,
+       |              CAST(CAST(s[u.dim] AS DOUBLE) AS DECIMAL(20,9)) AS x
+       |       FROM a1, unnest(generate_series(1, len(s))) AS u(dim)),
+       |mn AS (SELECT m, cent_id, dim,
+       |              CAST(CAST(sum(x) AS DOUBLE) / count(*) AS FLOAT) AS cx
+       |       FROM ex GROUP BY m, cent_id, dim),
+       |tc AS (SELECT m, cent_id, list(cx ORDER BY dim) AS cs FROM mn
+       |       GROUP BY m, cent_id),
+       |d AS (SELECT sub.vec_id, sub.m, tc.cent_id,
+       |             ${dotDSql("s", "s")} - 2 * ${dotDSql("s", "cs")}
+       |               + ${dotDSql("cs", "cs")} AS d2
+       |      FROM sub JOIN tc USING (m)),
+       |best AS (SELECT vec_id, m, cent_id, d2,
+       |                row_number() OVER (PARTITION BY vec_id, m
+       |                  ORDER BY d2, cent_id) AS rn
+       |         FROM d)
+       |SELECT vec_id,
+       |       max(CASE WHEN m = 0 THEN cent_id END) AS code0,
+       |       max(CASE WHEN m = 1 THEN cent_id END) AS code1,
+       |       max(CASE WHEN m = 2 THEN cent_id END) AS code2,
+       |       max(CASE WHEN m = 3 THEN cent_id END) AS code3,
+       |       max(CASE WHEN m = 0 THEN d2 END) + max(CASE WHEN m = 1 THEN d2 END)
+       |         + max(CASE WHEN m = 2 THEN d2 END) + max(CASE WHEN m = 3 THEN d2 END) AS qerr
+       |FROM best WHERE rn = 1
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
       ("x8_pq_encode" -> pqSql) +
       ("x9_pq_adc" -> pqAdcSql) +
       ("x10_ivfpq" -> ivfPqSql) +
+      // x11 serves x10's exact result from the persisted index — the
+      // oracle is x10's SQL verbatim (the index write/read is Spark
+      // plumbing the oracle has no analog for)
+      ("x11_ivfpq_serve" -> ivfPqSql) +
+      ("x12_pq_train" -> pqTrainSql) +
+      ("x13_ivfpq_multiprobe" -> ivfPqMultiSql(ProbeCells)) +
       ("x7_kmeans" -> kmeansSql) +
       ("x6_topk_agg" ->
         s"""WITH e AS ($corpusSql)

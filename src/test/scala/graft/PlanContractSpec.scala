@@ -100,4 +100,40 @@ class PlanContractSpec extends SparkSpec {
     // vec_id pivot + presentation are the only exchanges
     assert(shuffles(p).size <= 2, p.toString.take(2000))
   }
+
+  test("x11: the served probe partition-prunes the codes index and never rescans the corpus") {
+    val p = executed(graft.operators.SimilarityOps.ivfPqServe(spark, Sf))
+    // the cell-partitioned codes scan must carry a dynamic pruning
+    // filter on cell_id — only the probed cells' files are read
+    val codeScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft-index")))
+    assert(codeScans.nonEmpty, "codes-index scan missing from serve plan")
+    assert(codeScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "codes scan lost its dynamic partition pruning filter: " +
+        codeScans.map(_.partitionFilters).mkString("; "))
+    // the serve path reads corpus vectors ONLY for the queries — every
+    // embeddings scan is pushed down to the vec_id < NumQueries slice
+    val corpusScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("embeddings")))
+    assert(corpusScans.nonEmpty)
+    corpusScans.foreach { sc =>
+      assert(sc.dataFilters.exists(
+          _.toString.contains(s"< ${graft.operators.SimilarityOps.NumQueries}")),
+        s"serve plan rescans the full corpus: ${sc.dataFilters}")
+    }
+  }
+
+  test("x12: the encode plan is codebook-agnostic — trained codebooks broadcast, corpus never self-joins") {
+    val p = executed(graft.operators.SimilarityOps.pqEncodeTrained(spark, Sf))
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "codebooks must broadcast (seed or trained alike)")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "PQ encode must not shuffle-join the corpus")
+    assert(!p.toString.contains("CartesianProduct"))
+    // fit exchanges: (vec_id,m) argmin window, (m,cent_id,dim) mean,
+    // (m,cent_id) rebuild; encode: vec_id pivot; plus presentation
+    assert(shuffles(p).size <= 5, p.toString.take(2000))
+  }
 }

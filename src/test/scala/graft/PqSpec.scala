@@ -55,4 +55,70 @@ class PqSpec extends SparkSpec {
         s"ADC ${a} != exact ${e} for $r")
     }
   }
+
+  /** Exact top-[[SimilarityOps.K]] (query, neighbor) truth pairs. */
+  private def truthPairs = {
+    val c = SimilarityOps.corpus(spark, Sf)
+    SimilarityOps.knnBruteCore(c)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  private def recallOf(topk: org.apache.spark.sql.DataFrame): Double = {
+    val hits = truthPairs.join(topk.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id")).count()
+    hits.toDouble / (SimilarityOps.NumQueries * SimilarityOps.K)
+  }
+
+  test("x12: one Lloyd's step never worsens total quantization error, and ADC recall holds up") {
+    val c = SimilarityOps.corpus(spark, Sf)
+    def totalQerr(enc: org.apache.spark.sql.DataFrame): Double =
+      enc.agg(sum(col("qerr"))).collect().head.getDouble(0)
+    val seedQerr = totalQerr(SimilarityOps.pqEncode(spark, Sf))
+    val trainedQerr = totalQerr(SimilarityOps.pqEncodeTrained(spark, Sf))
+    // Lloyd's guarantee: re-centering each (subspace, code) on its
+    // members' mean cannot increase their summed distortion, and the
+    // final re-assign only ever moves a subvector to a closer code —
+    // so the trained total is <= the seed total up to float rounding
+    // of the recomputed centroids
+    assert(trainedQerr <= seedQerr * (1 + 1e-9),
+      s"training worsened qerr: seed=$seedQerr trained=$trainedQerr")
+    assert(trainedQerr < seedQerr * 0.9,
+      s"training should visibly improve the arbitrary seed codebooks: " +
+        s"seed=$seedQerr trained=$trainedQerr")
+    val seedRecall = recallOf(SimilarityOps.adcTopKWith(c, SimilarityOps.pqSeedCents(c)))
+    val trainedRecall = recallOf(SimilarityOps.adcTopKWith(c, SimilarityOps.pqTrainedCents(c)))
+    info(f"qerr: seed=$seedQerr%.2f trained=$trainedQerr%.2f; " +
+      f"ADC recall@${SimilarityOps.K}: seed=$seedRecall%.2f trained=$trainedRecall%.2f")
+    assert(trainedRecall >= seedRecall - 0.11,
+      s"trained codebooks should not collapse recall: seed=$seedRecall trained=$trainedRecall")
+  }
+
+  test("x13: probed-cell candidate recall is monotone in P, and end recall never exceeds it") {
+    val c = SimilarityOps.corpus(spark, Sf)
+    val coarse = SimilarityOps.coarseCentroids(c)
+    val cells = SimilarityOps.coarseProbe(c, coarse, 1)
+      .select(col("vec_id").as("neighbor_id"), col("cell_id"))
+    val truth = truthPairs
+    val results = Seq(1, 2, 4).map { p =>
+      // candidate pairs: true neighbors whose cell is among the
+      // query's top-P cells — the probe either covers a truth pair or
+      // top-k can never return it
+      val probed = SimilarityOps.coarseProbe(
+          c.filter(col("vec_id") < SimilarityOps.NumQueries), coarse, p)
+        .select(col("vec_id").as("query_id"), col("cell_id"))
+      val candHits = truth.join(cells, Seq("neighbor_id"))
+        .join(probed, Seq("query_id", "cell_id")).count()
+      val candRecall = candHits.toDouble /
+        (SimilarityOps.NumQueries * SimilarityOps.K)
+      val endRecall = recallOf(SimilarityOps.ivfPqProbeCore(c, p))
+      info(f"P=$p: candidate recall=$candRecall%.2f, top-k ADC recall=$endRecall%.2f")
+      assert(endRecall <= candRecall + 1e-9,
+        s"P=$p: retrieved a neighbor outside the probed cells")
+      (candRecall, endRecall)
+    }
+    // probe sets nest by rank, so candidate coverage can only grow
+    results.sliding(2).foreach { case Seq((c1, _), (c2, _)) =>
+      assert(c2 >= c1 - 1e-9, s"candidate recall not monotone: $results")
+    }
+  }
 }
