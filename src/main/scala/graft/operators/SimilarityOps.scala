@@ -498,14 +498,23 @@ object SimilarityOps {
     Common.presented(ivfPqProbeCore(corpus(s, dir), ProbeCells),
       col("query_id"), col("rank"))
 
-  /** The x10/x13 probe pipeline over any (vec_id, v, nrm[, bucket])
-    * corpus frame: build-side coarse assign + PQ encode, query-side
-    * top-`nProbe` cells, ADC tables broadcast onto the cell-restricted
-    * codes join, per-query top-[[K]]. */
-  private[graft] def ivfPqProbeCore(c: DataFrame, nProbe: Int): DataFrame = {
+  /** The x10/x13 probe pipeline with the seed sub-codebooks. */
+  private[graft] def ivfPqProbeCore(c: DataFrame, nProbe: Int): DataFrame =
+    ivfPqProbeCoreWith(c, nProbe, pqSeedCents(c))
+
+  /** The x10/x13/x14 probe pipeline over any (vec_id, v, nrm[, bucket])
+    * corpus frame and any sub-codebook set (cm, cent_id, cs) —
+    * build-side coarse assign + PQ encode against `cents`, query-side
+    * top-`nProbe` cells, ADC tables (also against `cents`) broadcast
+    * onto the cell-restricted codes join, per-query top-[[K]]. The
+    * codebook frame is evaluated twice (encode + table build) — at
+    * scale a trained codebook is a persisted few-KB table, so that's
+    * two broadcast reads, not two fits. */
+  private[graft] def ivfPqProbeCoreWith(c: DataFrame, nProbe: Int,
+      cents: DataFrame): DataFrame = {
     val coarse = coarseCentroids(c)
     val assigned = coarseAssign(c, coarse).drop("nrm")
-    val codes = pqEncodeCore(c)
+    val codes = pqEncodeWith(c, cents)
       .select(col("vec_id"),
         posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
@@ -515,7 +524,7 @@ object SimilarityOps {
       .select(col("vec_id").as("query_id"), col("cell_id").as("q_cell"))
     val qsub = pqSubvectors(queries, "query_id", "qm", "qs")
     val dt = qsub.join(probes, Seq("query_id"))
-      .join(pqSeedCents(c), col("qm") === col("cm"))
+      .join(cents, col("qm") === col("cm"))
       .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
         pqD2(col("qs"), col("cs")).as("pd"))
     def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
@@ -649,6 +658,20 @@ object SimilarityOps {
       .transform(Common.presented(_, col("vec_id")))
   }
 
+  /** X14 — IVF-PQ with TRAINED product codebooks: x12's per-subspace
+    * Lloyd's fit composed into x13's multi-probe index — the full
+    * production shape every x-family scaladoc defers to ("a production
+    * fit trains each quantizer separately; the plan is unchanged").
+    * Encode AND the query-side ADC tables both quantize against the
+    * trained codebooks (an index must score with the codebooks it
+    * encoded with, or distances are meaningless); the probe plan is
+    * x13's byte-for-byte — only the broadcast codebook rows differ. */
+  def ivfPqTrained(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    Common.presented(ivfPqProbeCoreWith(c, ProbeCells, pqTrainedCents(c)),
+      col("query_id"), col("rank"))
+  }
+
   /** X9's ADC top-[[K]] against an arbitrary sub-codebook set — the
     * measurement arm for trained-vs-seed recall (PqSpec); the x9
     * registered query stays on the seed path. */
@@ -678,6 +701,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_ivfpq_trained" -> (ivfPqTrained _),
     "x13_ivfpq_multiprobe" -> (ivfPqMultiProbe _),
     "x12_pq_train" -> (pqEncodeTrained _),
     "x11_ivfpq_serve" -> (ivfPqServe _),
@@ -1001,13 +1025,14 @@ object SimilarityOps {
        |QUALIFY rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
-  /** X12 oracle: the per-subspace Lloyd's step (assign to seed
+  /** The trained-codebook fit as reusable CTE text (expects an `e` CTE
+    * carrying the corpus projection): ends at `tc(m, cent_id, cs)`,
+    * the per-subspace Lloyd's-step codebooks (assign to seed
     * sub-centroids → decimal-exact per-dim means, x7's float→double→
-    * decimal convention) followed by [[pqSql]]'s encode against the
-    * trained codebooks. */
-  private def pqTrainSql =
-    s"""WITH e AS ($corpusSql),
-       |sub AS (SELECT vec_id, u.m,
+    * decimal convention), plus the `d`/`best` encode of the corpus
+    * against them. Shared by the x12 and x14 oracles. */
+  private def pqFitCtes =
+    s"""sub AS (SELECT vec_id, u.m,
        |               v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS s
        |        FROM e, unnest([0, 1, 2, 3]) AS u(m)),
        |seed AS (SELECT m, vec_id AS cent_id, s AS cs FROM sub
@@ -1035,7 +1060,12 @@ object SimilarityOps {
        |best AS (SELECT vec_id, m, cent_id, d2,
        |                row_number() OVER (PARTITION BY vec_id, m
        |                  ORDER BY d2, cent_id) AS rn
-       |         FROM d)
+       |         FROM d)""".stripMargin
+
+  /** X12 oracle: the fit + encode pivot. */
+  private def pqTrainSql =
+    s"""WITH e AS ($corpusSql),
+       |$pqFitCtes
        |SELECT vec_id,
        |       max(CASE WHEN m = 0 THEN cent_id END) AS code0,
        |       max(CASE WHEN m = 1 THEN cent_id END) AS code1,
@@ -1045,6 +1075,59 @@ object SimilarityOps {
        |         + max(CASE WHEN m = 2 THEN d2 END) + max(CASE WHEN m = 3 THEN d2 END) AS qerr
        |FROM best WHERE rn = 1
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** X14 oracle: [[ivfPqMultiSql]]'s probe with both the corpus codes
+    * and the query-side ADC tables quantized against the TRAINED
+    * codebooks (`tc` from [[pqFitCtes]]). */
+  private def ivfPqTrainedSql =
+    s"""WITH c AS ($corpusSql),
+       |e AS (SELECT * FROM c),
+       |$pqFitCtes,
+       |coarse AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
+       |           WHERE vec_id >= $NumQueries
+       |             AND vec_id < ${NumQueries + NumCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, cell_id
+       |  FROM (SELECT c.vec_id, coarse.cell_id,
+       |               ${dotDSql("c.v", "coarse.cv")} / (c.nrm * coarse.cn) AS cent_cos
+       |        FROM c CROSS JOIN coarse)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cell_id) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id AS q_cell
+       |  FROM (SELECT c.vec_id, coarse.cell_id,
+       |               ${dotDSql("c.v", "coarse.cv")} / (c.nrm * coarse.cn) AS cent_cos
+       |        FROM c CROSS JOIN coarse WHERE c.vec_id < $NumQueries)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cell_id) <= $ProbeCells),
+       |codes AS (SELECT best.vec_id, best.m, best.cent_id AS code,
+       |                 assigned.cell_id
+       |          FROM best JOIN assigned ON best.vec_id = assigned.vec_id
+       |          WHERE best.rn = 1),
+       |qsub AS (SELECT vec_id AS query_id, u.m,
+       |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS qs
+       |         FROM c, unnest([0, 1, 2, 3]) AS u(m)
+       |         WHERE vec_id < $NumQueries),
+       |dt AS (SELECT qsub.query_id, probes.q_cell, qsub.m, tc.cent_id,
+       |              ${dotDSql("qs", "qs")} - 2 * ${dotDSql("qs", "cs")}
+       |                + ${dotDSql("cs", "cs")} AS pd
+       |       FROM qsub JOIN probes ON qsub.query_id = probes.query_id
+       |                 JOIN tc ON qsub.m = tc.m),
+       |j AS (SELECT dt.query_id, codes.vec_id, codes.cell_id, codes.m, dt.pd
+       |      FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.cent_id
+       |                        AND codes.cell_id = dt.q_cell
+       |      WHERE dt.query_id <> codes.vec_id),
+       |adc AS (SELECT query_id, vec_id, cell_id,
+       |               max(CASE WHEN m = 0 THEN pd END) + max(CASE WHEN m = 1 THEN pd END)
+       |                 + max(CASE WHEN m = 2 THEN pd END) + max(CASE WHEN m = 3 THEN pd END) AS adc
+       |        FROM j GROUP BY query_id, vec_id, cell_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc, vec_id) AS INT) AS rank,
+       |       vec_id AS neighbor_id, cell_id AS cell, adc
+       |FROM adc
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
@@ -1057,6 +1140,7 @@ object SimilarityOps {
       ("x11_ivfpq_serve" -> ivfPqSql) +
       ("x12_pq_train" -> pqTrainSql) +
       ("x13_ivfpq_multiprobe" -> ivfPqMultiSql(ProbeCells)) +
+      ("x14_ivfpq_trained" -> ivfPqTrainedSql) +
       ("x7_kmeans" -> kmeansSql) +
       ("x6_topk_agg" ->
         s"""WITH e AS ($corpusSql)
