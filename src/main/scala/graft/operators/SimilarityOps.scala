@@ -668,7 +668,15 @@ object SimilarityOps {
     * x13's byte-for-byte — only the broadcast codebook rows differ. */
   def ivfPqTrained(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    Common.presented(ivfPqProbeCoreWith(c, ProbeCells, pqTrainedCents(c)),
+    // the trained codebook is consumed twice (encode + ADC tables);
+    // persisting its 32 rows stands in for the persisted codebook
+    // table a production index ships — without it the whole fit chain
+    // (3 exchanges) runs twice (re-applied if an external clearCache
+    // dropped the registration, as x5's corpus persist)
+    val cents = pqTrainedCents(c)
+    if (cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      cents.persist()
+    Common.presented(ivfPqProbeCoreWith(c, ProbeCells, cents),
       col("query_id"), col("rank"))
   }
 
