@@ -118,4 +118,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n" +
       plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("fuzz: random frames == plain-Scala as-of reference across partitionings, 3 seeds") {
+    // the custom exec is the riskiest code here — drive random key
+    // cardinalities, dense ts ties, sparse keys, and random physical
+    // partitioning through it and compare against the as-of rule
+    // stated in plain Scala (no Spark on the reference side)
+    Seq(5, 17, 31).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def rows(n: Int, keys: Int, pfx: String) = (0 until n).map { i =>
+        (java.lang.Long.valueOf(rnd.nextInt(keys).toLong),
+          ts(rnd.nextInt(50).toLong), s"$pfx$i")
+      }
+      val lRows = rows(300, 12, "l")
+      // unique (key, ts) on the right: a duplicate right (k, ts) has no
+      // defined winner in the as-of contract, so the generator dedups
+      val rRows = rows(200, 12, "r")
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val expected = lRows.flatMap { case (lk, lts, lv) =>
+        rRows.filter(r => r._1 == lk && !r._2.after(lts))
+          .sortBy(_._2.getTime).lastOption.map(r => (lv, r._3))
+      }.toSet
+      val l = mk(lRows, "l").repartition(1 + rnd.nextInt(5))
+      val r = mk(rRows, "r").repartition(1 + rnd.nextInt(5))
+      val got = asof(l, r).select("lv", "rv").collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+      assert(got === expected,
+        s"seed $seed: ${(got -- expected).take(5)} unexpected, " +
+          s"${(expected -- got).take(5)} missing")
+    }
+  }
 }

@@ -169,4 +169,29 @@ class PropertySpec extends SparkSpec {
       }
     }, 15)
   }
+
+  test("property: dotD is BIT-exactly the plain-Scala left fold of double products") {
+    // the fold contract every compared double in the x-family rests on
+    // (cosines, squared-L2, ADC sums all reach the oracle hash through
+    // FloatVecDot): each product in double, accumulated left-to-right —
+    // compared via doubleToLongBits, not a tolerance
+    import spark.implicits._
+    import graft.functions.VectorFunctions.dotD
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + rnd.nextInt(64)
+      (i.toLong, Array.fill(n)((rnd.nextFloat() - 0.5f) * 10f),
+        Array.fill(n)((rnd.nextFloat() - 0.5f) * 10f))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"), dotD(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, a, b) =>
+      val ref = a.zip(b).foldLeft(0.0)((acc, p) =>
+        acc + p._1.toDouble * p._2.toDouble)
+      assert(java.lang.Double.doubleToLongBits(got(id)) ===
+        java.lang.Double.doubleToLongBits(ref),
+        s"row $id: ${got(id)} != fold $ref")
+    }
+  }
 }
