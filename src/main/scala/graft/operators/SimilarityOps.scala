@@ -680,6 +680,66 @@ object SimilarityOps {
       col("query_id"), col("rank"))
   }
 
+  /** X15 — INCREMENTAL index maintenance (the d7/d15 convention on the
+    * vector index): vectors `vec_id % 5 == 0` play the day's new
+    * batch, the rest the standing index. The batch encodes and
+    * cell-routes against the FROZEN quantizers (a production index
+    * never refits codebooks per append — that would re-encode the
+    * corpus), and each new vector ships with its append manifest: the
+    * target cell, its codes + quantization error, the cell's current
+    * occupancy (the skew/split signal a cell-partitioned store
+    * monitors), and its nearest EXISTING neighbor by ADC within that
+    * cell (the near-dup admission check). Only the batch shuffles;
+    * the standing index contributes one cell-count aggregate and the
+    * cell-restricted ADC join — at 100 TB this is the daily append
+    * job against x11's written index, and the manifest is exactly the
+    * partition-append plan. */
+  def ivfPqAppend(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val isNew = col("vec_id") % DedupOps.IncomingMod === 0
+    val incoming = c.filter(isNew)
+    val existing = c.filter(!isNew)
+    val coarse = coarseCentroids(c) // frozen quantizers (last training run)
+    val cents = pqSeedCents(c)
+    val exAssigned = coarseAssign(existing, coarse).drop("nrm")
+    val exCodes = pqEncodeWith(existing, cents)
+      .select(col("vec_id"),
+        posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
+      .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+      .join(exAssigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+    val inAssigned = coarseAssign(incoming, coarse)
+      .select(col("vec_id"), col("cell_id"))
+    val occupancy = exAssigned.groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_cell_existing"))
+    val qsub = pqSubvectors(incoming, "query_id", "qm", "qs")
+    val qcells = inAssigned
+      .select(col("vec_id").as("query_id"), col("cell_id").as("q_cell"))
+    val dt = qsub.join(qcells, Seq("query_id"))
+      .join(cents, col("qm") === col("cm"))
+      .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
+        pqD2(col("qs"), col("cs")).as("pd"))
+    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
+    val nearest = exCodes.join(broadcast(dt),
+        exCodes("m") === dt("m") && col("code") === col("cent_id") &&
+          col("cell_id") === col("q_cell"))
+      .select(col("query_id"), col("vec_id"), exCodes("m"), col("pd"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
+      .groupBy(col("query_id"))
+      .agg(min(struct(col("adc"), col("vec_id"))).as("nn"))
+      .select(col("query_id").as("vec_id"),
+        col("nn.vec_id").as("nn_id"), col("nn.adc").as("nn_adc"))
+    inAssigned
+      .join(pqEncodeWith(incoming, cents), Seq("vec_id"))
+      .join(occupancy, Seq("cell_id"), "left")
+      .join(nearest, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id").as("cell"),
+        col("code0"), col("code1"), col("code2"), col("code3"), col("qerr"),
+        coalesce(col("n_cell_existing"), lit(0L)).as("n_cell_existing"),
+        col("nn_id"), col("nn_adc"))
+      .transform(Common.presented(_, col("vec_id")))
+  }
+
   /** X9's ADC top-[[K]] against an arbitrary sub-codebook set — the
     * measurement arm for trained-vs-seed recall (PqSpec); the x9
     * registered query stays on the seed path. */
@@ -709,6 +769,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x15_ivfpq_append" -> (ivfPqAppend _),
     "x14_ivfpq_trained" -> (ivfPqTrained _),
     "x13_ivfpq_multiprobe" -> (ivfPqMultiProbe _),
     "x12_pq_train" -> (pqEncodeTrained _),
@@ -1137,6 +1198,72 @@ object SimilarityOps {
        |QUALIFY rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** X15 oracle: codes for every vector from [[pqSql]] (per-vector, so
+    * restricting to either side of the `% 5` split matches encoding
+    * that side alone), the standing index as the non-batch rows, and
+    * the batch manifest re-derived: cell route, occupancy, nearest
+    * existing neighbor by cell-restricted ADC. */
+  private def ivfPqAppendSql =
+    s"""WITH c AS ($corpusSql),
+       |coarse AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
+       |           WHERE vec_id >= $NumQueries
+       |             AND vec_id < ${NumQueries + NumCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, cell_id
+       |  FROM (SELECT c.vec_id, coarse.cell_id,
+       |               ${dotDSql("c.v", "coarse.cv")} / (c.nrm * coarse.cn) AS cent_cos
+       |        FROM c CROSS JOIN coarse)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cell_id) = 1),
+       |codes0 AS (SELECT * FROM ($pqSql) pq),
+       |exmelt AS (SELECT codes0.vec_id, u.m,
+       |                  CASE u.m WHEN 0 THEN code0 WHEN 1 THEN code1
+       |                           WHEN 2 THEN code2 ELSE code3 END AS code,
+       |                  assigned.cell_id
+       |           FROM codes0, unnest([0, 1, 2, 3]) AS u(m)
+       |           JOIN assigned ON codes0.vec_id = assigned.vec_id
+       |           WHERE codes0.vec_id % ${DedupOps.IncomingMod} <> 0),
+       |occ AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_cell_existing
+       |        FROM assigned WHERE vec_id % ${DedupOps.IncomingMod} <> 0
+       |        GROUP BY cell_id),
+       |qsub AS (SELECT vec_id AS query_id, u.m,
+       |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS qs
+       |         FROM c, unnest([0, 1, 2, 3]) AS u(m)
+       |         WHERE vec_id % ${DedupOps.IncomingMod} = 0),
+       |qcells AS (SELECT vec_id AS query_id, cell_id AS q_cell FROM assigned
+       |           WHERE vec_id % ${DedupOps.IncomingMod} = 0),
+       |cent AS (SELECT vec_id AS cent_id, u.m,
+       |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS cs
+       |         FROM c, unnest([0, 1, 2, 3]) AS u(m)
+       |         WHERE vec_id >= $NumQueries
+       |           AND vec_id < ${NumQueries + NumCentroids}),
+       |dt AS (SELECT qsub.query_id, qcells.q_cell, qsub.m, cent.cent_id,
+       |              ${dotDSql("qs", "qs")} - 2 * ${dotDSql("qs", "cs")}
+       |                + ${dotDSql("cs", "cs")} AS pd
+       |       FROM qsub JOIN qcells ON qsub.query_id = qcells.query_id
+       |                 JOIN cent ON qsub.m = cent.m),
+       |adc AS (SELECT dt.query_id, exmelt.vec_id,
+       |               max(CASE WHEN dt.m = 0 THEN pd END) + max(CASE WHEN dt.m = 1 THEN pd END)
+       |                 + max(CASE WHEN dt.m = 2 THEN pd END) + max(CASE WHEN dt.m = 3 THEN pd END) AS adc
+       |        FROM exmelt JOIN dt ON exmelt.m = dt.m AND exmelt.code = dt.cent_id
+       |                           AND exmelt.cell_id = dt.q_cell
+       |        GROUP BY dt.query_id, exmelt.vec_id),
+       |nn AS (SELECT query_id, vec_id AS nn_id, adc AS nn_adc
+       |       FROM adc
+       |       QUALIFY row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc, vec_id) = 1)
+       |SELECT a.vec_id, a.cell_id AS cell,
+       |       codes0.code0, codes0.code1, codes0.code2, codes0.code3,
+       |       codes0.qerr,
+       |       CAST(COALESCE(occ.n_cell_existing, 0) AS BIGINT) AS n_cell_existing,
+       |       nn.nn_id, nn.nn_adc
+       |FROM assigned a
+       |JOIN codes0 ON a.vec_id = codes0.vec_id
+       |LEFT JOIN occ ON a.cell_id = occ.cell_id
+       |LEFT JOIN nn ON a.vec_id = nn.query_id
+       |WHERE a.vec_id % ${DedupOps.IncomingMod} = 0
+       |ORDER BY a.vec_id""".stripMargin
+
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
       ("x8_pq_encode" -> pqSql) +
@@ -1149,6 +1276,7 @@ object SimilarityOps {
       ("x12_pq_train" -> pqTrainSql) +
       ("x13_ivfpq_multiprobe" -> ivfPqMultiSql(ProbeCells)) +
       ("x14_ivfpq_trained" -> ivfPqTrainedSql) +
+      ("x15_ivfpq_append" -> ivfPqAppendSql) +
       ("x7_kmeans" -> kmeansSql) +
       ("x6_topk_agg" ->
         s"""WITH e AS ($corpusSql)

@@ -93,6 +93,29 @@ class PqSpec extends SparkSpec {
       s"trained codebooks should not collapse recall: seed=$seedRecall trained=$trainedRecall")
   }
 
+  test("x15: the append manifest covers exactly the batch, and the dup-check respects cells") {
+    val rows = SimilarityOps.ivfPqAppend(spark, Sf).collect()
+    val expectedIds = SimilarityOps.corpus(spark, Sf)
+      .filter(col("vec_id") % graft.operators.DedupOps.IncomingMod === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet === expectedIds,
+      "every new vector must appear exactly once in the manifest")
+    assert(rows.length === expectedIds.size)
+    rows.foreach { r =>
+      val occ = r.getAs[Long]("n_cell_existing")
+      val nn = Option(r.getAs[java.lang.Long]("nn_id"))
+      // an empty target cell has no existing neighbor to check against;
+      // a non-empty one must produce a non-negative ADC distance
+      if (occ == 0L) assert(nn.isEmpty, s"nn from an empty cell: $r")
+      else {
+        assert(nn.isDefined, s"occupied cell but no dup-check neighbor: $r")
+        assert(r.getAs[Double]("nn_adc") >= 0.0, s"negative ADC: $r")
+        assert(!expectedIds(nn.get), s"dup-check matched another NEW vector: $r")
+      }
+      assert(r.getAs[Double]("qerr") >= 0.0)
+    }
+  }
+
   test("x13: probed-cell candidate recall is monotone in P, and end recall never exceeds it") {
     val c = SimilarityOps.corpus(spark, Sf)
     val coarse = SimilarityOps.coarseCentroids(c)
