@@ -16,7 +16,12 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // same targeted-iteration filter as Verify/Bench; the driver and the
+    // PLANS.md regen never set it, so those dumps are always complete
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .foreach { case (name, fn) =>
       sb.append(s"\n===== $name =====\n")
       try sb.append(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

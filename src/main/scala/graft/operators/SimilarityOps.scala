@@ -543,49 +543,65 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), col("cell_id").as("cell"), col("adc"))
   }
 
-  /** Where x11 persists its index: under ./target (sbt cwd) keyed by
-    * the source dir, so concurrent SFs never collide and reruns
-    * overwrite deterministically. */
-  private def indexRoot(dir: String): String =
-    "target/graft-index/" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+  /** Where the index-lifecycle queries (x11/x15/x17) persist their
+    * at-rest state: under ./target (sbt cwd) keyed by the Spark
+    * APPLICATION id plus the source dir — concurrent SFs never collide,
+    * reruns within a session overwrite deterministically, and two
+    * concurrent sessions on the same dir each get their own root (a
+    * shared dir-only key would let one session's rebuild clobber the
+    * index another is serving from). */
+  private[graft] def indexRoot(s: SparkSession, dir: String): String =
+    "target/graft-index/" + s.sparkContext.applicationId + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]+", "_")
 
-  /** X11 — PERSISTED IVF-PQ INDEX SERVING: x10 split into its two real
-    * lifecycle phases. BUILD writes the codes table to parquet
-    * PARTITIONED BY cell_id (plus both codebooks beside it) — the
-    * at-rest layout of a billion-scale ANN index: 4 small ints per
-    * vector, physically clustered by coarse cell. SERVE then answers
-    * queries from the index alone: the probe joins the cell-partitioned
-    * codes on cell_id against the broadcast ADC tables, and Spark's
-    * dynamic partition pruning turns that join into a pruned scan —
-    * only the probed cells' files are read (PlanContractSpec asserts
-    * the dynamicpruning filter on the codes scan; PLANS.md documents
-    * it). At 100 TB this is the difference between a query reading a
-    * few hundred MB (its cells) and re-scanning the whole codes table;
-    * the build cost amortizes over every query served. Results are
-    * identical to x10 by construction — same oracle SQL. */
-  def ivfPqServe(s: SparkSession, dir: String): DataFrame = {
-    val c = corpus(s, dir)
-    val root = indexRoot(dir)
-    // BUILD: cell-partitioned codes + the two codebooks. cell_id is
-    // written as int (values < NumQueries+NumCentroids) so the
-    // read-back partition-inferred type matches the join key below
-    // with no cast on the fact side (a cast would block partition
-    // pruning); the output re-widens to long to match x10's schema.
-    val coarse = coarseCentroids(c)
-    pqEncodeCore(c)
-      .join(coarseAssign(c, coarse).select(col("vec_id"),
+  /** BUILD phase shared by the index-lifecycle queries: writes the
+    * at-rest IVF-PQ index for `vecs` under `root` —
+    *
+    *   - `codes`: (vec_id, code0..3, qerr) parquet-PARTITIONED BY the
+    *     coarse cell. cell_id is written as int (values <
+    *     NumQueries+NumCentroids) so the read-back partition-inferred
+    *     type matches probe-side join keys with no cast on the fact
+    *     side (a cast there would block partition pruning).
+    *   - `occupancy`: one (cell_id, n) row per cell — the stats table
+    *     an append consults instead of re-counting index members.
+    *   - `coarse` / `pq`: both quantizers, frozen beside the codes they
+    *     encoded (an index must score with the codebooks it encoded
+    *     with).
+    *
+    * NOTE this runs EAGERLY at DataFrame-construction time (parquet
+    * writes are actions): merely building a lifecycle query's plan
+    * materializes its index under [[indexRoot]]. That is deliberate —
+    * the build half IS part of what x11/x15/x17 measure — but callers
+    * composing plans without executing them still pay it. */
+  private[graft] def buildIndex(s: SparkSession, root: String, vecs: DataFrame,
+      coarse: DataFrame, cents: DataFrame): Unit = {
+    pqEncodeWith(vecs, cents)
+      .join(coarseAssign(vecs, coarse).select(col("vec_id"),
         col("cell_id").cast("int").as("cell_id")), Seq("vec_id"))
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$root/codes")
+    // occupancy from the just-written codes: a count per cell over the
+    // 4-int-per-vector codes table, not the raw vectors
+    s.read.parquet(s"$root/codes")
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n_cell_existing"))
+      .write.mode("overwrite").parquet(s"$root/occupancy")
     coarse.write.mode("overwrite").parquet(s"$root/coarse")
-    pqSeedCents(c).write.mode("overwrite").parquet(s"$root/pq")
-    // SERVE: reads ONLY the index + the query vectors — the corpus
-    // never rescans on the probe path.
+    cents.write.mode("overwrite").parquet(s"$root/pq")
+  }
+
+  /** SERVE phase shared by x11/x17: answers `queries` from the at-rest
+    * index under `root` alone — the probe joins the cell-partitioned
+    * codes on cell_id against the broadcast ADC tables, and dynamic
+    * partition pruning turns that join into a pruned scan (only the
+    * probed cells' files are read; PlanContractSpec asserts the
+    * dynamicpruning filter). Sort-free; callers add presentation. */
+  private def serveFrom(s: SparkSession, root: String, queries: DataFrame,
+      nProbe: Int): DataFrame = {
     val codes = s.read.parquet(s"$root/codes")
       .select(col("vec_id"), col("cell_id"),
         posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
-    val queries = c.filter(col("vec_id") < NumQueries)
-    val probes = coarseProbe(queries, s.read.parquet(s"$root/coarse"), 1)
+    val probes = coarseProbe(queries, s.read.parquet(s"$root/coarse"), nProbe)
       .select(col("vec_id").as("query_id"),
         col("cell_id").cast("int").as("q_cell"))
     val qsub = pqSubvectors(queries, "query_id", "qm", "qs")
@@ -608,6 +624,30 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"),
         col("cell_id").cast("long").as("cell"), col("adc"))
+  }
+
+  /** X11 — PERSISTED IVF-PQ INDEX SERVING: x10 split into its two real
+    * lifecycle phases. BUILD writes the codes table to parquet
+    * PARTITIONED BY cell_id (plus both codebooks beside it) — the
+    * at-rest layout of a billion-scale ANN index: 4 small ints per
+    * vector, physically clustered by coarse cell. SERVE then answers
+    * queries from the index alone: the probe joins the cell-partitioned
+    * codes on cell_id against the broadcast ADC tables, and Spark's
+    * dynamic partition pruning turns that join into a pruned scan —
+    * only the probed cells' files are read (PlanContractSpec asserts
+    * the dynamicpruning filter on the codes scan; PLANS.md documents
+    * it). At 100 TB this is the difference between a query reading a
+    * few hundred MB (its cells) and re-scanning the whole codes table;
+    * the build cost amortizes over every query served. Results are
+    * identical to x10 by construction — same oracle SQL. */
+  def ivfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val root = indexRoot(s, dir)
+    // BUILD (eager — see buildIndex's scaladoc), then SERVE: the probe
+    // path reads ONLY the index + the query vectors; the corpus never
+    // rescans. The output re-widens cell to long to match x10's schema.
+    buildIndex(s, root, c, coarseCentroids(c), pqSeedCents(c))
+    serveFrom(s, root, c.filter(col("vec_id") < NumQueries), 1)
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
@@ -672,7 +712,12 @@ object SimilarityOps {
     // persisting its 32 rows stands in for the persisted codebook
     // table a production index ships — without it the whole fit chain
     // (3 exchanges) runs twice (re-applied if an external clearCache
-    // dropped the registration, as x5's corpus persist)
+    // dropped the registration, as x5's corpus persist). Lifecycle:
+    // both harness entry points drop this cache after every query
+    // (Verify.scala / Bench.scala call cacheManager.clearCache()), so
+    // the registration never outlives one query there; only an
+    // interactive session that skips the hook keeps it until its own
+    // clearCache.
     val cents = pqTrainedCents(c)
     if (cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       cents.persist()
@@ -682,46 +727,61 @@ object SimilarityOps {
 
   /** X15 — INCREMENTAL index maintenance (the d7/d15 convention on the
     * vector index): vectors `vec_id % 5 == 0` play the day's new
-    * batch, the rest the standing index. The batch encodes and
-    * cell-routes against the FROZEN quantizers (a production index
-    * never refits codebooks per append — that would re-encode the
-    * corpus), and each new vector ships with its append manifest: the
-    * target cell, its codes + quantization error, the cell's current
-    * occupancy (the skew/split signal a cell-partitioned store
-    * monitors), and its nearest EXISTING neighbor by ADC within that
-    * cell (the near-dup admission check). Only the batch shuffles;
-    * the standing index contributes one cell-count aggregate and the
-    * cell-restricted ADC join — at 100 TB this is the daily append
-    * job against x11's written index, and the manifest is exactly the
-    * partition-append plan. */
+    * batch, the rest the standing index — which the append READS from
+    * its at-rest x11 layout (cell-partitioned codes + occupancy stats
+    * + frozen quantizers, built here so the query is self-contained;
+    * in production it already exists from the last build/append). The
+    * batch encodes and cell-routes against the FROZEN quantizers read
+    * back from the index (a production index never refits codebooks
+    * per append — that would re-encode the corpus), and each new
+    * vector ships with its append manifest: the target cell, its
+    * codes + quantization error, the cell's current occupancy (the
+    * skew/split signal x16 acts on, read from the index's stats
+    * table), and its nearest EXISTING neighbor by ADC within that
+    * cell (the near-dup admission check). Only the batch shuffles:
+    * the standing index contributes the broadcast occupancy stats and
+    * the cell-restricted ADC join against a DYNAMICALLY
+    * PARTITION-PRUNED codes scan (PlanContractSpec asserts the
+    * dynamicpruning filter) — at 100 TB the daily append reads the
+    * target cells' codes files plus a KB-sized stats table, never the
+    * standing corpus. */
   def ivfPqAppend(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val isNew = col("vec_id") % DedupOps.IncomingMod === 0
     val incoming = c.filter(isNew)
-    val existing = c.filter(!isNew)
-    val coarse = coarseCentroids(c) // frozen quantizers (last training run)
-    val cents = pqSeedCents(c)
-    val exAssigned = coarseAssign(existing, coarse).drop("nrm")
-    val exCodes = pqEncodeWith(existing, cents)
-      .select(col("vec_id"),
+    val root = indexRoot(s, dir) + "-standing"
+    buildIndex(s, root, c.filter(!isNew), coarseCentroids(c), pqSeedCents(c))
+    // APPEND: everything standing comes from the at-rest index
+    val coarse = s.read.parquet(s"$root/coarse")
+    val cents = s.read.parquet(s"$root/pq")
+    val occupancy = s.read.parquet(s"$root/occupancy")
+    val exCodes = s.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("cell_id"),
         posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
-      .join(exAssigned.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
-    val inAssigned = coarseAssign(incoming, coarse)
-      .select(col("vec_id"), col("cell_id"))
-    val occupancy = exAssigned.groupBy(col("cell_id"))
-      .agg(count(lit(1)).as("n_cell_existing"))
-    val qsub = pqSubvectors(incoming, "query_id", "qm", "qs")
-    val qcells = inAssigned
-      .select(col("vec_id").as("query_id"), col("cell_id").as("q_cell"))
-    val dt = qsub.join(qcells, Seq("query_id"))
-      .join(cents, col("qm") === col("cm"))
+    // one batch pass carries cell + subvectors together: the ADC table
+    // derives straight from the assigned batch (which still has v), so
+    // no join-back on query_id is ever needed. The assigned batch is
+    // CACHED: three consumers read it (ADC tables, the manifest row,
+    // and the DPP pruning subquery), divergent column pruning would
+    // otherwise re-run the assignment window per consumer, and the
+    // day's batch is the small side by construction (the harness
+    // clearCache hook drops it after the query, as x5/x14)
+    val inAssigned = coarseAssign(incoming, coarse).drop("nrm")
+    if (inAssigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      inAssigned.persist()
+    val qsub = inAssigned.select(col("vec_id").as("query_id"),
+        col("cell_id").cast("int").as("q_cell"),
+        posexplode(array((0 until PqM).map(m =>
+          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
+      .withColumnRenamed("pos", "qm").withColumnRenamed("col", "qs")
+    val dt = qsub.join(cents, col("qm") === col("cm"))
       .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
         pqD2(col("qs"), col("cs")).as("pd"))
     def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
     val nearest = exCodes.join(broadcast(dt),
         exCodes("m") === dt("m") && col("code") === col("cent_id") &&
-          col("cell_id") === col("q_cell"))
+          col("cell_id") === col("q_cell")) // → dynamic partition pruning
       .select(col("query_id"), col("vec_id"), exCodes("m"), col("pd"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
@@ -729,15 +789,161 @@ object SimilarityOps {
       .agg(min(struct(col("adc"), col("vec_id"))).as("nn"))
       .select(col("query_id").as("vec_id"),
         col("nn.vec_id").as("nn_id"), col("nn.adc").as("nn_adc"))
-    inAssigned
+    inAssigned.select(col("vec_id"), col("cell_id"))
       .join(pqEncodeWith(incoming, cents), Seq("vec_id"))
-      .join(occupancy, Seq("cell_id"), "left")
+      .join(broadcast(occupancy), Seq("cell_id"), "left")
       .join(nearest, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell_id").as("cell"),
         col("code0"), col("code1"), col("code2"), col("code3"), col("qerr"),
         coalesce(col("n_cell_existing"), lit(0L)).as("n_cell_existing"),
         col("nn_id"), col("nn_adc"))
       .transform(Common.presented(_, col("vec_id")))
+  }
+
+  /** Which vectors play x17's delete batch: `vec_id % 7 == 3`. */
+  val DeleteMod = 7
+  val DeleteRem = 3
+
+  /** Tombstone the x17 delete batch against the index at `root`: the
+    * deletes RESOLVE to (vec_id, cell_id) pairs by a codes-only scan —
+    * the raw vectors are never read — and land as the `tombstones`
+    * table beside the codes (s8's keep-the-tombstone discipline: the
+    * mark and the rewrite are separate, restartable steps). */
+  private[graft] def markTombstones(s: SparkSession, root: String,
+      deletePred: Column = col("vec_id") % DeleteMod === DeleteRem): Unit =
+    s.read.parquet(s"$root/codes")
+      .filter(deletePred)
+      .select(col("vec_id"), col("cell_id"))
+      .write.mode("overwrite").parquet(s"$root/tombstones")
+
+  /** The compaction's staged frame: survivors of the AFFECTED cells
+    * only — the codes scan is joined on the bare cell_id partition
+    * attribute against the broadcast distinct tombstone cells, so
+    * dynamic partition pruning reads only the affected cells' files
+    * (PlanContractSpec asserts it), then the tombstoned vec_ids drop
+    * out by anti-join. */
+  private[graft] def compactionStage(s: SparkSession, root: String): DataFrame = {
+    val tombs = s.read.parquet(s"$root/tombstones")
+    // the cell_id >= 0 domain constraint (cells are coarse-centroid
+    // ids) is load-bearing: Spark's PartitionPruning rule only inserts
+    // the pruning subquery when the build side carries a selective
+    // predicate — without one the codes scan silently reads every cell
+    val affected = tombs.filter(col("cell_id") >= 0)
+      .select(col("cell_id")).distinct()
+    s.read.parquet(s"$root/codes")
+      .join(broadcast(affected), Seq("cell_id"))
+      .join(tombs.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"),
+        col("code3"), col("qerr"), col("cell_id"))
+  }
+
+  /** Tombstone + compact the index at `root`: stage the affected
+    * cells' survivors, then write them back with DYNAMIC partition
+    * overwrite — only the affected cell partitions are replaced;
+    * untouched cells' files are never rewritten (PqSpec asserts their
+    * files survive byte-identical). The occupancy stats refresh from
+    * the compacted codes. Edge this owes the caller: a cell whose
+    * members are ALL deleted stages zero rows and dynamic overwrite
+    * leaves its partition in place — production compaction pairs this
+    * with an explicit partition drop; the harness delete pattern never
+    * empties a cell. */
+  private[graft] def compactIndex(s: SparkSession, root: String,
+      deletePred: Column = col("vec_id") % DeleteMod === DeleteRem): Unit = {
+    markTombstones(s, root, deletePred)
+    compactionStage(s, root).write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$root/staging")
+    s.read.parquet(s"$root/staging").write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell_id").parquet(s"$root/codes")
+    s.read.parquet(s"$root/codes")
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n_cell_existing"))
+      .write.mode("overwrite").parquet(s"$root/occupancy")
+  }
+
+  /** X17 — INDEX DELETES + COMPACTION: the missing half of the index
+    * lifecycle (x15 grows it, nothing shrank it — the same
+    * unbounded-growth leak SURVEY §2.10 flags in the reference's G3
+    * dedup state, at the index layer). A delete batch marks
+    * tombstones, compaction rewrites ONLY the affected cell partitions
+    * dropping tombstoned codes, and the query then SERVES from the
+    * compacted index — by construction the results equal x10 over the
+    * corpus minus the deleted vectors, which is exactly what the
+    * oracle states. Quantizers stay frozen (deletes no more refit
+    * codebooks than appends do). */
+  def ivfPqCompact(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val root = indexRoot(s, dir) + "-x17"
+    buildIndex(s, root, c, coarseCentroids(c), pqSeedCents(c))
+    compactIndex(s, root)
+    serveFrom(s, root, c.filter(col("vec_id") < NumQueries), 1)
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
+  /** X16 — CELL SPLIT / RE-BALANCE: acts on the occupancy signal x15's
+    * manifest carries (and SURVEY G1's ≤6-key skew discipline, applied
+    * at the index layer). Cells strictly above the balanced share
+    * (total / [[NumCentroids]]) are split by one LOCAL Lloyd's step —
+    * x7's refinement restricted to one cell with k=2: seeds are the
+    * cell's two lowest-vec_id members, members assign to the nearer
+    * seed (cosine, child-id tie-break), and the two decimal-exact mean
+    * sub-centroids re-assign them. Output is one row per member of
+    * each split cell: (cell, vec_id, c1 first-pass child, c2 refined
+    * child, moved, cos2) — the new cell map a rebalance job would
+    * write back as partitions {cell→cell·2+child}.
+    *
+    * Scale shape: occupancy is one count-per-cell aggregate; the
+    * oversized set (≤ [[NumCentroids]] rows), the per-cell seed pairs
+    * and the refined sub-centroids all BROADCAST, so members never
+    * self-join and every window is (cell, vec_id)-local. Serve
+    * invariance is structural — the children PARTITION the parent's
+    * members, so a probe reading both children sees exactly the
+    * parent's candidates (PqSpec proves it, plus the balance gain). */
+  def cellSplit(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val assigned = coarseAssign(c, coarseCentroids(c))
+    val occ = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("n_cell"))
+    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    val oversized = occ.crossJoin(broadcast(tot))
+      .filter(col("n_cell") > col("n_total") / lit(NumCentroids.toDouble))
+      .select(col("cell_id"))
+    val members = assigned.join(broadcast(oversized), Seq("cell_id"))
+    val sw = Window.partitionBy(col("cell_id")).orderBy(col("vec_id"))
+    val seeds = members.withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= 2)
+      .select(col("cell_id"), (col("srn") - 1).as("child"),
+        col("v").as("sv"), col("nrm").as("sn"))
+    val aw = Window.partitionBy(col("cell_id"), col("vec_id"))
+      .orderBy(col("scos").desc, col("child"))
+    val a1 = members.join(broadcast(seeds), Seq("cell_id"))
+      .withColumn("scos", dotD(col("v"), col("sv")) / (col("nrm") * col("sn")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") === 1)
+      .select(col("cell_id"), col("vec_id"), col("v"), col("nrm"),
+        col("child").as("c1"))
+    val refined = a1.select(col("cell_id"), col("c1"), posexplode(col("v")))
+      // float → DOUBLE (exact) → decimal(20,9): the x7 determinism
+      // contract — both engines round the exact binary value HALF_UP
+      .select(col("cell_id"), col("c1"), (col("pos") + 1).as("dim"),
+        col("col").cast("double").cast("decimal(20,9)").as("x"))
+      .groupBy(col("cell_id"), col("c1"), col("dim"))
+      .agg((sum(col("x")).cast("double") / count(lit(1))).cast("float").as("cx"))
+      .groupBy(col("cell_id"), col("c1"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+        e => e.getField("cx")).as("cv"))
+      .select(col("cell_id"), col("c1").as("child"), col("cv"),
+        sqrt(dotD(col("cv"), col("cv"))).as("cn"))
+    val rw = Window.partitionBy(col("cell_id"), col("vec_id"))
+      .orderBy(col("rcos").desc, col("child"))
+    a1.join(broadcast(refined), Seq("cell_id"))
+      .withColumn("rcos", dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rrn", row_number().over(rw))
+      .filter(col("rrn") === 1)
+      .select(col("cell_id").as("cell"), col("vec_id"), col("c1"),
+        col("child").as("c2"),
+        when(col("c1") =!= col("child"), 1).otherwise(0).as("moved"),
+        col("rcos").as("cos2"))
+      .transform(Common.presented(_, col("cell"), col("vec_id")))
   }
 
   /** X9's ADC top-[[K]] against an arbitrary sub-codebook set — the
@@ -769,6 +975,8 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_index_compact" -> (ivfPqCompact _),
+    "x16_cell_split" -> (cellSplit _),
     "x15_ivfpq_append" -> (ivfPqAppend _),
     "x14_ivfpq_trained" -> (ivfPqTrained _),
     "x13_ivfpq_multiprobe" -> (ivfPqMultiProbe _),
@@ -987,7 +1195,12 @@ object SimilarityOps {
 
   /** X10 oracle: x3's assignment CTE + x8's codes + x9's tables, with
     * the probe restricted to the query's cell. */
-  private def ivfPqSql =
+  private def ivfPqSql: String = ivfPqSqlPred("1 = 1")
+
+  /** [[ivfPqSql]] with the index CONTENT restricted by `codesPred` —
+    * x17's oracle is the same serve with the deleted vectors absent
+    * from the candidate set (queries and quantizers untouched). */
+  private def ivfPqSqlPred(codesPred: String) =
     s"""WITH c AS ($corpusSql),
        |coarse AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
        |           WHERE vec_id >= $NumQueries
@@ -1005,7 +1218,8 @@ object SimilarityOps {
        |                          WHEN 2 THEN code2 ELSE code3 END AS code,
        |                 assigned.cell_id
        |          FROM codes0, unnest([0, 1, 2, 3]) AS u(m)
-       |          JOIN assigned ON codes0.vec_id = assigned.vec_id),
+       |          JOIN assigned ON codes0.vec_id = assigned.vec_id
+       |          WHERE $codesPred),
        |qsub AS (SELECT vec_id AS query_id, cell_id AS q_cell, u.m,
        |                v[(u.m * $PqSubDim + 1):((u.m + 1) * $PqSubDim)] AS qs
        |         FROM assigned, unnest([0, 1, 2, 3]) AS u(m)
@@ -1264,8 +1478,67 @@ object SimilarityOps {
        |WHERE a.vec_id % ${DedupOps.IncomingMod} = 0
        |ORDER BY a.vec_id""".stripMargin
 
+  /** X16 oracle: the x7/kmeansSql refinement chain restricted per
+    * oversized cell with k=2 and seeds = the cell's two lowest
+    * vec_ids. */
+  private def cellSplitSql =
+    s"""WITH c AS ($corpusSql),
+       |coarse AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
+       |           WHERE vec_id >= $NumQueries
+       |             AND vec_id < ${NumQueries + NumCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, cell_id
+       |  FROM (SELECT c.vec_id, c.v, c.nrm, coarse.cell_id,
+       |               ${dotDSql("c.v", "coarse.cv")} / (c.nrm * coarse.cn) AS cent_cos
+       |        FROM c CROSS JOIN coarse)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cell_id) = 1),
+       |occ AS (SELECT cell_id, count(*) AS n_cell FROM assigned GROUP BY cell_id),
+       |tot AS (SELECT count(*) AS n_total FROM assigned),
+       |oversized AS (SELECT cell_id FROM occ, tot
+       |              WHERE n_cell > n_total / ${NumCentroids.toDouble}),
+       |mem AS (SELECT a.* FROM assigned a JOIN oversized USING (cell_id)),
+       |seeds AS (SELECT cell_id,
+       |                 CAST(row_number() OVER (PARTITION BY cell_id
+       |                   ORDER BY vec_id) - 1 AS INT) AS child,
+       |                 v AS sv, nrm AS sn
+       |          FROM mem
+       |          QUALIFY row_number() OVER (PARTITION BY cell_id
+       |            ORDER BY vec_id) <= 2),
+       |a1 AS (SELECT cell_id, vec_id, v, nrm, child AS c1 FROM (
+       |         SELECT m.cell_id, m.vec_id, m.v, m.nrm, s.child,
+       |                ${dotDSql("m.v", "s.sv")} / (m.nrm * s.sn) AS scos
+       |         FROM mem m JOIN seeds s USING (cell_id))
+       |       QUALIFY row_number() OVER (PARTITION BY cell_id, vec_id
+       |                                  ORDER BY scos DESC, child) = 1),
+       |ex AS (SELECT cell_id, c1, u.dim,
+       |              CAST(CAST(v[u.dim] AS DOUBLE) AS DECIMAL(20,9)) AS x
+       |       FROM a1, unnest(generate_series(1, len(v))) AS u(dim)),
+       |mn AS (SELECT cell_id, c1, dim,
+       |              CAST(CAST(sum(x) AS DOUBLE) / count(*) AS FLOAT) AS cx
+       |       FROM ex GROUP BY cell_id, c1, dim),
+       |nc AS (SELECT cell_id, c1 AS child, list(cx ORDER BY dim) AS cv
+       |       FROM mn GROUP BY cell_id, c1),
+       |nc2 AS (SELECT cell_id, child, cv, sqrt(${dotDSql("cv", "cv")}) AS cn
+       |        FROM nc),
+       |a2 AS (SELECT cell_id, vec_id, c1, child AS c2, rcos AS cos2 FROM (
+       |         SELECT a1.cell_id, a1.vec_id, a1.c1, n.child,
+       |                ${dotDSql("a1.v", "n.cv")} / (a1.nrm * n.cn) AS rcos
+       |         FROM a1 JOIN nc2 n ON a1.cell_id = n.cell_id)
+       |       QUALIFY row_number() OVER (PARTITION BY cell_id, vec_id
+       |                                  ORDER BY rcos DESC, child) = 1)
+       |SELECT cell_id AS cell, vec_id, c1, c2,
+       |       CASE WHEN c1 <> c2 THEN 1 ELSE 0 END AS moved, cos2
+       |FROM a2 ORDER BY cell, vec_id""".stripMargin
+
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
+      ("x16_cell_split" -> cellSplitSql) +
+      // x17 serves x10's result over the corpus MINUS the deleted
+      // vectors — the tombstone/rewrite mechanics are Spark plumbing
+      // the oracle has no analog for, exactly like x11's build
+      ("x17_index_compact" ->
+        ivfPqSqlPred(s"codes0.vec_id % $DeleteMod <> $DeleteRem")) +
       ("x8_pq_encode" -> pqSql) +
       ("x9_pq_adc" -> pqAdcSql) +
       ("x10_ivfpq" -> ivfPqSql) +

@@ -124,6 +124,47 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("x15: the append reads the standing index partition-pruned — the standing corpus never re-encodes") {
+    val p = executed(graft.operators.SimilarityOps.ivfPqAppend(spark, Sf))
+    // the dup-check ADC join must hit the at-rest codes through a
+    // dynamic pruning filter on cell_id — the append reads the target
+    // cells' files, not the whole standing index
+    val idxScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("graft-index")))
+    assert(idxScans.nonEmpty, "standing-index scan missing from append plan")
+    assert(idxScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "standing codes scan lost its dynamic partition pruning filter: " +
+        idxScans.map(_.partitionFilters).mkString("; "))
+    // the corpus contributes ONLY the batch slice — every embeddings
+    // scan carries the % IncomingMod pushdown; the standing vectors are
+    // never re-read, so nothing can re-encode them
+    val corpusScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("embeddings")))
+    assert(corpusScans.nonEmpty)
+    corpusScans.foreach { sc =>
+      assert(sc.dataFilters.exists(
+          _.toString.contains(s"% ${graft.operators.DedupOps.IncomingMod}")),
+        s"append plan re-reads the standing corpus: ${sc.dataFilters}")
+    }
+  }
+
+  test("x17: the compaction stage partition-prunes the codes scan to the affected cells") {
+    val root = "target/graft-index/spec-x17-plan"
+    val sim = graft.operators.SimilarityOps
+    val c = sim.corpus(spark, Sf)
+    sim.buildIndex(spark, root, c, sim.coarseCentroids(c), sim.pqSeedCents(c))
+    sim.markTombstones(spark, root)
+    val p = executed(sim.compactionStage(spark, root))
+    val codeScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("/codes")))
+    assert(codeScans.nonEmpty, "codes scan missing from compaction stage")
+    assert(codeScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "compaction would rescan the whole index: " +
+        codeScans.map(_.partitionFilters).mkString("; "))
+  }
+
   test("x12: the encode plan is codebook-agnostic — trained codebooks broadcast, corpus never self-joins") {
     val p = executed(graft.operators.SimilarityOps.pqEncodeTrained(spark, Sf))
     assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,

@@ -116,6 +116,73 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("x16: splits hit exactly the oversized cells, children partition the parent, balance improves") {
+    val c = SimilarityOps.corpus(spark, Sf)
+    val coarse = SimilarityOps.coarseCentroids(c)
+    val byCell = SimilarityOps.coarseProbe(c, coarse, 1)
+      .select(col("vec_id"), col("cell_id")).collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    val total = byCell.values.map(_.size).sum
+    val threshold = total.toDouble / SimilarityOps.NumCentroids
+    val oversized = byCell.filter(_._2.size > threshold).keySet
+    assert(oversized.nonEmpty, "fixture regression: no cell above the balanced share")
+
+    val split = SimilarityOps.cellSplit(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("cell"))
+    assert(split.keySet === oversized,
+      s"split cells ${split.keySet} != oversized $oversized")
+    split.foreach { case (cell, rows) =>
+      val parent = byCell(cell)
+      // serve invariance is this partition property: a probe reading
+      // BOTH children sees exactly the parent's candidate set, and ADC
+      // scores don't depend on the cell label — so split-then-probe
+      // returns the same neighbors as probing the unsplit cell
+      val children = rows.groupBy(_.getAs[Int]("c2"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+      assert(children.values.toSeq.map(_.size).sum === parent.size)
+      assert(children.values.foldLeft(Set.empty[Long])(_ ++ _) === parent,
+        s"cell $cell: children do not partition the parent")
+      assert(children.keySet === Set(0, 1),
+        s"cell $cell: a child is empty — the split didn't split")
+      assert(children.values.map(_.size).max < parent.size)
+      info(s"cell $cell: ${parent.size} -> ${children.values.map(_.size).toSeq.sorted.mkString("+")}")
+    }
+  }
+
+  test("x17: compaction rewrites ONLY the affected cell partition; untouched cells' files survive byte-identical") {
+    import java.io.File
+    val root = "target/graft-index/spec-x17"
+    val c = SimilarityOps.corpus(spark, Sf)
+    SimilarityOps.buildIndex(spark, root, c,
+      SimilarityOps.coarseCentroids(c), SimilarityOps.pqSeedCents(c))
+    def snapshot(): Map[String, Set[(String, Long, Long)]] =
+      new File(s"$root/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).toSet).toMap
+    val before = snapshot()
+    val pre = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // delete exactly one non-seed vector → exactly one affected cell
+    val victim = pre.keySet.filter(_ >= SimilarityOps.NumQueries +
+      SimilarityOps.NumCentroids).min
+    SimilarityOps.compactIndex(spark, root, col("vec_id") === victim)
+    val after = snapshot()
+    val affected = s"cell_id=${pre(victim)}"
+    before.keySet.foreach { cell =>
+      if (cell == affected)
+        assert(after(cell) !== before(cell), s"$cell was not rewritten")
+      else assert(after(cell) === before(cell),
+        s"$cell is unaffected but its files changed — compaction rewrote too much")
+    }
+    val post = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(post === pre.keySet - victim,
+      "compaction must drop exactly the tombstoned vector")
+  }
+
   test("x13: probed-cell candidate recall is monotone in P, and end recall never exceeds it") {
     val c = SimilarityOps.corpus(spark, Sf)
     val coarse = SimilarityOps.coarseCentroids(c)
