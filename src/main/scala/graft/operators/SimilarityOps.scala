@@ -271,12 +271,24 @@ object SimilarityOps {
         .withColumnRenamed("cent_cos", s"cos_$tag")
     }
     val a1 = assign(c, seeds, "c1")
-    val refined = a1
-      .select(col("c1").as("cent_id"), posexplode(col("v")))
-      // float → DOUBLE (exact) → decimal: DuckDB's direct FLOAT→DECIMAL
-      // computes f·10^scale in FLOAT arithmetic and misrounds (measured:
-      // 0.054249506... → 0.054249508); via DOUBLE both engines round the
-      // exact binary value HALF_UP identically
+    val refined = meanCentroids(a1.select(col("c1").as("cent_id"), col("v")))
+    assign(a1.select(col("vec_id"), col("v"), col("nrm"), col("c1")),
+        refined, "c2")
+      .select(col("vec_id"), col("c1"), col("c2"),
+        when(col("c1") =!= col("c2"), 1).otherwise(0).as("moved"),
+        col("cos_c2").as("cos2"))
+      .transform(Common.presented(_, col("vec_id")))
+  }
+
+  /** Decimal-exact per-dim mean centroid per cent_id over member
+    * (cent_id, v) rows — the shared Lloyd's-step update (x7/x18).
+    * float → DOUBLE (exact) → decimal: DuckDB's direct FLOAT→DECIMAL
+    * computes f·10^scale in FLOAT arithmetic and misrounds (measured:
+    * 0.054249506... → 0.054249508); via DOUBLE both engines round the
+    * exact binary value HALF_UP identically. The centroid list is
+    * rebuilt in dim order so the dot-product fold order matches. */
+  private def meanCentroids(members: DataFrame): DataFrame =
+    members.select(col("cent_id"), posexplode(col("v")))
       .select(col("cent_id"), (col("pos") + 1).as("dim"),
         col("col").cast("double").cast("decimal(20,9)").as("x"))
       .groupBy(col("cent_id"), col("dim"))
@@ -285,13 +297,6 @@ object SimilarityOps {
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
         e => e.getField("cx")).as("cv"))
       .withColumn("cn", sqrt(dotD(col("cv"), col("cv"))))
-    assign(a1.select(col("vec_id"), col("v"), col("nrm"), col("c1")),
-        refined, "c2")
-      .select(col("vec_id"), col("c1"), col("c2"),
-        when(col("c1") =!= col("c2"), 1).otherwise(0).as("moved"),
-        col("cos_c2").as("cos2"))
-      .transform(Common.presented(_, col("vec_id")))
-  }
 
   /** The coarse-quantizer centroid set shared by the whole IVF-PQ tier
     * (x10/x11/x13): the deterministic seed slice, like x3. */
@@ -511,8 +516,14 @@ object SimilarityOps {
     * scale a trained codebook is a persisted few-KB table, so that's
     * two broadcast reads, not two fits. */
   private[graft] def ivfPqProbeCoreWith(c: DataFrame, nProbe: Int,
-      cents: DataFrame): DataFrame = {
-    val coarse = coarseCentroids(c)
+      cents: DataFrame): DataFrame =
+    ivfPqProbeCoreWith(c, nProbe, cents, coarseCentroids(c))
+
+  /** [[ivfPqProbeCoreWith]] with the COARSE quantizer parameterized too
+    * (x18): both quantizer tables broadcast, so swapping either never
+    * touches the corpus-side plan. */
+  private[graft] def ivfPqProbeCoreWith(c: DataFrame, nProbe: Int,
+      cents: DataFrame, coarse: DataFrame): DataFrame = {
     val assigned = coarseAssign(c, coarse).drop("nrm")
     val codes = pqEncodeWith(c, cents)
       .select(col("vec_id"),
@@ -748,10 +759,21 @@ object SimilarityOps {
   def ivfPqAppend(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val isNew = col("vec_id") % DedupOps.IncomingMod === 0
-    val incoming = c.filter(isNew)
     val root = indexRoot(s, dir) + "-standing"
     buildIndex(s, root, c.filter(!isNew), coarseCentroids(c), pqSeedCents(c))
-    // APPEND: everything standing comes from the at-rest index
+    appendManifest(s, root, c.filter(isNew))
+      .transform(Common.presented(_, col("vec_id")))
+  }
+
+  /** The x15 append core over any `incoming` (vec_id, v, nrm) frame
+    * against the at-rest index under `root` — shared by the registered
+    * batch query and the streaming maintenance monitor
+    * (StreamingIndexSpec binds it per micro-batch via foreachBatch, the
+    * StreamingCdf convention), so the streamed and batch manifests
+    * cannot drift. Per-vector rows depend only on that vector and the
+    * FROZEN index, so manifests are invariant to micro-batch cuts. */
+  private[graft] def appendManifest(s: SparkSession, root: String,
+      incoming: DataFrame): DataFrame = {
     val coarse = s.read.parquet(s"$root/coarse")
     val cents = s.read.parquet(s"$root/pq")
     val occupancy = s.read.parquet(s"$root/occupancy")
@@ -797,7 +819,38 @@ object SimilarityOps {
         col("code0"), col("code1"), col("code2"), col("code3"), col("qerr"),
         coalesce(col("n_cell_existing"), lit(0L)).as("n_cell_existing"),
         col("nn_id"), col("nn_adc"))
-      .transform(Common.presented(_, col("vec_id")))
+  }
+
+  /** X18's trained coarse quantizer: one Lloyd's refinement of the
+    * seed coarse centroids — x7's step emitted as a quantizer table
+    * (cell_id, cv, cn) instead of assignments. At scale the update
+    * runs on a sample, like x12's sub-codebook fit; only the final
+    * assign touches every row. */
+  private[graft] def refinedCoarse(c: DataFrame): DataFrame =
+    meanCentroids(coarseAssign(c, coarseCentroids(c))
+        .select(col("cell_id").as("cent_id"), col("v")))
+      .select(col("cent_id").as("cell_id"), col("cv"), col("cn"))
+
+  /** X18 — FULLY trained IVF-PQ: x14 with the COARSE quantizer trained
+    * too (the half x14 left as the seed slice). Both quantizers now
+    * come from one-Lloyd's-step fits — coarse from [[refinedCoarse]],
+    * sub-codebooks from [[pqTrainedCents]] — and the probe plan is
+    * x13/x14's byte-for-byte: only the broadcast quantizer rows
+    * differ. Both fit outputs persist (few-KB tables standing in for
+    * the persisted quantizers a production index ships; dropped by the
+    * harness clearCache hook like x14's). PqSpec measures what the
+    * training buys: coarse distortion never worsens and the cell
+    * histogram rebalances toward the data. */
+  def ivfPqTrainedFull(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val coarse = refinedCoarse(c)
+    if (coarse.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      coarse.persist()
+    val cents = pqTrainedCents(c)
+    if (cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      cents.persist()
+    Common.presented(ivfPqProbeCoreWith(c, ProbeCells, cents, coarse),
+      col("query_id"), col("rank"))
   }
 
   /** Which vectors play x17's delete batch: `vec_id % 7 == 3`. */
@@ -975,6 +1028,7 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_ivfpq_trained_full" -> (ivfPqTrainedFull _),
     "x17_index_compact" -> (ivfPqCompact _),
     "x16_cell_split" -> (cellSplit _),
     "x15_ivfpq_append" -> (ivfPqAppend _),
@@ -1362,13 +1416,41 @@ object SimilarityOps {
   /** X14 oracle: [[ivfPqMultiSql]]'s probe with both the corpus codes
     * and the query-side ADC tables quantized against the TRAINED
     * codebooks (`tc` from [[pqFitCtes]]). */
-  private def ivfPqTrainedSql =
+  private def ivfPqTrainedSql: String = ivfPqTrainedSqlWith(
+    s"""coarse AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
+       |           WHERE vec_id >= $NumQueries
+       |             AND vec_id < ${NumQueries + NumCentroids})""".stripMargin)
+
+  /** X18 oracle: the same trained probe with the COARSE quantizer also
+    * refined — the x7/kmeansSql Lloyd's chain emitted as the `coarse`
+    * CTE. */
+  private def ivfPqTrainedFullSql: String = ivfPqTrainedSqlWith(
+    s"""seedc AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
+       |          WHERE vec_id >= $NumQueries
+       |            AND vec_id < ${NumQueries + NumCentroids}),
+       |ca1 AS (SELECT vec_id, v, cell_id FROM (
+       |          SELECT c.vec_id, c.v, seedc.cell_id,
+       |                 ${dotDSql("c.v", "seedc.cv")} / (c.nrm * seedc.cn) AS cent_cos
+       |          FROM c CROSS JOIN seedc)
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                                   ORDER BY cent_cos DESC, cell_id) = 1),
+       |cex AS (SELECT cell_id, u.dim,
+       |               CAST(CAST(v[u.dim] AS DOUBLE) AS DECIMAL(20,9)) AS x
+       |        FROM ca1, unnest(generate_series(1, len(v))) AS u(dim)),
+       |cmn AS (SELECT cell_id, dim,
+       |               CAST(CAST(sum(x) AS DOUBLE) / count(*) AS FLOAT) AS cx
+       |        FROM cex GROUP BY cell_id, dim),
+       |cnc AS (SELECT cell_id, list(cx ORDER BY dim) AS cv FROM cmn
+       |        GROUP BY cell_id),
+       |coarse AS (SELECT cell_id, cv, sqrt(${dotDSql("cv", "cv")}) AS cn
+       |           FROM cnc)""".stripMargin)
+
+  /** The shared x14/x18 trained-probe SQL over any `coarse` CTE chain. */
+  private def ivfPqTrainedSqlWith(coarseCtes: String) =
     s"""WITH c AS ($corpusSql),
        |e AS (SELECT * FROM c),
        |$pqFitCtes,
-       |coarse AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
-       |           WHERE vec_id >= $NumQueries
-       |             AND vec_id < ${NumQueries + NumCentroids}),
+       |$coarseCtes,
        |assigned AS (
        |  SELECT vec_id, cell_id
        |  FROM (SELECT c.vec_id, coarse.cell_id,
@@ -1549,6 +1631,7 @@ object SimilarityOps {
       ("x12_pq_train" -> pqTrainSql) +
       ("x13_ivfpq_multiprobe" -> ivfPqMultiSql(ProbeCells)) +
       ("x14_ivfpq_trained" -> ivfPqTrainedSql) +
+      ("x18_ivfpq_trained_full" -> ivfPqTrainedFullSql) +
       ("x15_ivfpq_append" -> ivfPqAppendSql) +
       ("x7_kmeans" -> kmeansSql) +
       ("x6_topk_agg" ->

@@ -183,6 +183,33 @@ class PqSpec extends SparkSpec {
       "compaction must drop exactly the tombstoned vector")
   }
 
+  test("x18: training the coarse quantizer never worsens mean assignment cosine, and rebalances cells") {
+    val c = SimilarityOps.corpus(spark, Sf)
+    def profile(coarse: org.apache.spark.sql.DataFrame): (Double, Seq[Long]) = {
+      val aw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cell_id"))
+      val a = c.join(org.apache.spark.sql.functions.broadcast(coarse))
+        .withColumn("cc", dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("cell_id"), col("cc")).collect()
+      (a.map(_.getDouble(1)).sum / a.length,
+        a.groupBy(_.getLong(0)).values.map(_.length.toLong).toSeq.sorted)
+    }
+    val (seedCos, seedOcc) = profile(SimilarityOps.coarseCentroids(c))
+    val (trainCos, trainOcc) = profile(SimilarityOps.refinedCoarse(c))
+    info(f"mean assignment cosine: seed=$seedCos%.4f trained=$trainCos%.4f")
+    info(s"occupancy histogram: seed=$seedOcc trained=$trainOcc")
+    // the Lloyd's update pulls each centroid to its members' mean, so
+    // the mean member-to-centroid cosine must not degrade
+    assert(trainCos >= seedCos - 1e-9,
+      s"training worsened coarse assignment: $seedCos -> $trainCos")
+    // and the occupancy spread (max-min imbalance) must not widen:
+    // centroids move toward dense regions, splitting their load
+    assert(trainOcc.last - trainOcc.head <= seedOcc.last - seedOcc.head,
+      s"training widened the cell imbalance: $seedOcc -> $trainOcc")
+  }
+
   test("x13: probed-cell candidate recall is monotone in P, and end recall never exceeds it") {
     val c = SimilarityOps.corpus(spark, Sf)
     val coarse = SimilarityOps.coarseCentroids(c)
