@@ -606,7 +606,7 @@ object SimilarityOps {
     * partition pruning turns that join into a pruned scan (only the
     * probed cells' files are read; PlanContractSpec asserts the
     * dynamicpruning filter). Sort-free; callers add presentation. */
-  private def serveFrom(s: SparkSession, root: String, queries: DataFrame,
+  private[graft] def serveFrom(s: SparkSession, root: String, queries: DataFrame,
       nProbe: Int): DataFrame = {
     val codes = s.read.parquet(s"$root/codes")
       .select(col("vec_id"), col("cell_id"),
@@ -853,6 +853,64 @@ object SimilarityOps {
       col("query_id"), col("rank"))
   }
 
+  /** APPLY the day's append to the at-rest index: the batch's manifest
+    * rows land as a parquet APPEND into their cell partitions — new
+    * files inside existing partition dirs, no standing file touched
+    * (PqSpec asserts it) — and the occupancy stats refresh. This is
+    * the write half x15's manifest plans for: manifest columns are
+    * exactly the codes-table schema plus the admission-check fields,
+    * so application is a projection, not a recompute. */
+  private[graft] def applyAppend(s: SparkSession, root: String,
+      incoming: DataFrame): Unit = {
+    appendManifest(s, root, incoming)
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"),
+        col("code3"), col("qerr"), col("cell").cast("int").as("cell_id"))
+      .write.mode("append").partitionBy("cell_id").parquet(s"$root/codes")
+    s.read.parquet(s"$root/codes")
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n_cell_existing"))
+      .write.mode("overwrite").parquet(s"$root/occupancy")
+  }
+
+  /** X19 — APPLIED APPEND: x15 closed through the at-rest layout. The
+    * standing index is built from the non-batch rows, the batch's
+    * manifests are APPLIED (parquet append into their cell
+    * partitions), and the query serves from the updated index — by
+    * construction the result equals a fresh x10 build over the whole
+    * corpus, which is exactly the oracle (x10's SQL verbatim, like
+    * x11). This is the associativity proof a production index relies
+    * on: build(standing) ∘ append(batch) == build(standing ∪ batch),
+    * without re-encoding a single standing vector. */
+  def ivfPqApplied(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val isNew = col("vec_id") % DedupOps.IncomingMod === 0
+    val root = indexRoot(s, dir) + "-x19"
+    buildIndex(s, root, c.filter(!isNew), coarseCentroids(c), pqSeedCents(c))
+    applyAppend(s, root, c.filter(isNew))
+    serveFrom(s, root, c.filter(col("vec_id") < NumQueries), 1)
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
+  /** X20 — the FULL maintenance cycle in one query: build the standing
+    * index, apply the day's append (x19's write), tombstone + compact
+    * the delete batch (x17's rewrite), serve. The result must equal a
+    * fresh build over (corpus minus deletes) — x17's oracle — proving
+    * the lifecycle operations COMPOSE through the at-rest layout:
+    * append then delete then compact converges to the same index a
+    * from-scratch build would produce, the invariant that lets a
+    * production index run maintenance forever instead of periodic full
+    * rebuilds. */
+  def ivfPqLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val isNew = col("vec_id") % DedupOps.IncomingMod === 0
+    val root = indexRoot(s, dir) + "-x20"
+    buildIndex(s, root, c.filter(!isNew), coarseCentroids(c), pqSeedCents(c))
+    applyAppend(s, root, c.filter(isNew))
+    compactIndex(s, root)
+    serveFrom(s, root, c.filter(col("vec_id") < NumQueries), 1)
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
   /** Which vectors play x17's delete batch: `vec_id % 7 == 3`. */
   val DeleteMod = 7
   val DeleteRem = 3
@@ -955,12 +1013,24 @@ object SimilarityOps {
   def cellSplit(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val assigned = coarseAssign(c, coarseCentroids(c))
+    // the 8-row occupancy CACHES so the corpus-wide assignment runs
+    // once for the whole signal side (total derives from occ, not from
+    // a second corpus pass); members and a1 cache because four
+    // downstream branches (seeds, first assign, mean update, final
+    // re-assign) would otherwise each re-run the assignment window —
+    // measured: 25 exchanges uncached, 9 cached. All three drop with
+    // the harness clearCache hook; at 100 TB the assignment side comes
+    // off the at-rest index (x11 stores vec_id→cell) instead.
     val occ = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("n_cell"))
-    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    if (occ.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      occ.persist()
+    val tot = occ.agg(sum(col("n_cell")).as("n_total"))
     val oversized = occ.crossJoin(broadcast(tot))
       .filter(col("n_cell") > col("n_total") / lit(NumCentroids.toDouble))
       .select(col("cell_id"))
     val members = assigned.join(broadcast(oversized), Seq("cell_id"))
+    if (members.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      members.persist()
     val sw = Window.partitionBy(col("cell_id")).orderBy(col("vec_id"))
     val seeds = members.withColumn("srn", row_number().over(sw))
       .filter(col("srn") <= 2)
@@ -974,6 +1044,8 @@ object SimilarityOps {
       .filter(col("arn") === 1)
       .select(col("cell_id"), col("vec_id"), col("v"), col("nrm"),
         col("child").as("c1"))
+    if (a1.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      a1.persist()
     val refined = a1.select(col("cell_id"), col("c1"), posexplode(col("v")))
       // float → DOUBLE (exact) → decimal(20,9): the x7 determinism
       // contract — both engines round the exact binary value HALF_UP
@@ -1028,6 +1100,8 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_ivfpq_lifecycle" -> (ivfPqLifecycle _),
+    "x19_ivfpq_applied" -> (ivfPqApplied _),
     "x18_ivfpq_trained_full" -> (ivfPqTrainedFull _),
     "x17_index_compact" -> (ivfPqCompact _),
     "x16_cell_split" -> (cellSplit _),
@@ -1620,6 +1694,13 @@ object SimilarityOps {
       // vectors — the tombstone/rewrite mechanics are Spark plumbing
       // the oracle has no analog for, exactly like x11's build
       ("x17_index_compact" ->
+        ivfPqSqlPred(s"codes0.vec_id % $DeleteMod <> $DeleteRem")) +
+      // x19 proves build∘append == build-over-union: its oracle is a
+      // fresh x10 over the full corpus, verbatim (like x11)
+      ("x19_ivfpq_applied" -> ivfPqSql) +
+      // x20 proves the full cycle converges: append∘delete∘compact ==
+      // fresh build minus deletes — x17's oracle, verbatim
+      ("x20_ivfpq_lifecycle" ->
         ivfPqSqlPred(s"codes0.vec_id % $DeleteMod <> $DeleteRem")) +
       ("x8_pq_encode" -> pqSql) +
       ("x9_pq_adc" -> pqAdcSql) +

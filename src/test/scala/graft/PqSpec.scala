@@ -183,6 +183,44 @@ class PqSpec extends SparkSpec {
       "compaction must drop exactly the tombstoned vector")
   }
 
+  test("x19: applying the append only ADDS files in target cells; standing files untouched") {
+    import java.io.File
+    val root = "target/graft-index/spec-x19"
+    val c = SimilarityOps.corpus(spark, Sf)
+    val isNew = col("vec_id") % graft.operators.DedupOps.IncomingMod === 0
+    SimilarityOps.buildIndex(spark, root, c.filter(!isNew),
+      SimilarityOps.coarseCentroids(c), SimilarityOps.pqSeedCents(c))
+    def snapshot(): Map[String, Set[(String, Long)]] =
+      new File(s"$root/codes").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length)).toSet).toMap
+    val before = snapshot()
+    val preIds = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    SimilarityOps.applyAppend(spark, root, c.filter(isNew))
+    val after = snapshot()
+    val targets = SimilarityOps.coarseProbe(c.filter(isNew),
+        SimilarityOps.coarseCentroids(c), 1)
+      .select(col("cell_id")).collect()
+      .map(r => s"cell_id=${r.getLong(0)}").toSet
+    after.keySet.foreach { cell =>
+      val b = before.getOrElse(cell, Set.empty[(String, Long)])
+      if (targets(cell))
+        assert(b.subsetOf(after(cell)) && after(cell) != b,
+          s"$cell: standing files disturbed, or nothing appended")
+      else assert(after(cell) === b,
+        s"$cell gained/lost files but no batch vector routes there")
+    }
+    val postIds = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val batchIds = c.filter(isNew)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(postIds === preIds ++ batchIds,
+      "the applied index must hold exactly standing ∪ batch")
+  }
+
   test("x18: training the coarse quantizer never worsens mean assignment cosine, and rebalances cells") {
     val c = SimilarityOps.corpus(spark, Sf)
     def profile(coarse: org.apache.spark.sql.DataFrame): (Double, Seq[Long]) = {
