@@ -280,20 +280,21 @@ object SimilarityOps {
       .transform(Common.presented(_, col("vec_id")))
   }
 
-  /** Decimal-exact per-dim mean centroid per cent_id over member
-    * (cent_id, v) rows — the shared Lloyd's-step update (x7/x18).
+  /** Decimal-exact per-dim mean centroid per `keys` group over member
+    * (keys..., v) rows — the shared Lloyd's-step update (x7/x16/x18).
     * float → DOUBLE (exact) → decimal: DuckDB's direct FLOAT→DECIMAL
     * computes f·10^scale in FLOAT arithmetic and misrounds (measured:
     * 0.054249506... → 0.054249508); via DOUBLE both engines round the
     * exact binary value HALF_UP identically. The centroid list is
     * rebuilt in dim order so the dot-product fold order matches. */
-  private def meanCentroids(members: DataFrame): DataFrame =
-    members.select(col("cent_id"), posexplode(col("v")))
-      .select(col("cent_id"), (col("pos") + 1).as("dim"),
-        col("col").cast("double").cast("decimal(20,9)").as("x"))
-      .groupBy(col("cent_id"), col("dim"))
+  private def meanCentroids(members: DataFrame,
+      keys: Seq[String] = Seq("cent_id")): DataFrame =
+    members.select(keys.map(col) :+ posexplode(col("v")): _*)
+      .select(keys.map(col) ++ Seq((col("pos") + 1).as("dim"),
+        col("col").cast("double").cast("decimal(20,9)").as("x")): _*)
+      .groupBy((keys :+ "dim").map(col): _*)
       .agg((sum(col("x")).cast("double") / count(lit(1))).cast("float").as("cx"))
-      .groupBy(col("cent_id"))
+      .groupBy(keys.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
         e => e.getField("cx")).as("cv"))
       .withColumn("cn", sqrt(dotD(col("cv"), col("cv"))))
@@ -334,13 +335,21 @@ object SimilarityOps {
 
   /** (id, m, subvector) rows for PQ: the ×[[PqM]] slice-explode every
     * PQ stage starts from — shared so the subspace geometry can only
-    * change in one place. */
+    * change in one place. `carry` columns ride along unexploded (the
+    * append threads the target cell through here). */
   private def pqSubvectors(df: DataFrame, idAs: String, mAs: String,
-      sAs: String): DataFrame =
-    df.select(col("vec_id").as(idAs),
+      sAs: String, carry: Seq[Column] = Nil): DataFrame =
+    df.select((col("vec_id").as(idAs) +: carry) :+
         posexplode(array((0 until PqM).map(m =>
-          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
+          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)): _*)
       .withColumnRenamed("pos", mAs).withColumnRenamed("col", sAs)
+
+  /** The fixed-order [[PqM]]-term ADC fold (`max(when(m==i, pd))`
+    * pivot summed in SUBSPACE order, never float-aggregation order) —
+    * stated once so the bit-stability contract every compared double
+    * rides on has a single source of truth. Input rows carry (m, pd). */
+  private def adcSum: Column =
+    (0 until PqM).map(m => max(when(col("m") === m, col("pd")))).reduce(_ + _)
 
   /** Squared L2 between subvector columns via three compiled dot
     * products — |x|² − 2x·c + |c|², the shared PQ distance. */
@@ -462,13 +471,12 @@ object SimilarityOps {
     val dt = qsub.join(cents, col("qm") === col("cm"))
       .select(col("query_id"), col("qm").as("m"), col("cent_id"),
         pqD2(col("qs"), col("cs")).as("pd"))
-    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
     codes.join(broadcast(dt),
         codes("m") === dt("m") && col("code") === col("cent_id") &&
           col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), codes("m"), col("pd"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
+      .agg(adcSum.as("adc"))
   }
 
   /** X10 — IVF-PQ: the production composition of the whole x-family.
@@ -538,14 +546,13 @@ object SimilarityOps {
       .join(cents, col("qm") === col("cm"))
       .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
         pqD2(col("qs"), col("cs")).as("pd"))
-    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
     val adc = codes.join(broadcast(dt),
         codes("m") === dt("m") && col("code") === col("cent_id") &&
           col("cell_id") === col("q_cell") && // probe ONLY the query's cells
           col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cell_id"), codes("m"), col("pd"))
       .groupBy(col("query_id"), col("vec_id"), col("cell_id"))
-      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
+      .agg(adcSum.as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
     adc.withColumn("rank", row_number().over(w))
@@ -554,16 +561,31 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), col("cell_id").as("cell"), col("adc"))
   }
 
-  /** Where the index-lifecycle queries (x11/x15/x17) persist their
-    * at-rest state: under ./target (sbt cwd) keyed by the Spark
+  private val indexCleanupRegistered =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Where the index-lifecycle queries (x11/x15/x17/x19/x20) persist
+    * their at-rest state: under ./target (sbt cwd) keyed by the Spark
     * APPLICATION id plus the source dir — concurrent SFs never collide,
     * reruns within a session overwrite deterministically, and two
     * concurrent sessions on the same dir each get their own root (a
     * shared dir-only key would let one session's rebuild clobber the
-    * index another is serving from). */
-  private[graft] def indexRoot(s: SparkSession, dir: String): String =
-    "target/graft-index/" + s.sparkContext.applicationId + "/" +
-      dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    * index another is serving from). The per-application dir is
+    * scratch: a best-effort JVM shutdown hook removes it so repeated
+    * bench/verify runs don't accumulate dead index copies on disk. */
+  private[graft] def indexRoot(s: SparkSession, dir: String): String = {
+    val appRoot = "target/graft-index/" + s.sparkContext.applicationId
+    if (indexCleanupRegistered.compareAndSet(false, true)) {
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(appRoot))
+      }
+      ()
+    }
+    appRoot + "/" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+  }
 
   /** BUILD phase shared by the index-lifecycle queries: writes the
     * at-rest IVF-PQ index for `vecs` under `root` —
@@ -620,14 +642,13 @@ object SimilarityOps {
       .join(s.read.parquet(s"$root/pq"), col("qm") === col("cm"))
       .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
         pqD2(col("qs"), col("cs")).as("pd"))
-    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
     val adc = codes.join(broadcast(dt),
         codes("m") === dt("m") && col("code") === col("cent_id") &&
           col("cell_id") === col("q_cell") && // → dynamic partition pruning
           col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cell_id"), codes("m"), col("pd"))
       .groupBy(col("query_id"), col("vec_id"), col("cell_id"))
-      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
+      .agg(adcSum.as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
     adc.withColumn("rank", row_number().over(w))
@@ -773,7 +794,7 @@ object SimilarityOps {
     * cannot drift. Per-vector rows depend only on that vector and the
     * FROZEN index, so manifests are invariant to micro-batch cuts. */
   private[graft] def appendManifest(s: SparkSession, root: String,
-      incoming: DataFrame): DataFrame = {
+      incoming: DataFrame, cacheBatch: Boolean = true): DataFrame = {
     val coarse = s.read.parquet(s"$root/coarse")
     val cents = s.read.parquet(s"$root/pq")
     val occupancy = s.read.parquet(s"$root/occupancy")
@@ -781,36 +802,45 @@ object SimilarityOps {
       .select(col("vec_id"), col("cell_id"),
         posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
-    // one batch pass carries cell + subvectors together: the ADC table
-    // derives straight from the assigned batch (which still has v), so
-    // no join-back on query_id is ever needed. The assigned batch is
-    // CACHED: three consumers read it (ADC tables, the manifest row,
-    // and the DPP pruning subquery), divergent column pruning would
-    // otherwise re-run the assignment window per consumer, and the
-    // day's batch is the small side by construction (the harness
-    // clearCache hook drops it after the query, as x5/x14)
+    // one batch pass carries cell + subvectors together: the ADC table,
+    // the encode, and the manifest row all derive from the assigned
+    // batch (which still has v), so the batch parquet is scanned once
+    // and no join-back on query_id is ever needed. The assigned batch
+    // CACHES by default: four consumers read it (ADC tables, encode,
+    // manifest row, DPP pruning subquery) and divergent column pruning
+    // would otherwise re-run the assignment window per consumer; the
+    // batch harness drops the cache per query (Verify/Bench clearCache
+    // hook). A LONG-RUNNING foreachBatch monitor must pass
+    // cacheBatch = false instead — each micro-batch is a fresh plan,
+    // so per-batch persists would accumulate for the stream's lifetime
+    // (micro-batches are small; the recompute is the cheaper leak-free
+    // trade there).
     val inAssigned = coarseAssign(incoming, coarse).drop("nrm")
-    if (inAssigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (cacheBatch &&
+        inAssigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       inAssigned.persist()
-    val qsub = inAssigned.select(col("vec_id").as("query_id"),
-        col("cell_id").cast("int").as("q_cell"),
-        posexplode(array((0 until PqM).map(m =>
-          slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)))
-      .withColumnRenamed("pos", "qm").withColumnRenamed("col", "qs")
+    val qsub = pqSubvectors(inAssigned, "query_id", "qm", "qs",
+      carry = Seq(col("cell_id").cast("int").as("q_cell")))
     val dt = qsub.join(cents, col("qm") === col("cm"))
       .select(col("query_id"), col("q_cell"), col("qm").as("m"), col("cent_id"),
         pqD2(col("qs"), col("cs")).as("pd"))
-    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
     val nearest = exCodes.join(broadcast(dt),
         exCodes("m") === dt("m") && col("code") === col("cent_id") &&
           col("cell_id") === col("q_cell")) // → dynamic partition pruning
       .select(col("query_id"), col("vec_id"), exCodes("m"), col("pd"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
+      .agg(adcSum.as("adc"))
       .groupBy(col("query_id"))
       .agg(min(struct(col("adc"), col("vec_id"))).as("nn"))
       .select(col("query_id").as("vec_id"),
         col("nn.vec_id").as("nn_id"), col("nn.adc").as("nn_adc"))
+    // the encode deliberately reads the RAW batch slice, not the
+    // cached assignment: routing every consumer through the cache
+    // measurably drops the dynamicpruning filter off the standing
+    // codes scan (the planner stops seeing a selective predicate on
+    // the probe side), and the pruned index read is worth far more at
+    // scale than saving this one batch-slice scan — PlanContractSpec
+    // fails if this regresses
     inAssigned.select(col("vec_id"), col("cell_id"))
       .join(pqEncodeWith(incoming, cents), Seq("vec_id"))
       .join(broadcast(occupancy), Seq("cell_id"), "left")
@@ -862,13 +892,22 @@ object SimilarityOps {
     * so application is a projection, not a recompute. */
   private[graft] def applyAppend(s: SparkSession, root: String,
       incoming: DataFrame): Unit = {
-    appendManifest(s, root, incoming)
+    // localCheckpoint: the manifest is both written and folded into
+    // the stats delta — without it the whole append plan runs twice
+    val appended = appendManifest(s, root, incoming)
       .select(col("vec_id"), col("code0"), col("code1"), col("code2"),
         col("code3"), col("qerr"), col("cell").cast("int").as("cell_id"))
-      .write.mode("append").partitionBy("cell_id").parquet(s"$root/codes")
-    s.read.parquet(s"$root/codes")
-      .groupBy(col("cell_id").cast("long").as("cell_id"))
-      .agg(count(lit(1)).as("n_cell_existing"))
+      .localCheckpoint()
+    appended.write.mode("append").partitionBy("cell_id").parquet(s"$root/codes")
+    // stats maintain INCREMENTALLY: old occupancy plus the batch's
+    // per-cell counts — the standing codes are never re-counted
+    val delta = appended.groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n_new"))
+    s.read.parquet(s"$root/occupancy").localCheckpoint()
+      .join(delta, Seq("cell_id"), "full_outer")
+      .select(col("cell_id"),
+        (coalesce(col("n_cell_existing"), lit(0L)) +
+          coalesce(col("n_new"), lit(0L))).as("n_cell_existing"))
       .write.mode("overwrite").parquet(s"$root/occupancy")
   }
 
@@ -961,14 +1000,29 @@ object SimilarityOps {
   private[graft] def compactIndex(s: SparkSession, root: String,
       deletePred: Column = col("vec_id") % DeleteMod === DeleteRem): Unit = {
     markTombstones(s, root, deletePred)
+    val tombs = s.read.parquet(s"$root/tombstones").localCheckpoint()
+    // restart-safe: a re-run after a completed compaction resolves an
+    // EMPTY delete set (the tombstoned ids are already gone from the
+    // codes), so there is nothing to stage — and an empty staging dir
+    // would fail the read-back with no parquet footer to infer from
+    if (tombs.isEmpty) return
     compactionStage(s, root).write.mode("overwrite")
       .partitionBy("cell_id").parquet(s"$root/staging")
     s.read.parquet(s"$root/staging").write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell_id").parquet(s"$root/codes")
-    s.read.parquet(s"$root/codes")
-      .groupBy(col("cell_id").cast("long").as("cell_id"))
-      .agg(count(lit(1)).as("n_cell_existing"))
+    // stats maintain INCREMENTALLY: old occupancy minus the per-cell
+    // tombstone counts — the standing codes are never re-counted; a
+    // cell compacted to zero drops its stats row (the partition-drop
+    // edge the operator doc flags)
+    val removed = tombs.groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n_del"))
+    s.read.parquet(s"$root/occupancy").localCheckpoint()
+      .join(removed, Seq("cell_id"), "left")
+      .select(col("cell_id"),
+        (col("n_cell_existing") - coalesce(col("n_del"), lit(0L)))
+          .as("n_cell_existing"))
+      .filter(col("n_cell_existing") > 0)
       .write.mode("overwrite").parquet(s"$root/occupancy")
   }
 
@@ -1046,18 +1100,10 @@ object SimilarityOps {
         col("child").as("c1"))
     if (a1.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       a1.persist()
-    val refined = a1.select(col("cell_id"), col("c1"), posexplode(col("v")))
-      // float → DOUBLE (exact) → decimal(20,9): the x7 determinism
-      // contract — both engines round the exact binary value HALF_UP
-      .select(col("cell_id"), col("c1"), (col("pos") + 1).as("dim"),
-        col("col").cast("double").cast("decimal(20,9)").as("x"))
-      .groupBy(col("cell_id"), col("c1"), col("dim"))
-      .agg((sum(col("x")).cast("double") / count(lit(1))).cast("float").as("cx"))
-      .groupBy(col("cell_id"), col("c1"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
-        e => e.getField("cx")).as("cv"))
-      .select(col("cell_id"), col("c1").as("child"), col("cv"),
-        sqrt(dotD(col("cv"), col("cv"))).as("cn"))
+    val refined =
+      meanCentroids(a1.select(col("cell_id"), col("c1"), col("v")),
+          keys = Seq("cell_id", "c1"))
+        .withColumnRenamed("c1", "child")
     val rw = Window.partitionBy(col("cell_id"), col("vec_id"))
       .orderBy(col("rcos").desc, col("child"))
     a1.join(broadcast(refined), Seq("cell_id"))
@@ -1084,13 +1130,12 @@ object SimilarityOps {
     val dt = qsub.join(cents, col("qm") === col("cm"))
       .select(col("query_id"), col("qm").as("m"), col("cent_id"),
         pqD2(col("qs"), col("cs")).as("pd"))
-    def pdAt(m: Int) = max(when(col("m") === m, col("pd")))
     val adc = codes.join(broadcast(dt),
         codes("m") === dt("m") && col("code") === col("cent_id") &&
           col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), codes("m"), col("pd"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg((pdAt(0) + pdAt(1) + pdAt(2) + pdAt(3)).as("adc"))
+      .agg(adcSum.as("adc"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
     adc.withColumn("rank", row_number().over(w))

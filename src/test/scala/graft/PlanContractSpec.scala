@@ -125,6 +125,11 @@ class PlanContractSpec extends SparkSpec {
   }
 
   test("x15: the append reads the standing index partition-pruned — the standing corpus never re-encodes") {
+    // a cached batch-assignment left by another suite substitutes an
+    // InMemoryRelation that hides the batch filter DPP keys on — the
+    // harness clears the cache between queries (Verify/Bench), so the
+    // contract is asserted on the same clean-cache plan they run
+    spark.sharedState.cacheManager.clearCache()
     val p = executed(graft.operators.SimilarityOps.ivfPqAppend(spark, Sf))
     // the dup-check ADC join must hit the at-rest codes through a
     // dynamic pruning filter on cell_id — the append reads the target

@@ -181,6 +181,17 @@ class PqSpec extends SparkSpec {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(post === pre.keySet - victim,
       "compaction must drop exactly the tombstoned vector")
+    // stats stayed consistent through the incremental (no-rescan) merge
+    val occ = spark.read.parquet(s"$root/occupancy")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recount = post.groupBy(v => pre(v).toLong).view.mapValues(_.size.toLong)
+    assert(occ === recount.toMap, "occupancy diverged from a recount")
+    // restart-safe: a second compaction resolves an empty delete set
+    // and must be a no-op, not a crash on the empty staging dir
+    SimilarityOps.compactIndex(spark, root, col("vec_id") === victim)
+    assert(spark.read.parquet(s"$root/codes")
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet === post,
+      "re-running compaction changed the index")
   }
 
   test("x19: applying the append only ADDS files in target cells; standing files untouched") {
@@ -219,6 +230,14 @@ class PqSpec extends SparkSpec {
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(postIds === preIds ++ batchIds,
       "the applied index must hold exactly standing ∪ batch")
+    // the incremental stats merge (old + batch delta, no rescan) must
+    // equal a recount of the applied codes
+    val occ = spark.read.parquet(s"$root/occupancy")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recount = spark.read.parquet(s"$root/codes")
+      .groupBy(col("cell_id").cast("long")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(occ === recount, "occupancy diverged from a recount after apply")
   }
 
   test("x18: training the coarse quantizer never worsens mean assignment cosine, and rebalances cells") {

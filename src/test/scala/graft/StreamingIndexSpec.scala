@@ -58,7 +58,10 @@ class StreamingIndexSpec extends SparkSpec {
           val inc = batch.select(col("vec_id"),
               col("embedding").cast("array<float>").as("v"))
             .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
-          val rows = SimilarityOps.appendManifest(spark, root, inc).collect()
+          // cacheBatch = false: each micro-batch is a fresh plan, so a
+          // long-running monitor must not accumulate per-batch persists
+          val rows = SimilarityOps
+            .appendManifest(spark, root, inc, cacheBatch = false).collect()
           acc.synchronized { acc ++= rows }
           ()
         }
