@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -202,11 +202,95 @@ object ApproxOps {
       .transform(Common.presented(_, col("tok_hash")))
   }
 
+  /** AP5 sketch size: k minimum hash values kept per set. Relative SD
+    * of the distinct estimate ≈ 1/√(k−1) ≈ 6.3%. */
+  val KmvK = 256
+
+  /** AP5 — KMV (k-minimum-values / theta) sketch set-overlap: per-lang
+    * distinct-token sketches, then pairwise union / intersection
+    * ESTIMATES between langs — the set algebra HLL cannot do
+    * (HLL unions; it cannot intersect). The training-pipeline use is
+    * contamination measurement: "how much does corpus slice A's
+    * vocabulary overlap slice B's" across shards/splits/snapshots,
+    * answered from constant-size mergeable sketches instead of a
+    * distinct-join over everything (Bar-Yossef et al. 2002; Beyer et
+    * al. SIGMOD'07).
+    *
+    * The sketch is [[graft.functions.TopKByAgg]] run as a BOTTOM-k:
+    * score = −h (exact in double — h < 2⁵³), so the k ids with the
+    * highest scores are the k SMALLEST hashes, returned ascending.
+    * No new aggregate code — the same bounded-heap partial aggregate,
+    * one exchange, k longs per group per partition.
+    *
+    * Estimators (M = [[graft.functions.TextFunctions.HashMod]]):
+    *   distinct(S)   = |sk| if under-full else (k−1) / ((sk[k]+1)/M)
+    *   union sketch  = k smallest of sk_a ∪ sk_b (a valid KMV of A∪B)
+    *   inter         = |uk ∩ sk_a ∩ sk_b| / |uk| × distinct(uk)
+    * Under-full sketches make every estimate collapse to the EXACT
+    * value by construction. Unlike ap1/ap2 (engine-specific sketches,
+    * constant-1 bound flags), KMV is deterministic ARITHMETIC on the
+    * shared md5 hash space — DuckDB replays the identical sketch and
+    * every estimate column is hash-compared bit-exactly; the accuracy
+    * contract vs the exact companions is pinned in ApproxOpsSpec.
+    *
+    * At 100 TB: the exact companions (the distinct self-join) are the
+    * audit half you delete; the sketch half is one shuffle to distinct
+    * + one bounded aggregate, and per-shard sketches merge
+    * associatively (concat → sort → first k) without touching rows. */
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, tokHash, HashMod}
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import graft.functions.TopKByAgg
+    // the distinct (lang, hash) set feeds the sketch AND both sides of
+    // the exact-companion self-join — persist so the explode+distinct
+    // runs once (x5's convention; the harness clears caches per query)
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("lang"), tokHash(col("tok")).as("h"))
+      .distinct()
+    if (toks.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      toks.persist()
+    val kmv = column(TopKByAgg(
+      expression((-col("h")).cast("double")),
+      expression(col("h")), KmvK).toAggregateExpression())
+    val sk = toks.groupBy(col("lang"))
+      .agg(kmv.as("s"), count(lit(1)).as("exact_n"))
+    def kmvEst(arr: Column): Column =
+      when(size(arr) < KmvK, size(arr).cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble) /
+          ((element_at(arr, KmvK) + lit(1L)).cast("double") / lit(HashMod.toDouble)))
+    val exInter = toks.as("ta").join(toks.as("tb"),
+        col("ta.h") === col("tb.h") && col("ta.lang") < col("tb.lang"))
+      .groupBy(col("ta.lang").as("lang_a"), col("tb.lang").as("lang_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    sk.as("a").join(sk.as("b"), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+        col("a.s").as("ska"), col("b.s").as("skb"),
+        col("a.exact_n").as("exact_a"), col("b.exact_n").as("exact_b"))
+      .withColumn("uni", array_sort(array_union(col("ska"), col("skb"))))
+      .withColumn("uk",
+        when(size(col("uni")) > KmvK, slice(col("uni"), 1, KmvK))
+          .otherwise(col("uni")))
+      .withColumn("inter3",
+        size(array_intersect(array_intersect(col("uk"), col("ska")), col("skb"))))
+      .join(exInter, Seq("lang_a", "lang_b"), "left")
+      .select(col("lang_a"), col("lang_b"),
+        col("exact_a"), col("exact_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        kmvEst(col("ska")).as("est_a"),
+        kmvEst(col("skb")).as("est_b"),
+        kmvEst(col("uk")).as("est_union"),
+        ((col("inter3").cast("double") / size(col("uk")).cast("double")) *
+          kmvEst(col("uk"))).as("est_inter"))
+      .transform(Common.presented(_, col("lang_a"), col("lang_b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ap1_hll_distinct" -> (hllDistinctChecked _),
     "ap2_quantiles" -> (quantilesChecked _),
     "ap3_bloom_semi" -> (bloomSemi _),
-    "ap4_cms_heavy" -> (cmsHeavy _))
+    "ap4_cms_heavy" -> (cmsHeavy _),
+    "ap5_kmv_overlap" -> (kmvOverlap _))
 
   /** The oracles check the deterministic halves (exact companions +
     * row surface) and pin `within_bound` to 1 — the Spark side
@@ -258,5 +342,46 @@ object ApproxOps {
          |       CAST(1 AS INT) AS ge_true,
          |       CAST(1 AS INT) AS within_bound
          |FROM t GROUP BY tok_hash
-         |ORDER BY tok_hash""".stripMargin)
+         |ORDER BY tok_hash""".stripMargin,
+    // unlike ap1/ap2, the ESTIMATES are compared bit-exactly: KMV is
+    // deterministic arithmetic on the shared md5 hash space, so DuckDB
+    // replays the identical sketch (k smallest distinct hashes) and the
+    // identical estimator expressions, parenthesized to match
+    "ap5_kmv_overlap" -> {
+      import graft.functions.TextFunctions.{tokensSql, tokHashSql, HashMod}
+      def estSql(c: String): String =
+        s"CASE WHEN len($c) < $KmvK THEN CAST(len($c) AS DOUBLE) " +
+          s"ELSE ${(KmvK - 1).toDouble} / (CAST($c[$KmvK] + 1 AS DOUBLE) / ${HashMod.toDouble}) END"
+      s"""WITH toks AS (SELECT DISTINCT lang, ${tokHashSql("t")} AS h
+         |              FROM (SELECT lang, unnest(${tokensSql("text")}) AS t
+         |                    FROM documents)),
+         |cnt AS (SELECT lang, count(*) AS exact_n FROM toks GROUP BY lang),
+         |sk AS (SELECT lang, h FROM toks
+         |       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= $KmvK),
+         |ska AS (SELECT lang, list(h ORDER BY h) AS s FROM sk GROUP BY lang),
+         |ex AS (SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS exact_inter
+         |       FROM toks a JOIN toks b ON a.h = b.h AND a.lang < b.lang
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.s AS ska, b.s AS skb
+         |       FROM ska a JOIN ska b ON a.lang < b.lang),
+         |u AS (SELECT *, list_sort(list_distinct(list_concat(ska, skb))) AS uni
+         |      FROM pr),
+         |u2 AS (SELECT *, CASE WHEN len(uni) > $KmvK THEN uni[1:$KmvK] ELSE uni END AS uk
+         |       FROM u),
+         |est AS (SELECT lang_a, lang_b, ska, skb, uk,
+         |               len(list_intersect(list_intersect(uk, ska), skb)) AS inter3
+         |        FROM u2)
+         |SELECT e.lang_a, e.lang_b,
+         |       ca.exact_n AS exact_a, cb.exact_n AS exact_b,
+         |       coalesce(ex.exact_inter, 0) AS exact_inter,
+         |       ${estSql("ska")} AS est_a,
+         |       ${estSql("skb")} AS est_b,
+         |       ${estSql("uk")} AS est_union,
+         |       (CAST(inter3 AS DOUBLE) / CAST(len(uk) AS DOUBLE)) * ${estSql("uk")} AS est_inter
+         |FROM est e
+         |JOIN cnt ca ON ca.lang = e.lang_a
+         |JOIN cnt cb ON cb.lang = e.lang_b
+         |LEFT JOIN ex ON ex.lang_a = e.lang_a AND ex.lang_b = e.lang_b
+         |ORDER BY e.lang_a, e.lang_b""".stripMargin
+    })
 }

@@ -681,6 +681,66 @@ object DedupOps {
       .transform(Common.presented(_, col("doc_id")))
   }
 
+  /** D16 cosine threshold: well clear of every observed within-cell
+    * pair at all harness SFs, and — like every compared double — both
+    * engines reach the comparison from bit-identical operands, so the
+    * flag cannot flip between them regardless of the value chosen. */
+  val SemTau = 0.4
+
+  /** D16 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * dedup by k-means cell. Every vector is assigned to its nearest
+    * coarse centroid (the ANN tier's shared quantizer —
+    * [[SimilarityOps.coarseCentroids]], the same cells x3/x10 probe),
+    * then duplicates are detected ONLY within a cell and the most
+    * central member of each duplicate neighborhood is kept: a vector is
+    * pruned iff some same-cell vector sits within cosine [[SemTau]] of
+    * it AND is closer to the centroid (centroid-cosine desc, vec_id asc
+    * tie-break). D5/D11 find near-dup PAIRS/CLUSTERS via sign-LSH
+    * buckets; this is the complementary curation form — cells come from
+    * a trained quantizer, the keeper rule is quality-aware (most
+    * representative, not min-id), and the output is a per-vector
+    * keep/prune verdict ready to filter a training corpus.
+    *
+    * Scale: the pair space is cell-bounded — at 100 TB the centroid
+    * count K grows with the corpus (SemDeDup uses ~100k clusters for
+    * 5B embeddings) so cells stay ~O(corpus/K) and the within-cell
+    * self-join is quadratic only in a bounded cell population; a hot
+    * cell is AQE skew-split like any shuffle join. Assignment is one
+    * broadcast of K·d floats + an argmax window; no stage touches the
+    * O(n²) global pair space. The centroid set here is the
+    * deterministic seed slice (x3's convention); x18's trained coarse
+    * quantizer drops in without changing the plan. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val c = SimilarityOps.corpus(s, dir).drop("bucket")
+    val cents = SimilarityOps.coarseCentroids(c)
+      .withColumnRenamed("cell_id", "cell")
+    // both sides of the within-cell join read the assignment — persist
+    // so the argmax window runs once (x5's shared-corpus convention;
+    // the harness clears caches between queries). At 100 TB this IS
+    // the written cell-partitioned assignment table of x11's layout,
+    // and the self-join below is partition-local on it.
+    val asg = SimilarityOps.coarseProbe(c, cents.withColumnRenamed("cell", "cell_id"), 1)
+      .drop("probe_rank")
+      .join(broadcast(cents), col("cell_id") === col("cell"))
+      .withColumn("cent_cos", dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"), col("cent_cos"))
+    if (asg.storageLevel == org.apache.spark.storage.StorageLevel.NONE) asg.persist()
+    // one LEFT join carries every vector through (isolated vectors keep
+    // a null y-side), and the prune verdict is a max over the vector's
+    // same-cell candidates — no distinct, no second join-back
+    val cos = dotD(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
+    val isDup = cos > SemTau &&
+      (col("y.cent_cos") > col("x.cent_cos") ||
+        (col("y.cent_cos") === col("x.cent_cos") && col("y.vec_id") < col("x.vec_id")))
+    asg.as("x").join(asg.as("y"),
+        col("x.cell_id") === col("y.cell_id") && col("x.vec_id") =!= col("y.vec_id"),
+        "left")
+      .groupBy(col("x.vec_id").as("vec_id"), col("x.cell_id").as("cell_id"),
+        col("x.cent_cos").as("cent_cos"))
+      .agg(max(when(isDup, 1).otherwise(0)).as("is_pruned"))
+      .transform(Common.presented(_, col("vec_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
@@ -698,7 +758,8 @@ object DedupOps {
     "d11_embed_clusters" -> (embedClusters _),
     "d12_split_leakage" -> (splitLeakage _),
     "d13_incremental_clusters" -> (incrementalClusters _),
-    "d14_containment" -> (containment _))
+    "d14_containment" -> (containment _),
+    "d16_semdedup" -> (semDedup _))
 
   /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
     * as a recursive-closure CTE. */
@@ -968,7 +1029,33 @@ object DedupOps {
          |       CASE WHEN row_number() OVER (PARTITION BY cluster_key
          |              ORDER BY score DESC, doc_id) = 1
          |            THEN 1 ELSE 0 END AS is_keeper
-         |FROM h ORDER BY doc_id""".stripMargin)
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // x3's cell-assignment CTE with cent_cos kept; the prune predicate
+    // restates the Spark filter verbatim (same fold, same tie-break)
+    "d16_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |                  sqrt(${dotDSql("embedding", "embedding")}) AS nrm
+         |           FROM embeddings),
+         |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+         |          WHERE vec_id >= ${SimilarityOps.NumQueries}
+         |            AND vec_id < ${SimilarityOps.NumQueries + SimilarityOps.NumCentroids}),
+         |a AS (
+         |  SELECT vec_id, v, nrm, cell_id, cent_cos
+         |  FROM (SELECT e.vec_id, e.v, e.nrm, cents.cell_id,
+         |               ${dotDSql("e.v", "cents.cv")} / (e.nrm * cents.cn) AS cent_cos
+         |        FROM e CROSS JOIN cents)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY cent_cos DESC, cell_id) = 1),
+         |p AS (SELECT DISTINCT x.vec_id
+         |      FROM a x JOIN a y
+         |        ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+         |      WHERE ${dotDSql("x.v", "y.v")} / (x.nrm * y.nrm) > $SemTau
+         |        AND (y.cent_cos > x.cent_cos OR
+         |             (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id)))
+         |SELECT a.vec_id, a.cell_id, a.cent_cos,
+         |       CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_pruned
+         |FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+         |ORDER BY a.vec_id""".stripMargin)
 
   // d6 reuses the full d2 oracle verbatim as a CTE (drift-proof, like
   // x5) and states the components as a recursive transitive closure —

@@ -46,6 +46,60 @@ class ApproxOpsSpec extends SparkSpec {
     }
   }
 
+  test("AP5: KMV distinct/union estimates within 3 relative SD of exact") {
+    val rows = ApproxOps.kmvOverlap(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val k = ApproxOps.KmvK
+    val sigma = 1.0 / math.sqrt(k - 1.0) // KMV relative SD
+    rows.foreach { r =>
+      val exactA = r.getAs[Long]("exact_a").toDouble
+      val exactB = r.getAs[Long]("exact_b").toDouble
+      val exactI = r.getAs[Long]("exact_inter").toDouble
+      val exactU = exactA + exactB - exactI
+      def ck(est: Double, exact: Double, label: String): Unit =
+        if (exact < k) assert(est === exact, s"$label: under-full sketch must be exact")
+        else assert(math.abs(est - exact) / exact <= 3 * sigma,
+          s"$label: est=$est exact=$exact")
+      ck(r.getAs[Double]("est_a"), exactA, "est_a")
+      ck(r.getAs[Double]("est_b"), exactB, "est_b")
+      ck(r.getAs[Double]("est_union"), exactU, "est_union")
+      // intersection: ρ's additive error ≤ 0.5/√k scaled by the union,
+      // plus the union estimate's own relative error scaled by the
+      // intersection — the standard theta-sketch composition
+      val bound = 3 * (0.5 / math.sqrt(k.toDouble)) * exactU + 3 * sigma * exactI
+      assert(math.abs(r.getAs[Double]("est_inter") - exactI) <= bound + 1.0,
+        s"est_inter=${r.getAs[Double]("est_inter")} exact=$exactI bound=$bound")
+    }
+  }
+
+  test("AP5: under-full sketches collapse every estimate to the exact value") {
+    // crafted corpus: two langs, far fewer distinct tokens than KmvK —
+    // the k-min set IS the distinct set, so union/intersection
+    // estimates must equal exact set sizes, not approximate them
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kmv-underfull").toString
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "aa", "s0"),
+      (1L, "beta gamma epsilon", "aa", "s0"),
+      (2L, "gamma delta zeta", "bb", "s0"),
+      (3L, "eta theta", "bb", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = ApproxOps.kmvOverlap(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    // aa = {alpha beta gamma delta epsilon} (5), bb = {gamma delta zeta eta theta} (5),
+    // inter = {gamma delta} (2), union = 8
+    assert(r.getAs[Long]("exact_a") === 5L)
+    assert(r.getAs[Long]("exact_b") === 5L)
+    assert(r.getAs[Long]("exact_inter") === 2L)
+    assert(r.getAs[Double]("est_a") === 5.0)
+    assert(r.getAs[Double]("est_b") === 5.0)
+    assert(r.getAs[Double]("est_union") === 8.0)
+    assert(r.getAs[Double]("est_inter") === 2.0)
+  }
+
   test("AP1/AP2 stay deterministic across runs (driver reruns hash outputs)") {
     val a1 = ApproxOps.hllDistinct(spark, Sf).collect().toSeq
     val a2 = ApproxOps.hllDistinct(spark, Sf).collect().toSeq
