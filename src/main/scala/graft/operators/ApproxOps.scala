@@ -237,24 +237,59 @@ object ApproxOps {
     * audit half you delete; the sketch half is one shuffle to distinct
     * + one bounded aggregate, and per-shard sketches merge
     * associatively (concat → sort → first k) without touching rows. */
-  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{tokens, tokHash, HashMod}
+  /** The KMV aggregate column: [[graft.functions.TopKByAgg]] run as a
+    * bottom-k over `h` (score = −h, exact in double for h < 2⁵³);
+    * output is the k smallest hashes ascending. */
+  private def kmvAgg: Column = {
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-    import graft.functions.TopKByAgg
+    column(graft.functions.TopKByAgg(
+      expression((-col("h")).cast("double")),
+      expression(col("h")), KmvK).toAggregateExpression())
+  }
+
+  /** Distinct (lang, token-hash) set of a documents frame — the input
+    * both the sketch and the exact companions aggregate. */
+  private def vocabToks(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, tokHash}
+    docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("lang"), tokHash(col("tok")).as("h"))
+      .distinct()
+  }
+
+  /** Per-lang KMV vocabulary sketch of a documents frame → (lang, s) —
+    * shared by [[kmvOverlap]]'s batch form and [[KmvVocabMonitor]]'s
+    * streaming form. */
+  def kmvSketch(docs: DataFrame): DataFrame =
+    vocabToks(docs).groupBy(col("lang")).agg(kmvAgg.as("s"))
+
+  /** Driver-side merge of two ascending k-min sets: sorted distinct
+    * first-k. Associative and commutative — the property the streaming
+    * monitor's order-independence rests on. */
+  def kmvMerge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    (a ++ b).distinct.sorted.take(KmvK)
+
+  /** Driver-side twin of the query's estimator expression (same
+    * formula, same operation order). */
+  def kmvEstimate(sk: Seq[Long]): Double =
+    if (sk.length < KmvK) sk.length.toDouble
+    else (KmvK - 1).toDouble /
+      ((sk(KmvK - 1) + 1).toDouble / graft.functions.TextFunctions.HashMod.toDouble)
+
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.HashMod
     // the distinct (lang, hash) set feeds the sketch AND both sides of
     // the exact-companion self-join — persist so the explode+distinct
     // runs once (x5's convention; the harness clears caches per query)
-    val toks = Tables.documents(s, dir)
-      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
-      .select(col("lang"), tokHash(col("tok")).as("h"))
-      .distinct()
+    val toks = vocabToks(Tables.documents(s, dir))
     if (toks.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       toks.persist()
-    val kmv = column(TopKByAgg(
-      expression((-col("h")).cast("double")),
-      expression(col("h")), KmvK).toAggregateExpression())
+    // the per-lang sketch frame feeds BOTH sides of the pair join —
+    // persist it (langs rows) so the bounded aggregate over the
+    // distinct set runs once, not once per join side
     val sk = toks.groupBy(col("lang"))
-      .agg(kmv.as("s"), count(lit(1)).as("exact_n"))
+      .agg(kmvAgg.as("s"), count(lit(1)).as("exact_n"))
+    if (sk.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      sk.persist()
     def kmvEst(arr: Column): Column =
       when(size(arr) < KmvK, size(arr).cast("double"))
         .otherwise(lit((KmvK - 1).toDouble) /
@@ -283,6 +318,49 @@ object ApproxOps {
         ((col("inter3").cast("double") / size(col("uk")).cast("double")) *
           kmvEst(col("uk"))).as("est_inter"))
       .transform(Common.presented(_, col("lang_a"), col("lang_b")))
+  }
+
+  /** AP5's STREAMING twin — a vocabulary-novelty monitor, the sketch
+    * tier's entry in the every-stateful-op-has-a-streaming-form
+    * convention (MicroBatcher, StreamingScd2, CDF/drift, the x15 index
+    * monitor). Bind it per micro-batch from `foreachBatch` like
+    * [[AuditOps.driftAgainst]]:
+    *
+    * {{{
+    * val mon = new ApproxOps.KmvVocabMonitor
+    * docsStream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+    *   val novelty = mon.observe(b)  // (lang, est_before, est_after)
+    * }
+    * }}}
+    *
+    * The running per-lang sketch lives on the DRIVER — KMV sketches are
+    * KB-sized by design, the same dataflow as ap3/ap4 shipping their
+    * sketch scalars through the driver. Each micro-batch contributes
+    * its own distributed [[kmvSketch]]; [[kmvMerge]] folds it into the
+    * standing sketch. Merge is associative+commutative, so the standing
+    * sketch after any arrival order / micro-batch cut equals the batch
+    * sketch over the union (StreamingVocabSpec fuzzes this), and
+    * `est_after − est_before` is the batch's estimated new-vocabulary
+    * contribution — the drift signal that flags a crawl source going
+    * off-distribution without ever re-reading the corpus. */
+  final class KmvVocabMonitor {
+    private var standing: Map[String, Seq[Long]] = Map.empty
+
+    /** Fold one micro-batch in; returns (lang, est_before, est_after)
+      * for each lang present in the batch, lang-ascending. */
+    def observe(batch: DataFrame): Seq[(String, Double, Double)] = synchronized {
+      val bs = kmvSketch(batch).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      bs.toSeq.sortBy(_._1).map { case (lang, s) =>
+        val before = standing.getOrElse(lang, Nil)
+        val after = kmvMerge(before, s)
+        standing += lang -> after
+        (lang, kmvEstimate(before), kmvEstimate(after))
+      }
+    }
+
+    /** The standing per-lang sketches (ascending k-min sets). */
+    def sketches: Map[String, Seq[Long]] = synchronized(standing)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -182,4 +182,51 @@ class PlanContractSpec extends SparkSpec {
     // (m,cent_id) rebuild; encode: vec_id pivot; plus presentation
     assert(shuffles(p).size <= 5, p.toString.take(2000))
   }
+
+  test("d16: assignment cached once, pair stage equi-joins on cell — never all-pairs") {
+    val p = executed(graft.operators.DedupOps.semDedup(spark, Sf))
+    assert(!p.toString.contains("CartesianProduct"))
+    // the within-cell stage must be an equi-join keyed on the cell —
+    // a missing key here degenerates to the global O(n²) pair space
+    val smj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.exists(_.leftKeys.exists(_.toString.contains("cell_id"))),
+      s"within-cell join lost its cell_id key: ${smj.map(_.leftKeys)}")
+    // both pair sides read the PERSISTED assignment (the argmax window
+    // runs once): two in-memory scans, and no embeddings file scan
+    // outside the cached subtree
+    val mem = collectAll(p) {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(mem.size == 2, s"expected 2 cached-assignment reads, got ${mem.size}")
+    assert(scans(p).isEmpty,
+      "a consumer bypassed the cached assignment and re-scanned parquet")
+  }
+
+  test("ap5: sketch is a bounded partial aggregate over one cached distinct pass") {
+    val p = executed(graft.operators.ApproxOps.kmvOverlap(spark, Sf))
+    assert(!p.toString.contains("CartesianProduct"),
+      "the lang×lang pair frame must broadcast-nested-loop, not cartesian")
+    // the KMV aggregate must run as ObjectHashAggregate with a partial
+    // phase (the bounded heap merges map-side like any partial agg);
+    // it lives inside the persisted sketch frame's cached plan
+    val cached = collectAll(p) {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m.relation.cachedPlan.toString
+    }
+    assert(cached.exists(t =>
+        t.contains("ObjectHashAggregate") && t.contains("topk_by")),
+      "topk_by left ObjectHashAggregate — the bottom-k no longer partial-aggregates")
+    // two persisted intermediates: the distinct (lang, hash) set (read
+    // by both exact-companion join sides) and the per-lang sketch frame
+    // (read by both pair-join sides — the aggregate itself runs once);
+    // documents.parquet is scanned only inside the cached subtrees
+    val mem = collectAll(p) {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(mem.size == 4, s"expected 4 cached reads (2 sketch + 2 exact), got ${mem.size}")
+    assert(scans(p).isEmpty,
+      "a consumer bypassed the cached distinct set and re-scanned parquet")
+  }
 }
