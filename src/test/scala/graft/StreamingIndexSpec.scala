@@ -79,4 +79,58 @@ class StreamingIndexSpec extends SparkSpec {
         s"seed $seed: streamed manifests diverged from the batch append")
     }
   }
+
+  test("streamed query serving == batch serve from the frozen index, across 3 fuzz seeds") {
+    // the SERVING half of the lifecycle as a stream: queries arrive as
+    // micro-batches and each batch probes the at-rest index through the
+    // same serveFrom core x11 uses — per-query independence + a frozen
+    // index make the accumulated streamed top-k equal the batch serve
+    // regardless of arrival order or batch cuts
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val root = "target/graft-index/spec-serving"
+    val c = SimilarityOps.corpus(spark, Sf)
+    SimilarityOps.buildIndex(spark, root, c,
+      SimilarityOps.coarseCentroids(c), SimilarityOps.pqSeedCents(c))
+    val isQuery = col("vec_id") < SimilarityOps.NumQueries
+    def served(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map { r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("cell"),
+          r.getAs[Double]("adc"))
+      }.sortBy(t => (t._1, t._2)).toSeq
+    val expected = served(SimilarityOps
+      .serveFrom(spark, root, c.filter(isQuery), nProbe = 2).collect())
+    assert(expected.nonEmpty, "fixture regression: batch serve returned nothing")
+    val queryVecs = graft.sources.Tables.embeddings(spark, Sf)
+      .filter(isQuery).select(col("vec_id"), col("embedding"))
+      .as[Vec].collect().toVector
+
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[Vec]
+      val acc = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+      val q = in.toDF().writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val inc = batch.select(col("vec_id"),
+              col("embedding").cast("array<float>").as("v"))
+            .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+          val rows = SimilarityOps.serveFrom(spark, root, inc, nProbe = 2).collect()
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(queryVecs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(3))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable() // stateless foreachBatch — safe to drain
+        }
+      } finally q.stop()
+      assert(served(acc.toArray) === expected,
+        s"seed $seed: streamed serving diverged from the batch serve")
+    }
+  }
 }
