@@ -710,7 +710,13 @@ object DedupOps {
     * O(n²) global pair space. The centroid set here is the
     * deterministic seed slice (x3's convention); x18's trained coarse
     * quantizer drops in without changing the plan. */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    Common.presented(semDedupCore(s, dir), col("vec_id"))
+
+  /** [[semDedup]] without the presentation sort — C2 composes the
+    * per-vector verdict into the curation manifest (embeddings are 1:1
+    * with documents: vec_id == doc_id). */
+  def semDedupCore(s: SparkSession, dir: String): DataFrame = {
     val c = SimilarityOps.corpus(s, dir).drop("bucket")
     val cents = SimilarityOps.coarseCentroids(c)
       .withColumnRenamed("cell_id", "cell")
@@ -738,7 +744,6 @@ object DedupOps {
       .groupBy(col("x.vec_id").as("vec_id"), col("x.cell_id").as("cell_id"),
         col("x.cent_cos").as("cent_cos"))
       .agg(max(when(isDup, 1).otherwise(0)).as("is_pruned"))
-      .transform(Common.presented(_, col("vec_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1032,30 +1037,35 @@ object DedupOps {
          |FROM h ORDER BY doc_id""".stripMargin,
     // x3's cell-assignment CTE with cent_cos kept; the prune predicate
     // restates the Spark filter verbatim (same fold, same tie-break)
-    "d16_semdedup" ->
-      s"""WITH e AS (SELECT vec_id, embedding AS v,
-         |                  sqrt(${dotDSql("embedding", "embedding")}) AS nrm
-         |           FROM embeddings),
-         |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
-         |          WHERE vec_id >= ${SimilarityOps.NumQueries}
-         |            AND vec_id < ${SimilarityOps.NumQueries + SimilarityOps.NumCentroids}),
-         |a AS (
-         |  SELECT vec_id, v, nrm, cell_id, cent_cos
-         |  FROM (SELECT e.vec_id, e.v, e.nrm, cents.cell_id,
-         |               ${dotDSql("e.v", "cents.cv")} / (e.nrm * cents.cn) AS cent_cos
-         |        FROM e CROSS JOIN cents)
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id
-         |                             ORDER BY cent_cos DESC, cell_id) = 1),
-         |p AS (SELECT DISTINCT x.vec_id
-         |      FROM a x JOIN a y
-         |        ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
-         |      WHERE ${dotDSql("x.v", "y.v")} / (x.nrm * y.nrm) > $SemTau
-         |        AND (y.cent_cos > x.cent_cos OR
-         |             (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id)))
-         |SELECT a.vec_id, a.cell_id, a.cent_cos,
-         |       CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_pruned
-         |FROM a LEFT JOIN p ON a.vec_id = p.vec_id
-         |ORDER BY a.vec_id""".stripMargin)
+    "d16_semdedup" -> s"$d16CoreSql\nORDER BY a.vec_id")
+
+  /** The d16 oracle body minus its presentation ORDER BY — c2 embeds
+    * it as the semantic-dedup stage CTE (the d5→d11 convention: any
+    * drift between d16's Spark program and its oracle surfaces in
+    * d16's own row, and c2 stays consistent by construction). */
+  private[operators] lazy val d16CoreSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding AS v,
+       |                  sqrt(${dotDSql("embedding", "embedding")}) AS nrm
+       |           FROM embeddings),
+       |cents AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM e
+       |          WHERE vec_id >= ${SimilarityOps.NumQueries}
+       |            AND vec_id < ${SimilarityOps.NumQueries + SimilarityOps.NumCentroids}),
+       |a AS (
+       |  SELECT vec_id, v, nrm, cell_id, cent_cos
+       |  FROM (SELECT e.vec_id, e.v, e.nrm, cents.cell_id,
+       |               ${dotDSql("e.v", "cents.cv")} / (e.nrm * cents.cn) AS cent_cos
+       |        FROM e CROSS JOIN cents)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cell_id) = 1),
+       |p AS (SELECT DISTINCT x.vec_id
+       |      FROM a x JOIN a y
+       |        ON x.cell_id = y.cell_id AND x.vec_id <> y.vec_id
+       |      WHERE ${dotDSql("x.v", "y.v")} / (x.nrm * y.nrm) > $SemTau
+       |        AND (y.cent_cos > x.cent_cos OR
+       |             (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id)))
+       |SELECT a.vec_id, a.cell_id, a.cent_cos,
+       |       CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_pruned
+       |FROM a LEFT JOIN p ON a.vec_id = p.vec_id""".stripMargin
 
   // d6 reuses the full d2 oracle verbatim as a CTE (drift-proof, like
   // x5) and states the components as a recursive transitive closure —

@@ -600,7 +600,26 @@ object TextOps {
     * quality/split projections, one shuffle on lang for the budget
     * windows, and one broadcast-back of the tiny eligible-set
     * decisions. */
-  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+  def trainingManifest(s: SparkSession, dir: String): DataFrame =
+    manifestCore(s, dir, semantic = None)
+
+  /** C2 — C1 with a SEMANTIC-dedup stage: d16's per-vector verdict
+    * (embeddings are 1:1 with documents — vec_id == doc_id) joins in as
+    * one more gate between exact dedup and the quality bucket. A doc
+    * that survives exact dedup can still be a semantic duplicate
+    * (paraphrase, re-render, translation artifact); statuses rank
+    * `dup` > `semantic_dup` (the exact fact is stronger — d7's
+    * corpus-beats-batch convention), and the token budget runs over the
+    * semantically-deduped eligible set. Every stage is the standalone
+    * query's proven formula (c1's pipeline, d16's verdict), so the
+    * composed oracle is c1's SQL with d16's CTE spliced in. */
+  def semanticManifest(s: SparkSession, dir: String): DataFrame =
+    manifestCore(s, dir, semantic = Some(
+      graft.operators.DedupOps.semDedupCore(s, dir)
+        .select(col("vec_id").as("doc_id"), col("is_pruned"))))
+
+  private def manifestCore(s: SparkSession, dir: String,
+      semantic: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nTokBpe = aggregate(toks, lit(0L),
       (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
@@ -623,7 +642,10 @@ object TextOps {
           .otherwise(lit("ok")).as("quality_bucket"),
         graft.operators.DedupOps.splitCol.as("split"))
       .withColumn("krn", row_number().over(kw))
-    val elig = withSplit.filter(col("krn") === 1 &&
+      // c1: no semantic stage — constant 0 folds out of every predicate
+      .transform(d => semantic.fold(d.withColumn("is_pruned", lit(0)))(
+        sem => d.join(sem, Seq("doc_id"))))
+    val elig = withSplit.filter(col("krn") === 1 && col("is_pruned") === 0 &&
       col("quality_bucket") === "ok" && col("split") === "train")
     val byScore = Window.partitionBy(col("lang"))
       .orderBy(col("score").desc, col("doc_id"))
@@ -638,6 +660,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("quality_bucket"), col("split"),
         col("n_tok"),
         when(col("krn") > 1, lit("dup"))
+          .when(col("is_pruned") === 1, lit("semantic_dup"))
           .when(col("quality_bucket") =!= "ok", lit("low_quality"))
           .when(col("split") =!= "train", lit("heldout"))
           .when(col("kept") === 1, lit("selected"))
@@ -647,6 +670,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_training_manifest" -> (trainingManifest _),
+    "c2_semantic_manifest" -> (semanticManifest _),
     "tx18_novelty" -> (ngramNovelty _),
     "tx13_curation_report" -> (curationReport _),
     "tx14_chunk" -> (chunk _),
@@ -676,43 +700,60 @@ object TextOps {
        |     ELSE 'test' END""".stripMargin
   }
 
+  /** ONE SQL template for both manifests — c1 (semantic = false) and
+    * c2 (semantic = true, d16's CTE spliced in as the sem stage). A
+    * shared template means the two oracles cannot drift from each
+    * other; with semantic off, `0 AS is_pruned` makes every semantic
+    * predicate vacuous, mirroring the Spark side's folded-out
+    * `lit(0)`. */
+  private def manifestOracleSql(semantic: Boolean): String = {
+    val head =
+      if (semantic) s"WITH sem AS (\n${graft.operators.DedupOps.d16CoreSql}\n),\nraw AS"
+      else "WITH raw AS"
+    val semJoin = if (semantic) " JOIN sem ON sem.vec_id = raw.doc_id" else ""
+    val pruned = if (semantic) "sem.is_pruned" else "0"
+    s"""$head (SELECT doc_id, lang, text,
+       |               row_number() OVER (PARTITION BY md5(text)
+       |                 ORDER BY doc_id) AS krn
+       |             FROM documents),
+       |m AS (SELECT doc_id, lang, krn, $pruned AS is_pruned,
+       |        CAST(len(list_distinct($toksSql)) AS BIGINT) AS score,
+       |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform($toksSql, t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+       |          (acc, x) -> acc + x) AS n_tok,
+       |        CASE WHEN CAST(len($toksSql) AS BIGINT) < 30 THEN 'too_short'
+       |             WHEN CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS BIGINT) * 2
+       |                    > CAST(len($toksSql) AS BIGINT) THEN 'boilerplate'
+       |             WHEN CAST(len(list_distinct($toksSql)) AS BIGINT) * 3
+       |                    < CAST(len($toksSql) AS BIGINT) THEN 'repetitive'
+       |             ELSE 'ok' END AS quality_bucket,
+       |        $c1SplitSql AS split
+       |      FROM raw$semJoin),
+       |b AS (SELECT doc_id,
+       |             CASE WHEN sum(n_tok) OVER cum * 2
+       |                         <= sum(n_tok) OVER (PARTITION BY lang)
+       |                  THEN 1 ELSE 0 END AS kept
+       |      FROM m WHERE krn = 1 AND is_pruned = 0
+       |        AND quality_bucket = 'ok' AND split = 'train'
+       |      WINDOW cum AS (PARTITION BY lang ORDER BY score DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT m.doc_id, m.lang, m.quality_bucket, m.split, m.n_tok,
+       |       CASE WHEN m.krn > 1 THEN 'dup'
+       |            WHEN m.is_pruned = 1 THEN 'semantic_dup'
+       |            WHEN m.quality_bucket <> 'ok' THEN 'low_quality'
+       |            WHEN m.split <> 'train' THEN 'heldout'
+       |            WHEN b.kept = 1 THEN 'selected'
+       |            ELSE 'over_budget' END AS status
+       |FROM m LEFT JOIN b USING (doc_id)
+       |ORDER BY m.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // every stage reuses the standalone oracle's formula: d1's
     // min-per-md5 keeper, tx2's buckets, d10's split hash, tx17's
     // 2·cum ≤ total prefix over the eligible set
-    "c1_training_manifest" ->
-      s"""WITH raw AS (SELECT doc_id, lang, text,
-         |               row_number() OVER (PARTITION BY md5(text)
-         |                 ORDER BY doc_id) AS krn
-         |             FROM documents),
-         |m AS (SELECT doc_id, lang, krn,
-         |        CAST(len(list_distinct($toksSql)) AS BIGINT) AS score,
-         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |          list_transform($toksSql, t -> CAST((length(t) + 3) // 4 AS BIGINT))),
-         |          (acc, x) -> acc + x) AS n_tok,
-         |        CASE WHEN CAST(len($toksSql) AS BIGINT) < 30 THEN 'too_short'
-         |             WHEN CAST(len(list_filter($toksSql, t -> list_contains($stopList, t))) AS BIGINT) * 2
-         |                    > CAST(len($toksSql) AS BIGINT) THEN 'boilerplate'
-         |             WHEN CAST(len(list_distinct($toksSql)) AS BIGINT) * 3
-         |                    < CAST(len($toksSql) AS BIGINT) THEN 'repetitive'
-         |             ELSE 'ok' END AS quality_bucket,
-         |        $c1SplitSql AS split
-         |      FROM raw),
-         |b AS (SELECT doc_id,
-         |             CASE WHEN sum(n_tok) OVER cum * 2
-         |                         <= sum(n_tok) OVER (PARTITION BY lang)
-         |                  THEN 1 ELSE 0 END AS kept
-         |      FROM m WHERE krn = 1 AND quality_bucket = 'ok' AND split = 'train'
-         |      WINDOW cum AS (PARTITION BY lang ORDER BY score DESC, doc_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |SELECT m.doc_id, m.lang, m.quality_bucket, m.split, m.n_tok,
-         |       CASE WHEN m.krn > 1 THEN 'dup'
-         |            WHEN m.quality_bucket <> 'ok' THEN 'low_quality'
-         |            WHEN m.split <> 'train' THEN 'heldout'
-         |            WHEN b.kept = 1 THEN 'selected'
-         |            ELSE 'over_budget' END AS status
-         |FROM m LEFT JOIN b USING (doc_id)
-         |ORDER BY m.doc_id""".stripMargin,
+    "c1_training_manifest" -> manifestOracleSql(semantic = false),
+    "c2_semantic_manifest" -> manifestOracleSql(semantic = true),
     // d8's hashed-distinct-trigram contract (DedupOps.tgSql);
     // novelty through min-doc first occurrence, order-free
     "tx18_novelty" ->

@@ -197,4 +197,32 @@ class CurationOpsSpec extends SparkSpec {
     }
     assert(manifest.values.exists(_._3 == "selected"))
   }
+
+  test("c2: semantic stage agrees with d16; non-dedup stages agree with c1") {
+    val c1 = TextOps.trainingManifest(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val c2 = TextOps.semanticManifest(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(c2.size == c1.size)
+    val pruned = graft.operators.DedupOps.semDedup(spark, Sf).collect()
+      .filter(_.getAs[Int]("is_pruned") == 1).map(_.getAs[Long]("vec_id")).toSet
+    // semantic_dup is exactly d16's pruned set minus exact-dup losers
+    // (the exact fact outranks the semantic one)
+    c2.foreach { case (id, st) =>
+      assert((st == "semantic_dup") == (pruned(id) && c1(id) != "dup"),
+        s"doc $id: c2=$st c1=${c1(id)} pruned=${pruned(id)}")
+    }
+    assert(c2.values.count(_ == "semantic_dup") > 0,
+      "fixture regression: semantic stage went vacuous")
+    // upstream-of-budget statuses are untouched by the new stage;
+    // selected/over_budget may reflow (the budget runs over the
+    // semantically-deduped eligible set)
+    c2.foreach { case (id, st) =>
+      if (!pruned(id)) {
+        if (Set("dup", "low_quality", "heldout")(c1(id)))
+          assert(st == c1(id), s"doc $id upstream status drifted: $st vs ${c1(id)}")
+        else assert(Set("selected", "over_budget")(st), s"doc $id: $st")
+      }
+    }
+  }
 }
