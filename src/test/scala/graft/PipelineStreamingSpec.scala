@@ -164,4 +164,66 @@ class PipelineStreamingSpec extends SparkSpec {
       assert(v.contains("q0") && v.contains("q2"))
     } finally q.stop()
   }
+
+  test("the two jobs CHAINED through the staging layer: packets → staged → batched → routed") {
+    // the reference composition a user actually runs: job 1 stages
+    // validated invoices (MySQL in the reference, parquet here), job 2
+    // polls that same staging table and fans batched packets out — here
+    // job 2 reads the staging dir as a file-source STREAM, so the
+    // hand-off is the at-rest layer itself, not an in-memory shortcut
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp("chain_out")
+    val in = MemoryStream[String]
+    val q1 = RequestPipeline.run(in.toDF(), dir, tmp("chain_ck1"))
+    val crt = (0 until 8).map(i =>
+      s"""{"sid":"C$i","stax":"T$i","syncid":"SYNC_CRT_$i","api_type":10}""")
+    val del = (0 until 4).map(i =>
+      s"""{"sid":"D$i","stax":"U$i","syncid":"SYNC_DEL_$i","api_type":12}""")
+    val reject = """{"stax":"TX","api_type":10}""" // no sid anywhere → K2
+    try {
+      in.addData(pk(crt(0), crt(1), crt(2), reject), pk(crt.drop(3): _*))
+      in.addData(pk(del: _*))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val staged = spark.read.parquet(s"$dir/async_inv_in")
+    assert(staged.count() === 12)
+    assert(spark.read.parquet(s"$dir/invoice_retry").count() === 1)
+    // job 2: G1's (key, payload) binding over the staged columns
+    val recs = spark.readStream.schema(staged.schema)
+      .parquet(s"$dir/async_inv_in")
+      .select(col("api_type").cast("int").as("apiType"),
+        col("syncid").as("recordKey"), col("inv").as("payload"))
+      .as[Rec]
+    val q2 = ResponsePipeline.run(recs, dir, tmp("chain_ck2"),
+      batchSize = 4, timeoutMs = 600000L)
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def read() =
+        try spark.read.parquet(s"$dir/kafka_out")
+        catch { case _: Throwable => spark.emptyDataFrame }
+      while (System.currentTimeMillis() < deadline &&
+        (read().isEmpty || read().count() < 3)) Thread.sleep(200)
+      val kafka = spark.read.parquet(s"$dir/kafka_out")
+      assert(kafka.filter(col("topic") === "mtt.crt.response").count() === 2)
+      assert(kafka.filter(col("topic") === "mtt.del.response").count() === 1)
+      assert(kafka.filter(col("size") =!= 4).count() === 0)
+      // conservation: every staged invoice reaches EXACTLY one packet
+      // on its api_type's topic, and the reject never does
+      val values = kafka.collect()
+        .map(r => (r.getAs[String]("topic"), r.getAs[String]("value")))
+      (0 until 8).foreach { i =>
+        val hits = values.filter(_._2.contains(s"SYNC_CRT_$i"))
+        assert(hits.length === 1 && hits.head._1 === "mtt.crt.response",
+          s"SYNC_CRT_$i appeared ${hits.length}× in ${hits.map(_._1).toSeq}")
+      }
+      (0 until 4).foreach { i =>
+        val hits = values.filter(_._2.contains(s"SYNC_DEL_$i"))
+        assert(hits.length === 1 && hits.head._1 === "mtt.del.response",
+          s"SYNC_DEL_$i appeared ${hits.length}×")
+      }
+      assert(!values.exists(_._2.contains(""""stax":"TX"""")),
+        "a rejected element leaked into the response fan-out")
+    } finally q2.stop()
+  }
 }
