@@ -719,16 +719,13 @@ object DedupOps {
   def semDedupCore(s: SparkSession, dir: String): DataFrame = {
     val c = SimilarityOps.corpus(s, dir).drop("bucket")
     val cents = SimilarityOps.coarseCentroids(c)
-      .withColumnRenamed("cell_id", "cell")
     // both sides of the within-cell join read the assignment — persist
     // so the argmax window runs once (x5's shared-corpus convention;
     // the harness clears caches between queries). At 100 TB this IS
     // the written cell-partitioned assignment table of x11's layout,
-    // and the self-join below is partition-local on it.
-    val asg = SimilarityOps.coarseProbe(c, cents.withColumnRenamed("cell", "cell_id"), 1)
-      .drop("probe_rank")
-      .join(broadcast(cents), col("cell_id") === col("cell"))
-      .withColumn("cent_cos", dotD(col("v"), col("cv")) / (col("nrm") * col("cn")))
+    // and the self-join below is partition-local on it. coarseProbe
+    // carries the winning cent_cos, so no re-derive join is needed.
+    val asg = SimilarityOps.coarseProbe(c, cents, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"), col("cent_cos"))
     if (asg.storageLevel == org.apache.spark.storage.StorageLevel.NONE) asg.persist()
     // one LEFT join carries every vector through (isolated vectors keep

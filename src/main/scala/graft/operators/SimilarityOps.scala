@@ -313,8 +313,10 @@ object SimilarityOps {
     * tie-break), so callers can rank cells for any subset (the full
     * corpus for an index build, just the queries for a probe) and get
     * identical cells. Input contract: `vecs` must carry (vec_id, v,
-    * nrm); output is (vec_id, v, nrm, cell_id, probe_rank) with one row
-    * per (vector, probed cell). */
+    * nrm); output is (vec_id, v, nrm, cell_id, probe_rank, cent_cos)
+    * with one row per (vector, probed cell) — cent_cos rides along so
+    * centrality-aware consumers (d16's keeper rule) need no re-derive;
+    * Catalyst prunes it wherever unused. */
   private[graft] def coarseProbe(vecs: DataFrame, coarse: DataFrame,
       nProbe: Int): DataFrame = {
     val aw = Window.partitionBy(col("vec_id"))
@@ -325,7 +327,7 @@ object SimilarityOps {
       .withColumn("arn", row_number().over(aw))
       .filter(col("arn") <= nProbe)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"),
-        col("arn").as("probe_rank"))
+        col("arn").as("probe_rank"), col("cent_cos"))
   }
 
   /** Nearest-cell (probe_rank 1) assignment — the index-build side of
@@ -561,8 +563,11 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), col("cell_id").as("cell"), col("adc"))
   }
 
+  // one cleanup hook PER application root — a JVM that creates several
+  // SparkSessions over its lifetime (sbt without fork, notebooks) gets
+  // a hook for each appId's scratch dir, not only the first one's
   private val indexCleanupRegistered =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Where the index-lifecycle queries (x11/x15/x17/x19/x20) persist
     * their at-rest state: under ./target (sbt cwd) keyed by the Spark
@@ -575,7 +580,7 @@ object SimilarityOps {
     * bench/verify runs don't accumulate dead index copies on disk. */
   private[graft] def indexRoot(s: SparkSession, dir: String): String = {
     val appRoot = "target/graft-index/" + s.sparkContext.applicationId
-    if (indexCleanupRegistered.compareAndSet(false, true)) {
+    if (indexCleanupRegistered.add(appRoot)) {
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
@@ -614,13 +619,21 @@ object SimilarityOps {
       .write.mode("overwrite").partitionBy("cell_id").parquet(s"$root/codes")
     // occupancy from the just-written codes: a count per cell over the
     // 4-int-per-vector codes table, not the raw vectors
+    refreshOccupancy(s, root)
+    coarse.write.mode("overwrite").parquet(s"$root/coarse")
+    cents.write.mode("overwrite").parquet(s"$root/pq")
+  }
+
+  /** Recount occupancy from the at-rest codes (the cheap 4-int scan,
+    * never the raw vectors) and overwrite the stats table. This full
+    * recount is the BUILD and restart-HEAL path; steady-state appends
+    * and compactions maintain the stats from bounded per-cell work
+    * instead. */
+  private def refreshOccupancy(s: SparkSession, root: String): Unit =
     s.read.parquet(s"$root/codes")
       .groupBy(col("cell_id").cast("long").as("cell_id"))
       .agg(count(lit(1)).as("n_cell_existing"))
       .write.mode("overwrite").parquet(s"$root/occupancy")
-    coarse.write.mode("overwrite").parquet(s"$root/coarse")
-    cents.write.mode("overwrite").parquet(s"$root/pq")
-  }
 
   /** SERVE phase shared by x11/x17: answers `queries` from the at-rest
     * index under `root` alone — the probe joins the cell-partitioned
@@ -628,12 +641,18 @@ object SimilarityOps {
     * partition pruning turns that join into a pruned scan (only the
     * probed cells' files are read; PlanContractSpec asserts the
     * dynamicpruning filter). Sort-free; callers add presentation. */
-  private[graft] def serveFrom(s: SparkSession, root: String, queries: DataFrame,
-      nProbe: Int): DataFrame = {
-    val codes = s.read.parquet(s"$root/codes")
+  /** The at-rest codes table unpivoted to (vec_id, cell_id, m, code) —
+    * ONE reader shared by the serve and append paths, so the two can
+    * never drift on the code layout (e.g. a [[PqM]] change). */
+  private def readCodes(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/codes")
       .select(col("vec_id"), col("cell_id"),
         posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
       .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+
+  private[graft] def serveFrom(s: SparkSession, root: String, queries: DataFrame,
+      nProbe: Int): DataFrame = {
+    val codes = readCodes(s, root)
     val probes = coarseProbe(queries, s.read.parquet(s"$root/coarse"), nProbe)
       .select(col("vec_id").as("query_id"),
         col("cell_id").cast("int").as("q_cell"))
@@ -798,10 +817,7 @@ object SimilarityOps {
     val coarse = s.read.parquet(s"$root/coarse")
     val cents = s.read.parquet(s"$root/pq")
     val occupancy = s.read.parquet(s"$root/occupancy")
-    val exCodes = s.read.parquet(s"$root/codes")
-      .select(col("vec_id"), col("cell_id"),
-        posexplode(array(col("code0"), col("code1"), col("code2"), col("code3"))))
-      .withColumnRenamed("pos", "m").withColumnRenamed("col", "code")
+    val exCodes = readCodes(s, root)
     // one batch pass carries cell + subvectors together: the ADC table,
     // the encode, and the manifest row all derive from the assigned
     // batch (which still has v), so the batch parquet is scanned once
@@ -893,21 +909,36 @@ object SimilarityOps {
   private[graft] def applyAppend(s: SparkSession, root: String,
       incoming: DataFrame): Unit = {
     // localCheckpoint: the manifest is both written and folded into
-    // the stats delta — without it the whole append plan runs twice
-    val appended = appendManifest(s, root, incoming)
+    // the stats refresh — without it the whole append plan runs twice
+    val manifest = appendManifest(s, root, incoming)
       .select(col("vec_id"), col("code0"), col("code1"), col("code2"),
         col("code3"), col("qerr"), col("cell").cast("int").as("cell_id"))
       .localCheckpoint()
-    appended.write.mode("append").partitionBy("cell_id").parquet(s"$root/codes")
-    // stats maintain INCREMENTALLY: old occupancy plus the batch's
-    // per-cell counts — the standing codes are never re-counted
-    val delta = appended.groupBy(col("cell_id").cast("long").as("cell_id"))
-      .agg(count(lit(1)).as("n_new"))
+    val targetCells = manifest.select(col("cell_id")).distinct()
+    // IDEMPOTENT: a rerun of a crashed or operator-retried append job
+    // must not land the same vector twice — rows already present in
+    // their target cells drop out via a DPP-pruned standing read (the
+    // admission check's shape: only the target cells' files scan)
+    val standing = s.read.parquet(s"$root/codes")
+      .join(broadcast(targetCells), Seq("cell_id"))
+      .select(col("vec_id"))
+    val fresh = manifest.join(standing, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    fresh.write.mode("append").partitionBy("cell_id").parquet(s"$root/codes")
+    // stats: RECOUNT the touched cells from the now-current codes
+    // (bounded by the batch's cells via the same pruning) and keep
+    // every other cell's row as-is. Recount-not-increment makes this
+    // second write SELF-HEALING: a rerun after a crash between the
+    // codes append and the stats write finds `fresh` empty yet still
+    // repairs the touched cells' counts.
+    val touched = s.read.parquet(s"$root/codes")
+      .join(broadcast(targetCells), Seq("cell_id"))
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n_cell_existing"))
     s.read.parquet(s"$root/occupancy").localCheckpoint()
-      .join(delta, Seq("cell_id"), "full_outer")
-      .select(col("cell_id"),
-        (coalesce(col("n_cell_existing"), lit(0L)) +
-          coalesce(col("n_new"), lit(0L))).as("n_cell_existing"))
+      .join(targetCells.select(col("cell_id").cast("long").as("cell_id")),
+        Seq("cell_id"), "left_anti")
+      .unionByName(touched)
       .write.mode("overwrite").parquet(s"$root/occupancy")
   }
 
@@ -1001,11 +1032,15 @@ object SimilarityOps {
       deletePred: Column = col("vec_id") % DeleteMod === DeleteRem): Unit = {
     markTombstones(s, root, deletePred)
     val tombs = s.read.parquet(s"$root/tombstones").localCheckpoint()
-    // restart-safe: a re-run after a completed compaction resolves an
-    // EMPTY delete set (the tombstoned ids are already gone from the
-    // codes), so there is nothing to stage — and an empty staging dir
-    // would fail the read-back with no parquet footer to infer from
-    if (tombs.isEmpty) return
+    // restart-safe: a re-run after a completed OR crashed compaction
+    // resolves an EMPTY delete set (the tombstoned ids are already
+    // gone from the codes), so there is nothing to stage — but the
+    // crash may have died between the codes overwrite and the stats
+    // decrement below, leaving occupancy counting deleted rows
+    // forever. The rerun can't know which cells were affected (the
+    // tombstones resolved empty), so it HEALS by full recount from the
+    // codes — the cheap 4-int scan, paid only on this recovery path.
+    if (tombs.isEmpty) { refreshOccupancy(s, root); return }
     compactionStage(s, root).write.mode("overwrite")
       .partitionBy("cell_id").parquet(s"$root/staging")
     s.read.parquet(s"$root/staging").write.mode("overwrite")

@@ -295,4 +295,59 @@ class PqSpec extends SparkSpec {
       assert(c2 >= c1 - 1e-9, s"candidate recall not monotone: $results")
     }
   }
+
+  test("applyAppend is idempotent under retry and heals a torn stats write") {
+    val root = "target/graft-index/spec-append-heal"
+    val c = SimilarityOps.corpus(spark, Sf)
+    val isNew = col("vec_id") % graft.operators.DedupOps.IncomingMod === 0
+    SimilarityOps.buildIndex(spark, root, c.filter(!isNew),
+      SimilarityOps.coarseCentroids(c), SimilarityOps.pqSeedCents(c))
+    val occSchema = spark.read.parquet(s"$root/occupancy").schema
+    val occ0 = spark.read.parquet(s"$root/occupancy").collect().toSeq
+    def codes() = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq.sorted
+    def occ() = spark.read.parquet(s"$root/occupancy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    SimilarityOps.applyAppend(spark, root, c.filter(isNew))
+    val codes1 = codes(); val occ1 = occ()
+    assert(codes1.distinct === codes1, "append landed a vector twice")
+    // operator retry: the whole job reruns — nothing may change
+    SimilarityOps.applyAppend(spark, root, c.filter(isNew))
+    assert(codes() === codes1, "rerun duplicated codes")
+    assert(occ() === occ1, "rerun moved the stats")
+    // torn write: the codes landed but the stats write was lost —
+    // restore the PRE-append occupancy and rerun; the touched-cell
+    // recount must repair the stats without touching the codes
+    spark.createDataFrame(spark.sparkContext.parallelize(occ0), occSchema)
+      .write.mode("overwrite").parquet(s"$root/occupancy")
+    SimilarityOps.applyAppend(spark, root, c.filter(isNew))
+    assert(codes() === codes1, "heal rerun duplicated codes")
+    assert(occ() === occ1, "torn stats write was not healed")
+  }
+
+  test("compactIndex rerun after a torn stats write heals occupancy by recount") {
+    val root = "target/graft-index/spec-compact-heal"
+    val c = SimilarityOps.corpus(spark, Sf)
+    SimilarityOps.buildIndex(spark, root, c,
+      SimilarityOps.coarseCentroids(c), SimilarityOps.pqSeedCents(c))
+    val occSchema = spark.read.parquet(s"$root/occupancy").schema
+    val occPre = spark.read.parquet(s"$root/occupancy").collect().toSeq
+    def codes() = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq.sorted
+    def occ() = spark.read.parquet(s"$root/occupancy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    SimilarityOps.compactIndex(spark, root)
+    val codesPost = codes(); val occPost = occ()
+    assert(codesPost.size < occPre.map(_.getLong(1)).sum,
+      "fixture regression: compaction deleted nothing")
+    // torn write: the codes were rewritten but the stats decrement was
+    // lost — restore the PRE-compact occupancy and rerun. The rerun
+    // resolves an empty tombstone set (ids already gone) and cannot
+    // know the affected cells, so it must heal by full recount.
+    spark.createDataFrame(spark.sparkContext.parallelize(occPre), occSchema)
+      .write.mode("overwrite").parquet(s"$root/occupancy")
+    SimilarityOps.compactIndex(spark, root)
+    assert(codes() === codesPost, "heal rerun disturbed the codes")
+    assert(occ() === occPost, "torn stats write was not healed")
+  }
 }
