@@ -21,7 +21,8 @@ object SparkEntry {
       ResponseOps.queries ++ RetryOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       WindowOps.queries ++ AggOps.queries ++ ApproxOps.queries ++
-      SqlSurfaceOps.queries ++ VariantOps.queries ++ AuditOps.queries
+      SqlSurfaceOps.queries ++ VariantOps.queries ++ AuditOps.queries ++
+      RetrievalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       ResponseOps.oracles ++ RetryOps.oracles ++ TextOps.oracles ++
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       WindowOps.oracles ++ AggOps.oracles ++ ApproxOps.oracles ++
-      SqlSurfaceOps.oracles ++ VariantOps.oracles ++ AuditOps.oracles
+      SqlSurfaceOps.oracles ++ VariantOps.oracles ++ AuditOps.oracles ++
+      RetrievalOps.oracles
 }

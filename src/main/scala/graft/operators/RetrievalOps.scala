@@ -1,0 +1,429 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** IR / retrieval tier over the `documents` + `embeddings` tables —
+  * sparse (BM25) ranking, an inverted-index serving path, and hybrid
+  * sparse+dense rank fusion (builder brief; no reference analog — the
+  * closest reference shape is its keyed capability lookup,
+  * `/root/reference/src/main/java/com/thaihoc/process/response/InvoiceResponseTransformer.java`,
+  * which joins a request to per-key metadata the way a query term joins
+  * its postings list).
+  *
+  * Why these four: a training-data pipeline at 100 TB needs
+  * relevance-ranked retrieval for data curation (targeted subset mining,
+  * contamination forensics, "find documents about X" audits) and RAG
+  * evaluation; hybrid BM25+vector with reciprocal-rank fusion is the
+  * published standard (Cormack et al. 2009 for RRF; Robertson/Zaragoza
+  * 2009 for BM25).
+  *
+  * Determinism contract: the score is RATIONAL-ARITHMETIC BM25 — the
+  * classic tf saturation term (k1 = 1.2, b = 0.75) times the
+  * odds-ratio idf `(N − df + 0.5)/(df + 0.5)` WITHOUT the log. Every
+  * factor is integer math until a division, so the whole score tree is
+  * IEEE +,×,/ over exact operands, replicated node-for-node in the
+  * oracle SQL — bit-identical doubles with no libm call (the tx12
+  * precedent: JVM and C libm differ in ulps, so `log` never appears in
+  * compared output; the log is monotone in the odds ratio, and the raw
+  * (tf, df, dl) columns ship alongside the score so a consumer can
+  * apply any idf transform downstream). Constants fold to integer
+  * ratios: tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) ≡
+  * 22·tf / (10·tf + 3 + 9·dl/avgdl), and the ±0.5 idf terms clear to
+  * `(2(N−df)+1)/(2df+1)`.
+  *
+  * Scale design (100 TB):
+  *   - ir2 (scan-and-score) is ONE corpus pass: per-doc tf/dl are a
+  *     fused projection, the corpus stats a one-row aggregate broadcast
+  *     back, and the top-k is `TakeOrderedAndProject` (per-partition
+  *     heap, driver merges K·P candidate rows) — no full-width shuffle
+  *     anywhere. Non-matching docs are pruned by an integer filter
+  *     before the heap.
+  *   - ir4 (inverted-index serve) is the production path: postings
+  *     `(term, doc_id, tf, dl)` are built once (explode → filter →
+  *     groupBy; the term filter sits BELOW the aggregation shuffle, so
+  *     only probed terms' postings ever leave the scan) and at rest
+  *     would be WRITTEN partitioned by term bucket — a probe is then a
+  *     partition-pruned read of exactly the query's postings lists,
+  *     the x11 DPP discipline applied to sparse retrieval. ir4's
+  *     output is bit-identical to ir2's (RetrievalOpsSpec pins it),
+  *     so the index path can replace the scan path query-by-query.
+  *   - ir3 (hybrid) fuses two already-bounded top-K lists — a join of
+  *     ≤K-row frames, independent of corpus size.
+  *   - the streaming twin (StreamingRetrievalSpec) serves micro-batches
+  *     of queries against the frozen postings via per-ordinal broadcast
+  *     joins — corpus untouched per batch, the index-serving shape of
+  *     StreamingIndexSpec applied to text.
+  */
+object RetrievalOps {
+
+  /** The fixed probe query, in score fold order. `dup` is the corpus's
+    * one rare token (df ≈ 5% of docs — high idf); the others sit in the
+    * uniform head (df ≈ 77–80%), so the idf spread exercises both ends. */
+  val QueryTerms: Seq[String] = Seq("dup", "merge", "spark")
+
+  val TopK = 20
+
+  /** RRF smoothing constant — the k=60 of Cormack et al. 2009. */
+  val RrfK = 60
+
+  /** ir3's query document: its embedding is the dense query, [[QueryTerms]]
+    * the sparse one (embeddings are 1:1 with documents — vec_id == doc_id). */
+  val HybridQueryDoc = 0L
+
+  private def toks: Column = tokens(col("text"))
+
+  /** Per-doc term frequency of one literal term — a codegen'd
+    * size∘filter over the token array, no explode and no shuffle. */
+  private def tfCol(t: String): Column =
+    size(filter(toks, x => x === lit(t)))
+
+  /** One fused projection: doc_id, document length, tf per query term. */
+  private[graft] def perDoc(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: size(toks).as("dl") +:
+      QueryTerms.map(t => tfCol(t).as(s"tf_$t")): _*)
+
+  /** The one-row corpus statistics aggregate: N, total tokens, per-term
+    * df and cf, and avgdl (the single double division). Broadcast
+    * wherever consumed — at 100 TB these are index metadata maintained
+    * incrementally, not recomputed per query (the in-query build here
+    * is the same build-vs-serve accounting as x11). */
+  private[graft] def statsRow(pd: DataFrame): DataFrame = {
+    val aggs =
+      count(lit(1)).as("n_docs") +:
+        sum(col("dl").cast("long")).as("total_tokens") +:
+        QueryTerms.flatMap(t => Seq(
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"),
+          sum(col(s"tf_$t").cast("long")).as(s"cf_$t")))
+    pd.agg(aggs.head, aggs.tail: _*)
+      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
+  }
+
+  /** Odds-ratio idf `(2(N−df)+1)/(2df+1)` — integer operands, one division. */
+  private def idfCol(dfc: Column, n: Column): Column =
+    ((n - dfc) * 2 + 1).cast("double") / (dfc * 2 + 1)
+
+  /** Saturated tf term `22·tf / (10·tf + 3 + 9·dl/avgdl)` (k1=1.2, b=0.75
+    * cleared to integers; `dlOverAvg` is the shared dl/avgdl double). */
+  private def tfPart(tf: Column, dlOverAvg: Column): Column =
+    (tf * 22).cast("double") /
+      ((tf * 10 + 3).cast("double") + lit(9).cast("double") * dlOverAvg)
+
+  /** The full score, summed in [[QueryTerms]] written order (left-assoc,
+    * mirrored in the oracle — double addition is not associative). */
+  private def scoreCol: Column =
+    QueryTerms.map(t =>
+      idfCol(col(s"df_$t"), col("n_docs")) *
+        tfPart(col(s"tf_$t"), col("dl").cast("double") / col("avgdl")))
+      .reduce(_ + _)
+
+  private def anyMatch: Column =
+    QueryTerms.map(t => col(s"tf_$t")).reduce(_ + _) > 0
+
+  /** Scored candidates (doc_id, dl, tf_*, score) — the scan-and-score
+    * path shared by ir2/ir3. Sort-free for composition. */
+  private[graft] def bm25ScoredCore(docs: DataFrame): DataFrame = {
+    val pd = perDoc(docs)
+    pd.crossJoin(broadcast(statsRow(pd)))
+      .filter(anyMatch)
+      .withColumn("score", scoreCol)
+  }
+
+  private def outCols: Seq[Column] =
+    Seq(col("rank"), col("doc_id"), col("score"), col("dl")) ++
+      QueryTerms.map(t => col(s"tf_$t"))
+
+  /** Top-[[TopK]] + rank over an already-scored frame: orderBy+limit is
+    * `TakeOrderedAndProject` (scale-safe); the rank window then runs
+    * over ≤K rows, not the corpus. */
+  private def rankedTopK(scored: DataFrame): DataFrame =
+    scored
+      .orderBy(col("score").desc, col("doc_id")).limit(TopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(outCols: _*)
+      .transform(Common.presented(_, col("rank")))
+
+  /** IR1 — postings statistics: per query term df/cf plus the corpus
+    * constants (N, total tokens, avgdl) and the rational idf — the
+    * dictionary row an inverted index stores per term. One corpus scan,
+    * one one-row aggregate; the per-term rows are an explode of a
+    * 3-element literal-keyed array. */
+  def termStats(s: SparkSession, dir: String): DataFrame = {
+    val st = statsRow(perDoc(Tables.documents(s, dir)))
+    st.select(
+        explode(array(QueryTerms.map(t => struct(
+          lit(t).as("term"),
+          col(s"df_$t").as("df"),
+          col(s"cf_$t").as("cf"))): _*)).as("ts"),
+        col("n_docs"), col("total_tokens"), col("avgdl"))
+      .select(col("ts.term").as("term"), col("ts.df").as("df"),
+        col("ts.cf").as("cf"), col("n_docs"), col("total_tokens"),
+        col("avgdl"), idfCol(col("ts.df"), col("n_docs")).as("idf"))
+      .transform(Common.presented(_, col("term")))
+  }
+
+  /** IR2 — BM25 top-k, scan-and-score: one corpus pass, stats broadcast,
+    * integer any-match prune, per-partition heap top-k. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    rankedTopK(bm25ScoredCore(Tables.documents(s, dir)))
+
+  /** The term-bucketed postings lists for the probed terms —
+    * `(tok, doc_id, tf, dl)`, dl denormalized in so serving needs no
+    * doc-metadata join. The `isin` filter sits below the groupBy
+    * shuffle; at rest this frame is written `partitionBy(term_bucket)`
+    * and a probe partition-prunes to the query's terms. */
+  private[graft] def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(toks).as("dl"), explode(toks).as("tok"))
+      .filter(col("tok").isin(QueryTerms: _*))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("tf"), max(col("dl")).as("dl"))
+
+  /** IR4 — the inverted-index serving path: pivot the probed postings
+    * back to one row per candidate doc (tf defaults 0 for terms the doc
+    * lacks), attach the broadcast stats row, score with the SAME
+    * expression tree as ir2 — output bit-identical to ir2
+    * (RetrievalOpsSpec pins equality), so the index path can replace
+    * the scan path without a result change. */
+  def invertedServe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val matched = postings(docs)
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        QueryTerms.map(t =>
+          coalesce(max(when(col("tok") === t, col("tf"))), lit(0))
+            .cast("int").as(s"tf_$t")): _*)
+    rankedTopK(
+      matched.crossJoin(broadcast(statsRow(perDoc(docs))))
+        .withColumn("score", scoreCol))
+  }
+
+  /** IR3 — hybrid retrieval: BM25 top-K (query doc excluded, as x1
+    * excludes self) fused with embedding-cosine top-K for the same
+    * query document via reciprocal-rank fusion
+    * `Σ 1/(60+rank)` — rank integers in, one division + one addition
+    * out, so the fused score is cross-engine exact. The fusion is a
+    * full-outer join of two ≤K-row frames — corpus-size independent. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val text = bm25ScoredCore(Tables.documents(s, dir))
+      .filter(col("doc_id") =!= HybridQueryDoc)
+      .orderBy(col("score").desc, col("doc_id")).limit(TopK)
+      .withColumn("r_text", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_text"), col("score"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    val qv = emb.filter(col("vec_id") === HybridQueryDoc)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val vec = emb.filter(col("vec_id") =!= HybridQueryDoc)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        (dotD(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(TopK)
+      .withColumn("r_vec", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+    val rrf =
+      when(col("r_text").isNull, lit(0).cast("double"))
+        .otherwise(lit(1).cast("double") / (col("r_text") + RrfK)) +
+        when(col("r_vec").isNull, lit(0).cast("double"))
+          .otherwise(lit(1).cast("double") / (col("r_vec") + RrfK))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("r_text"), col("r_vec"),
+        col("score"), col("cos"), col("rrf"))
+      .transform(Common.presented(_, col("rank")))
+  }
+
+  // ---------------------------------------------------------------
+  // Generalized serving (the streaming twin's engine): queries arrive
+  // as (query_id, t1, t2, t3) ROWS instead of compile-time literals.
+  // Contributions are computed per ORDINAL with the same integer-in,
+  // IEEE-out trees and summed in ordinal order, so a served score is
+  // bit-identical to the pivoted batch form over the same terms
+  // (StreamingRetrievalSpec pins it).
+  // ---------------------------------------------------------------
+
+  /** Frozen general postings (tok, doc_id, tf, dl) — ALL terms, the
+    * standing index the streamed queries probe. */
+  private[graft] def allPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(toks).as("dl"), explode(toks).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("tf"), max(col("dl")).as("dl"))
+
+  /** Frozen term dictionary (tok, df) + one-row corpus constants. */
+  private[graft] def termDict(docs: DataFrame): (DataFrame, DataFrame) = {
+    val p = allPostings(docs)
+    val dict = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val consts = docs.select(size(toks).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("total_tokens"))
+      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
+      .select(col("n_docs"), col("avgdl"))
+    (dict, consts)
+  }
+
+  /** Score a batch of 3-term queries against frozen postings: per
+    * ordinal, a broadcast join of the (tiny) query batch against the
+    * index picks up (tf, dl) and df; a full-outer per-ordinal merge on
+    * (query_id, doc_id) coalesces absent terms to tf 0; the score tree
+    * and fold order match [[scoreCol]] exactly. Top-k per query is the
+    * x1 window shape (≤ |batch| key partitions). */
+  private[graft] def serveQueryBatch(
+      queries: DataFrame, index: DataFrame, dict: DataFrame,
+      consts: DataFrame): DataFrame = {
+    val ords = Seq(1, 2, 3)
+    // per-ordinal postings probe; every output column uniquely named so
+    // the full-outer merge shares ONLY the (query_id, doc_id) keys (the
+    // three frames share the index lineage — same-named non-key columns
+    // would be ambiguous self-join references)
+    val matches = ords.map { i =>
+      index.join(broadcast(queries.select(col("query_id"), col(s"t$i"))),
+          col("tok") === col(s"t$i"))
+        .select(col("query_id"), col("doc_id"),
+          col("dl").as(s"dl$i"), col("tf").as(s"tf$i"))
+    }
+    val merged = matches.reduceLeft(
+      (a, b) => a.join(b, Seq("query_id", "doc_id"), "full_outer"))
+    // per-ordinal df + corpus constants attach ONCE, after the merge
+    val qd = ords.foldLeft(queries) { (q, i) =>
+      q.join(broadcast(dict.select(col("tok").as(s"t$i"), col("df").as(s"qdf$i"))),
+          Seq(s"t$i"), "left")
+        .withColumn(s"qdf$i", coalesce(col(s"qdf$i"), lit(0L)))
+    }.select(col("query_id") +: ords.map(o => col(s"qdf$o")): _*)
+    val dl = coalesce(ords.map(i => col(s"dl$i")): _*)
+    val contrib = ords.map { i =>
+      val tf = coalesce(col(s"tf$i"), lit(0))
+      when(tf > 0,
+        idfCol(col(s"qdf$i"), col("n_docs")) *
+          tfPart(tf, dl.cast("double") / col("avgdl")))
+        .otherwise(lit(0).cast("double"))
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    merged.join(broadcast(qd), Seq("query_id"))
+      .crossJoin(broadcast(consts))
+      .withColumn("score", contrib.reduce(_ + _))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ir1_term_stats" -> (termStats _),
+    "ir2_bm25_topk" -> (bm25TopK _),
+    "ir3_hybrid_rrf" -> (hybridRrf _),
+    "ir4_inverted_serve" -> (invertedServe _))
+
+  // ----------------------------- oracle SQL -----------------------------
+  // Every float node replicated from the Spark trees above: integer
+  // operands, explicit CASTs (DuckDB numeric literals are DECIMAL, so
+  // constants go through CAST(… AS DOUBLE) to land on the same doubles).
+
+  private def toksSql = tokensSql("text")
+
+  private def tfSql(t: String) =
+    s"CAST(len(list_filter($toksSql, t -> t = '$t')) AS INT)"
+
+  /** The per-doc projection CTE — dl + tf per query term. */
+  private def dSql =
+    s"""SELECT doc_id, CAST(len($toksSql) AS INT) AS dl,
+       |${QueryTerms.map(t => s"       ${tfSql(t)} AS tf_$t").mkString(",\n")}
+       |FROM documents""".stripMargin
+
+  /** The one-row stats CTE pair (s → s2 adds avgdl — DuckDB can't
+    * reference a same-SELECT alias). */
+  private def statsSql =
+    s"""s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens,
+       |${QueryTerms.map(t =>
+          s"       CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t,\n" +
+          s"       CAST(sum(tf_$t) AS BIGINT) AS cf_$t").mkString(",\n")}
+       |      FROM d),
+       |s2 AS (SELECT *, CAST(total_tokens AS DOUBLE) / n_docs AS avgdl FROM s)""".stripMargin
+
+  private def idfSql(dfc: String) =
+    s"(CAST((n_docs - $dfc) * 2 + 1 AS DOUBLE) / ($dfc * 2 + 1))"
+
+  private def tfPartSql(tf: String) =
+    s"(CAST($tf * 22 AS DOUBLE) / (CAST($tf * 10 + 3 AS DOUBLE) + " +
+      s"CAST(9 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl)))"
+
+  private def scoreSql: String =
+    QueryTerms.map(t => s"${idfSql(s"df_$t")} * ${tfPartSql(s"tf_$t")}")
+      .mkString(" + ")
+
+  private def anyMatchSql: String =
+    QueryTerms.map(t => s"tf_$t").mkString(" + ") + " > 0"
+
+  /** Shared ir2/ir4 tail: scored → top-K → rank. `from` supplies the
+    * candidate rows (scan path: d; index path: m). */
+  private def rankedSql(from: String, extraWhere: String = "") =
+    s"""scored AS (SELECT doc_id, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")},
+       |             ($scoreSql) AS score
+       |           FROM $from, s2 WHERE $anyMatchSql$extraWhere),
+       |top AS (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $TopK)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |       doc_id, score, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")}
+       |FROM top ORDER BY rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ir1_term_stats" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql
+         |${QueryTerms.map(t =>
+            s"SELECT '$t' AS term, df_$t AS df, cf_$t AS cf, n_docs, total_tokens, avgdl,\n" +
+            s"       ${idfSql(s"df_$t")} AS idf FROM s2").mkString("\nUNION ALL\n")}
+         |ORDER BY term""".stripMargin,
+    "ir2_bm25_topk" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |${rankedSql("d")}""".stripMargin,
+    "ir4_inverted_serve" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |ex AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS dl,
+         |              unnest($toksSql) AS tok
+         |       FROM documents),
+         |p AS (SELECT tok, doc_id, CAST(count(*) AS INT) AS tf, max(dl) AS dl
+         |      FROM ex WHERE tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+         |      GROUP BY tok, doc_id),
+         |m AS (SELECT doc_id, max(dl) AS dl,
+         |${QueryTerms.map(t =>
+            s"       CAST(coalesce(max(CASE WHEN tok = '$t' THEN tf END), 0) AS INT) AS tf_$t")
+            .mkString(",\n")}
+         |      FROM p GROUP BY doc_id),
+         |${rankedSql("m")}""".stripMargin,
+    "ir3_hybrid_rrf" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |scored AS (SELECT doc_id, ($scoreSql) AS score
+         |           FROM d, s2 WHERE $anyMatchSql AND doc_id <> $HybridQueryDoc),
+         |ttopb AS (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $TopK),
+         |ttop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_text,
+         |                score
+         |         FROM ttopb),
+         |c AS (SELECT vec_id, embedding AS v,
+         |             sqrt(${dotDSql("embedding", "embedding")}) AS nrm
+         |      FROM embeddings),
+         |q AS (SELECT v AS qv, nrm AS qn FROM c WHERE vec_id = $HybridQueryDoc),
+         |pv AS (SELECT c.vec_id AS doc_id, ${dotDSql("qv", "v")} / (qn * nrm) AS cos
+         |       FROM c CROSS JOIN q WHERE c.vec_id <> $HybridQueryDoc),
+         |vtopb AS (SELECT * FROM pv ORDER BY cos DESC, doc_id LIMIT $TopK),
+         |vtop AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT) AS r_vec,
+         |                cos
+         |         FROM vtopb),
+         |f AS (SELECT doc_id, r_text, r_vec, score, cos,
+         |             (CASE WHEN r_text IS NULL THEN CAST(0 AS DOUBLE)
+         |                   ELSE CAST(1 AS DOUBLE) / (r_text + $RrfK) END
+         |              + CASE WHEN r_vec IS NULL THEN CAST(0 AS DOUBLE)
+         |                     ELSE CAST(1 AS DOUBLE) / (r_vec + $RrfK) END) AS rrf
+         |      FROM ttop FULL JOIN vtop USING (doc_id))
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+         |       doc_id, r_text, r_vec, score, cos, rrf
+         |FROM f ORDER BY rank""".stripMargin)
+}

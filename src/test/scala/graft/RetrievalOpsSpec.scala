@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.RetrievalOps
+
+/** IR tier invariants: the index path must be indistinguishable from the
+  * scan path (that's what lets it replace it at scale), the fused
+  * hybrid list must be recomputable from its rank columns (the RRF
+  * formula is engine-exact), and the statistics row must satisfy the
+  * dictionary identities. */
+class RetrievalOpsSpec extends SparkSpec {
+
+  test("ir4 inverted-index serve is bit-identical to ir2 scan-and-score") {
+    val scan = RetrievalOps.bm25TopK(spark, Sf)
+    val index = RetrievalOps.invertedServe(spark, Sf)
+    // nullability may differ (coalesce-to-0 marks ir4's tf non-null);
+    // names and types — what the driver compare sees — must not
+    assert(scan.schema.map(f => (f.name, f.dataType)) ==
+      index.schema.map(f => (f.name, f.dataType)),
+      s"schema drift between the scan and index paths:\n${scan.schema}\n${index.schema}")
+    val a = scan.collect().toSeq
+    val b = index.collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "the two BM25 paths diverged — the index path may only change the PLAN")
+  }
+
+  test("ir1 dictionary identities: cf >= df > 0, idf strictly decreasing in df, avgdl consistent") {
+    val rows = RetrievalOps.termStats(spark, Sf).collect()
+    assert(rows.length == RetrievalOps.QueryTerms.length)
+    val n = rows.head.getLong(3)
+    val tot = rows.head.getLong(4)
+    rows.foreach { r =>
+      val (df, cf) = (r.getLong(1), r.getLong(2))
+      assert(df > 0 && cf >= df, s"term ${r.getString(0)}: df=$df cf=$cf")
+      assert(df <= n)
+      // the odds-ratio idf recomputes exactly from (df, N)
+      assert(r.getDouble(6) == ((n - df) * 2 + 1).toDouble / (df * 2 + 1))
+      assert(r.getDouble(5) == tot.toDouble / n)
+    }
+    // idf order is the REVERSE of df order (strict: fixture dfs differ)
+    val byDf = rows.sortBy(_.getLong(1)).map(_.getString(0)).toSeq
+    val byIdf = rows.sortBy(-_.getDouble(6)).map(_.getString(0)).toSeq
+    assert(byDf == byIdf)
+    // 'dup' is the corpus's rare term — it must carry the max idf
+    assert(byIdf.head == "dup")
+  }
+
+  test("ir2: ranks are 1..K, scores positive and non-increasing, every hit matches a term") {
+    val rows = RetrievalOps.bm25TopK(spark, Sf).collect()
+    assert(rows.length == RetrievalOps.TopK)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall { case Array(x, y) => x >= y; case _ => true })
+    rows.foreach(r => assert((4 until 4 + RetrievalOps.QueryTerms.length)
+      .map(r.getInt).sum > 0, "a ranked doc contains no query term"))
+  }
+
+  test("ir3: rrf recomputes exactly from the rank columns; order follows rrf") {
+    val rows = RetrievalOps.hybridRrf(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      val rText = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      val rVec = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      assert(rText.isDefined || rVec.isDefined)
+      // a doc ranked by text carries its bm25 score; by vector its cosine
+      assert(rText.isDefined == !r.isNullAt(4))
+      assert(rVec.isDefined == !r.isNullAt(5))
+      val expect = rText.map(x => 1.0 / (x + RetrievalOps.RrfK)).getOrElse(0.0) +
+        rVec.map(x => 1.0 / (x + RetrievalOps.RrfK)).getOrElse(0.0)
+      assert(r.getDouble(6) == expect, s"rrf drift at doc ${r.getLong(1)}")
+      assert(r.getDouble(6) <= prev); prev = r.getDouble(6)
+    }
+    // both sources contribute (the fused list is genuinely hybrid)
+    assert(rows.exists(!_.isNullAt(2)) && rows.exists(!_.isNullAt(3)))
+    // the query doc itself never appears
+    assert(!rows.exists(_.getLong(1) == RetrievalOps.HybridQueryDoc))
+  }
+
+  // ---- plan contracts (the PlanContractSpec discipline, kept local) ----
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.execution.{SparkPlan, FilterExec, TakeOrderedAndProjectExec, FileSourceScanExec}
+  import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+
+  private def all[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+    p.collect(f) ++ p.subqueries.flatMap(all(_)(f))
+
+  test("ir2 plan: top-k is a per-partition heap; only the one-row stats agg and the presentation exchange shuffle") {
+    val p = executed(RetrievalOps.bm25TopK(spark, Sf))
+    assert(all(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-k must plan as TakeOrderedAndProject, not a global sort")
+    assert(all(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "the stats row must broadcast")
+    val sh = all(p) { case e: ShuffleExchangeExec => e }
+    assert(sh.size <= 2, // stats SinglePartition + presentation repartition(1)
+      s"ir2 grew a corpus-width shuffle: ${sh.size} exchanges")
+    assert(all(p) { case s: FileSourceScanExec => s }.size == 2,
+      "exactly two documents scans: candidates + stats")
+  }
+
+  test("ir4 plan: the probed-terms filter sits below the postings shuffle") {
+    val p = executed(RetrievalOps.invertedServe(spark, Sf))
+    val f = all(p) { case f: FilterExec if f.condition.toString.contains("dup") => f }
+    assert(f.nonEmpty, "term-probe filter not found")
+    assert(f.forall(n => n.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+      "the term filter must prune postings BEFORE they shuffle — at rest " +
+        "this is the partition-pruned read of the query's postings lists")
+    assert(all(p) { case t: TakeOrderedAndProjectExec => t }.nonEmpty)
+  }
+}
