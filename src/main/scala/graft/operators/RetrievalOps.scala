@@ -314,11 +314,77 @@ object RetrievalOps {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** ir5's literal query workload: three term-triples — the fixed probe
+    * set, a disjoint triple, and one containing a term absent from the
+    * corpus (df 0 exercises the missing-dictionary path). */
+  val ServeQueries: Seq[(Long, String, String, String)] = Seq(
+    (0L, "dup", "merge", "spark"),
+    (1L, "window", "hash", "vector"),
+    (2L, "batch", "nosuchterm", "query"))
+
+  /** IR5 — MULTI-query serving through the generalized postings engine
+    * ([[serveQueryBatch]], the streaming twin's scorer) as a registered,
+    * oracle-gated query: the term-as-data path that streams must produce
+    * the same hash-compared surface as compile-time SQL. Per query the
+    * work is three broadcast postings probes + a bounded merge — the
+    * corpus-side postings build amortizes across the whole workload
+    * (and at rest is the written term-bucketed index). */
+  def batchServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val queries = ServeQueries.toDF("query_id", "t1", "t2", "t3")
+    val (dict, consts) = termDict(docs)
+    serveQueryBatch(queries, allPostings(docs), dict, consts)
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
+  /** ir6's phrase — the corpus's most frequent bigram, so the adjacency
+    * signal is dense enough to rank on. */
+  val Phrase: (String, String) = ("table", "hash")
+
+  /** IR6 — phrase search: docs ranked by ADJACENCY count of the two-word
+    * phrase (positional match, not bag-of-words co-occurrence), with the
+    * anchor ratio `phrase_tf / min(tf_w1, tf_w2)` — how often the rarer
+    * word appears inside the phrase — as the secondary signal. The
+    * adjacency count pairs each token with its successor via
+    * `zip_with(toks, slice(toks, 2, …))` — a per-row array expression,
+    * NO explode and no shuffle (and no `element_at` inside a lambda —
+    * the tx8 O(n²) trap); the trailing unpaired token contributes 0
+    * through the null-safe `when`. Integer counts + one division, so
+    * the ratio is cross-engine exact. Top-k is TakeOrderedAndProject,
+    * as ir2. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = Phrase
+    val shifted = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val phraseTf = aggregate(
+      zip_with(toks, shifted,
+        (x, y) => when(x === lit(w1) && y === lit(w2), 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val top = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("dl"),
+        phraseTf.as("phrase_tf"),
+        tfCol(w1).as(s"tf_$w1"), tfCol(w2).as(s"tf_$w2"))
+      .filter(col("phrase_tf") > 0)
+      .withColumn("anchor_ratio",
+        col("phrase_tf").cast("double") /
+          least(col(s"tf_$w1"), col(s"tf_$w2")))
+      .orderBy(col("phrase_tf").desc, col("anchor_ratio").desc, col("doc_id"))
+      .limit(TopK)
+    top
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("phrase_tf").desc, col("anchor_ratio").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("phrase_tf"),
+        col(s"tf_$w1"), col(s"tf_$w2"), col("dl"), col("anchor_ratio"))
+      .transform(Common.presented(_, col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ir1_term_stats" -> (termStats _),
     "ir2_bm25_topk" -> (bm25TopK _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
-    "ir4_inverted_serve" -> (invertedServe _))
+    "ir4_inverted_serve" -> (invertedServe _),
+    "ir5_batch_serve" -> (batchServe _),
+    "ir6_phrase" -> (phraseSearch _))
 
   // ----------------------------- oracle SQL -----------------------------
   // Every float node replicated from the Spark trees above: integer
@@ -398,6 +464,69 @@ object RetrievalOps {
             .mkString(",\n")}
          |      FROM p GROUP BY doc_id),
          |${rankedSql("m")}""".stripMargin,
+    "ir5_batch_serve" -> {
+      val valuesRows = ServeQueries.map { case (id, t1, t2, t3) =>
+        s"(CAST($id AS BIGINT), '$t1', '$t2', '$t3')" }.mkString(",\n  ")
+      def contribSql(i: Int) =
+        s"""CASE WHEN coalesce(tf$i, 0) > 0 THEN
+           |  (CAST((n_docs - qdf$i) * 2 + 1 AS DOUBLE) / (qdf$i * 2 + 1))
+           |  * (CAST(coalesce(tf$i, 0) * 22 AS DOUBLE) /
+           |     (CAST(coalesce(tf$i, 0) * 10 + 3 AS DOUBLE) +
+           |      CAST(9 AS DOUBLE) * (CAST(coalesce(dl1, dl2, dl3) AS DOUBLE) / avgdl)))
+           |ELSE CAST(0 AS DOUBLE) END""".stripMargin
+      s"""WITH q AS (SELECT * FROM (VALUES
+         |  $valuesRows) AS v(query_id, t1, t2, t3)),
+         |ex AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS dl,
+         |              unnest($toksSql) AS tok
+         |       FROM documents),
+         |p AS (SELECT tok, doc_id, CAST(count(*) AS INT) AS tf, max(dl) AS dl
+         |      FROM ex GROUP BY tok, doc_id),
+         |dict AS (SELECT tok, count(*) AS df FROM p GROUP BY tok),
+         |cs AS (SELECT count(*) AS n_docs,
+         |              CAST(sum(CAST(len($toksSql) AS INT)) AS BIGINT) AS total_tokens
+         |       FROM documents),
+         |cs2 AS (SELECT n_docs, CAST(total_tokens AS DOUBLE) / n_docs AS avgdl FROM cs),
+         |m1 AS (SELECT q.query_id, p.doc_id, p.dl AS dl1, p.tf AS tf1 FROM p JOIN q ON p.tok = q.t1),
+         |m2 AS (SELECT q.query_id, p.doc_id, p.dl AS dl2, p.tf AS tf2 FROM p JOIN q ON p.tok = q.t2),
+         |m3 AS (SELECT q.query_id, p.doc_id, p.dl AS dl3, p.tf AS tf3 FROM p JOIN q ON p.tok = q.t3),
+         |merged AS (SELECT * FROM m1 FULL JOIN m2 USING (query_id, doc_id)
+         |                          FULL JOIN m3 USING (query_id, doc_id)),
+         |qd AS (SELECT q.query_id,
+         |              coalesce(d1.df, CAST(0 AS BIGINT)) AS qdf1,
+         |              coalesce(d2.df, CAST(0 AS BIGINT)) AS qdf2,
+         |              coalesce(d3.df, CAST(0 AS BIGINT)) AS qdf3
+         |       FROM q LEFT JOIN dict d1 ON d1.tok = q.t1
+         |              LEFT JOIN dict d2 ON d2.tok = q.t2
+         |              LEFT JOIN dict d3 ON d3.tok = q.t3),
+         |f AS (SELECT merged.query_id, merged.doc_id,
+         |             (${contribSql(1)}
+         |              + ${contribSql(2)}
+         |              + ${contribSql(3)}) AS score
+         |      FROM merged JOIN qd ON qd.query_id = merged.query_id, cs2)
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rank,
+         |       doc_id, score
+         |FROM f
+         |QUALIFY rank <= $TopK
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "ir6_phrase" -> {
+      val (w1, w2) = Phrase
+      s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS dl,
+         |             CAST(len(list_filter(list_zip($toksSql, ($toksSql)[2:]),
+         |               s -> s[1] = '$w1' AND s[2] = '$w2')) AS INT) AS phrase_tf,
+         |             ${tfSql(w1)} AS tf_$w1,
+         |             ${tfSql(w2)} AS tf_$w2
+         |           FROM documents),
+         |f AS (SELECT *,
+         |             CAST(phrase_tf AS DOUBLE) / least(tf_$w1, tf_$w2) AS anchor_ratio
+         |      FROM d WHERE phrase_tf > 0),
+         |top AS (SELECT * FROM f
+         |        ORDER BY phrase_tf DESC, anchor_ratio DESC, doc_id LIMIT $TopK)
+         |SELECT CAST(row_number() OVER (ORDER BY phrase_tf DESC, anchor_ratio DESC, doc_id) AS INT) AS rank,
+         |       doc_id, phrase_tf, tf_$w1, tf_$w2, dl, anchor_ratio
+         |FROM top ORDER BY rank""".stripMargin
+    },
     "ir3_hybrid_rrf" ->
       s"""WITH d AS ($dSql),
          |$statsSql,

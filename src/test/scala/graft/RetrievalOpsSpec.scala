@@ -77,6 +77,41 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(!rows.exists(_.getLong(1) == RetrievalOps.HybridQueryDoc))
   }
 
+  test("ir5: the served workload's first query reproduces ir2's ranking") {
+    // query 0 carries exactly the fixed QueryTerms triple, so its slice
+    // of the served output must equal ir2 (rank, doc_id, score)
+    val served = RetrievalOps.batchServe(spark, Sf).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val ir2 = RetrievalOps.bm25TopK(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == ir2)
+    // every workload query produced results except none — the absent
+    // term only zeroes its own ordinal, it doesn't kill the query
+    val ids = RetrievalOps.batchServe(spark, Sf).collect().map(_.getLong(0)).toSet
+    assert(ids == RetrievalOps.ServeQueries.map(_._1).toSet)
+  }
+
+  test("ir6: phrase_tf counts true adjacencies (plain-Scala reference); ratio bounded") {
+    val (w1, w2) = RetrievalOps.Phrase
+    val rows = RetrievalOps.phraseSearch(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.documents(spark, Sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getLong(1)).split(" ", -1)
+      val expect = toks.sliding(2).count {
+        case Array(a, b) => a == w1 && b == w2; case _ => false }
+      assert(r.getInt(2) == expect, s"doc ${r.getLong(1)} adjacency drift")
+      assert(r.getInt(2) > 0)
+      val ratio = r.getDouble(6)
+      assert(ratio > 0 && ratio <= 1.0)
+      // the phrase can't occur more often than its rarer word
+      assert(r.getInt(2) <= math.min(r.getInt(3), r.getInt(4)))
+    }
+  }
+
   // ---- plan contracts (the PlanContractSpec discipline, kept local) ----
 
   import org.apache.spark.sql.DataFrame
