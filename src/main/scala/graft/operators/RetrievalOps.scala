@@ -189,16 +189,56 @@ object RetrievalOps {
     * expression tree as ir2 — output bit-identical to ir2
     * (RetrievalOpsSpec pins equality), so the index path can replace
     * the scan path without a result change. */
-  def invertedServe(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val matched = postings(docs)
+  /** The probed postings pivoted back to one candidate row per doc. */
+  private def matchedPivot(docs: DataFrame): DataFrame =
+    postings(docs)
       .groupBy(col("doc_id"))
       .agg(max(col("dl")).as("dl"),
         QueryTerms.map(t =>
           coalesce(max(when(col("tok") === t, col("tf"))), lit(0))
             .cast("int").as(s"tf_$t")): _*)
+
+  def invertedServe(s: SparkSession, dir: String): DataFrame =
     rankedTopK(
-      matched.crossJoin(broadcast(statsRow(perDoc(docs))))
+      matchedPivot(Tables.documents(s, dir))
+        .crossJoin(broadcast(statsRow(perDoc(Tables.documents(s, dir)))))
+        .withColumn("score", scoreCol))
+
+  /** IR7 — incremental postings/dictionary maintenance, the x19/d7
+    * convention applied to the text index: the corpus splits into a
+    * STANDING side (doc_id % 5 != 0 — at rest, the written term-bucketed
+    * postings plus the one-row stats metadata) and an incoming BATCH
+    * (doc_id % 5 == 0). The append never touches a standing document:
+    * the batch builds its own postings and stats row, the dictionary
+    * merge is componentwise INTEGER ADDITION (df/cf/N/total-tokens are
+    * all sums over disjoint doc sets, so the merge is exact and
+    * associative — "index metadata maintained incrementally" made
+    * literal), avgdl recomputes from the merged integers with the same
+    * tree, and serving runs over the unioned candidate pivots. The
+    * oracle is ir2's SQL VERBATIM over the full corpus: append∘serve ==
+    * build-over-union∘serve, bit-exactly — the associativity a
+    * production text index relies on instead of nightly rebuilds. (The
+    * registered query restates both sides from parquet for determinism,
+    * the d15 convention; only the batch would shuffle in production —
+    * the standing artifacts are reads.) */
+  def postingsAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val standing = docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0)
+    val batch = docs.filter(col("doc_id") % DedupOps.IncomingMod === 0)
+    def slim(side: DataFrame, p: String) = statsRow(perDoc(side)).select(
+      col("n_docs").as(s"${p}_n") +: col("total_tokens").as(s"${p}_tt") +:
+        QueryTerms.flatMap(t => Seq(col(s"df_$t").as(s"${p}_df_$t"),
+          col(s"cf_$t").as(s"${p}_cf_$t"))): _*)
+    val mergedStats = slim(standing, "s").crossJoin(slim(batch, "b"))
+      .select((col("s_n") + col("b_n")).as("n_docs") +:
+        (col("s_tt") + col("b_tt")).as("total_tokens") +:
+        QueryTerms.flatMap(t => Seq(
+          (col(s"s_df_$t") + col(s"b_df_$t")).as(s"df_$t"),
+          (col(s"s_cf_$t") + col(s"b_cf_$t")).as(s"cf_$t"))): _*)
+      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
+    rankedTopK(
+      matchedPivot(standing).unionByName(matchedPivot(batch))
+        .crossJoin(broadcast(mergedStats))
         .withColumn("score", scoreCol))
   }
 
@@ -384,7 +424,8 @@ object RetrievalOps {
     "ir3_hybrid_rrf" -> (hybridRrf _),
     "ir4_inverted_serve" -> (invertedServe _),
     "ir5_batch_serve" -> (batchServe _),
-    "ir6_phrase" -> (phraseSearch _))
+    "ir6_phrase" -> (phraseSearch _),
+    "ir7_postings_append" -> (postingsAppend _))
 
   // ----------------------------- oracle SQL -----------------------------
   // Every float node replicated from the Spark trees above: integer
@@ -446,6 +487,13 @@ object RetrievalOps {
             s"       ${idfSql(s"df_$t")} AS idf FROM s2").mkString("\nUNION ALL\n")}
          |ORDER BY term""".stripMargin,
     "ir2_bm25_topk" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |${rankedSql("d")}""".stripMargin,
+    // ir7's oracle IS ir2's: append∘serve == build-over-union∘serve
+    // (the x19 associativity convention — the oracle states the
+    // invariant, the Spark program takes the incremental path)
+    "ir7_postings_append" ->
       s"""WITH d AS ($dSql),
          |$statsSql,
          |${rankedSql("d")}""".stripMargin,

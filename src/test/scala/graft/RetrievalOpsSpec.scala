@@ -92,6 +92,13 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(ids == RetrievalOps.ServeQueries.map(_._1).toSet)
   }
 
+  test("ir7: incremental append == full rebuild, bit-exact (dictionary merge associativity)") {
+    val appended = RetrievalOps.postingsAppend(spark, Sf).collect().toSeq
+    val full = RetrievalOps.bm25TopK(spark, Sf).collect().toSeq
+    assert(appended.nonEmpty && appended == full,
+      "the merged standing+batch dictionary/stats drifted from the full-corpus build")
+  }
+
   test("ir6: phrase_tf counts true adjacencies (plain-Scala reference); ratio bounded") {
     val (w1, w2) = RetrievalOps.Phrase
     val rows = RetrievalOps.phraseSearch(spark, Sf).collect()
