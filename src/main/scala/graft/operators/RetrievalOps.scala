@@ -373,8 +373,21 @@ object RetrievalOps {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val queries = ServeQueries.toDF("query_id", "t1", "t2", "t3")
-    val (dict, consts) = termDict(docs)
-    serveQueryBatch(queries, allPostings(docs), dict, consts)
+    // the standing index artifacts persist for the query's lifetime —
+    // without it the postings lineage (scan+explode+groupBy) replans
+    // per ordinal probe and per dictionary consumer (measured: 8
+    // documents scans, 18 exchanges). The d2-signature-table
+    // convention: the harness clears the cache after each query; in
+    // production these frames ARE the at-rest index, and a serve
+    // reads them, never builds them
+    val index = allPostings(docs).persist()
+    val dict = index.groupBy(col("tok")).agg(count(lit(1)).as("df")).persist()
+    val consts = docs.select(size(toks).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("total_tokens"))
+      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
+      .select(col("n_docs"), col("avgdl"))
+    serveQueryBatch(queries, index, dict, consts)
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
@@ -416,6 +429,66 @@ object RetrievalOps {
       .select(col("rank"), col("doc_id"), col("phrase_tf"),
         col(s"tf_$w1"), col(s"tf_$w2"), col("dl"), col("anchor_ratio"))
       .transform(Common.presented(_, col("rank")))
+  }
+
+  /** Serve the fixed probe query from an EXTERNALLY maintained stats
+    * row (ir7's at-rest metadata, or [[PostingsMonitor]]'s standing
+    * state) — the candidates pivot and the score tree are the ir4 path
+    * unchanged, so correct metadata in ⇒ ir2's exact output out. */
+  private[graft] def serveWithStats(docs: DataFrame, stats: DataFrame): DataFrame =
+    rankedTopK(matchedPivot(docs).crossJoin(broadcast(stats))
+      .withColumn("score", scoreCol))
+
+  /** Streaming maintenance twin of ir7 (the KmvVocabMonitor dataflow):
+    * documents stream in and the dictionary/statistics metadata folds
+    * associatively into a DRIVER-held standing state — df/cf per probe
+    * term, N, and total tokens are all sums over disjoint doc sets, so
+    * the standing state after ANY arrival order / micro-batch cut
+    * equals [[statsRow]] over the union, and a serve against the
+    * streamed metadata is bit-identical to the batch build
+    * (StreamingRetrievalSpec fuzzes both). Each micro-batch contributes
+    * one distributed one-row aggregate; only ~8 longs cross to the
+    * driver per batch — the ap3/ap4 sketch-through-driver shape. The
+    * observe return is the drift telemetry: per-term df before/after,
+    * the signal that a crawl source stopped (or started) feeding a
+    * topic. */
+  final class PostingsMonitor {
+    private var nDocs = 0L
+    private var totalTokens = 0L
+    private var dfm = Map.empty[String, Long].withDefaultValue(0L)
+    private var cfm = Map.empty[String, Long].withDefaultValue(0L)
+
+    def observe(batch: DataFrame): Seq[(String, Long, Long)] = {
+      val r = statsRow(perDoc(batch)).collect()(0)
+      def longAt(name: String): Long = {
+        val i = r.fieldIndex(name)
+        if (r.isNullAt(i)) 0L else r.getLong(i) // empty batch: sums are null
+      }
+      val before = QueryTerms.map(t => (t, dfm(t)))
+      nDocs += longAt("n_docs")
+      totalTokens += longAt("total_tokens")
+      QueryTerms.foreach { t =>
+        dfm += t -> (dfm(t) + longAt(s"df_$t"))
+        cfm += t -> (cfm(t) + longAt(s"cf_$t"))
+      }
+      before.map { case (t, b) => (t, b, dfm(t)) }
+    }
+
+    def standing: (Long, Long, Map[String, Long], Map[String, Long]) =
+      (nDocs, totalTokens, dfm.toMap, cfm.toMap)
+
+    /** The standing metadata as the one-row stats frame [[scoreCol]]
+      * consumes — avgdl recomputed from the merged integers with
+      * [[statsRow]]'s exact tree, so serving from it cannot drift. */
+    def statsFrame(s: SparkSession): DataFrame = {
+      import s.implicits._
+      QueryTerms.foldLeft(
+          Seq((nDocs, totalTokens)).toDF("n_docs", "total_tokens")) {
+          (d, t) => d.withColumn(s"df_$t", lit(dfm(t)))
+            .withColumn(s"cf_$t", lit(cfm(t)))
+        }
+        .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -90,4 +90,55 @@ class StreamingRetrievalSpec extends SparkSpec {
         s"seed $seed: streamed serving diverged from the batch serve")
     }
   }
+
+  test("streamed postings metadata == batch stats; serve from it == ir2, across 3 fuzz seeds") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docsDf = docs.select("doc_id", "text")
+    // the batch truth: the one-row stats aggregate over the whole corpus
+    val batchRow = {
+      val r = graft.operators.RetrievalOps
+        .statsRow(graft.operators.RetrievalOps.perDoc(docsDf)).collect()(0)
+      (r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("total_tokens")),
+        RetrievalOps.QueryTerms.map(t => t -> r.getLong(r.fieldIndex(s"df_$t"))).toMap,
+        RetrievalOps.QueryTerms.map(t => t -> r.getLong(r.fieldIndex(s"cf_$t"))).toMap)
+    }
+    val ir2 = RetrievalOps.bm25TopK(spark, Sf).collect().toSeq
+    val rows = docsDf.as[(Long, String)].collect().toVector
+
+    for (seed <- Seq(3, 17, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val mon = new RetrievalOps.PostingsMonitor
+      val drift = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)]
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val obs = mon.observe(batch)
+          drift.synchronized { drift ++= obs }
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(rows)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(60))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable() // stateless foreachBatch — safe to drain
+        }
+      } finally q.stop()
+
+      assert(mon.standing == batchRow,
+        s"seed $seed: streamed standing metadata != batch stats aggregate")
+      // df telemetry only ever grows (sums over disjoint doc sets)
+      drift.groupBy(_._1).foreach { case (t, obs) =>
+        obs.foreach { case (_, b, a) => assert(a >= b, s"$t df shrank") }
+      }
+      // serving from the streamed metadata reproduces ir2 bit-exactly
+      val served = RetrievalOps
+        .serveWithStats(docsDf, mon.statsFrame(spark)).collect().toSeq
+      assert(served == ir2,
+        s"seed $seed: serve from streamed metadata drifted from ir2")
+    }
+  }
 }
