@@ -140,7 +140,7 @@ object RetrievalOps {
   /** Top-[[TopK]] + rank over an already-scored frame: orderBy+limit is
     * `TakeOrderedAndProject` (scale-safe); the rank window then runs
     * over ≤K rows, not the corpus. */
-  private def rankedTopK(scored: DataFrame): DataFrame =
+  private[graft] def rankedTopK(scored: DataFrame): DataFrame =
     scored
       .orderBy(col("score").desc, col("doc_id")).limit(TopK)
       .withColumn("rank", row_number().over(
@@ -178,10 +178,10 @@ object RetrievalOps {
     * shuffle; at rest this frame is written `partitionBy(term_bucket)`
     * and a probe partition-prunes to the query's terms. */
   private[graft] def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), size(toks).as("dl"), explode(toks).as("tok"))
-      .filter(col("tok").isin(QueryTerms: _*))
-      .groupBy(col("tok"), col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("tf"), max(col("dl")).as("dl"))
+    // one authoritative postings tree: the probe filter sits on the
+    // grouping column, so Catalyst pushes it below the aggregation
+    // shuffle (the ir4 plan contract pins that placement)
+    allPostings(docs).filter(col("tok").isin(QueryTerms: _*))
 
   /** IR4 — the inverted-index serving path: pivot the probed postings
     * back to one row per candidate doc (tf defaults 0 for terms the doc
@@ -221,14 +221,22 @@ object RetrievalOps {
     * registered query restates both sides from parquet for determinism,
     * the d15 convention; only the batch would shuffle in production —
     * the standing artifacts are reads.) */
-  def postingsAppend(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def postingsAppend(s: SparkSession, dir: String): DataFrame =
+    postingsAppendCore(Tables.documents(s, dir))
+
+  private[graft] def postingsAppendCore(docs: DataFrame): DataFrame = {
     val standing = docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0)
     val batch = docs.filter(col("doc_id") % DedupOps.IncomingMod === 0)
+    // coalesce each summed column: over an EMPTY side (a fixture where
+    // one residue class is unpopulated) sum() is NULL and would
+    // propagate through the merge into every score — the same null-sum
+    // guard PostingsMonitor.observe applies driver-side
     def slim(side: DataFrame, p: String) = statsRow(perDoc(side)).select(
-      col("n_docs").as(s"${p}_n") +: col("total_tokens").as(s"${p}_tt") +:
-        QueryTerms.flatMap(t => Seq(col(s"df_$t").as(s"${p}_df_$t"),
-          col(s"cf_$t").as(s"${p}_cf_$t"))): _*)
+      col("n_docs").as(s"${p}_n") +:
+        coalesce(col("total_tokens"), lit(0L)).as(s"${p}_tt") +:
+        QueryTerms.flatMap(t => Seq(
+          coalesce(col(s"df_$t"), lit(0L)).as(s"${p}_df_$t"),
+          coalesce(col(s"cf_$t"), lit(0L)).as(s"${p}_cf_$t"))): _*)
     val mergedStats = slim(standing, "s").crossJoin(slim(batch, "b"))
       .select((col("s_n") + col("b_n")).as("n_docs") +:
         (col("s_tt") + col("b_tt")).as("total_tokens") +:
@@ -297,16 +305,22 @@ object RetrievalOps {
       .groupBy(col("tok"), col("doc_id"))
       .agg(count(lit(1)).cast("int").as("tf"), max(col("dl")).as("dl"))
 
-  /** Frozen term dictionary (tok, df) + one-row corpus constants. */
-  private[graft] def termDict(docs: DataFrame): (DataFrame, DataFrame) = {
-    val p = allPostings(docs)
-    val dict = p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val consts = docs.select(size(toks).as("dl"))
+  /** The (tok, df) dictionary derived from a postings frame — ONE
+    * authoritative tree (it participates in the oracle bit-exactness
+    * contract, so there must be exactly one definition to drift). */
+  private[graft] def dictFrom(p: DataFrame): DataFrame =
+    p.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+  /** One-row corpus constants (n_docs, avgdl) — same single-tree rule. */
+  private[graft] def corpusConsts(docs: DataFrame): DataFrame =
+    docs.select(size(toks).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("total_tokens"))
       .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
       .select(col("n_docs"), col("avgdl"))
-    (dict, consts)
-  }
+
+  /** Frozen term dictionary (tok, df) + one-row corpus constants. */
+  private[graft] def termDict(docs: DataFrame): (DataFrame, DataFrame) =
+    (dictFrom(allPostings(docs)), corpusConsts(docs))
 
   /** Score a batch of 3-term queries against frozen postings: per
     * ordinal, a broadcast join of the (tiny) query batch against the
@@ -381,13 +395,8 @@ object RetrievalOps {
     // production these frames ARE the at-rest index, and a serve
     // reads them, never builds them
     val index = allPostings(docs).persist()
-    val dict = index.groupBy(col("tok")).agg(count(lit(1)).as("df")).persist()
-    val consts = docs.select(size(toks).as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("dl").cast("long")).as("total_tokens"))
-      .withColumn("avgdl", col("total_tokens").cast("double") / col("n_docs"))
-      .select(col("n_docs"), col("avgdl"))
-    serveQueryBatch(queries, index, dict, consts)
+    val dict = dictFrom(index).persist()
+    serveQueryBatch(queries, index, dict, corpusConsts(docs))
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 

@@ -80,16 +80,15 @@ class RetrievalOpsSpec extends SparkSpec {
   test("ir5: the served workload's first query reproduces ir2's ranking") {
     // query 0 carries exactly the fixed QueryTerms triple, so its slice
     // of the served output must equal ir2 (rank, doc_id, score)
-    val served = RetrievalOps.batchServe(spark, Sf).collect()
-      .filter(_.getLong(0) == 0L)
+    val all = RetrievalOps.batchServe(spark, Sf).collect()
+    val served = all.filter(_.getLong(0) == 0L)
       .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     val ir2 = RetrievalOps.bm25TopK(spark, Sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(served == ir2)
-    // every workload query produced results except none — the absent
-    // term only zeroes its own ordinal, it doesn't kill the query
-    val ids = RetrievalOps.batchServe(spark, Sf).collect().map(_.getLong(0)).toSet
-    assert(ids == RetrievalOps.ServeQueries.map(_._1).toSet)
+    // every workload query produced results — the absent term only
+    // zeroes its own ordinal, it doesn't kill the query
+    assert(all.map(_.getLong(0)).toSet == RetrievalOps.ServeQueries.map(_._1).toSet)
   }
 
   test("ir7: incremental append == full rebuild, bit-exact (dictionary merge associativity)") {
@@ -97,6 +96,23 @@ class RetrievalOpsSpec extends SparkSpec {
     val full = RetrievalOps.bm25TopK(spark, Sf).collect().toSeq
     assert(appended.nonEmpty && appended == full,
       "the merged standing+batch dictionary/stats drifted from the full-corpus build")
+  }
+
+  test("ir7: an EMPTY split side cannot null the merge (the review's latent-fixture case)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    for (onlyBatch <- Seq(true, false)) {
+      // a corpus where one residue class is unpopulated: the other
+      // side's stats must carry through the coalesced merge unchanged
+      val sub = docs.filter(
+        if (onlyBatch) col("doc_id") % graft.operators.DedupOps.IncomingMod === 0
+        else col("doc_id") % graft.operators.DedupOps.IncomingMod =!= 0)
+      val appended = RetrievalOps.postingsAppendCore(sub).collect().toSeq
+      val full = RetrievalOps.rankedTopK(
+        RetrievalOps.bm25ScoredCore(sub)).collect().toSeq
+      assert(appended.nonEmpty && appended == full,
+        s"onlyBatch=$onlyBatch: empty-side merge drifted (null propagation?)")
+    }
   }
 
   test("ir6: phrase_tf counts true adjacencies (plain-Scala reference); ratio bounded") {
