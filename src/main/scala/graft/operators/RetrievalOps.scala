@@ -500,7 +500,58 @@ object RetrievalOps {
     }
   }
 
+  /** ir8: expansion candidates kept per probe term. */
+  val ExpandK = 5
+
+  /** IR8 — co-occurrence query expansion: for each probe term, the
+    * [[ExpandK]] vocabulary terms with the highest document-level LIFT
+    * `N·c(a,b) / (c(a)·c(b))` — the PMI core WITHOUT the log (log is
+    * monotone, so per-term ranking is identical and no libm enters the
+    * compared output; the raw counts ship so a consumer can apply any
+    * PMI variant downstream — the tx12/ir2 discipline). Presence is
+    * per-doc DISTINCT (a term mentioned twice is still one
+    * co-occurrence), so every count is a document count and lift is one
+    * division over exact integers.
+    *
+    * Plan/scale: the pair space is PROBE-SIDED — one side of the
+    * doc-keyed join is only the query's terms (3·docs rows max), never
+    * vocab² — then one (term, other) aggregate whose output is bounded
+    * by probe × vocab; the dictionary joins and the N row broadcast.
+    * At 100 TB the doc-keyed join shuffles presence once; the window
+    * runs over the collapsed pair counts (WindowGroupLimit prunes to
+    * K per term map-side). */
+  def termCooccur(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pres = docs.select(col("doc_id"),
+      explode(array_distinct(toks)).as("tok"))
+    val dfAll = pres.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nRow = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = pres.filter(col("tok").isin(QueryTerms: _*))
+      .select(col("doc_id"), col("tok").as("term"))
+      .join(pres.select(col("doc_id"), col("tok").as("other")), Seq("doc_id"))
+      .filter(col("other") =!= col("term"))
+      .groupBy(col("term"), col("other"))
+      .agg(count(lit(1)).as("c_ab"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("lift").desc, col("other"))
+    pairs
+      .join(broadcast(dfAll.select(col("tok").as("term"), col("df").as("df_term"))),
+        Seq("term"))
+      .join(broadcast(dfAll.select(col("tok").as("other"), col("df").as("df_other"))),
+        Seq("other"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("lift",
+        (col("n_docs") * col("c_ab")).cast("double") /
+          (col("df_term") * col("df_other")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= ExpandK)
+      .select(col("term"), col("rank"), col("other"), col("c_ab"),
+        col("df_term"), col("df_other"), col("lift"))
+      .transform(Common.presented(_, col("term"), col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ir8_term_cooccur" -> (termCooccur _),
     "ir1_term_stats" -> (termStats _),
     "ir2_bm25_topk" -> (bm25TopK _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
@@ -561,6 +612,25 @@ object RetrievalOps {
        |FROM top ORDER BY rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ir8_term_cooccur" ->
+      s"""WITH pres AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
+         |              FROM documents),
+         |dfall AS (SELECT tok, count(*) AS df FROM pres GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |pairs AS (SELECT a.tok AS term, b.tok AS other, count(*) AS c_ab
+         |          FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND b.tok <> a.tok
+         |          WHERE a.tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
+         |          GROUP BY a.tok, b.tok),
+         |f AS (SELECT term, other, c_ab, da.df AS df_term, db.df AS df_other,
+         |             CAST(n_docs * c_ab AS DOUBLE) / (da.df * db.df) AS lift
+         |      FROM pairs JOIN dfall da ON da.tok = term
+         |                 JOIN dfall db ON db.tok = other, n)
+         |SELECT term,
+         |       CAST(row_number() OVER (PARTITION BY term ORDER BY lift DESC, other) AS INT) AS rank,
+         |       other, c_ab, df_term, df_other, lift
+         |FROM f
+         |QUALIFY rank <= $ExpandK
+         |ORDER BY term, rank""".stripMargin,
     "ir1_term_stats" ->
       s"""WITH d AS ($dSql),
          |$statsSql

@@ -115,6 +115,23 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("ir8: lift recomputes exactly from the counts; co-occurrence bounded by either df") {
+    val rows = RetrievalOps.termCooccur(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (term, rs) =>
+      assert(RetrievalOps.QueryTerms.contains(term))
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= RetrievalOps.ExpandK)
+    }
+    val n = graft.sources.Tables.documents(spark, Sf).count()
+    rows.foreach { r =>
+      val (cab, dfT, dfO) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cab > 0 && cab <= math.min(dfT, dfO))
+      assert(r.getDouble(6) == (n * cab).toDouble / (dfT * dfO), "lift drift")
+      assert(r.getString(2) != r.getString(0))
+    }
+  }
+
   test("ir6: phrase_tf counts true adjacencies (plain-Scala reference); ratio bounded") {
     val (w1, w2) = RetrievalOps.Phrase
     val rows = RetrievalOps.phraseSearch(spark, Sf).collect()
