@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.TimeSeriesOps
+
+/** The ts family against dense plain-Scala references: the sparse
+  * algebra (`Σcu²+Σcp²−2·dot`; the motif delta identity) must equal a
+  * literal dense evaluation over the materialized day grid — including
+  * the zero days the relational form never generates. */
+class TimeSeriesOpsSpec extends SparkSpec {
+
+  private lazy val counts: Map[Long, Map[Long, Long]] =
+    TimeSeriesOps.dayCounts(spark, Sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        u -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+
+  test("ts1: sparse sse identity == dense reference; top-k set and order exact") {
+    val probe = counts(TimeSeriesOps.ProbeUser)
+    def sse(u: Map[Long, Long]): Long =
+      (u.keySet ++ probe.keySet).toSeq.map { d =>
+        val diff = u.getOrElse(d, 0L) - probe.getOrElse(d, 0L)
+        diff * diff
+      }.sum
+    val expected = counts.keys.filter(_ != TimeSeriesOps.ProbeUser).toSeq
+      .map(u => (u, sse(counts(u))))
+      .sortBy { case (u, s) => (s, u) }
+      .take(TimeSeriesOps.TopK)
+    val got = TimeSeriesOps.seriesKnn(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "sparse SSE drifted from the dense reference")
+  }
+
+  test("ts2: best motif window == dense sliding reference") {
+    val probe = counts(TimeSeriesOps.ProbeUser)
+    val pmax = probe.keys.max
+    val m = (0 until TimeSeriesOps.MotifLen).map(i =>
+      probe.getOrElse(pmax - (TimeSeriesOps.MotifLen - 1 - i), 0L))
+    def best(u: Map[Long, Long]): (Long, Long) = {
+      // candidate starts: any window overlapping at least one active day
+      val starts = u.keySet.flatMap(d =>
+        (0 until TimeSeriesOps.MotifLen).map(i => d - i))
+      starts.toSeq.map { w =>
+        val s = (0 until TimeSeriesOps.MotifLen).map { i =>
+          val diff = u.getOrElse(w + i, 0L) - m(i)
+          diff * diff
+        }.sum
+        (s, w)
+      }.min match { case (s, w) => (w, s) }
+    }
+    val expected = counts.keys.filter(_ != TimeSeriesOps.ProbeUser).toSeq
+      .map { u => val (w, s) = best(counts(u)); (u, w, s) }
+      .sortBy { case (u, _, s) => (s, u) }
+      .take(TimeSeriesOps.TopK)
+    val got = TimeSeriesOps.motifMatch(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "motif best-window drifted from the dense slide")
+  }
+}
