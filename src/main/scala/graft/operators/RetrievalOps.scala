@@ -522,8 +522,12 @@ object RetrievalOps {
     * K per term map-side). */
   def termCooccur(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // the presence collapse feeds three consumers (dictionary + both
+    // pair-join sides) — persist it, the cachedCounts/ir5 convention
     val pres = docs.select(col("doc_id"),
       explode(array_distinct(toks)).as("tok"))
+    if (pres.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      pres.persist()
     val dfAll = pres.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nRow = docs.agg(count(lit(1)).as("n_docs"))
     val pairs = pres.filter(col("tok").isin(QueryTerms: _*))
@@ -540,9 +544,14 @@ object RetrievalOps {
       .join(broadcast(dfAll.select(col("tok").as("other"), col("df").as("df_other"))),
         Seq("other"))
       .crossJoin(broadcast(nRow))
+      // products run in DOUBLE: each long operand converts exactly below
+      // 2^53 (true through ~10^15 docs) and the IEEE product/division
+      // round identically on both engines — the i64 form would raise
+      // ARITHMETIC_OVERFLOW at head-term df × N ≈ 10^19 on a 100 TB
+      // corpus (ANSI mode; DuckDB errors the same way)
       .withColumn("lift",
-        (col("n_docs") * col("c_ab")).cast("double") /
-          (col("df_term") * col("df_other")))
+        (col("n_docs").cast("double") * col("c_ab")) /
+          (col("df_term").cast("double") * col("df_other")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= ExpandK)
       .select(col("term"), col("rank"), col("other"), col("c_ab"),
@@ -622,7 +631,8 @@ object RetrievalOps {
          |          WHERE a.tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})
          |          GROUP BY a.tok, b.tok),
          |f AS (SELECT term, other, c_ab, da.df AS df_term, db.df AS df_other,
-         |             CAST(n_docs * c_ab AS DOUBLE) / (da.df * db.df) AS lift
+         |             (CAST(n_docs AS DOUBLE) * c_ab)
+         |               / (CAST(da.df AS DOUBLE) * db.df) AS lift
          |      FROM pairs JOIN dfall da ON da.tok = term
          |                 JOIN dfall db ON db.tok = other, n)
          |SELECT term,

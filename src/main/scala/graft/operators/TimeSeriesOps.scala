@@ -44,13 +44,6 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** TS1 — whole-series k-NN: the [[TopK]] users whose daily activity
-    * series is nearest the probe user's by squared Euclidean distance
-    * on the day grid. One (user, day) aggregate, one per-user energy
-    * aggregate, the probe series broadcast onto the cross-term join,
-    * and a TakeOrderedAndProject top-k — at 100 TB nothing shuffles
-    * wider than the (user, day) count collapse. Output is all-integer
-    * (sse, dot, energies, active-day counts). */
   /** The (user, day, cnt) collapse feeds 3 consumers in ts1 (energies,
     * probe, cross term) and 2 in ts2 — persist it so the events scan
     * and count shuffle run once (the d2-signature-table convention;
@@ -62,6 +55,13 @@ object TimeSeriesOps {
     c
   }
 
+  /** TS1 — whole-series k-NN: the [[TopK]] users whose daily activity
+    * series is nearest the probe user's by squared Euclidean distance
+    * on the day grid. One (user, day) aggregate, one per-user energy
+    * aggregate, the probe series broadcast onto the cross-term join,
+    * and a TakeOrderedAndProject top-k — at 100 TB nothing shuffles
+    * wider than the (user, day) count collapse. Output is all-integer
+    * (sse, dot, energies, active-day counts). */
   def seriesKnn(s: SparkSession, dir: String): DataFrame = {
     val c = cachedCounts(s, dir)
     val perUser = c.groupBy(col("user_id"))

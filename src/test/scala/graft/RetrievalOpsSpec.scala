@@ -127,7 +127,8 @@ class RetrievalOpsSpec extends SparkSpec {
     rows.foreach { r =>
       val (cab, dfT, dfO) = (r.getLong(3), r.getLong(4), r.getLong(5))
       assert(cab > 0 && cab <= math.min(dfT, dfO))
-      assert(r.getDouble(6) == (n * cab).toDouble / (dfT * dfO), "lift drift")
+      assert(r.getDouble(6) == (n.toDouble * cab) / (dfT.toDouble * dfO),
+        "lift drift")
       assert(r.getString(2) != r.getString(0))
     }
   }
