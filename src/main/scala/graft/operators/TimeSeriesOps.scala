@@ -62,8 +62,15 @@ object TimeSeriesOps {
     * and a TakeOrderedAndProject top-k — at 100 TB nothing shuffles
     * wider than the (user, day) count collapse. Output is all-integer
     * (sse, dot, energies, active-day counts). */
-  def seriesKnn(s: SparkSession, dir: String): DataFrame = {
-    val c = cachedCounts(s, dir)
+  def seriesKnn(s: SparkSession, dir: String): DataFrame =
+    seriesKnnCore(cachedCounts(s, dir))
+
+  /** ts1 over ANY (user_id, day, cnt) frame — the streaming twin serves
+    * from the counts STATE a streaming aggregation maintains
+    * (StreamingTimeSeriesSpec: standing state == batch collapse, and
+    * serving from it reproduces ts1 exactly — integers throughout, so
+    * this is equality, not tolerance). */
+  private[graft] def seriesKnnCore(c: DataFrame): DataFrame = {
     val perUser = c.groupBy(col("user_id"))
       .agg(sum(col("cnt") * col("cnt")).as("sum_sq"),
         count(lit(1)).as("n_days"))

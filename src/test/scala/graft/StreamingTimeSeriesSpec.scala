@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeriesOps
+
+/** The ts family's streaming binding: the (user, day) activity counts
+  * ARE streaming-aggregation state (counts are associative, so the
+  * standing state after any arrival order / micro-batch cut equals the
+  * batch collapse — the StreamingSnapshotSpec shape with a count
+  * instead of max_by), and ts1 SERVES from that state unchanged
+  * ([[TimeSeriesOps.seriesKnnCore]] over the state table). Integer
+  * throughout, so both claims are exact equality, fuzzed across 3
+  * seeds. */
+class StreamingTimeSeriesSpec extends SparkSpec {
+
+  test("streamed day-count state == batch collapse; ts1 served from it == batch ts1, 3 seeds") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val batchCounts = TimeSeriesOps.dayCounts(spark, Sf)
+    val expected = batchCounts.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ts1 = TimeSeriesOps.seriesKnn(spark, Sf).collect().toSeq
+    // the stream carries per-EVENT (user_id, day) rows — the same grid
+    // projection the batch collapse aggregates
+    val events = {
+      val ev = graft.sources.Tables.events(spark, Sf)
+      ev.select(col("user_id"),
+          expr(s"(${graft.operators.ScanOps.tsMicrosSql(ev)}) div ${graft.operators.WindowOps.DayMicros}")
+            .as("day"))
+        .as[(Long, Long)].collect().toVector
+    }
+
+    for (seed <- Seq(5, 13, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[(Long, Long)]
+      val counts = in.toDF().toDF("user_id", "day")
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val name = s"ts_counts_state_$seed"
+      val q = counts.writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+      try {
+        var rest = rnd.shuffle(events)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(500))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable() // plain streaming agg — safe to drain
+        }
+        val stateRows = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val got = stateRows.map { case (u, d, c) => (u, d) -> c }.toMap
+        assert(got == expected,
+          s"seed $seed: streamed count state diverged from the batch collapse")
+        // a MemorySink view keeps ONE attribute set, so ts1's self-join
+        // over it hits conflicting-reference resolution — rebuild the
+        // state as a local frame (what a foreachBatch write-out would
+        // yield) before serving from it
+        val state = stateRows.toDF("user_id", "day", "cnt")
+        val served = TimeSeriesOps.seriesKnnCore(state).collect().toSeq
+        assert(served == ts1,
+          s"seed $seed: ts1 served from streamed state drifted from batch ts1")
+      } finally q.stop()
+    }
+  }
+}
