@@ -559,7 +559,51 @@ object RetrievalOps {
       .transform(Common.presented(_, col("term"), col("rank")))
   }
 
+  /** ir9's passage window length (tokens). */
+  val PassageLen = 16
+
+  /** IR9 — passage extraction (the snippet generator behind every
+    * search result): per document, the [[PassageLen]]-token window
+    * holding the MOST query-term occurrences, then the [[TopK]]
+    * documents by that best-window score — positional retrieval one
+    * level below ir6's adjacency. ONLY query-term positions explode
+    * (the `isin` filter runs before the offset fan-out), so the
+    * candidate space is matches×[[PassageLen]], never tokens×windows:
+    * a match at position p lands in windows starting at p−off for
+    * off ∈ [0, PassageLen) — integer counts throughout, best window
+    * per doc by (hits desc, earliest start), WindowGroupLimit prunes
+    * the per-doc rank map-side. */
+  def passageExtract(s: SparkSession, dir: String): DataFrame = {
+    val matches = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(QueryTerms: _*))
+    if (matches.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      matches.persist() // feeds the window fan-out AND the per-doc totals
+    val best = matches
+      .select(col("doc_id"), col("pos"),
+        explode(sequence(lit(0), lit(PassageLen - 1))).as("off"))
+      .withColumn("wstart", col("pos") - col("off"))
+      .filter(col("wstart") >= 0)
+      .groupBy(col("doc_id"), col("wstart"))
+      .agg(count(lit(1)).as("hits"))
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("hits").desc, col("wstart"))))
+      .filter(col("brn") === 1)
+    val totals = matches.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    best.join(totals, Seq("doc_id"))
+      .orderBy(col("hits").desc, col("doc_id")).limit(TopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("hits").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"),
+        col("wstart").cast("int").as("passage_start"),
+        col("hits"), col("n_matches"))
+      .transform(Common.presented(_, col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ir9_passage" -> (passageExtract _),
     "ir8_term_cooccur" -> (termCooccur _),
     "ir1_term_stats" -> (termStats _),
     "ir2_bm25_topk" -> (bm25TopK _),
@@ -621,6 +665,27 @@ object RetrievalOps {
        |FROM top ORDER BY rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ir9_passage" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
+         |p AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, l[u.i] AS tok
+         |      FROM t, unnest(range(1, len(l) + 1)) AS u(i)),
+         |m AS (SELECT doc_id, pos FROM p
+         |      WHERE tok IN (${QueryTerms.map(t => s"'$t'").mkString(", ")})),
+         |wins AS (SELECT doc_id, pos - o.off AS wstart, count(*) AS hits
+         |         FROM m CROSS JOIN
+         |           (SELECT CAST(unnest(range($PassageLen)) AS INT) AS off) o
+         |         WHERE pos - o.off >= 0
+         |         GROUP BY doc_id, pos - o.off),
+         |best AS (SELECT doc_id, wstart, hits FROM wins
+         |         QUALIFY row_number() OVER (PARTITION BY doc_id
+         |                                    ORDER BY hits DESC, wstart) = 1),
+         |totals AS (SELECT doc_id, count(*) AS n_matches FROM m GROUP BY doc_id),
+         |top AS (SELECT best.doc_id, wstart, hits, n_matches
+         |        FROM best JOIN totals ON totals.doc_id = best.doc_id
+         |        ORDER BY hits DESC, best.doc_id LIMIT $TopK)
+         |SELECT CAST(row_number() OVER (ORDER BY hits DESC, doc_id) AS INT) AS rank,
+         |       doc_id, CAST(wstart AS INT) AS passage_start, hits, n_matches
+         |FROM top ORDER BY rank""".stripMargin,
     "ir8_term_cooccur" ->
       s"""WITH pres AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS tok
          |              FROM documents),

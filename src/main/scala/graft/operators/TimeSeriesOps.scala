@@ -142,9 +142,56 @@ object TimeSeriesOps {
       .transform(Common.presented(_, col("rank")))
   }
 
+  /** ts3's lag range (days). */
+  val MaxLag = 7
+
+  /** TS3 — seasonality probe: per event_type, the raw lag-ℓ
+    * autocovariance numerator `Σ c(d)·c(d+ℓ)` of the GLOBAL daily count
+    * series for ℓ = 1..[[MaxLag]], with the per-type peak lag flagged —
+    * the weekly-rhythm detector a monitoring pipeline runs over its
+    * metric streams. Raw (uncentered) products keep every compared
+    * value integer (the centered/normalized form divides by variance —
+    * a consumer-side step, the tx12 discipline); the peak flag is an
+    * integer max comparison with smallest-lag tie-break. The daily
+    * collapse (|types|×|days| rows) is the only wide aggregate; the
+    * lag self-join runs on that collapsed frame, so cost is
+    * independent of event volume. */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.select(col("event_type"),
+        expr(s"(${ScanOps.tsMicrosSql(ev)}) div ${WindowOps.DayMicros}").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    if (daily.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      daily.persist()
+    // equi-join on (event_type, day+lag): the shifted day is a computed
+    // key column, so Catalyst plans a hash join — never a per-type
+    // cross of the day grid
+    val lagged = daily
+      .select(col("event_type"), col("cnt"),
+        explode(sequence(lit(1), lit(MaxLag))).as("lag"),
+        col("day"))
+      .withColumn("day2", col("day") + col("lag"))
+      .join(daily.select(col("event_type"), col("day").as("day2"),
+          col("cnt").as("cnt2")),
+        Seq("event_type", "day2"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("cnt") * col("cnt2")).as("rnum"),
+        count(lit(1)).as("n_pairs"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("rnum").desc, col("lag"))
+    lagged
+      .withColumn("is_peak",
+        when(row_number().over(w) === 1, 1).otherwise(0))
+      .select(col("event_type"), col("lag").cast("int").as("lag"),
+        col("rnum"), col("n_pairs"), col("is_peak"))
+      .transform(Common.presented(_, col("event_type"), col("lag")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_series_knn" -> (seriesKnn _),
-    "ts2_motif_match" -> (motifMatch _))
+    "ts2_motif_match" -> (motifMatch _),
+    "ts3_seasonality" -> (seasonality _))
 
   private def daySql = s"epoch_ns(ts) // ${WindowOps.DayNanos}"
 
@@ -168,6 +215,22 @@ object TimeSeriesOps {
          |SELECT CAST(row_number() OVER (ORDER BY sse ASC, user_id) AS INT) AS rank,
          |       user_id, sse, dot, sum_sq, n_days
          |FROM top ORDER BY rank""".stripMargin,
+    "ts3_seasonality" ->
+      s"""WITH daily AS (SELECT event_type, $daySql AS day, count(*) AS cnt
+         |               FROM events GROUP BY event_type, ($daySql)),
+         |lagged AS (SELECT a.event_type, l.lag,
+         |                  CAST(sum(a.cnt * b.cnt) AS BIGINT) AS rnum,
+         |                  count(*) AS n_pairs
+         |           FROM daily a
+         |           CROSS JOIN (SELECT CAST(unnest(range(1, ${MaxLag + 1})) AS BIGINT) AS lag) l
+         |           JOIN daily b ON b.event_type = a.event_type
+         |                       AND b.day = a.day + l.lag
+         |           GROUP BY a.event_type, l.lag)
+         |SELECT event_type, CAST(lag AS INT) AS lag, rnum, n_pairs,
+         |       CASE WHEN row_number() OVER (PARTITION BY event_type
+         |                                    ORDER BY rnum DESC, lag) = 1
+         |            THEN 1 ELSE 0 END AS is_peak
+         |FROM lagged ORDER BY event_type, lag""".stripMargin,
     "ts2_motif_match" ->
       s"""WITH c AS (SELECT user_id, $daySql AS day, count(*) AS cnt
          |           FROM events GROUP BY user_id, ($daySql)),

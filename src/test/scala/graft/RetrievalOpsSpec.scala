@@ -133,6 +133,28 @@ class RetrievalOpsSpec extends SparkSpec {
     }
   }
 
+  test("ir9: best passage window == plain-Scala dense slide over every start") {
+    val rows = RetrievalOps.phraseSearch(spark, Sf) // force texts map below to stay lazy-safe
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    def best(toks: Array[String]): Option[(Long, Int)] = {
+      val hits = toks.indices.filter(i => RetrievalOps.QueryTerms.contains(toks(i)))
+      if (hits.isEmpty) None
+      else Some(toks.indices.map { w =>
+        (hits.count(p => p >= w && p < w + RetrievalOps.PassageLen).toLong, w)
+      }.maxBy { case (h, w) => (h, -w) }) // max hits, earliest start
+    }
+    val expected = docs.toSeq
+      .flatMap { case (id, t) => best(t).map { case (h, w) => (id, w, h) } }
+      .sortBy { case (id, _, h) => (-h, id) }
+      .take(RetrievalOps.TopK)
+    val got = RetrievalOps.passageExtract(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == expected, "passage slide drifted from the dense reference")
+    assert(rows.count() > 0)
+  }
+
   test("ir6: phrase_tf counts true adjacencies (plain-Scala reference); ratio bounded") {
     val (w1, w2) = RetrievalOps.Phrase
     val rows = RetrievalOps.phraseSearch(spark, Sf).collect()

@@ -30,6 +30,33 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got == expected, "sparse SSE drifted from the dense reference")
   }
 
+  test("ts3: lag autocovariance == dense reference; exactly one peak per type") {
+    import org.apache.spark.sql.functions.{col, expr, count, lit}
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val daily = ev.select(col("event_type"),
+        expr(s"(${graft.operators.ScanOps.tsMicrosSql(ev)}) div ${graft.operators.WindowOps.DayMicros}")
+          .as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val rows = TimeSeriesOps.seasonality(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, lag) = (r.getString(0), r.getInt(1))
+      val series = daily(t)
+      val expect = series.toSeq.map { case (d, c) =>
+        c * series.getOrElse(d + lag, 0L) }.sum
+      assert(r.getLong(2) == expect, s"$t lag $lag rnum drift")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      assert(rs.map(_.getInt(4)).sum == 1, s"$t: peak flag count != 1")
+      val peak = rs.find(_.getInt(4) == 1).get
+      assert(rs.forall(r => r.getLong(2) < peak.getLong(2) ||
+        (r.getLong(2) == peak.getLong(2) && r.getInt(1) >= peak.getInt(1))),
+        s"$t: peak is not the max-rnum smallest-lag row")
+    }
+  }
+
   test("ts2: best motif window == dense sliding reference") {
     val probe = counts(TimeSeriesOps.ProbeUser)
     val pmax = probe.keys.max
