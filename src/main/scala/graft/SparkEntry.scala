@@ -22,7 +22,8 @@ object SparkEntry {
       DedupOps.queries ++ SimilarityOps.queries ++ MultimodalOps.queries ++
       WindowOps.queries ++ AggOps.queries ++ ApproxOps.queries ++
       SqlSurfaceOps.queries ++ VariantOps.queries ++ AuditOps.queries ++
-      RetrievalOps.queries ++ TimeSeriesOps.queries
+      RetrievalOps.queries ++ TimeSeriesOps.queries ++
+      QualityFilterOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       DedupOps.oracles ++ SimilarityOps.oracles ++ MultimodalOps.oracles ++
       WindowOps.oracles ++ AggOps.oracles ++ ApproxOps.oracles ++
       SqlSurfaceOps.oracles ++ VariantOps.oracles ++ AuditOps.oracles ++
-      RetrievalOps.oracles ++ TimeSeriesOps.oracles
+      RetrievalOps.oracles ++ TimeSeriesOps.oracles ++
+      QualityFilterOps.oracles
 }

@@ -668,7 +668,45 @@ object TextOps {
       .transform(Common.presented(_, col("doc_id")))
   }
 
+  /** C3's shard fan-out. */
+  val NumShards = 16
+
+  /** C3 — training-shard export manifest: the curation flow's LAST stage
+    * (after c1/c2 select what to train on, the survivors must land in N
+    * balanced, verifiable shard files). Sharding is HASH assignment —
+    * `md5("shard:" + doc_id) % NumShards` — because that is the only
+    * shape that survives 100 TB: no global sort, no driver-side bin
+    * packing, every writer task knows its rows' shards from the row
+    * alone, and adding data never reassigns old rows (contrast a
+    * row_number round-robin: one global rank sort, and every append
+    * renumbers the world). The manifest is one [[NumShards]]-group
+    * aggregate emitting per shard: doc count, token mass, an
+    * order-independent content digest (bit_xor of each doc's 60-bit text
+    * hash — XOR commutes, so ANY partitioning/AQE re-plan yields the
+    * identical digest; the consumer re-XORs after reading a shard to
+    * verify transport), and the integer balance deviation
+    * `total_tokens·N − grand_total` (positive = shard above fair share;
+    * exact, no division). The grand total rides as an unpartitioned
+    * window over the N aggregated rows — never a second corpus scan. */
+  def shardExport(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(toks).cast("long")
+    val perShard = Tables.documents(s, dir)
+      .select(
+        (md5Long(concat(lit("shard:"), col("doc_id").cast("string")))
+          % NumShards).as("shard_id"),
+        nTok.as("n_tok"), md5Long(col("text")).as("h"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        expr("bit_xor(h)").as("digest"))
+    perShard
+      .withColumn("dev", col("total_tokens") * NumShards -
+        sum(col("total_tokens")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .transform(Common.presented(_, col("shard_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c3_shard_export" -> (shardExport _),
     "c1_training_manifest" -> (trainingManifest _),
     "c2_semantic_manifest" -> (semanticManifest _),
     "tx18_novelty" -> (ngramNovelty _),
@@ -752,6 +790,18 @@ object TextOps {
     // every stage reuses the standalone oracle's formula: d1's
     // min-per-md5 keeper, tx2's buckets, d10's split hash, tx17's
     // 2·cum ≤ total prefix over the eligible set
+    "c3_shard_export" ->
+      s"""WITH per AS (SELECT ${md5LongSql("'shard:' || CAST(doc_id AS VARCHAR)")} % $NumShards AS shard_id,
+         |                    CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |                    ${md5LongSql("text")} AS h
+         |             FROM documents),
+         |sh AS (SELECT shard_id, count(*) AS n_docs,
+         |              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |              bit_xor(h) AS digest
+         |       FROM per GROUP BY shard_id)
+         |SELECT shard_id, n_docs, total_tokens, digest,
+         |       total_tokens * $NumShards - CAST(sum(total_tokens) OVER () AS BIGINT) AS dev
+         |FROM sh ORDER BY shard_id""".stripMargin,
     "c1_training_manifest" -> manifestOracleSql(semantic = false),
     "c2_semantic_manifest" -> manifestOracleSql(semantic = true),
     // d8's hashed-distinct-trigram contract (DedupOps.tgSql);

@@ -188,14 +188,166 @@ object TimeSeriesOps {
       .transform(Common.presented(_, col("event_type"), col("lag")))
   }
 
+  /** SAX geometry (ts4/ts5): [[NumSegs]] segments of [[SegDays]] days
+    * each, segment activity quantized to 3 symbols {1,2,3} by the
+    * integer breakpoints [[BpMid]]/[[BpHigh]] (picked at the observed
+    * tertiles of per-segment activity so symbols spread; 0 is reserved
+    * for an absent segment). A user's SAX word packs the [[NumSegs]]
+    * symbols 2 bits apiece into ONE BIGINT — integer arithmetic both
+    * engines shift identically, no string aggregation, and absent
+    * segments contribute 0 without ever materializing a day grid. */
+  val NumSegs = 4
+  val SegDays = 8
+  val BpMid = 14L
+  val BpHigh = 19L
+
+  /** Per-user (word, n_active_segs) over any (user_id, day, cnt) frame.
+    * One groupBy (user, seg) + one groupBy user — both narrow keyed
+    * aggregates with map-side partials. */
+  private[graft] def saxWords(c: DataFrame): DataFrame = {
+    val dmin = c.agg(min(col("day")).as("d0"))
+    c.crossJoin(broadcast(dmin))
+      .select(col("user_id"),
+        expr(s"(day - d0) div $SegDays").as("seg"), col("cnt"))
+      .filter(col("seg") < NumSegs)
+      .groupBy(col("user_id"), col("seg"))
+      .agg(sum(col("cnt")).as("ssum"))
+      .select(col("user_id"), col("seg"),
+        when(col("ssum") >= BpHigh, lit(3L))
+          .when(col("ssum") >= BpMid, lit(2L)).otherwise(lit(1L)).as("s"))
+      .groupBy(col("user_id"))
+      .agg(sum(expr("s * shiftleft(cast(1 as bigint), cast(2 * seg as int))"))
+          .as("word"),
+        count(lit(1)).as("n_active_segs"))
+  }
+
+  /** TS4 — SAX symbolic index over the per-user daily series (PAA →
+    * breakpoint quantization → word, Lin/Keogh's SAX restated on
+    * integer segment SUMS so every value is exact): each user's series
+    * collapses to a [[NumSegs]]-symbol word packed into one BIGINT, and
+    * the word IS the index key — users sharing a word are
+    * coarse-profile equals, the time-series twin of x2's LSH bucket /
+    * d3's simhash band. Output: each user's word, active-segment count,
+    * the word's bucket occupancy, and whether the user shares the probe
+    * user's bucket. At 100 TB the index build is two keyed integer
+    * aggregates over the counts collapse (nothing wider than ts1's
+    * first shuffle), and the words table it emits is ~16 bytes/user —
+    * the standing index ts5 probes. */
+  def saxIndex(s: SparkSession, dir: String): DataFrame = {
+    val words = saxWords(cachedCounts(s, dir))
+    val probe = words.filter(col("user_id") === ProbeUser)
+      .select(col("word").as("pw"))
+    val buckets = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_bucket"))
+    words.join(buckets, Seq("word"))
+      .crossJoin(broadcast(probe))
+      .select(col("user_id"), col("word"), col("n_active_segs"),
+        col("n_bucket"),
+        when(col("word") === col("pw"), lit(1)).otherwise(lit(0))
+          .as("is_probe_bucket"))
+      .transform(Common.presented(_, col("user_id")))
+  }
+
+  /** The ts5 band keys: word with symbol position b (2 bits) zeroed,
+    * for b = 0..[[NumSegs]]-1 — two users share a band key iff their
+    * words agree on every OTHER position, i.e. symbol-Hamming ≤ 1
+    * (d3b's pigeonhole argument on the SAX alphabet). */
+  private def bandKeys(words: DataFrame): DataFrame =
+    words.select(col("user_id"),
+        explode(sequence(lit(0), lit(NumSegs - 1))).as("b"), col("word"))
+      .select(col("user_id"), col("b"),
+        expr("word - shiftleft(shiftright(word, cast(2 * b as int)) & 3, " +
+          "cast(2 * b as int))").as("bk"))
+
+  /** TS5 — k-NN SERVED FROM the SAX index: candidates are the users
+    * within symbol-Hamming 1 of the probe's word (the banded join over
+    * [[bandKeys]] — exact by pigeonhole, never a scan of the user
+    * space), then the exact integer SSE of ts1 verifies and ranks ONLY
+    * those candidates. The x2/x3 index-serve discipline transplanted to
+    * time series: the index prunes, the exact distance decides, and the
+    * verify cost scales with the bucket, not the population. Same
+    * output shape as ts1 restricted to the candidate set, so the two
+    * are directly comparable: every ts5 row's sse equals its ts1 twin
+    * for the same user (TimeSeriesSpec pins it). */
+  def saxKnn(s: SparkSession, dir: String): DataFrame = {
+    val c = cachedCounts(s, dir)
+    val bands = bandKeys(saxWords(c))
+    val cand = bands.filter(col("user_id") =!= ProbeUser)
+      .join(broadcast(bands.filter(col("user_id") === ProbeUser)
+        .select(col("b"), col("bk"))), Seq("b", "bk"))
+      .select(col("user_id")).distinct()
+    val cc = c.join(cand.unionByName(
+        s.range(1).select(lit(ProbeUser).as("user_id"))), Seq("user_id"))
+    seriesKnnCore(cc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_series_knn" -> (seriesKnn _),
     "ts2_motif_match" -> (motifMatch _),
-    "ts3_seasonality" -> (seasonality _))
+    "ts3_seasonality" -> (seasonality _),
+    "ts4_sax_index" -> (saxIndex _),
+    "ts5_sax_knn" -> (saxKnn _))
 
   private def daySql = s"epoch_ns(ts) // ${WindowOps.DayNanos}"
 
+  /** Shared ts4/ts5 oracle prefix: counts → segments → symbols → packed
+    * words (the SQL twin of [[saxWords]]). */
+  private val saxWordSql =
+    s"""c AS (SELECT user_id, $daySql AS day, count(*) AS cnt
+       |           FROM events GROUP BY user_id, ($daySql)),
+       |dmin AS (SELECT min(day) AS d0 FROM c),
+       |seg AS (SELECT user_id, (day - d0) // $SegDays AS seg,
+       |               CAST(sum(cnt) AS BIGINT) AS ssum
+       |        FROM c, dmin WHERE (day - d0) // $SegDays < $NumSegs
+       |        GROUP BY user_id, (day - d0) // $SegDays),
+       |sym AS (SELECT user_id, seg,
+       |               CASE WHEN ssum >= $BpHigh THEN 3
+       |                    WHEN ssum >= $BpMid THEN 2 ELSE 1 END AS s
+       |        FROM seg),
+       |words AS (SELECT user_id,
+       |                 CAST(sum(s * (CAST(1 AS BIGINT) << CAST(2 * seg AS INT))) AS BIGINT) AS word,
+       |                 count(*) AS n_active_segs
+       |          FROM sym GROUP BY user_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ts4_sax_index" ->
+      s"""WITH $saxWordSql,
+         |b AS (SELECT word, count(*) AS n_bucket FROM words GROUP BY word),
+         |p AS (SELECT word AS pw FROM words WHERE user_id = $ProbeUser)
+         |SELECT user_id, word, n_active_segs, n_bucket,
+         |       CASE WHEN word = pw THEN 1 ELSE 0 END AS is_probe_bucket
+         |FROM words JOIN b USING (word), p
+         |ORDER BY user_id""".stripMargin,
+    "ts5_sax_knn" ->
+      s"""WITH $saxWordSql,
+         |bands AS (SELECT user_id, b,
+         |                 word - (((word >> CAST(2 * b AS INT)) & 3)
+         |                         << CAST(2 * b AS INT)) AS bk
+         |          FROM words,
+         |               (SELECT CAST(unnest(range($NumSegs)) AS BIGINT) AS b) bb),
+         |cand AS (SELECT DISTINCT x.user_id FROM bands x
+         |         JOIN bands pb ON pb.user_id = $ProbeUser
+         |                      AND x.b = pb.b AND x.bk = pb.bk
+         |         WHERE x.user_id <> $ProbeUser),
+         |cc AS (SELECT * FROM c
+         |       WHERE user_id IN (SELECT user_id FROM cand)
+         |          OR user_id = $ProbeUser),
+         |pu AS (SELECT user_id, CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+         |              count(*) AS n_days
+         |       FROM cc GROUP BY user_id),
+         |probe AS (SELECT day, cnt AS cp FROM cc WHERE user_id = $ProbeUser),
+         |pe AS (SELECT CAST(sum(cp * cp) AS BIGINT) AS sum_sq_p FROM probe),
+         |dots AS (SELECT user_id, CAST(sum(cnt * cp) AS BIGINT) AS dot
+         |         FROM cc JOIN probe USING (day)
+         |         WHERE user_id <> $ProbeUser GROUP BY user_id),
+         |f AS (SELECT pu.user_id, coalesce(dot, 0) AS dot, sum_sq, n_days,
+         |             sum_sq + sum_sq_p - 2 * coalesce(dot, 0) AS sse
+         |      FROM pu LEFT JOIN dots ON dots.user_id = pu.user_id, pe
+         |      WHERE pu.user_id <> $ProbeUser),
+         |top AS (SELECT * FROM f ORDER BY sse ASC, user_id LIMIT $TopK)
+         |SELECT CAST(row_number() OVER (ORDER BY sse ASC, user_id) AS INT) AS rank,
+         |       user_id, sse, dot, sum_sq, n_days
+         |FROM top ORDER BY rank""".stripMargin,
     "ts1_series_knn" ->
       s"""WITH c AS (SELECT user_id, $daySql AS day, count(*) AS cnt
          |           FROM events GROUP BY user_id, ($daySql)),

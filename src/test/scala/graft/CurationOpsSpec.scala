@@ -225,4 +225,37 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("c3: shard manifest == per-doc Scala replay; XOR digest order-independent; devs sum to zero") {
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val ref = docs.groupBy { case (id, _) =>
+      md5Long60(s"shard:$id") % TextOps.NumShards
+    }.map { case (shard, ds) =>
+      shard -> (ds.length.toLong,
+        ds.map(_._2.split(" ", -1).length.toLong).sum,
+        ds.map(d => md5Long60(d._2)).reduce(_ ^ _))
+    }
+    val rows = TextOps.shardExport(spark, Sf).collect()
+    assert(rows.length == ref.size)
+    val grand = ref.values.map(_._2).sum
+    rows.foreach { r =>
+      val (nDocs, nTok, digest) = ref(r.getLong(0))
+      assert(r.getLong(1) == nDocs, s"shard ${r.getLong(0)} n_docs")
+      assert(r.getLong(2) == nTok, s"shard ${r.getLong(0)} total_tokens")
+      assert(r.getLong(3) == digest, s"shard ${r.getLong(0)} digest")
+      assert(r.getLong(4) == nTok * TextOps.NumShards - grand)
+    }
+    // the balance deviations are a zero-sum decomposition of the corpus
+    assert(rows.map(_.getLong(4)).sum == 0L)
+    // every shard non-empty at fixture scale (hash spread sanity)
+    assert(rows.forall(_.getLong(1) > 0L))
+  }
 }

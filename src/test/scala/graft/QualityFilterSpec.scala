@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{Common, QualityFilterOps, TextOps}
+import graft.sources.Tables
+
+/** The learned quality-filter tier (qf1/qf2) against plain-Scala
+  * references: the driver-side weight table must equal the column-path
+  * md5 derivation, the classifier score must equal a per-token Scala
+  * replay, the sweep's confusion rows must equal brute-force counting,
+  * and the inference plan must stay shuffle-free (the whole point of
+  * the weights-as-literal design). The streaming test binds the same
+  * scoreCore to a MemoryStream — inference is stateless, so streamed
+  * scores must equal the batch rule row-for-row.
+  */
+class QualityFilterSpec extends SparkSpec {
+
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  test("qf weights: driver-side MessageDigest table == the column md5Long path") {
+    val viaColumns = spark.range(QualityFilterOps.QfBuckets)
+      .select(((Common.md5Long(concat(lit("qfw"), col("id").cast("string")))
+        % QualityFilterOps.QfWeightSpan) - 1000L).as("w"))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    assert(viaColumns == QualityFilterOps.QfWeights,
+      "literal weight array drifted from the md5 column derivation")
+    assert(QualityFilterOps.QfWeights.forall(w => w >= -1000L && w <= 1000L))
+  }
+
+  test("qf1: score, mean and keep equal a per-token Scala replay") {
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = QualityFilterOps.classify(spark, Sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val text = docs(r.getLong(0))
+      val toks = text.split(" ", -1)
+      val score = toks.map(t => QualityFilterOps.QfWeights(
+        (md5Long60(t) % QualityFilterOps.QfBuckets).toInt)).sum
+      assert(r.getLong(1) == toks.length, s"doc ${r.getLong(0)} n_tokens")
+      assert(r.getLong(2) == score, s"doc ${r.getLong(0)} score")
+      assert(r.getDouble(3) == score.toDouble / toks.length)
+      assert(r.getInt(4) == (if (score > 0) 1 else 0))
+    }
+    // both verdicts must occur, or the gate is vacuous at fixture scale
+    val keeps = got.map(_.getInt(4)).toSet
+    assert(keeps == Set(0, 1), s"degenerate keep distribution: $keeps")
+  }
+
+  test("qf1 plan: inference is shuffle-free (only the presentation exchange)") {
+    val plan = QualityFilterOps.classify(spark, Sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected only the presentation repartition(1), got $exchanges:\n$plan")
+  }
+
+  test("qf2: every threshold row equals brute-force confusion counting") {
+    val scores = QualityFilterOps.classify(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val labels = TextOps.qualityCore(Tables.documents(spark, Sf)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.getAs[String]("quality_bucket") == "ok") 1L else 0L)).toMap
+    val nPos = labels.values.sum
+    val rows = QualityFilterOps.thresholdSweep(spark, Sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == QualityFilterOps.QfThresholds)
+    rows.foreach { r =>
+      val th = r.getLong(0)
+      val kept = scores.filter(_._2 > th).keySet
+      val tp = kept.toSeq.map(labels).sum
+      assert(r.getLong(1) == kept.size, s"θ=$th n_kept")
+      assert(r.getLong(2) == tp, s"θ=$th tp")
+      assert(r.getLong(3) == scores.size && r.getLong(4) == nPos)
+      assert(r.getDouble(5) == tp.toDouble / kept.size)
+      assert(r.getDouble(6) == tp.toDouble / nPos)
+    }
+    // monotonicity: raising the threshold never keeps more
+    val kept = rows.map(_.getLong(1)).toSeq
+    assert(kept == kept.sorted.reverse, "n_kept not monotone in θ")
+  }
+
+  test("qf streaming: scored micro-batches equal the batch rule") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val q = QualityFilterOps.scoreCore(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qf_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(1L -> "the quick brown fox", 2L -> "of and to in")
+      q.processAllAvailable()
+      in.addData(3L -> "the quick brown fox") // same text, later batch
+      q.processAllAvailable()
+      val got = spark.table("qf_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Seq(1L -> "the quick brown fox", 2L -> "of and to in",
+          3L -> "the quick brown fox").map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        (id, toks.length.toLong, toks.map(t => QualityFilterOps.QfWeights(
+          (md5Long60(t) % QualityFilterOps.QfBuckets).toInt)).sum)
+      }.toSet
+      assert(got == want)
+      // identical text scores identically in whichever batch it arrives
+      val byId = got.map(r => r._1 -> r._3).toMap
+      assert(byId(1L) == byId(3L))
+    } finally q.stop()
+  }
+}

@@ -82,4 +82,60 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == expected, "motif best-window drifted from the dense slide")
   }
+
+  /** Plain-Scala SAX reference: per-user (word, symbols by segment). */
+  private lazy val saxRef: Map[Long, (Long, IndexedSeq[Long])] = {
+    val dmin = counts.values.flatMap(_.keys).min
+    counts.map { case (u, series) =>
+      val syms = (0 until TimeSeriesOps.NumSegs).map { seg =>
+        val ssum = series.collect {
+          case (d, c) if (d - dmin) / TimeSeriesOps.SegDays == seg => c
+        }.sum
+        if (ssum == 0L) 0L
+        else if (ssum >= TimeSeriesOps.BpHigh) 3L
+        else if (ssum >= TimeSeriesOps.BpMid) 2L else 1L
+      }
+      val word = syms.zipWithIndex.map { case (s, i) => s << (2 * i) }.sum
+      u -> (word, syms)
+    }
+  }
+
+  test("ts4: packed SAX words, bucket occupancy and probe flag == scalar reference") {
+    val rows = TimeSeriesOps.saxIndex(spark, Sf).collect()
+    assert(rows.length == counts.size)
+    val words = saxRef.view.mapValues(_._1).toMap
+    val occupancy = words.values.groupBy(identity).view.mapValues(_.size).toMap
+    val probeWord = words(TimeSeriesOps.ProbeUser)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getLong(1) == words(u), s"user $u word")
+      assert(r.getLong(2) == saxRef(u)._2.count(_ != 0L), s"user $u n_active_segs")
+      assert(r.getLong(3) == occupancy(words(u)).toLong, s"user $u n_bucket")
+      assert(r.getInt(4) == (if (words(u) == probeWord) 1 else 0))
+    }
+  }
+
+  test("ts5: candidates are exactly the hamming<=1 words; sse values match ts1's exact distances") {
+    def hamming(a: IndexedSeq[Long], b: IndexedSeq[Long]): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val probeSyms = saxRef(TimeSeriesOps.ProbeUser)._2
+    val expectedCand = saxRef.collect {
+      case (u, (_, syms)) if u != TimeSeriesOps.ProbeUser &&
+        hamming(syms, probeSyms) <= 1 => u
+    }.toSet
+    val probe = counts(TimeSeriesOps.ProbeUser)
+    def sse(u: Map[Long, Long]): Long =
+      (u.keySet ++ probe.keySet).toSeq.map { d =>
+        val diff = u.getOrElse(d, 0L) - probe.getOrElse(d, 0L)
+        diff * diff
+      }.sum
+    val expected = expectedCand.toSeq.map(u => (u, sse(counts(u))))
+      .sortBy { case (u, s) => (s, u) }
+      .take(TimeSeriesOps.TopK)
+    val got = TimeSeriesOps.saxKnn(spark, Sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      "index-served knn drifted from the banded-candidate dense reference")
+    assert(got.nonEmpty, "probe bucket degenerate at fixture scale")
+  }
 }
