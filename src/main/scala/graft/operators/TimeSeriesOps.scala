@@ -269,8 +269,14 @@ object TimeSeriesOps {
     * output shape as ts1 restricted to the candidate set, so the two
     * are directly comparable: every ts5 row's sse equals its ts1 twin
     * for the same user (TimeSeriesSpec pins it). */
-  def saxKnn(s: SparkSession, dir: String): DataFrame = {
-    val c = cachedCounts(s, dir)
+  def saxKnn(s: SparkSession, dir: String): DataFrame =
+    saxKnnCore(s, cachedCounts(s, dir))
+
+  /** ts5 over ANY (user_id, day, cnt) frame — like [[seriesKnnCore]],
+    * the streaming twin serves from the standing counts STATE
+    * (StreamingTimeSeriesSpec: index + verify from streamed state ==
+    * the batch rule, exactly). */
+  private[graft] def saxKnnCore(s: SparkSession, c: DataFrame): DataFrame = {
     val bands = bandKeys(saxWords(c))
     val cand = bands.filter(col("user_id") =!= ProbeUser)
       .join(broadcast(bands.filter(col("user_id") === ProbeUser)

@@ -61,7 +61,14 @@ class StreamingTimeSeriesSpec extends SparkSpec {
         val served = TimeSeriesOps.seriesKnnCore(state).collect().toSeq
         assert(served == ts1,
           s"seed $seed: ts1 served from streamed state drifted from batch ts1")
+        // the SAX index + banded-candidate verify serve from the SAME
+        // standing state: streamed ts5 == batch ts5
+        val servedSax = TimeSeriesOps.saxKnnCore(spark, state).collect().toSeq
+        assert(servedSax == ts5,
+          s"seed $seed: ts5 served from streamed state drifted from batch ts5")
       } finally q.stop()
     }
   }
+
+  private lazy val ts5 = TimeSeriesOps.saxKnn(spark, Sf).collect().toSeq
 }
