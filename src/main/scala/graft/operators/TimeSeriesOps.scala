@@ -202,23 +202,37 @@ object TimeSeriesOps {
   val BpHigh = 19L
 
   /** Per-user (word, n_active_segs) over any (user_id, day, cnt) frame.
-    * One groupBy (user, seg) + one groupBy user — both narrow keyed
-    * aggregates with map-side partials. */
-  private[graft] def saxWords(c: DataFrame): DataFrame = {
-    val dmin = c.agg(min(col("day")).as("d0"))
+    * ONE hash shuffle on user_id: the [[NumSegs]] segment sums are
+    * stated as conditional aggregates of a single groupBy(user) (the
+    * x8 fold-the-pivot-into-the-agg trick — a (user, seg) pre-aggregate
+    * would spend a second exchange re-keying to user), and the
+    * symbol/packing arithmetic runs on the aggregated row with STATIC
+    * shift amounts. An absent segment's sum is NULL → symbol 0. */
+  private[graft] def saxWords(c: DataFrame): DataFrame =
+    saxWordsWith(c, c.agg(min(col("day")).as("d0")))
+
+  /** [[saxWords]] with the day-grid origin passed in — the ts5 probe
+    * side aggregates ONLY the probe user's rows but must share the
+    * GLOBAL origin, or its segments would shift. */
+  private[graft] def saxWordsWith(c: DataFrame, dmin: DataFrame): DataFrame = {
+    def segSum(i: Int) =
+      sum(when(col("seg") === i, col("cnt"))).as(s"s$i")
+    def sym(i: Int): Column =
+      when(col(s"s$i") >= BpHigh, lit(3L))
+        .when(col(s"s$i") >= BpMid, lit(2L))
+        .when(col(s"s$i").isNotNull, lit(1L)).otherwise(lit(0L))
     c.crossJoin(broadcast(dmin))
       .select(col("user_id"),
         expr(s"(day - d0) div $SegDays").as("seg"), col("cnt"))
       .filter(col("seg") < NumSegs)
-      .groupBy(col("user_id"), col("seg"))
-      .agg(sum(col("cnt")).as("ssum"))
-      .select(col("user_id"), col("seg"),
-        when(col("ssum") >= BpHigh, lit(3L))
-          .when(col("ssum") >= BpMid, lit(2L)).otherwise(lit(1L)).as("s"))
       .groupBy(col("user_id"))
-      .agg(sum(expr("s * shiftleft(cast(1 as bigint), cast(2 * seg as int))"))
-          .as("word"),
-        count(lit(1)).as("n_active_segs"))
+      .agg(segSum(0), (1 until NumSegs).map(segSum): _*)
+      .select(col("user_id"),
+        (0 until NumSegs).map(i => sym(i) * (1L << (2 * i)))
+          .reduce(_ + _).as("word"),
+        (0 until NumSegs).map(i =>
+          when(col(s"s$i").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_active_segs"))
   }
 
   /** TS4 — SAX symbolic index over the per-user daily series (PAA →
@@ -237,9 +251,12 @@ object TimeSeriesOps {
     val words = saxWords(cachedCounts(s, dir))
     val probe = words.filter(col("user_id") === ProbeUser)
       .select(col("word").as("pw"))
-    val buckets = words.groupBy(col("word"))
-      .agg(count(lit(1)).as("n_bucket"))
-    words.join(buckets, Seq("word"))
+    // bucket occupancy as a window count over the word partition — one
+    // exchange on word, where a groupBy(word)+join-back would shuffle
+    // the words twice
+    words
+      .withColumn("n_bucket", count(lit(1)).over(
+        Window.partitionBy(col("word"))))
       .crossJoin(broadcast(probe))
       .select(col("user_id"), col("word"), col("n_active_segs"),
         col("n_bucket"),
@@ -277,13 +294,27 @@ object TimeSeriesOps {
     * (StreamingTimeSeriesSpec: index + verify from streamed state ==
     * the batch rule, exactly). */
   private[graft] def saxKnnCore(s: SparkSession, c: DataFrame): DataFrame = {
-    val bands = bandKeys(saxWords(c))
-    val cand = bands.filter(col("user_id") =!= ProbeUser)
-      .join(broadcast(bands.filter(col("user_id") === ProbeUser)
-        .select(col("b"), col("bk"))), Seq("b", "bk"))
+    // the probe's word aggregates ONLY its own ~30 count rows (global
+    // grid origin shared via dmin); the full saxWords pass runs once,
+    // on the non-probe side
+    val dmin = c.agg(min(col("day")).as("d0"))
+    val cand = bandKeys(saxWordsWith(c.filter(col("user_id") =!= ProbeUser), dmin))
+      .join(broadcast(
+        bandKeys(saxWordsWith(c.filter(col("user_id") === ProbeUser), dmin))
+          .select(col("b"), col("bk"))), Seq("b", "bk"))
       .select(col("user_id")).distinct()
-    val cc = c.join(cand.unionByName(
-        s.range(1).select(lit(ProbeUser).as("user_id"))), Seq("user_id"))
+    // the verify core reads its counts frame three times (energies,
+    // probe slice, cross term); PERSISTING the candidate-restricted
+    // counts (tiny: |bucket|×~30 rows) makes the index pipeline run
+    // ONCE at materialization — without it each consumer re-expands
+    // the whole band-join subtree into its own AQE broadcast build
+    // (measured: 23 independent broadcast compilations, ~3.4 s at
+    // sf0.1 vs ~1.1 s persisted). The d2-signature-table convention;
+    // the harness clears the cache after each query.
+    val cc = c.join(broadcast(cand.unionByName(
+        s.range(1).select(lit(ProbeUser).as("user_id")))), Seq("user_id"))
+    if (cc.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      cc.persist()
     seriesKnnCore(cc)
   }
 
