@@ -705,7 +705,58 @@ object TextOps {
       .transform(Common.presented(_, col("shard_id")))
   }
 
+  /** C4's delete cohort: documents with `doc_id % 13 == 5`. */
+  val ForgetMod = 13
+  val ForgetRem = 5
+
+  /** C4 — right-to-be-forgotten sweep (the reference's transactional
+    * delete discipline, `/root/reference/src/main/java/com/thaihoc/sink/
+    * TransactionalLogAndDeleteSink.java:65-115` — delete plus an audit
+    * trail — applied across the training-data stores): a delete request
+    * (the `% 13` cohort) must propagate from `documents` to every
+    * derived store — here the 1:1 `embeddings` table and the inverted
+    * postings index — and the sweep emits one audit row per store:
+    * rows before, rows the request deletes, rows after, and the
+    * post-propagation ORPHAN count (remaining rows referencing a
+    * deleted/absent document — the invariant that must read 0, dq1's
+    * pass-flag discipline). At 100 TB the delete-key set is the
+    * bounded request (broadcast onto each store's scan — one
+    * conditional aggregate per store, never a re-shuffle of the
+    * store), while the orphan audit is an honest distributed anti-join
+    * of each store against the surviving keys — the full-integrity
+    * form; a production sweep samples or partitions it, the plan shape
+    * unchanged. The vector index and LSH band index propagate the same
+    * way at rest via x17's tombstone/compaction path. */
+  def forgetAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isDel = col("doc_id") % ForgetMod === ForgetRem
+    val delKeys = docs.filter(isDel).select(col("doc_id"))
+    val liveKeys = docs.filter(!isDel).select(col("doc_id"))
+    def audit(store: String, rows: DataFrame): DataFrame = {
+      val orphans = rows
+        .join(broadcast(delKeys), Seq("doc_id"), "left_anti") // survivors
+        .join(liveKeys, Seq("doc_id"), "left_anti") // …without a live doc
+        .agg(count(lit(1)).as("orphans_after"))
+      rows
+        .join(broadcast(delKeys.withColumn("is_del", lit(1L))),
+          Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("rows_before"),
+          sum(coalesce(col("is_del"), lit(0L))).as("rows_deleted"))
+        .withColumn("rows_after", col("rows_before") - col("rows_deleted"))
+        .crossJoin(broadcast(orphans))
+        .select(lit(store).as("store"), col("rows_before"),
+          col("rows_deleted"), col("rows_after"), col("orphans_after"))
+    }
+    audit("documents", docs.select(col("doc_id")))
+      .unionByName(audit("embeddings",
+        Tables.embeddings(s, dir).select(col("vec_id").as("doc_id"))))
+      .unionByName(audit("postings",
+        RetrievalOps.allPostings(docs).select(col("doc_id"))))
+      .transform(Common.presented(_, col("store")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c4_forget_audit" -> (forgetAudit _),
     "c3_shard_export" -> (shardExport _),
     "c1_training_manifest" -> (trainingManifest _),
     "c2_semantic_manifest" -> (semanticManifest _),
@@ -790,6 +841,29 @@ object TextOps {
     // every stage reuses the standalone oracle's formula: d1's
     // min-per-md5 keeper, tx2's buckets, d10's split hash, tx17's
     // 2·cum ≤ total prefix over the eligible set
+    "c4_forget_audit" -> {
+      def storeSql(store: String, rowsSql: String) =
+        s"""SELECT '$store' AS store,
+           |       (SELECT count(*) FROM $rowsSql r) AS rows_before,
+           |       (SELECT count(*) FROM $rowsSql r
+           |        WHERE r.doc_id % $ForgetMod = $ForgetRem) AS rows_deleted,
+           |       (SELECT count(*) FROM $rowsSql r
+           |        WHERE r.doc_id % $ForgetMod <> $ForgetRem) AS rows_after,
+           |       (SELECT count(*) FROM $rowsSql r
+           |        WHERE r.doc_id % $ForgetMod <> $ForgetRem
+           |          AND r.doc_id NOT IN (SELECT doc_id FROM documents
+           |                               WHERE doc_id % $ForgetMod <> $ForgetRem))
+           |         AS orphans_after""".stripMargin
+      s"""WITH postings AS (SELECT DISTINCT doc_id, tok
+         |                  FROM (SELECT doc_id, unnest($toksSql) AS tok
+         |                        FROM documents))
+         |${storeSql("documents", "documents")}
+         |UNION ALL
+         |${storeSql("embeddings", "(SELECT vec_id AS doc_id FROM embeddings)")}
+         |UNION ALL
+         |${storeSql("postings", "postings")}
+         |ORDER BY store""".stripMargin
+    },
     "c3_shard_export" ->
       s"""WITH per AS (SELECT ${md5LongSql("'shard:' || CAST(doc_id AS VARCHAR)")} % $NumShards AS shard_id,
          |                    CAST(len($toksSql) AS BIGINT) AS n_tok,

@@ -258,4 +258,32 @@ class CurationOpsSpec extends SparkSpec {
     // every shard non-empty at fixture scale (hash spread sanity)
     assert(rows.forall(_.getLong(1) > 0L))
   }
+
+  test("c4: per-store sweep counts == Scala replay; zero orphans; before = deleted + after") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def isDel(id: Long) = id % TextOps.ForgetMod == TextOps.ForgetRem
+    val postingRows = docs.toSeq.flatMap { case (id, text) =>
+      text.split(" ", -1).distinct.map(t => (t, id))
+    }
+    val expected = Map(
+      "documents" -> (docs.size.toLong, docs.keys.count(isDel).toLong),
+      "embeddings" -> {
+        val vecs = graft.sources.Tables.embeddings(spark, Sf)
+          .select("vec_id").collect().map(_.getLong(0))
+        (vecs.length.toLong, vecs.count(isDel).toLong)
+      },
+      "postings" -> (postingRows.size.toLong,
+        postingRows.count(p => isDel(p._2)).toLong))
+    val rows = TextOps.forgetAudit(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (before, deleted) = expected(r.getString(0))
+      assert(r.getLong(1) == before, s"${r.getString(0)} rows_before")
+      assert(r.getLong(2) == deleted, s"${r.getString(0)} rows_deleted")
+      assert(r.getLong(3) == before - deleted, s"${r.getString(0)} rows_after")
+      assert(r.getLong(4) == 0L, s"${r.getString(0)} orphans_after must be 0")
+    }
+  }
 }
