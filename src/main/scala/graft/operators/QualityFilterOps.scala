@@ -131,14 +131,52 @@ object QualityFilterOps {
       .crossJoin(broadcast(totals))
       .select(col("threshold"), col("n_kept"), col("tp"),
         col("n_docs"), col("n_pos"),
-        (col("tp") / col("n_kept")).as("precision"),
-        (col("tp") / col("n_pos")).as("recall"))
+        // NULL (not NaN) when a threshold keeps nothing: Spark's
+        // long/long divide yields NaN on 0/0 where DuckDB yields NULL —
+        // an explicit guard makes both engines emit NULL, so the row
+        // stays hash-stable even under a testdata regen that empties a
+        // high threshold
+        when(col("n_kept") > 0, col("tp") / col("n_kept")).as("precision"),
+        when(col("n_pos") > 0, col("tp") / col("n_pos")).as("recall"))
       .transform(Common.presented(_, col("threshold")))
+  }
+
+  /** QF3 — per-slice calibration cells: qf2's confusion arithmetic at
+    * the decision threshold (score > 0), broken out by (lang, source)
+    * — the fairness/QA audit every production filter ships ("does the
+    * gate hold its precision on every slice, or is it starving one
+    * source?"). One fused scan carries score, label and both slice
+    * columns; the cell aggregate is |langs|×|sources| groups with
+    * map-side partials; rates are NULL-safe single divisions of exact
+    * integers. keep_rate vs base_rate per cell is the drift signal a
+    * monitor thresholds (dq2's discipline on the classifier's own
+    * output). */
+  def calibrationCells(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(TextOps.StopWords: _*))).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    val label = (nTok >= 30) && (nStop * 2L <= nTok) && (nDist * 3L >= nTok)
+    scoreCore(Tables.documents(s, dir),
+        carry = Seq(when(label, 1L).otherwise(0L).as("label"),
+          col("lang"), col("source")))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("label")).as("n_pos"),
+        sum(when(col("score") > 0, col("label")).otherwise(0L)).as("tp"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_kept"),
+        col("n_pos"), col("tp"),
+        when(col("n_kept") > 0, col("tp") / col("n_kept")).as("precision"),
+        (col("n_kept") / col("n_docs")).as("keep_rate"),
+        (col("n_pos") / col("n_docs")).as("base_rate"))
+      .transform(Common.presented(_, col("lang"), col("source")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qf1_classifier" -> (classify _),
-    "qf2_threshold_sweep" -> (thresholdSweep _))
+    "qf2_threshold_sweep" -> (thresholdSweep _),
+    "qf3_calibration_cells" -> (calibrationCells _))
 
   private val toksSql = tokensSql("text")
   private val weightsSql =
@@ -182,6 +220,28 @@ object QualityFilterOps {
          |                CAST(sum(CASE WHEN score > threshold THEN label ELSE 0 END) AS BIGINT) AS tp
          |         FROM j CROSS JOIN th GROUP BY threshold)
          |SELECT threshold, n_kept, tp, n_docs, n_pos,
-         |       tp / n_kept AS precision, tp / n_pos AS recall
-         |FROM conf, tot ORDER BY threshold""".stripMargin)
+         |       CASE WHEN n_kept > 0 THEN tp / n_kept END AS precision,
+         |       CASE WHEN n_pos > 0 THEN tp / n_pos END AS recall
+         |FROM conf, tot ORDER BY threshold""".stripMargin,
+    "qf3_calibration_cells" ->
+      s"""WITH w AS $weightsSql,
+         |sc AS ($scoreSql),
+         |lab AS (SELECT doc_id, CAST($labelSql AS BIGINT) AS label,
+         |               lang, source
+         |        FROM documents),
+         |j AS (SELECT sc.doc_id, score, label, lang, source
+         |      FROM sc JOIN lab ON lab.doc_id = sc.doc_id)
+         |SELECT lang, source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(label) AS BIGINT) AS n_pos,
+         |       CAST(sum(CASE WHEN score > 0 THEN label ELSE 0 END) AS BIGINT) AS tp,
+         |       CASE WHEN sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) > 0
+         |            THEN CAST(sum(CASE WHEN score > 0 THEN label ELSE 0 END) AS BIGINT)
+         |                 / CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |       END AS precision,
+         |       CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         / count(*) AS keep_rate,
+         |       CAST(sum(label) AS BIGINT) / count(*) AS base_rate
+         |FROM j GROUP BY lang, source
+         |ORDER BY lang, source""".stripMargin)
 }

@@ -241,7 +241,10 @@ object TimeSeriesOps {
     * collapses to a [[NumSegs]]-symbol word packed into one BIGINT, and
     * the word IS the index key — users sharing a word are
     * coarse-profile equals, the time-series twin of x2's LSH bucket /
-    * d3's simhash band. Output: each user's word, active-segment count,
+    * d3's simhash band. A user active ONLY beyond the indexed window
+    * (every day clips at seg ≥ [[NumSegs]]) has no word row — not
+    * active in the window means not indexed, on both engines
+    * (fuzz-pinned). Output: each user's word, active-segment count,
     * the word's bucket occupancy, and whether the user shares the probe
     * user's bucket. At 100 TB the index build is two keyed integer
     * aggregates over the counts collapse (nothing wider than ts1's
@@ -318,12 +321,50 @@ object TimeSeriesOps {
     seriesKnnCore(cc)
   }
 
+  /** TS6 — lead/lag alignment: for every user, the shift ℓ ∈
+    * ±[[MaxLag]] days that best aligns their activity with the probe
+    * user's, by the raw cross-covariance `r(ℓ) = Σ_d c_u(d)·c_p(d+ℓ)`
+    * — "who moves with the probe, and who moves N days before/after
+    * it" (ts3's autocovariance turned cross-user; the uncentered
+    * integer form for the same tx12 reason). The probe's series
+    * explodes to its (day−ℓ, cp, ℓ) alignment table — ~days×(2L+1)
+    * rows, BROADCAST — so the per-user work is one broadcast join on
+    * the computed day key plus one (user, lag) aggregate; no user×user
+    * pair space, no dense grid, cost independent of the population
+    * beyond the counts collapse. Best lag per user by (dot desc,
+    * |lag|, lag) — the zero-shift reading wins ties. Output covers
+    * users with ≥1 overlapping active day in the window (no overlap →
+    * no alignment evidence → no row, matching the join semantics on
+    * both engines). */
+  def leadLag(s: SparkSession, dir: String): DataFrame = {
+    val c = cachedCounts(s, dir)
+    val probe = c.filter(col("user_id") === ProbeUser)
+      .select(col("day").as("pd"), col("cnt").as("cp"))
+    val aligned = probe
+      .select(col("pd"), col("cp"),
+        explode(sequence(lit(-MaxLag), lit(MaxLag))).as("lag"))
+      .select((col("pd") - col("lag")).as("day"), col("cp"), col("lag"))
+    val dots = c.filter(col("user_id") =!= ProbeUser)
+      .join(broadcast(aligned), Seq("day"))
+      .groupBy(col("user_id"), col("lag"))
+      .agg(sum(col("cnt") * col("cp")).as("dot"),
+        count(lit(1)).as("n_overlap"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("dot").desc, abs(col("lag")), col("lag"))
+    dots.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("lag").cast("int").as("best_lag"),
+        col("dot").as("best_dot"), col("n_overlap"))
+      .transform(Common.presented(_, col("user_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_series_knn" -> (seriesKnn _),
     "ts2_motif_match" -> (motifMatch _),
     "ts3_seasonality" -> (seasonality _),
     "ts4_sax_index" -> (saxIndex _),
-    "ts5_sax_knn" -> (saxKnn _))
+    "ts5_sax_knn" -> (saxKnn _),
+    "ts6_lead_lag" -> (leadLag _))
 
   private def daySql = s"epoch_ns(ts) // ${WindowOps.DayNanos}"
 
@@ -347,6 +388,25 @@ object TimeSeriesOps {
        |          FROM sym GROUP BY user_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts6_lead_lag" ->
+      s"""WITH c AS (SELECT user_id, $daySql AS day, count(*) AS cnt
+         |           FROM events GROUP BY user_id, ($daySql)),
+         |aligned AS (SELECT pd - lag AS day, cp, lag
+         |            FROM (SELECT day AS pd, cnt AS cp FROM c
+         |                  WHERE user_id = $ProbeUser) p
+         |            CROSS JOIN (SELECT CAST(unnest(range(-$MaxLag, ${MaxLag + 1})) AS BIGINT) AS lag) l),
+         |dots AS (SELECT user_id, lag,
+         |                CAST(sum(cnt * cp) AS BIGINT) AS dot,
+         |                count(*) AS n_overlap
+         |         FROM c JOIN aligned USING (day)
+         |         WHERE user_id <> $ProbeUser
+         |         GROUP BY user_id, lag)
+         |SELECT user_id, CAST(lag AS INT) AS best_lag, dot AS best_dot,
+         |       n_overlap
+         |FROM dots
+         |QUALIFY row_number() OVER (PARTITION BY user_id
+         |                           ORDER BY dot DESC, abs(lag), lag) = 1
+         |ORDER BY user_id""".stripMargin,
     "ts4_sax_index" ->
       s"""WITH $saxWordSql,
          |b AS (SELECT word, count(*) AS n_bucket FROM words GROUP BY word),

@@ -85,6 +85,33 @@ class QualityFilterSpec extends SparkSpec {
     assert(kept == kept.sorted.reverse, "n_kept not monotone in θ")
   }
 
+  test("qf3: every (lang, source) cell equals brute-force slice counting") {
+    val scores = QualityFilterOps.classify(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val labels = TextOps.qualityCore(Tables.documents(spark, Sf)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.getAs[String]("quality_bucket") == "ok") 1L else 0L)).toMap
+    val slices = Tables.documents(spark, Sf)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val rows = QualityFilterOps.calibrationCells(spark, Sf).collect()
+    val byCell = slices.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet == byCell.keySet)
+    rows.foreach { r =>
+      val ids = byCell((r.getString(0), r.getString(1)))
+      val kept = ids.filter(scores(_) > 0L)
+      val tp = kept.map(labels).sum
+      assert(r.getLong(2) == ids.size, "n_docs")
+      assert(r.getLong(3) == kept.size, "n_kept")
+      assert(r.getLong(4) == ids.map(labels).sum, "n_pos")
+      assert(r.getLong(5) == tp, "tp")
+      if (kept.nonEmpty)
+        assert(r.getDouble(6) == tp.toDouble / kept.size, "precision")
+      else assert(r.isNullAt(6), "precision must be NULL on an empty keep set")
+      assert(r.getDouble(7) == kept.size.toDouble / ids.size, "keep_rate")
+    }
+  }
+
   test("qf streaming: scored micro-batches equal the batch rule") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

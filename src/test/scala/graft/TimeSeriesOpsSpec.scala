@@ -138,4 +138,88 @@ class TimeSeriesOpsSpec extends SparkSpec {
       "index-served knn drifted from the banded-candidate dense reference")
     assert(got.nonEmpty, "probe bucket degenerate at fixture scale")
   }
+
+  test("ts6: best alignment lag per user == dense cross-covariance reference") {
+    val probe = counts(TimeSeriesOps.ProbeUser)
+    val expected = counts.keys.filter(_ != TimeSeriesOps.ProbeUser).toSeq
+      .sorted.flatMap { u =>
+        val series = counts(u)
+        val byLag = (-TimeSeriesOps.MaxLag to TimeSeriesOps.MaxLag).flatMap { lag =>
+          val overlap = series.keys.toSeq
+            .filter(d => probe.contains(d + lag))
+          if (overlap.isEmpty) None
+          else Some((lag,
+            overlap.map(d => series(d) * probe(d + lag)).sum,
+            overlap.size.toLong))
+        }
+        if (byLag.isEmpty) None
+        else {
+          val (lag, dot, n) = byLag.minBy { case (l, d, _) =>
+            (-d, math.abs(l), l) }
+          Some((u, lag, dot, n))
+        }
+      }
+    val got = TimeSeriesOps.leadLag(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "lead/lag alignment drifted from the dense reference")
+    assert(got.nonEmpty)
+  }
+
+  test("ts4/ts5 fuzz: random sparse series — packed words and banded candidates == scalar reference, 3 seeds") {
+    import spark.implicits._
+    for (seed <- Seq(7, 23, 41)) {
+      val rnd = new scala.util.Random(seed)
+      // random sparse counts: ~40 users, days drawn over ~5 segments'
+      // span so clipping (seg >= NumSegs) and absent segments both occur
+      val span = TimeSeriesOps.SegDays * (TimeSeriesOps.NumSegs + 1)
+      val base = 1000L + rnd.nextInt(500)
+      val rows = (0L until 40L).flatMap { u =>
+        val days = rnd.shuffle((0 until span).toList)
+          .take(1 + rnd.nextInt(span - 1))
+        days.map(d => (u, base + d, 1L + rnd.nextInt(9)))
+      }
+      val c = rows.toDF("user_id", "day", "cnt")
+      val dmin = rows.map(_._2).min
+      // a user whose every active day falls beyond the indexed window
+      // (seg >= NumSegs after clipping) has NO word row — "not active
+      // in the window → not indexed", same rule on both engines; the
+      // reference must mirror it, not invent an all-zero word
+      def indexed(u: Long): Boolean = rows.exists { case (uu, d, _) =>
+        uu == u && (d - dmin) / TimeSeriesOps.SegDays < TimeSeriesOps.NumSegs
+      }
+      def symsOf(u: Long): IndexedSeq[Long] =
+        (0 until TimeSeriesOps.NumSegs).map { seg =>
+          val ssum = rows.collect {
+            case (uu, d, cn) if uu == u &&
+              (d - dmin) / TimeSeriesOps.SegDays == seg => cn
+          }.sum
+          if (ssum == 0L) 0L
+          else if (ssum >= TimeSeriesOps.BpHigh) 3L
+          else if (ssum >= TimeSeriesOps.BpMid) 2L else 1L
+        }
+      val words = TimeSeriesOps.saxWords(c).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(words.keySet == (0L until 40L).filter(indexed).toSet,
+        s"seed $seed: indexed-user set drifted")
+      words.keys.foreach { u =>
+        val want = symsOf(u).zipWithIndex.map { case (s, i) => s << (2 * i) }.sum
+        assert(words(u) == want, s"seed $seed user $u word")
+      }
+      val probeSyms = symsOf(TimeSeriesOps.ProbeUser)
+      val wantCand =
+        if (!indexed(TimeSeriesOps.ProbeUser)) Set.empty[Long]
+        else (1L until 40L).filter(u => indexed(u) &&
+          symsOf(u).zip(probeSyms).count { case (a, b) => a != b } <= 1).toSet
+      val got = TimeSeriesOps.saxKnnCore(spark, c).collect()
+        .map(_.getLong(1)).toSet
+      // served rows are the top-K of the candidate set ranked by SSE —
+      // membership check suffices here (exact ranking is the fixture
+      // test's job); with ≤40 users the bucket fits inside TopK rarely,
+      // so assert subset + that every candidate beyond TopK was ranked
+      assert(got.subsetOf(wantCand),
+        s"seed $seed: served a non-candidate (hamming > 1)")
+      assert(got.size == math.min(wantCand.size, TimeSeriesOps.TopK),
+        s"seed $seed: served ${got.size} of ${wantCand.size} candidates")
+    }
+  }
 }
