@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName, "cms_estimate"),
       GraftExtensions.cmsEstimateBuilder))
     ext.injectFunction((
+      FunctionIdentifier("hashed_bow_score"),
+      new ExpressionInfo(classOf[graft.functions.HashedBowScore].getName,
+        "hashed_bow_score"),
+      GraftExtensions.bowScoreBuilder))
+    ext.injectFunction((
       FunctionIdentifier("asof_le"),
       new ExpressionInfo(classOf[graft.plans.AsofLE].getName, "asof_le"),
       GraftExtensions.asofLeBuilder))
@@ -113,6 +118,12 @@ object GraftExtensions {
     require(args.length == 2,
       "sorted_intersect_count(a, b) takes two sorted array<long> args")
     SortedIntersectCount(args(0), args(1))
+  }
+
+  private[graft] val bowScoreBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "hashed_bow_score(tokens, weights) takes array<string> tokens and an array<bigint> weight table")
+    graft.functions.HashedBowScore(args(0), args(1))
   }
 
   private[graft] val topkBuilder: Seq[Expression] => Expression = { args =>
@@ -175,5 +186,6 @@ object GraftExtensions {
     GraftSqlBridge.registerFunction(spark, "asof_le", asofLeBuilder)
     GraftSqlBridge.registerFunction(spark, "cms_build", cmsBuildBuilder)
     GraftSqlBridge.registerFunction(spark, "cms_estimate", cmsEstimateBuilder)
+    GraftSqlBridge.registerFunction(spark, "hashed_bow_score", bowScoreBuilder)
   }
 }

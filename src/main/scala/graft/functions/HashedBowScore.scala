@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Hashed bag-of-words linear score, compiled — the qf-tier inference
+  * kernel: `Σ_tokens weights[md5Long(token) % weights.length]`.
+  *
+  * Semantically identical to the pure-`functions._` form
+  * (`aggregate(toks, 0L, (acc, t) => acc + element_at(W, hash(t)+1))`),
+  * which QualityFilterSpec keeps as the reference — but higher-order
+  * functions are CodegenFallback with an INTERPRETED lambda invocation
+  * per element (md5 → conv → cast → element_at as five expression-tree
+  * evals per token), the same interpreter tax SimHashLong and the d2
+  * trio were built to remove. Here the whole score is one expression
+  * call per row with a compiled token loop; the weight table is the
+  * second child (an array literal from the driver — a broadcast-sized
+  * model, exactly how a real trained weight vector would arrive).
+  *
+  * The token hash reproduces `TextFunctions.md5Long` bit-for-bit (md5
+  * of the UTF-8 bytes, first 15 hex nibbles base-16), so DuckDB oracle
+  * parity is exact. Empty token arrays score 0, matching the fold's
+  * zero element on both engines.
+  */
+case class HashedBowScore(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(LongType, true)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(tokensAny: Any, weightsAny: Any): Any = {
+    val toks = tokensAny.asInstanceOf[ArrayData]
+    val weights = weightsAny.asInstanceOf[ArrayData]
+    val buckets = weights.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var sum = 0L
+    var t = 0
+    val n = toks.numElements()
+    while (t < n) {
+      md.reset()
+      val digest = md.digest(toks.getUTF8String(t).getBytes)
+      // first 15 hex chars = 15 big-endian nibbles of the digest
+      var h = 0L
+      var k = 0
+      while (k < 15) {
+        val b = digest(k / 2) & 0xff
+        h = (h << 4) | (if (k % 2 == 0) b >>> 4 else b & 0xf)
+        k += 1
+      }
+      sum += weights.getLong((h % buckets).toInt)
+      t += 1
+    }
+    sum
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HashedBowScore =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "hashed_bow_score"
+}

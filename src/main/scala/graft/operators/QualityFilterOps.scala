@@ -55,21 +55,40 @@ object QualityFilterOps {
     java.lang.Long.parseLong(hex, 16) % QfWeightSpan - 1000L
   }
 
+  /** The inference kernel as a Column: the compiled
+    * [[graft.functions.HashedBowScore]] over the literal weight array
+    * (one expression call per row; the HOF restatement it replaces runs
+    * five interpreted expression evals PER TOKEN — see
+    * [[scoreColumnReference]], kept for the spec to pin equivalence). */
+  private def scoreColumn(toks: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(graft.functions.HashedBowScore(
+      GraftSqlBridge.expression(toks),
+      GraftSqlBridge.expression(array(QfWeights.map(lit): _*))))
+  }
+
+  /** The pure-`functions._` reference form of [[scoreColumn]] —
+    * interpreter-bound (HOF lambda per element), retained ONLY as the
+    * spec-side semantic reference; operators must use the compiled
+    * expression. */
+  private[graft] def scoreColumnReference(toks: Column): Column = {
+    val w = array(QfWeights.map(lit): _*)
+    aggregate(toks, lit(0L),
+      (acc, t) => acc +
+        element_at(w, (md5Long(t) % QfBuckets).cast("int") + 1))
+  }
+
   /** Per-document classifier score over any (doc_id, text) frame —
     * sort-free and shuffle-free (one narrow projection), so it binds
     * unchanged to a streaming source. score = Σ_tokens w[bucket(tok)],
     * all integer. */
   private[graft] def scoreCore(docs: DataFrame,
       carry: Seq[Column] = Nil): DataFrame = {
-    val w = array(QfWeights.map(lit): _*)
     val toks = tokens(col("text"))
     docs.select(Seq(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
-      aggregate(toks, lit(0L),
-        (acc, t) => acc +
-          element_at(w, (md5Long(t) % QfBuckets).cast("int") + 1))
-        .as("score")) ++ carry: _*)
+      scoreColumn(toks).as("score")) ++ carry: _*)
   }
 
   /** QF1 — linear quality-classifier inference: hashed bag-of-words

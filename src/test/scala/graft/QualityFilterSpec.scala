@@ -53,6 +53,32 @@ class QualityFilterSpec extends SparkSpec {
     assert(keeps == Set(0, 1), s"degenerate keep distribution: $keeps")
   }
 
+  test("compiled HashedBowScore == the interpreted HOF reference on every fixture doc") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFunctions.tokens
+    val cmp = Tables.documents(spark, Sf).select(
+      col("doc_id"),
+      QualityFilterOps.scoreColumnReference(tokens(col("text"))).as("ref"))
+      .join(QualityFilterOps.scoreCore(Tables.documents(spark, Sf))
+        .select(col("doc_id"), col("score")), Seq("doc_id"))
+      .collect()
+    assert(cmp.nonEmpty)
+    cmp.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"doc ${r.getLong(0)}: compiled score drifted from the HOF reference"))
+  }
+
+  test("hashed_bow_score is callable from SQL with an inline weight table") {
+    GraftExtensions.register(spark)
+    // 2-bucket table: every token hashes to bucket md5Long(t) % 2
+    val r = spark.sql(
+      """SELECT hashed_bow_score(split('alpha beta', ' '),
+        |         array(CAST(10 AS BIGINT), CAST(-3 AS BIGINT))) AS s""".stripMargin)
+      .head().getLong(0)
+    val want = Seq("alpha", "beta").map(t =>
+      if (md5Long60(t) % 2 == 0) 10L else -3L).sum
+    assert(r == want)
+  }
+
   test("qf1 plan: inference is shuffle-free (only the presentation exchange)") {
     val plan = QualityFilterOps.classify(spark, Sf)
       .queryExecution.executedPlan.toString
