@@ -41,15 +41,34 @@ case class HashedBowScore(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // nullable: beyond null inputs (BinaryExpression's default), a null
+  // token element or a null weight slot yields NULL — matching the HOF
+  // reference, where md5(NULL) / a null element_at slot poison the
+  // fold to NULL. An EMPTY weight table is defined as NULL here (no
+  // model, no verdict); the HOF restatement would instead raise
+  // ANSI DIVIDE_BY_ZERO on its `% 0` — a crash is the one behavior a
+  // SQL-registered function must not have on type-checked input
+  override def nullable: Boolean = true
+
+  // one digest per task thread, not per row — the JCA provider lookup
+  // is constant overhead on exactly the per-row path this expression
+  // exists to strip (thread-local because expression instances can be
+  // shared; reset() re-arms it per token)
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   override def nullSafeEval(tokensAny: Any, weightsAny: Any): Any = {
     val toks = tokensAny.asInstanceOf[ArrayData]
     val weights = weightsAny.asInstanceOf[ArrayData]
     val buckets = weights.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    if (buckets == 0) return null
+    val md = mdLocal.get()
     var sum = 0L
     var t = 0
     val n = toks.numElements()
     while (t < n) {
+      if (toks.isNullAt(t)) return null
       md.reset()
       val digest = md.digest(toks.getUTF8String(t).getBytes)
       // first 15 hex chars = 15 big-endian nibbles of the digest
@@ -60,7 +79,9 @@ case class HashedBowScore(left: Expression, right: Expression)
         h = (h << 4) | (if (k % 2 == 0) b >>> 4 else b & 0xf)
         k += 1
       }
-      sum += weights.getLong((h % buckets).toInt)
+      val idx = (h % buckets).toInt
+      if (weights.isNullAt(idx)) return null
+      sum += weights.getLong(idx)
       t += 1
     }
     sum

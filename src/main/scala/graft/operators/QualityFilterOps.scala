@@ -124,30 +124,28 @@ object QualityFilterOps {
     * conditional sums, so precision and recall are single divisions of
     * exact integers. */
   def thresholdSweep(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(TextOps.StopWords: _*))).cast("long")
-    val nDist = size(array_distinct(toks)).cast("long")
-    val label = (nTok >= 30) && (nStop * 2L <= nTok) && (nDist * 3L >= nTok)
     // label is a pure projection of the same text the score reads, so
-    // both FUSE into one scan: scoreCore carries the label column
-    // through its projection (tx13's fusion discipline — a composed
-    // score×quality join computes identical rows but scans twice)
+    // both FUSE into one scan: scoreCore carries TextOps.okLabel (the
+    // single definition of tx2's verdict) through its projection
+    // (tx13's fusion discipline — a composed score×quality join
+    // computes identical rows but scans twice)
     val sc = scoreCore(Tables.documents(s, dir),
-      carry = Seq(when(label, 1L).otherwise(0L).as("label")))
+      carry = Seq(TextOps.okLabel.as("label")))
     val th = s.createDataFrame(
       s.sparkContext.parallelize(QfThresholds.map(Tuple1(_)), 1))
       .toDF("threshold")
-    val totals = sc.agg(count(lit(1)).as("n_docs"),
-      sum(col("label")).as("n_pos"))
+    // after the threshold cross every θ-group contains ALL docs, so the
+    // corpus totals ride along as plain aggregates of the same groupBy
+    // — no separate totals branch, no second scan of the corpus
     sc.crossJoin(broadcast(th))
       .groupBy(col("threshold"))
       .agg(
         sum(when(col("score") > col("threshold"), 1L).otherwise(0L))
           .as("n_kept"),
         sum(when(col("score") > col("threshold"), col("label"))
-          .otherwise(0L)).as("tp"))
-      .crossJoin(broadcast(totals))
+          .otherwise(0L)).as("tp"),
+        count(lit(1)).as("n_docs"),
+        sum(col("label")).as("n_pos"))
       .select(col("threshold"), col("n_kept"), col("tp"),
         col("n_docs"), col("n_pos"),
         // NULL (not NaN) when a threshold keeps nothing: Spark's
@@ -171,13 +169,8 @@ object QualityFilterOps {
     * monitor thresholds (dq2's discipline on the classifier's own
     * output). */
   def calibrationCells(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(TextOps.StopWords: _*))).cast("long")
-    val nDist = size(array_distinct(toks)).cast("long")
-    val label = (nTok >= 30) && (nStop * 2L <= nTok) && (nDist * 3L >= nTok)
     scoreCore(Tables.documents(s, dir),
-        carry = Seq(when(label, 1L).otherwise(0L).as("label"),
+        carry = Seq(TextOps.okLabel.as("label"),
           col("lang"), col("source")))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -68,6 +68,18 @@ object TextOps {
           .otherwise(lit("ok")).as("quality_bucket"))
   }
 
+  /** tx2's `ok` verdict as a 0/1 label column over `text` — THE weak
+    * label the qf tier audits against, stated ONCE so qf2/qf3 can
+    * never drift from [[qualityCore]]'s bucket rule (QualityFilterSpec
+    * asserts the equivalence through this definition). */
+  private[graft] def okLabel: Column = {
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    when((nTok >= 30) && (nStop * 2L <= nTok) && (nDist * 3L >= nTok), 1L)
+      .otherwise(0L)
+  }
+
   /** TX3 — language ID, n-gram/function-word heuristic: a doc is called
     * `en` when it contains ≥ 2 distinct English function words, else
     * `und`. (The harness `lang` column is a synthetic label over
@@ -730,8 +742,22 @@ object TextOps {
   def forgetAudit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isDel = col("doc_id") % ForgetMod === ForgetRem
+    // the request keys and the surviving keys are each consumed by all
+    // three store audits — persist both (tiny frames; the d2-signature
+    // convention) so the documents scan behind them runs once, not per
+    // audit leg. NOTE the cohort is defined by MEMBERSHIP in the
+    // request (keys drawn from documents), not by the arithmetic
+    // predicate: a derived-store row whose parent doc is already gone
+    // must NOT count as deleted — it must surface as an ORPHAN, which
+    // is the condition this audit exists to catch (the oracle states
+    // the same membership semantics).
     val delKeys = docs.filter(isDel).select(col("doc_id"))
     val liveKeys = docs.filter(!isDel).select(col("doc_id"))
+    Seq(delKeys, liveKeys).foreach { f =>
+      if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        f.persist()
+      ()
+    }
     def audit(store: String, rows: DataFrame): DataFrame = {
       val orphans = rows
         .join(broadcast(delKeys), Seq("doc_id"), "left_anti") // survivors
@@ -842,21 +868,27 @@ object TextOps {
     // min-per-md5 keeper, tx2's buckets, d10's split hash, tx17's
     // 2·cum ≤ total prefix over the eligible set
     "c4_forget_audit" -> {
+      // deleted = MEMBERSHIP in the request keys (drawn from documents),
+      // mirroring the Spark side's join — a derived-store row with an
+      // absent parent doc is NOT deleted; it is an orphan
       def storeSql(store: String, rowsSql: String) =
         s"""SELECT '$store' AS store,
            |       (SELECT count(*) FROM $rowsSql r) AS rows_before,
            |       (SELECT count(*) FROM $rowsSql r
-           |        WHERE r.doc_id % $ForgetMod = $ForgetRem) AS rows_deleted,
+           |        WHERE r.doc_id IN (SELECT doc_id FROM del)) AS rows_deleted,
            |       (SELECT count(*) FROM $rowsSql r
-           |        WHERE r.doc_id % $ForgetMod <> $ForgetRem) AS rows_after,
+           |        WHERE r.doc_id NOT IN (SELECT doc_id FROM del)) AS rows_after,
            |       (SELECT count(*) FROM $rowsSql r
-           |        WHERE r.doc_id % $ForgetMod <> $ForgetRem
-           |          AND r.doc_id NOT IN (SELECT doc_id FROM documents
-           |                               WHERE doc_id % $ForgetMod <> $ForgetRem))
+           |        WHERE r.doc_id NOT IN (SELECT doc_id FROM del)
+           |          AND r.doc_id NOT IN (SELECT doc_id FROM live))
            |         AS orphans_after""".stripMargin
-      s"""WITH postings AS (SELECT DISTINCT doc_id, tok
-         |                  FROM (SELECT doc_id, unnest($toksSql) AS tok
-         |                        FROM documents))
+      s"""WITH del AS (SELECT doc_id FROM documents
+         |             WHERE doc_id % $ForgetMod = $ForgetRem),
+         |live AS (SELECT doc_id FROM documents
+         |         WHERE doc_id % $ForgetMod <> $ForgetRem),
+         |postings AS (SELECT DISTINCT doc_id, tok
+         |             FROM (SELECT doc_id, unnest($toksSql) AS tok
+         |                   FROM documents))
          |${storeSql("documents", "documents")}
          |UNION ALL
          |${storeSql("embeddings", "(SELECT vec_id AS doc_id FROM embeddings)")}

@@ -77,6 +77,17 @@ class QualityFilterSpec extends SparkSpec {
     val want = Seq("alpha", "beta").map(t =>
       if (md5Long60(t) % 2 == 0) 10L else -3L).sum
     assert(r == want)
+    // malformed-but-type-checked SQL input must yield NULL, never a
+    // task-killing throw: null token, null weight slot, empty table
+    val edges = spark.sql(
+      """SELECT hashed_bow_score(array('a', CAST(NULL AS STRING)),
+        |         array(CAST(1 AS BIGINT))) AS null_tok,
+        |       hashed_bow_score(split('a', ' '),
+        |         array(CAST(NULL AS BIGINT))) AS null_wt,
+        |       hashed_bow_score(split('a', ' '),
+        |         CAST(array() AS ARRAY<BIGINT>)) AS empty_wt""".stripMargin)
+      .head()
+    assert(edges.isNullAt(0) && edges.isNullAt(1) && edges.isNullAt(2))
   }
 
   test("qf1 plan: inference is shuffle-free (only the presentation exchange)") {
