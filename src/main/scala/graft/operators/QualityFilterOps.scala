@@ -185,6 +185,46 @@ object QualityFilterOps {
       .transform(Common.presented(_, col("lang"), col("source")))
   }
 
+  /** The per-lang keep profile (n_ref docs, kept_ref passing the gate)
+    * — the broadcast reference [[keepDriftAgainst]] monitors micro-
+    * batches against (dq2's reference-profile shape for the
+    * classifier's own output). */
+  def keepProfile(docs: DataFrame): DataFrame =
+    scoreCore(docs, carry = Seq(col("lang")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ref"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept_ref"))
+
+  /** The classifier-DRIFT monitor core: one micro-batch scored and
+    * collapsed to per-lang keep counts, compared against the broadcast
+    * reference profile — the "is the gate suddenly starving a slice"
+    * alarm a production filter runs on every ingest batch (dq2's
+    * `driftAgainst` discipline applied to the classifier's own output).
+    * The flag is keep-RATE divergence beyond 2× either way, by integer
+    * cross-multiplication — exact, zero-count-safe, no division. A
+    * lang absent from either side surfaces with zero counts and does
+    * NOT flag (zero rows carry no rate evidence — both cross-products
+    * are 0); the consumer watches the emitted counts for
+    * novel/vanished langs, the same way dq1 separates presence checks
+    * from dq2's distribution checks. Bound per micro-batch from
+    * `foreachBatch` (QualityFilterSpec plants a zero-keep batch and
+    * pins flag, no-flag and absent-lang rows). */
+  def keepDriftAgainst(batch: DataFrame, reference: DataFrame): DataFrame = {
+    val cells = scoreCore(batch, carry = Seq(col("lang")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept_batch"))
+    reference.join(cells, Seq("lang"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "kept_ref", "n_batch", "kept_batch"))
+      .select(col("lang"), col("n_ref"), col("kept_ref"),
+        col("n_batch"), col("kept_batch"),
+        when(col("kept_batch") * col("n_ref") >
+            lit(2L) * col("kept_ref") * col("n_batch"), 1)
+          .when(col("kept_ref") * col("n_batch") >
+            lit(2L) * col("kept_batch") * col("n_ref"), 1)
+          .otherwise(0).as("drift"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qf1_classifier" -> (classify _),
     "qf2_threshold_sweep" -> (thresholdSweep _),

@@ -149,6 +149,65 @@ class QualityFilterSpec extends SparkSpec {
     }
   }
 
+  test("qf drift monitor: a low-score planted batch flags its lang; an identical-rate batch does not") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf)
+    val reference = QualityFilterOps.keepProfile(docs)
+    val refRows = reference.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val someLang = refRows.collect {
+      case (l, (_, kept)) if kept > 0 => l }.head
+    // tokens the stand-in model HATES: weight < -500 → a doc of them
+    // scores far below 0 and the gate drops it
+    val badToks = Iterator.from(0).map(i => s"tok$i")
+      .filter { t =>
+        val w = QualityFilterOps.QfWeights(
+          (md5Long60(t) % QualityFilterOps.QfBuckets).toInt)
+        w < -500L
+      }.take(5).toSeq
+    val planted = (1L to 20L).map(i =>
+      (i, badToks.mkString(" "), someLang))
+    // control batch: the lang's EXACT fixture docs → identical keep
+    // rate by construction → no flag
+    val control = docs.filter(col("lang") === someLang)
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val flags = new scala.collection.mutable.ArrayBuffer[(Long, String, Int)]
+    val q = in.toDF().toDF("doc_id", "text", "lang").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        QualityFilterOps.keepDriftAgainst(batch, reference)
+          .collect().foreach { r =>
+            flags.synchronized {
+              flags += ((id, r.getString(0), r.getAs[Int]("drift")))
+            }
+          }
+        ()
+      }.start()
+    try {
+      in.addData(control: _*)
+      q.processAllAvailable()
+      in.addData(planted: _*)
+      q.processAllAvailable()
+      val byBatch = flags.groupBy(_._1)
+      assert(byBatch(0L).collect {
+        case (_, l, d) if l == someLang => d }.head == 0,
+        "identical-rate batch must not flag")
+      assert(byBatch(1L).collect {
+        case (_, l, d) if l == someLang => d }.head == 1,
+        "planted zero-keep batch must flag its lang")
+      // a lang absent from the batch has zero batch counts on both
+      // sides of the cross-multiplication — no rate evidence, no flag
+      val other = refRows.keys.find(_ != someLang)
+      other.foreach { l =>
+        assert(byBatch(1L).collect { case (_, `l`, d) => d }.head == 0,
+          "an absent lang carries no rate evidence and must not flag")
+      }
+    } finally q.stop()
+  }
+
   test("qf streaming: scored micro-batches equal the batch rule") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
