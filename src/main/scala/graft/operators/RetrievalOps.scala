@@ -602,7 +602,83 @@ object RetrievalOps {
       .transform(Common.presented(_, col("rank")))
   }
 
+  /** ir10's graph bounds: node set size and the co-occurrence edge
+    * threshold. */
+  val CentralTermK = 40
+  val CoocMin = 5
+
+  /** IR10 — term-graph Katz centrality, integer-exact: the
+    * query-expansion graph ir8 probes (terms linked when they co-occur
+    * in ≥ [[CoocMin]] docs), restricted to the top-[[CentralTermK]]
+    * vocabulary terms by df, ranked by 3-hop Katz centrality with
+    * attenuation β = 1/4 — "which terms sit at the center of the
+    * corpus's co-occurrence structure" (the expansion-seed picker; the
+    * graph twin of d6's connected components).
+    *
+    * Determinism is the whole design: β = 1/4 makes
+    * `Σ_k β^k·paths_k(v)` a RATIONAL with denominator 4³, so the
+    * compared surface is the integer numerator
+    * `16·hop1 + 4·hop2 + hop3` over exact integer path counts
+    * (binary adjacency ⇒ hop_k ≤ K^k = 64 000 — no overflow at any
+    * corpus size) — a PageRank-style centrality with NO float
+    * division, no libm, nothing order-dependent (the tx12/ir2
+    * discipline applied to iterative graph algebra).
+    *
+    * Plan/scale: node selection is one TakeOrdered over the
+    * dictionary; the presence self-join is bounded PER DOC by the
+    * broadcast node set (≤ K² pair rows per doc, collapsed by a
+    * map-side-partial aggregate); the three hop steps are joins of a
+    * ≤K²-row edge list against ≤K-row vectors — broadcast both sides,
+    * corpus untouched after the presence collapse. At 100 TB the graph
+    * build reads the persisted presence/postings table; the iteration
+    * cost is independent of corpus size. */
+  def termCentrality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pres = docs.select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+    if (pres.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      pres.persist()
+    val dfAll = pres.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nodes = dfAll.orderBy(col("df").desc, col("tok")).limit(CentralTermK)
+    if (nodes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      nodes.persist() // ≤K rows, read by the filter, the seed and the output
+    val np = pres.join(broadcast(nodes.select(col("tok"))), Seq("tok"))
+      .select(col("doc_id"), col("tok"))
+    val edges = np.select(col("doc_id"), col("tok").as("src"))
+      .join(np.select(col("doc_id"), col("tok").as("dst")), Seq("doc_id"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= CoocMin)
+      .select(col("src"), col("dst"))
+    if (edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      edges.persist() // ≤K² rows, read by all three hop joins
+    def hop(prev: DataFrame, out: String): DataFrame =
+      edges.join(broadcast(prev.withColumnRenamed("tok", "src")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w")).as(out))
+        .select(col("dst").as("tok"), col(out).as("w"))
+    val h1 = hop(nodes.select(col("tok"), lit(1L).as("w")), "h1")
+    val h2 = hop(h1, "h2")
+    val h3 = hop(h2, "h3")
+    def named(h: DataFrame, n: String) =
+      h.select(col("tok"), col("w").as(n))
+    val scored = nodes.select(col("tok"), col("df"))
+      .join(broadcast(named(h1, "hop1")), Seq("tok"), "left")
+      .join(broadcast(named(h2, "hop2")), Seq("tok"), "left")
+      .join(broadcast(named(h3, "hop3")), Seq("tok"), "left")
+      .na.fill(0L, Seq("hop1", "hop2", "hop3"))
+      .withColumn("katz_num",
+        lit(16L) * col("hop1") + lit(4L) * col("hop2") + col("hop3"))
+    val w = Window.orderBy(col("katz_num").desc, col("tok"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("tok").as("term"), col("df"),
+        col("hop1"), col("hop2"), col("hop3"), col("katz_num"))
+      .transform(Common.presented(_, col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ir10_term_centrality" -> (termCentrality _),
     "ir9_passage" -> (passageExtract _),
     "ir8_term_cooccur" -> (termCooccur _),
     "ir1_term_stats" -> (termStats _),
@@ -665,6 +741,38 @@ object RetrievalOps {
        |FROM top ORDER BY rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ir10_term_centrality" ->
+      s"""WITH pres AS (SELECT DISTINCT doc_id, tok
+         |              FROM (SELECT doc_id, unnest($toksSql) AS tok
+         |                    FROM documents)),
+         |dfall AS (SELECT tok, count(*) AS df FROM pres GROUP BY tok),
+         |nodes AS (SELECT tok, df FROM dfall ORDER BY df DESC, tok
+         |          LIMIT $CentralTermK),
+         |np AS (SELECT doc_id, tok FROM pres
+         |       WHERE tok IN (SELECT tok FROM nodes)),
+         |edges AS (SELECT a.tok AS src, b.tok AS dst
+         |          FROM np a JOIN np b USING (doc_id)
+         |          WHERE a.tok <> b.tok
+         |          GROUP BY a.tok, b.tok HAVING count(*) >= $CoocMin),
+         |h1 AS (SELECT dst AS tok, CAST(count(*) AS BIGINT) AS w
+         |       FROM edges GROUP BY dst),
+         |h2 AS (SELECT e.dst AS tok, CAST(sum(h1.w) AS BIGINT) AS w
+         |       FROM edges e JOIN h1 ON h1.tok = e.src GROUP BY e.dst),
+         |h3 AS (SELECT e.dst AS tok, CAST(sum(h2.w) AS BIGINT) AS w
+         |       FROM edges e JOIN h2 ON h2.tok = e.src GROUP BY e.dst),
+         |sc AS (SELECT n.tok, n.df,
+         |              CAST(coalesce(h1.w, 0) AS BIGINT) AS hop1,
+         |              CAST(coalesce(h2.w, 0) AS BIGINT) AS hop2,
+         |              CAST(coalesce(h3.w, 0) AS BIGINT) AS hop3
+         |       FROM nodes n
+         |       LEFT JOIN h1 ON h1.tok = n.tok
+         |       LEFT JOIN h2 ON h2.tok = n.tok
+         |       LEFT JOIN h3 ON h3.tok = n.tok)
+         |SELECT CAST(row_number() OVER (ORDER BY 16 * hop1 + 4 * hop2 + hop3 DESC,
+         |                              tok) AS INT) AS rank,
+         |       tok AS term, df, hop1, hop2, hop3,
+         |       CAST(16 * hop1 + 4 * hop2 + hop3 AS BIGINT) AS katz_num
+         |FROM sc ORDER BY rank""".stripMargin,
     "ir9_passage" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS l FROM documents),
          |p AS (SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, l[u.i] AS tok

@@ -204,6 +204,53 @@ class RetrievalOpsSpec extends SparkSpec {
       "exactly two documents scans: candidates + stats")
   }
 
+  test("ir10: katz numerators equal a plain-Scala 3-hop path count over the rebuilt graph") {
+    import org.apache.spark.sql.functions.{col, explode, array_distinct}
+    import graft.functions.TextFunctions.tokens
+    val pres = graft.sources.Tables.documents(spark, Sf)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val df = pres.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nodes = df.toSeq.sortBy { case (t, d) => (-d, t) }
+      .take(RetrievalOps.CentralTermK).map(_._1)
+    val nodeSet = nodes.toSet
+    val byDoc = pres.filter(p => nodeSet(p._2)).groupBy(_._1)
+    val cooc = new scala.collection.mutable.HashMap[(String, String), Long]
+    byDoc.values.foreach { ps =>
+      val ts = ps.map(_._2).distinct
+      for (a <- ts; b <- ts if a != b)
+        cooc((a, b)) = cooc.getOrElse((a, b), 0L) + 1L
+    }
+    // .toSeq BEFORE collect: collecting pairs out of a Map would
+    // rebuild a Map and silently keep one dst per src
+    val edges = cooc.toSeq.collect {
+      case ((a, b), c) if c >= RetrievalOps.CoocMin => (a, b) }
+    val inEdges = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def hop(prev: Map[String, Long]): Map[String, Long] =
+      nodes.map(v => v ->
+        inEdges.getOrElse(v, Seq.empty).map(u => prev.getOrElse(u, 0L)).sum)
+        .toMap
+    val h1 = hop(nodes.map(_ -> 1L).toMap)
+    val h2 = hop(h1)
+    val h3 = hop(h2)
+    val rows = RetrievalOps.termCentrality(spark, Sf).collect()
+    assert(rows.length == nodes.length)
+    rows.foreach { r =>
+      val t = r.getString(1)
+      assert(r.getLong(2) == df(t), s"$t df")
+      assert(r.getLong(3) == h1(t), s"$t hop1")
+      assert(r.getLong(4) == h2(t), s"$t hop2")
+      assert(r.getLong(5) == h3(t), s"$t hop3")
+      assert(r.getLong(6) == 16L * h1(t) + 4L * h2(t) + h3(t), s"$t katz")
+    }
+    // the ranking is the katz order with term tie-break
+    val ranked = rows.sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    val want = nodes.sortBy(t => (-(16L * h1(t) + 4L * h2(t) + h3(t)), t))
+    assert(ranked == want)
+    // the graph is non-degenerate at fixture scale
+    assert(edges.nonEmpty && h3.values.sum > 0L)
+  }
+
   test("ir4 plan: the probed-terms filter sits below the postings shuffle") {
     val p = executed(RetrievalOps.invertedServe(spark, Sf))
     val f = all(p) { case f: FilterExec if f.condition.toString.contains("dup") => f }
