@@ -336,8 +336,13 @@ object TimeSeriesOps {
     * users with ≥1 overlapping active day in the window (no overlap →
     * no alignment evidence → no row, matching the join semantics on
     * both engines). */
-  def leadLag(s: SparkSession, dir: String): DataFrame = {
-    val c = cachedCounts(s, dir)
+  def leadLag(s: SparkSession, dir: String): DataFrame =
+    leadLagCore(cachedCounts(s, dir))
+
+  /** ts6 over ANY (user_id, day, cnt) frame — the third serving path
+    * off the standing counts state (StreamingTimeSeriesSpec binds it
+    * beside ts1/ts5). */
+  private[graft] def leadLagCore(c: DataFrame): DataFrame = {
     val probe = c.filter(col("user_id") === ProbeUser)
       .select(col("day").as("pd"), col("cnt").as("cp"))
     val aligned = probe

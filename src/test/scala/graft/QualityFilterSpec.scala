@@ -149,6 +149,28 @@ class QualityFilterSpec extends SparkSpec {
     }
   }
 
+  test("qf fuzz: random token soups — compiled score == Scala replay, 3 seeds") {
+    import spark.implicits._
+    for (seed <- Seq(11, 19, 37)) {
+      val rnd = new scala.util.Random(seed)
+      // random texts over a random vocabulary, including repeated and
+      // 1-char tokens; empty-ish docs exercise the single-token edge
+      val vocab = (0 until 50).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+      val docs = (1L to 60L).map { i =>
+        val n = 1 + rnd.nextInt(30)
+        (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val got = QualityFilterOps.scoreCore(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val want = toks.map(t => QualityFilterOps.QfWeights(
+          (md5Long60(t) % QualityFilterOps.QfBuckets).toInt)).sum
+        assert(got(id) == ((toks.length.toLong, want)), s"seed $seed doc $id")
+      }
+    }
+  }
+
   test("qf drift monitor: a low-score planted batch flags its lang; an identical-rate batch does not") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

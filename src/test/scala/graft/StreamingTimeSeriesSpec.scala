@@ -66,9 +66,13 @@ class StreamingTimeSeriesSpec extends SparkSpec {
         val servedSax = TimeSeriesOps.saxKnnCore(spark, state).collect().toSeq
         assert(servedSax == ts5,
           s"seed $seed: ts5 served from streamed state drifted from batch ts5")
+        val servedLag = TimeSeriesOps.leadLagCore(state).collect().toSeq
+        assert(servedLag == ts6,
+          s"seed $seed: ts6 served from streamed state drifted from batch ts6")
       } finally q.stop()
     }
   }
 
   private lazy val ts5 = TimeSeriesOps.saxKnn(spark, Sf).collect().toSeq
+  private lazy val ts6 = TimeSeriesOps.leadLag(spark, Sf).collect().toSeq
 }
