@@ -363,13 +363,53 @@ object TimeSeriesOps {
       .transform(Common.presented(_, col("user_id")))
   }
 
+  /** TS7 — CUSUM changepoint detection, integer-exact: per event_type,
+    * the day where the cumulative deviation of the daily count from the
+    * series mean peaks in magnitude — "when did this metric's level
+    * shift" (Page's CUSUM, the classic monitoring changepoint
+    * statistic, over ts3's daily collapse). The mean is a DIVISION, so
+    * the statistic is restated scaled by the day count N:
+    * `cusum_scaled(d) = Σ_{d'≤d} (N·cnt(d') − total)` — exactly
+    * N·(classic CUSUM), same argmax, every value an exact integer (the
+    * tx12 discipline: the consumer divides by N·1 if it wants the
+    * classic units). Peak by (|cusum| desc, day asc). Days with no
+    * events contribute deviation −total — the relational form never
+    * materializes them, so the statistic is defined over the ACTIVE-day
+    * sequence (both engines state the same rule). One daily collapse +
+    * one per-type window cumsum + one peak aggregate; at 100 TB only
+    * the collapse sees event volume (|types|×|days| rows after). */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.select(col("event_type"),
+        expr(s"(${ScanOps.tsMicrosSql(ev)}) div ${WindowOps.DayMicros}").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = Window.partitionBy(col("event_type"))
+    val cum = Window.partitionBy(col("event_type"))
+      .orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peak = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+    daily
+      .withColumn("n_days", count(lit(1)).over(stats))
+      .withColumn("total", sum(col("cnt")).over(stats))
+      .withColumn("cusum",
+        sum(col("cnt") * col("n_days") - col("total")).over(cum))
+      .withColumn("rn", row_number().over(peak))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("peak_day"),
+        col("cusum").as("peak_cusum"), col("n_days"), col("total"))
+      .transform(Common.presented(_, col("event_type")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts1_series_knn" -> (seriesKnn _),
     "ts2_motif_match" -> (motifMatch _),
     "ts3_seasonality" -> (seasonality _),
     "ts4_sax_index" -> (saxIndex _),
     "ts5_sax_knn" -> (saxKnn _),
-    "ts6_lead_lag" -> (leadLag _))
+    "ts6_lead_lag" -> (leadLag _),
+    "ts7_changepoint" -> (changepoint _))
 
   private def daySql = s"epoch_ns(ts) // ${WindowOps.DayNanos}"
 
@@ -393,6 +433,24 @@ object TimeSeriesOps {
        |          FROM sym GROUP BY user_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts7_changepoint" ->
+      s"""WITH daily AS (SELECT event_type, $daySql AS day, count(*) AS cnt
+         |               FROM events GROUP BY event_type, ($daySql)),
+         |st AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n_days,
+         |              CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+         |                AS total
+         |       FROM daily),
+         |cu AS (SELECT *, CAST(sum(cnt * n_days - total)
+         |                       OVER (PARTITION BY event_type ORDER BY day
+         |                             ROWS BETWEEN UNBOUNDED PRECEDING
+         |                             AND CURRENT ROW) AS BIGINT) AS cusum
+         |       FROM st)
+         |SELECT event_type, day AS peak_day, cusum AS peak_cusum,
+         |       n_days, total
+         |FROM cu
+         |QUALIFY row_number() OVER (PARTITION BY event_type
+         |                           ORDER BY abs(cusum) DESC, day) = 1
+         |ORDER BY event_type""".stripMargin,
     "ts6_lead_lag" ->
       s"""WITH c AS (SELECT user_id, $daySql AS day, count(*) AS cnt
          |           FROM events GROUP BY user_id, ($daySql)),

@@ -165,6 +165,35 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("ts7: peak scaled-CUSUM day == scalar replay over the active-day sequence") {
+    import org.apache.spark.sql.functions.{col, expr, count, lit}
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val daily = ev.select(col("event_type"),
+        expr(s"(${graft.operators.ScanOps.tsMicrosSql(ev)}) div ${graft.operators.WindowOps.DayMicros}")
+          .as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val rows = TimeSeriesOps.changepoint(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSet == daily.keySet)
+    rows.foreach { r =>
+      val series = daily(r.getString(0)).toSeq.sortBy(_._1)
+      val n = series.length.toLong
+      val total = series.map(_._2).sum
+      var c = 0L
+      val cusums = series.map { case (d, cnt) =>
+        c += cnt * n - total; (d, c) }
+      val (wantDay, wantCusum) = cusums.minBy { case (d, cu) =>
+        (-math.abs(cu), d) }
+      assert(r.getLong(1) == wantDay, s"${r.getString(0)} peak day")
+      assert(r.getLong(2) == wantCusum, s"${r.getString(0)} peak cusum")
+      assert(r.getLong(3) == n && r.getLong(4) == total)
+      // the scaled statistic telescopes to 0 at the series end — the
+      // invariant that proves the deviations are against the true mean
+      assert(cusums.last._2 == 0L, s"${r.getString(0)} cusum must end at 0")
+    }
+  }
+
   test("ts4/ts5 fuzz: random sparse series — packed words and banded candidates == scalar reference, 3 seeds") {
     import spark.implicits._
     for (seed <- Seq(7, 23, 41)) {
