@@ -214,14 +214,20 @@ object QualityFilterOps {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_batch"),
         sum(when(col("score") > 0, 1L).otherwise(0L)).as("kept_batch"))
+    // cross-products in DOUBLE, the ir8 guard: each long operand
+    // converts exactly below 2^53, and at the 100 TB design point a
+    // corpus-scale reference (n_ref ~10^12) times a wide batch would
+    // push the i64 product past 2^63 — ANSI overflow killing the
+    // monitor batch, or a silent wrap flipping the flag
+    def d(c: Column) = c.cast("double")
     reference.join(cells, Seq("lang"), "full_outer")
       .na.fill(0L, Seq("n_ref", "kept_ref", "n_batch", "kept_batch"))
       .select(col("lang"), col("n_ref"), col("kept_ref"),
         col("n_batch"), col("kept_batch"),
-        when(col("kept_batch") * col("n_ref") >
-            lit(2L) * col("kept_ref") * col("n_batch"), 1)
-          .when(col("kept_ref") * col("n_batch") >
-            lit(2L) * col("kept_batch") * col("n_ref"), 1)
+        when(d(col("kept_batch")) * d(col("n_ref")) >
+            lit(2d) * d(col("kept_ref")) * d(col("n_batch")), 1)
+          .when(d(col("kept_ref")) * d(col("n_batch")) >
+            lit(2d) * d(col("kept_batch")) * d(col("n_ref")), 1)
           .otherwise(0).as("drift"))
   }
 

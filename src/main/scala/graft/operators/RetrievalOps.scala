@@ -524,11 +524,8 @@ object RetrievalOps {
     val docs = Tables.documents(s, dir)
     // the presence collapse feeds three consumers (dictionary + both
     // pair-join sides) — persist it, the cachedCounts/ir5 convention
-    val pres = docs.select(col("doc_id"),
-      explode(array_distinct(toks)).as("tok"))
-    if (pres.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      pres.persist()
-    val dfAll = pres.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pres = presenceOf(docs)
+    val dfAll = presenceDf(pres)
     val nRow = docs.agg(count(lit(1)).as("n_docs"))
     val pairs = pres.filter(col("tok").isin(QueryTerms: _*))
       .select(col("doc_id"), col("tok").as("term"))
@@ -602,6 +599,24 @@ object RetrievalOps {
       .transform(Common.presented(_, col("rank")))
   }
 
+  /** The per-doc DISTINCT term presence (doc_id, tok) — ONE definition
+    * shared by ir8's co-occurrence expansion and ir10's centrality
+    * graph (their documented graph identity rests on this being the
+    * same collapse, and so does the cross-query cache hit), persisted
+    * because every caller reads it 2-3 times. */
+  private def presenceOf(docs: DataFrame): DataFrame = {
+    val pres = docs.select(col("doc_id"),
+      explode(array_distinct(toks)).as("tok"))
+    if (pres.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      pres.persist()
+    pres
+  }
+
+  /** The (tok, df) dictionary of a presence frame — ir8/ir10's twin of
+    * [[dictFrom]] (which counts over tf postings, same values). */
+  private def presenceDf(pres: DataFrame): DataFrame =
+    pres.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
   /** ir10's graph bounds: node set size and the co-occurrence edge
     * threshold. */
   val CentralTermK = 40
@@ -634,10 +649,8 @@ object RetrievalOps {
     * cost is independent of corpus size. */
   def termCentrality(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pres = docs.select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-    if (pres.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      pres.persist()
-    val dfAll = pres.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val pres = presenceOf(docs)
+    val dfAll = presenceDf(pres)
     val nodes = dfAll.orderBy(col("df").desc, col("tok")).limit(CentralTermK)
     if (nodes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       nodes.persist() // ≤K rows, read by the filter, the seed and the output

@@ -50,6 +50,21 @@ object TextOps {
 
   /** Quality core over any (doc_id, text) frame — sort-free, so it
     * binds unchanged to a streaming source (StreamingCurationSpec). */
+  /** tx2's bucket rule as ONE column expression over `text` — the
+    * single definition every consumer composes (qualityCore, the
+    * curation cells, the c1/c2 manifests, and the qf tier's weak label
+    * through [[okLabel]]), so a threshold edit cannot silently
+    * desynchronize them. */
+  private[graft] def qualityBucketCol: Column = {
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    when(nTok < 30, lit("too_short"))
+      .when(nStop * 2L > nTok, lit("boilerplate"))
+      .when(nDist * 3L < nTok, lit("repetitive"))
+      .otherwise(lit("ok"))
+  }
+
   def qualityCore(docs: DataFrame): DataFrame = {
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
@@ -62,23 +77,17 @@ object TextOps {
         (nStop / nTok).as("stop_ratio"),
         (nDist / nTok).as("distinct_ratio"),
         ((length(col("text")) - nTok + 1L) / nTok).as("mean_tok_len"),
-        when(nTok < 30, lit("too_short"))
-          .when(nStop * 2L > nTok, lit("boilerplate"))
-          .when(nDist * 3L < nTok, lit("repetitive"))
-          .otherwise(lit("ok")).as("quality_bucket"))
+        qualityBucketCol.as("quality_bucket"))
   }
 
   /** tx2's `ok` verdict as a 0/1 label column over `text` — THE weak
-    * label the qf tier audits against, stated ONCE so qf2/qf3 can
-    * never drift from [[qualityCore]]'s bucket rule (QualityFilterSpec
-    * asserts the equivalence through this definition). */
-  private[graft] def okLabel: Column = {
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
-    val nDist = size(array_distinct(toks)).cast("long")
-    when((nTok >= 30) && (nStop * 2L <= nTok) && (nDist * 3L >= nTok), 1L)
-      .otherwise(0L)
-  }
+    * label the qf tier audits against, DERIVED from
+    * [[qualityBucketCol]] so label == bucket by construction on every
+    * input, including the NULL-text edge where a restated predicate
+    * would fall to a different branch (QualityFilterSpec asserts the
+    * equivalence). */
+  private[graft] def okLabel: Column =
+    when(qualityBucketCol === "ok", 1L).otherwise(0L)
 
   /** TX3 — language ID, n-gram/function-word heuristic: a doc is called
     * `en` when it contains ≥ 2 distinct English function words, else
@@ -435,16 +444,11 @@ object TextOps {
     * tx2's bucket rule and d10's split rule over one scan. */
   def curationCells(docs: DataFrame): DataFrame = {
     val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
-    val nDist = size(array_distinct(toks)).cast("long")
     val headKey = md5(concat_ws(" ",
       slice(toks, 1, DedupOps.HeadKeyTokens)))
     val bucketNo = md5Long(concat(lit("split:"), headKey)) % 100
     docs.select(
-      when(nTok < 30, lit("too_short"))
-        .when(nStop * 2L > nTok, lit("boilerplate"))
-        .when(nDist * 3L < nTok, lit("repetitive"))
-        .otherwise(lit("ok")).as("quality_bucket"),
+      qualityBucketCol.as("quality_bucket"),
       when(bucketNo < DedupOps.SplitTrainPct, lit("train"))
         .when(bucketNo < DedupOps.SplitTrainPct + DedupOps.SplitValPct, lit("val"))
         .otherwise(lit("test")).as("split"),
@@ -635,9 +639,6 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val nTokBpe = aggregate(toks, lit(0L),
       (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
-    val nTok = size(toks).cast("long")
-    val nStop = size(filter(toks, t => t.isin(StopWords: _*))).cast("long")
-    val nDist = size(array_distinct(toks)).cast("long")
     val kw = Window.partitionBy(col("content_key")).orderBy(col("doc_id"))
     // split fused as one more column of the SAME projection (d10's
     // rule via DedupOps.splitCol): a second documents scan joined back
@@ -648,10 +649,7 @@ object TextOps {
         md5(col("text")).as("content_key"),
         size(array_distinct(toks)).cast("long").as("score"),
         nTokBpe.as("n_tok"),
-        when(nTok < 30, lit("too_short"))
-          .when(nStop * 2L > nTok, lit("boilerplate"))
-          .when(nDist * 3L < nTok, lit("repetitive"))
-          .otherwise(lit("ok")).as("quality_bucket"),
+        qualityBucketCol.as("quality_bucket"),
         graft.operators.DedupOps.splitCol.as("split"))
       .withColumn("krn", row_number().over(kw))
       // c1: no semantic stage — constant 0 folds out of every predicate

@@ -156,7 +156,11 @@ object TimeSeriesOps {
     * collapse (|types|×|days| rows) is the only wide aggregate; the
     * lag self-join runs on that collapsed frame, so cost is
     * independent of event volume. */
-  def seasonality(s: SparkSession, dir: String): DataFrame = {
+  /** The per-(event_type, day) daily collapse — ONE definition shared
+    * by ts3's seasonality and ts7's changepoint (a day-bucketing edit
+    * cannot desynchronize them), persisted because ts3 reads it twice
+    * and a same-session ts7 reuses the cached plan. */
+  private def cachedTypeDaily(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val daily = ev.select(col("event_type"),
         expr(s"(${ScanOps.tsMicrosSql(ev)}) div ${WindowOps.DayMicros}").as("day"))
@@ -164,6 +168,11 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("cnt"))
     if (daily.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       daily.persist()
+    daily
+  }
+
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = cachedTypeDaily(s, dir)
     // equi-join on (event_type, day+lag): the shifted day is a computed
     // key column, so Catalyst plans a hash join — never a per-type
     // cross of the day grid
@@ -379,11 +388,7 @@ object TimeSeriesOps {
     * one per-type window cumsum + one peak aggregate; at 100 TB only
     * the collapse sees event volume (|types|×|days| rows after). */
   def changepoint(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val daily = ev.select(col("event_type"),
-        expr(s"(${ScanOps.tsMicrosSql(ev)}) div ${WindowOps.DayMicros}").as("day"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("cnt"))
+    val daily = cachedTypeDaily(s, dir)
     val stats = Window.partitionBy(col("event_type"))
     val cum = Window.partitionBy(col("event_type"))
       .orderBy(col("day"))
