@@ -280,7 +280,14 @@ object ScanOps {
     * 100 TB: bucket the log by user_id and the exchange disappears;
     * appending a day's changes re-versions only the tail (max version
     * per entity, same partitioning). */
-  def scd2(s: SparkSession, dir: String): DataFrame = {
+  def scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Core(s, dir)
+      .transform(Common.presented(_, col("user_id"), col("version")))
+
+  /** The s7 history rows pre-presentation — ONE definition shared with
+    * s9's vacuum (a version/interval rule edit cannot desynchronize
+    * the history from its retention job). */
+  private def scd2Core(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -295,12 +302,45 @@ object ScanOps {
         col("ts").as("valid_from"),
         col("next_ts").as("valid_to"),
         when(col("next_ts").isNull, 1).otherwise(0).as("is_current"))
-      .transform(Common.presented(_, col("user_id"), col("version")))
+  }
+
+  /** s9's retention cutoff (inside the fixture's event range, the s8
+    * constant convention). */
+  val VacuumCutoff = "2024-01-15 00:00:00"
+
+  /** S9 — SCD-2 history VACUUM audit: apply the retention policy "drop
+    * CLOSED versions fully expired before [[VacuumCutoff]], never the
+    * open row" to s7's history and emit the per-entity audit — versions
+    * before, dropped, after, whether the current row survived (must be
+    * 1 — the invariant the spec pins), and the earliest retained
+    * valid_from. This is the reference's cleanup discipline
+    * (`sink/InvoiceRetrySink.java` deletes claimed retry rows;
+    * `TransactionalLogAndDeleteSink` log-and-deletes staged rows)
+    * applied to the CDC history table — the unbounded-growth leak
+    * SURVEY §2.10 flags, closed at the history layer the way x17
+    * closes it at the index layer. One user_id window (shared with
+    * s7's versioning) + one per-user conditional aggregate; at rest
+    * the vacuum is a partition rewrite of the history table (x17's
+    * dynamic-partition-overwrite discipline) and this audit is its
+    * commit gate. */
+  def historyVacuum(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit(VacuumCutoff))
+    val drop = col("is_current") === 0 && col("valid_to") <= cutoff
+    scd2Core(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(drop, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!drop, 1L).otherwise(0L)).as("n_after"),
+        max(col("is_current")).as("has_current"),
+        min(when(!drop, col("valid_from"))).as("oldest_retained_from"))
+      .transform(Common.presented(_, col("user_id")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s2_scan_in" -> (scanIn _),
     "s7_scd2" -> (scd2 _),
+    "s9_history_vacuum" -> (historyVacuum _),
     "s3_scan_out" -> (scanOut _),
     "s4_retry_claim" -> (retryClaim _),
     "s5_max_id" -> (maxId _),
@@ -339,6 +379,27 @@ object ScanOps {
     // both engines window over the same physical ts precision (the
     // CAST is a no-op on timestamp[us] input), so the version order
     // agrees; ties break on event_id on both sides
+    "s9_history_vacuum" ->
+      s"""WITH h AS (SELECT user_id,
+        |                  CAST(ts AS TIMESTAMP) AS valid_from,
+        |                  CAST(lead(ts, 1) OVER w AS TIMESTAMP) AS valid_to,
+        |                  CASE WHEN lead(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END
+        |                    AS is_current
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |m AS (SELECT *, CASE WHEN is_current = 0
+        |                      AND valid_to <= TIMESTAMP '$VacuumCutoff'
+        |                     THEN 1 ELSE 0 END AS dropped
+        |      FROM h)
+        |SELECT user_id,
+        |       count(*) AS n_before,
+        |       CAST(sum(dropped) AS BIGINT) AS n_dropped,
+        |       CAST(sum(1 - dropped) AS BIGINT) AS n_after,
+        |       CAST(max(is_current) AS INT) AS has_current,
+        |       min(CASE WHEN dropped = 0 THEN valid_from END)
+        |         AS oldest_retained_from
+        |FROM m GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "s7_scd2" ->
       """SELECT user_id,
         |       CAST(row_number() OVER w AS INT) AS version,

@@ -69,6 +69,36 @@ class HistoryOpsSpec extends SparkSpec {
     }
   }
 
+  test("s9: vacuum audit == replay of the retention rule over s7; current rows always survive") {
+    val cutoff = java.sql.Timestamp.valueOf(ScanOps.VacuumCutoff)
+    val history = ScanOps.scd2(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("user_id"))
+    val rows = ScanOps.historyVacuum(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSet == history.keySet)
+    rows.foreach { r =>
+      val vs = history(r.getAs[Long]("user_id"))
+      val dropped = vs.filter { v =>
+        v.getAs[Int]("is_current") == 0 &&
+          !v.getAs[java.sql.Timestamp]("valid_to").after(cutoff)
+      }
+      assert(r.getAs[Long]("n_before") == vs.length)
+      assert(r.getAs[Long]("n_dropped") == dropped.length)
+      assert(r.getAs[Long]("n_after") == vs.length - dropped.length)
+      // the invariant the audit exists to gate: the open row survives
+      // every retention policy
+      assert(r.getAs[Int]("has_current") == 1)
+      val retainedFroms = vs.filterNot(dropped.contains)
+        .map(_.getAs[java.sql.Timestamp]("valid_from"))
+      assert(r.getAs[java.sql.Timestamp]("oldest_retained_from") ==
+        retainedFroms.min((a: java.sql.Timestamp, b: java.sql.Timestamp) =>
+          a.compareTo(b)))
+    }
+    // the policy is non-vacuous at fixture scale: something drops,
+    // nothing drops everything
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum > 0L)
+    assert(rows.forall(_.getAs[Long]("n_after") >= 1L))
+  }
+
   test("w9: island algebra matches a plain-Scala reference") {
     val evRaw = Tables.events(spark, Sf)
     val days = evRaw
