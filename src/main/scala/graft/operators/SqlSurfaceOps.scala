@@ -73,12 +73,38 @@ object SqlSurfaceOps {
       .transform(Common.presented(_, org.apache.spark.sql.functions.col("l_event_id")))
   }
 
+  /** SX4 — the qf1 classifier in pure SQL: `hashed_bow_score` resolved
+    * from the registry, the 64-weight model inlined as a SQL array
+    * literal (exactly what a SQL-first user pastes after loading their
+    * weight table), the verdict arithmetic in plain SQL — oracle is
+    * qf1's VERBATIM, so the SQL-text path must hash-match the
+    * DataFrame path bit-for-bit. */
+  def sqlClassifier(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables.documents(s, dir).createOrReplaceTempView("documents_sqlsurface")
+    val weights = QualityFilterOps.QfWeights
+      .map(w => s"CAST($w AS BIGINT)").mkString("array(", ", ", ")")
+    s.sql(
+      s"""SELECT doc_id,
+         |       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+         |       hashed_bow_score(split(text, ' '), $weights) AS score,
+         |       hashed_bow_score(split(text, ' '), $weights)
+         |         / CAST(size(split(text, ' ')) AS BIGINT) AS mean_score,
+         |       CASE WHEN hashed_bow_score(split(text, ' '), $weights) > 0
+         |            THEN 1 ELSE 0 END AS keep
+         |FROM documents_sqlsurface
+         |ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sx1_sql_signatures" -> (sqlSignatures _),
     "sx2_sql_topk" -> (sqlTopkByNorm _),
-    "sx3_sql_asof" -> (sqlAsof _))
+    "sx3_sql_asof" -> (sqlAsof _),
+    "sx4_sql_classifier" -> (sqlClassifier _))
 
   val oracles: Map[String, String] = Map(
+    // qf1's oracle verbatim: SQL-text path == DataFrame path == DuckDB
+    "sx4_sql_classifier" -> QualityFilterOps.oracles("qf1_classifier"),
     // same oracle as jx4/jx5: the SQL-text path must agree bit-for-bit
     // with the DataFrame-API path and DuckDB's native ASOF JOIN
     "sx3_sql_asof" -> JoinOps.asofOracle,
