@@ -171,8 +171,14 @@ object TimeSeriesOps {
     daily
   }
 
-  def seasonality(s: SparkSession, dir: String): DataFrame = {
-    val daily = cachedTypeDaily(s, dir)
+  def seasonality(s: SparkSession, dir: String): DataFrame =
+    seasonalityCore(cachedTypeDaily(s, dir))
+
+  /** ts3 over ANY (event_type, day, cnt) frame — the per-type daily
+    * counts are streaming-aggregation state exactly like ts1's
+    * per-user counts, and this core serves from that standing state
+    * unchanged (StreamingTimeSeriesSpec). */
+  private[graft] def seasonalityCore(daily: DataFrame): DataFrame = {
     // equi-join on (event_type, day+lag): the shifted day is a computed
     // key column, so Catalyst plans a hash join — never a per-type
     // cross of the day grid
@@ -387,8 +393,12 @@ object TimeSeriesOps {
     * sequence (both engines state the same rule). One daily collapse +
     * one per-type window cumsum + one peak aggregate; at 100 TB only
     * the collapse sees event volume (|types|×|days| rows after). */
-  def changepoint(s: SparkSession, dir: String): DataFrame = {
-    val daily = cachedTypeDaily(s, dir)
+  def changepoint(s: SparkSession, dir: String): DataFrame =
+    changepointCore(cachedTypeDaily(s, dir))
+
+  /** ts7 over ANY (event_type, day, cnt) frame — serves from the same
+    * standing daily-counts state as [[seasonalityCore]]. */
+  private[graft] def changepointCore(daily: DataFrame): DataFrame = {
     val stats = Window.partitionBy(col("event_type"))
     val cum = Window.partitionBy(col("event_type"))
       .orderBy(col("day"))

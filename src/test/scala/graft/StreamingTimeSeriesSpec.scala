@@ -75,4 +75,46 @@ class StreamingTimeSeriesSpec extends SparkSpec {
 
   private lazy val ts5 = TimeSeriesOps.saxKnn(spark, Sf).collect().toSeq
   private lazy val ts6 = TimeSeriesOps.leadLag(spark, Sf).collect().toSeq
+
+  test("streamed (event_type, day) count state serves ts3 and ts7 == their batch twins, 3 seeds") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ts3 = TimeSeriesOps.seasonality(spark, Sf).collect().toSeq
+    val ts7 = TimeSeriesOps.changepoint(spark, Sf).collect().toSeq
+    val events = {
+      val ev = graft.sources.Tables.events(spark, Sf)
+      ev.select(col("event_type"),
+          expr(s"(${graft.operators.ScanOps.tsMicrosSql(ev)}) div ${graft.operators.WindowOps.DayMicros}")
+            .as("day"))
+        .as[(String, Long)].collect().toVector
+    }
+    for (seed <- Seq(3, 17, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[(String, Long)]
+      val counts = in.toDF().toDF("event_type", "day")
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val name = s"ts_typedaily_state_$seed"
+      val q = counts.writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+      try {
+        var rest = rnd.shuffle(events)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(700))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        // rebuild as a local frame (the MemorySink single-attribute-set
+        // caveat above) before serving both analytics from it
+        val state = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+          .toDF("event_type", "day", "cnt")
+        assert(TimeSeriesOps.seasonalityCore(state).collect().toSeq == ts3,
+          s"seed $seed: ts3 from streamed state drifted")
+        assert(TimeSeriesOps.changepointCore(state).collect().toSeq == ts7,
+          s"seed $seed: ts7 from streamed state drifted")
+      } finally q.stop()
+    }
+  }
 }
