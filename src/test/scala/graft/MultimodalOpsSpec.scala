@@ -71,4 +71,37 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(fs.filter(col("sample_seq") === 0 && col("frame_idx") =!= 0).count() === 0)
     fs.unpersist()
   }
+
+  test("streaming media ingest: stateful digest dedup drops byte-identical assets within and across batches") {
+    // m5's rule as a STREAM — re-crawled/mirrored media arrive in later
+    // micro-batches; only the (kind, digest) dedup state can know to
+    // drop them. Only the 32-char digest enters state: the payload
+    // bytes are dropped before the stateful operator, the same
+    // hash-before-group discipline m5's batch shuffle uses at 100 TB.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val deduped = in.toDF().toDF("media_id", "kind", "payload")
+      .withColumn("digest", org.apache.spark.sql.functions.md5(col("payload")))
+      .select(col("media_id"), col("kind"), col("digest"))
+      .dropDuplicates("kind", "digest")
+    val q = deduped.writeStream.format("memory")
+      .queryName("media_dedup_stream").outputMode("append").start()
+    try {
+      val a = Array[Byte](1, 2, 3, 4)
+      val b = Array[Byte](9, 9, 9)
+      in.addData((1L, "image", a), (2L, "image", b),
+        (3L, "image", a.clone())) // same bytes, same batch
+      q.processAllAvailable()
+      in.addData((4L, "image", a.clone()), // same bytes, later batch
+        (5L, "audio", a.clone()), // same bytes, DIFFERENT modality → kept
+        (6L, "image", Array[Byte](7)))
+      q.processAllAvailable()
+      val kept = spark.table("media_dedup_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 5L, 6L),
+        s"expected first-copy-per-(kind, digest) survivors, got $kept")
+    } finally q.stop()
+  }
 }
