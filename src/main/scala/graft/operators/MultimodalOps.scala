@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -74,11 +74,17 @@ object MultimodalOps {
     * before grouping at 100 TB. */
   def mediaDedup(s: SparkSession, dir: String): DataFrame =
     media(s, dir)
-      .groupBy(col("kind"), md5(col("payload")).as("digest"))
+      .groupBy(col("kind"), mediaDigest.as("digest"))
       .agg(min(col("media_id")).as("keep_id"),
         count(lit(1)).as("n_copies"),
         max(length(col("payload"))).as("n_bytes"))
       .transform(Common.presented(_, col("kind"), col("keep_id")))
+
+  /** m5's dedup key over a `payload` column — ONE definition shared by
+    * the batch groupBy and the streaming stateful-dedup binding
+    * (MultimodalOpsSpec), so a digest change cannot desynchronize
+    * them. */
+  private[graft] def mediaDigest: Column = md5(col("payload"))
 
   /** One decoded-media feature row (what a real image/audio decoder
     * would emit per payload). */

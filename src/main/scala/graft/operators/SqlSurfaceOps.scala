@@ -84,15 +84,17 @@ object SqlSurfaceOps {
     Tables.documents(s, dir).createOrReplaceTempView("documents_sqlsurface")
     val weights = QualityFilterOps.QfWeights
       .map(w => s"CAST($w AS BIGINT)").mkString("array(", ", ", ")")
+    // score computed ONCE in a subquery — the kernel is CodegenFallback,
+    // so Catalyst's common-subexpression elimination is not guaranteed
+    // to collapse repeated calls (and one sits in a CASE branch)
     s.sql(
-      s"""SELECT doc_id,
-         |       CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
-         |       hashed_bow_score(split(text, ' '), $weights) AS score,
-         |       hashed_bow_score(split(text, ' '), $weights)
-         |         / CAST(size(split(text, ' ')) AS BIGINT) AS mean_score,
-         |       CASE WHEN hashed_bow_score(split(text, ' '), $weights) > 0
-         |            THEN 1 ELSE 0 END AS keep
-         |FROM documents_sqlsurface
+      s"""SELECT doc_id, n_tokens, score,
+         |       score / n_tokens AS mean_score,
+         |       CASE WHEN score > 0 THEN 1 ELSE 0 END AS keep
+         |FROM (SELECT doc_id,
+         |             CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens,
+         |             hashed_bow_score(split(text, ' '), $weights) AS score
+         |      FROM documents_sqlsurface)
          |ORDER BY doc_id""".stripMargin)
   }
 

@@ -36,10 +36,16 @@ object TimeSeriesOps {
   /** ts2's motif length (the probe's trailing window, in days). */
   val MotifLen = 3
 
+  /** The day-grid projection `ts → day index` — THE one definition of
+    * "a day" for the whole ts family and its streaming fixtures (a
+    * bucketing edit cannot desynchronize operators from the specs'
+    * streamed state). */
+  private[graft] def dayOf(ev: DataFrame): Column =
+    expr(s"(${ScanOps.tsMicrosSql(ev)}) div ${WindowOps.DayMicros}")
+
   private[graft] def dayCounts(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    ev.select(col("user_id"),
-        expr(s"(${ScanOps.tsMicrosSql(ev)}) div ${WindowOps.DayMicros}").as("day"))
+    ev.select(col("user_id"), dayOf(ev).as("day"))
       .groupBy(col("user_id"), col("day"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -162,8 +168,7 @@ object TimeSeriesOps {
     * and a same-session ts7 reuses the cached plan. */
   private def cachedTypeDaily(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-    val daily = ev.select(col("event_type"),
-        expr(s"(${ScanOps.tsMicrosSql(ev)}) div ${WindowOps.DayMicros}").as("day"))
+    val daily = ev.select(col("event_type"), dayOf(ev).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("cnt"))
     if (daily.storageLevel == org.apache.spark.storage.StorageLevel.NONE)

@@ -70,7 +70,12 @@ class HistoryOpsSpec extends SparkSpec {
   }
 
   test("s9: vacuum audit == replay of the retention rule over s7; current rows always survive") {
-    val cutoff = java.sql.Timestamp.valueOf(ScanOps.VacuumCutoff)
+    // parse as UTC — the query's to_timestamp runs in the UTC session
+    // timezone, but Timestamp.valueOf would use the JVM default and
+    // shift the cutoff instant on a non-UTC host
+    val cutoff = java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(ScanOps.VacuumCutoff.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC))
     val history = ScanOps.scd2(spark, Sf).collect()
       .groupBy(_.getAs[Long]("user_id"))
     val rows = ScanOps.historyVacuum(spark, Sf).collect()

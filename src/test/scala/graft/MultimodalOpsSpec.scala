@@ -83,7 +83,7 @@ class MultimodalOpsSpec extends SparkSpec {
     import spark.implicits._
     val in = MemoryStream[(Long, String, Array[Byte])]
     val deduped = in.toDF().toDF("media_id", "kind", "payload")
-      .withColumn("digest", org.apache.spark.sql.functions.md5(col("payload")))
+      .withColumn("digest", MultimodalOps.mediaDigest) // m5's shared key
       .select(col("media_id"), col("kind"), col("digest"))
       .dropDuplicates("kind", "digest")
     val q = deduped.writeStream.format("memory")

@@ -26,7 +26,7 @@ class StreamingTimeSeriesSpec extends SparkSpec {
     val events = {
       val ev = graft.sources.Tables.events(spark, Sf)
       ev.select(col("user_id"),
-          expr(s"(${graft.operators.ScanOps.tsMicrosSql(ev)}) div ${graft.operators.WindowOps.DayMicros}")
+          TimeSeriesOps.dayOf(ev)
             .as("day"))
         .as[(Long, Long)].collect().toVector
     }
@@ -84,7 +84,7 @@ class StreamingTimeSeriesSpec extends SparkSpec {
     val events = {
       val ev = graft.sources.Tables.events(spark, Sf)
       ev.select(col("event_type"),
-          expr(s"(${graft.operators.ScanOps.tsMicrosSql(ev)}) div ${graft.operators.WindowOps.DayMicros}")
+          TimeSeriesOps.dayOf(ev)
             .as("day"))
         .as[(String, Long)].collect().toVector
     }

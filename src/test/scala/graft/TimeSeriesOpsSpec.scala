@@ -34,7 +34,7 @@ class TimeSeriesOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, expr, count, lit}
     val ev = graft.sources.Tables.events(spark, Sf)
     val daily = ev.select(col("event_type"),
-        expr(s"(${graft.operators.ScanOps.tsMicrosSql(ev)}) div ${graft.operators.WindowOps.DayMicros}")
+        TimeSeriesOps.dayOf(ev)
           .as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
       .collect().groupBy(_.getString(0))
@@ -169,7 +169,7 @@ class TimeSeriesOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, expr, count, lit}
     val ev = graft.sources.Tables.events(spark, Sf)
     val daily = ev.select(col("event_type"),
-        expr(s"(${graft.operators.ScanOps.tsMicrosSql(ev)}) div ${graft.operators.WindowOps.DayMicros}")
+        TimeSeriesOps.dayOf(ev)
           .as("day"))
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
       .collect().groupBy(_.getString(0))
