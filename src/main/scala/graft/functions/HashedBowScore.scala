@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -26,18 +25,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * zero element on both engines.
   */
 case class HashedBowScore(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), ArrayType(LongType, false)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (ArrayType(StringType, _), ArrayType(LongType, true)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<string>, array<bigint>), got " +
-          s"(${l.simpleString}, ${r.simpleString})")
-    }
+  // ImplicitCastInputTypes (not bare ExpectsInputTypes) so a SQL caller
+  // writing hashed_bow_score(toks, array(10, -3)) gets the array<int>
+  // weight literal coerced to array<bigint> by Catalyst instead of a
+  // type-check failure that forces per-element CASTs at the call site
+  // (returns Seq[DataType] — covariant with the trait's AbstractDataType,
+  // which is private[sql] in Spark 4 and so unnameable here)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(LongType))
 
   override def dataType: DataType = LongType
 

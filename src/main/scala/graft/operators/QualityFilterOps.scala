@@ -240,13 +240,21 @@ object QualityFilterOps {
   private val weightsSql =
     s"""(SELECT j, ${md5LongSql("'qfw' || CAST(j AS VARCHAR)")} % $QfWeightSpan - 1000 AS wt
        |      FROM (SELECT CAST(unnest(range($QfBuckets)) AS BIGINT) AS j))""".stripMargin
+  // n_tokens is len() per DOCUMENT (not a count of unnested token rows)
+  // and the score sum left-joins back, so a document whose token list is
+  // NULL (null text) still emits its row with NULL n_tokens/score —
+  // matching the Spark side's size()/null-poisoned projection instead of
+  // vanishing from the oracle under a null-text fixture regen
   private val scoreSql =
-    s"""SELECT doc_id, count(*) AS n_tokens, CAST(sum(wt) AS BIGINT) AS score
-       |      FROM (SELECT doc_id, ${md5LongSql("t.tok")} % $QfBuckets AS j
-       |            FROM (SELECT doc_id, unnest($toksSql) AS tok
-       |                  FROM documents) t) f
-       |      JOIN w USING (j)
-       |      GROUP BY doc_id""".stripMargin
+    s"""SELECT d.doc_id, len($toksSql) AS n_tokens, sums.score
+       |      FROM documents d
+       |      LEFT JOIN (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score
+       |                 FROM (SELECT doc_id, ${md5LongSql("t.tok")} % $QfBuckets AS j
+       |                       FROM (SELECT doc_id, unnest($toksSql) AS tok
+       |                             FROM documents) t) f
+       |                 JOIN w USING (j)
+       |                 GROUP BY doc_id) sums
+       |      ON sums.doc_id = d.doc_id""".stripMargin
   private val stopList =
     TextOps.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val labelSql =

@@ -324,7 +324,15 @@ object ScanOps {
     * dynamic-partition-overwrite discipline) and this audit is its
     * commit gate. */
   def historyVacuum(s: SparkSession, dir: String): DataFrame = {
-    val cutoff = to_timestamp(lit(VacuumCutoff))
+    // timezone-explicit cutoff: parse the policy constant as a UTC wall
+    // time and ship the resulting instant as a literal, so the retention
+    // boundary cannot silently shift in an embedder running a non-UTC
+    // spark.sql.session.timeZone (to_timestamp(lit(...)) would parse in
+    // session tz; the DuckDB oracle's naive TIMESTAMP literal is UTC
+    // under the harness convention)
+    val cutoff = lit(java.sql.Timestamp.from(
+      java.time.LocalDateTime.parse(VacuumCutoff.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)))
     val drop = col("is_current") === 0 && col("valid_to") <= cutoff
     scd2Core(s, dir)
       .groupBy(col("user_id"))

@@ -88,6 +88,12 @@ class QualityFilterSpec extends SparkSpec {
         |         CAST(array() AS ARRAY<BIGINT>)) AS empty_wt""".stripMargin)
       .head()
     assert(edges.isNullAt(0) && edges.isNullAt(1) && edges.isNullAt(2))
+    // an array<int> weight literal coerces via ImplicitCastInputTypes —
+    // a SQL caller does not have to CAST every weight to BIGINT by hand
+    val coerced = spark.sql(
+      "SELECT hashed_bow_score(split('alpha beta', ' '), array(10, -3)) AS s")
+      .head().getLong(0)
+    assert(coerced == want, "int weight literals must coerce to bigint")
   }
 
   test("qf1 plan: inference is shuffle-free (only the presentation exchange)") {
@@ -114,8 +120,15 @@ class QualityFilterSpec extends SparkSpec {
       assert(r.getLong(1) == kept.size, s"θ=$th n_kept")
       assert(r.getLong(2) == tp, s"θ=$th tp")
       assert(r.getLong(3) == scores.size && r.getLong(4) == nPos)
-      assert(r.getDouble(5) == tp.toDouble / kept.size)
-      assert(r.getDouble(6) == tp.toDouble / nPos)
+      // branch like the qf3 test: on a fixture where a high threshold
+      // keeps zero docs the operator's guard yields NULL precision — an
+      // unconditional getDouble would NPE instead of failing an assert
+      if (kept.nonEmpty)
+        assert(r.getDouble(5) == tp.toDouble / kept.size, s"θ=$th precision")
+      else assert(r.isNullAt(5), s"θ=$th precision must be NULL on empty keep")
+      if (nPos > 0)
+        assert(r.getDouble(6) == tp.toDouble / nPos, s"θ=$th recall")
+      else assert(r.isNullAt(6), s"θ=$th recall must be NULL with no positives")
     }
     // monotonicity: raising the threshold never keeps more
     val kept = rows.map(_.getLong(1)).toSeq
