@@ -35,6 +35,9 @@ object ShingleExpressions {
 
   def maxRunLength(toks: Column): Column =
     GraftSqlBridge.column(MaxRunLength(GraftSqlBridge.expression(toks)))
+
+  def winnowedFingerprintSet(toks: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowedFingerprintSet(GraftSqlBridge.expression(toks), k, w))
 }
 
 /** Longest run of equal adjacent elements in a string array, one
@@ -173,6 +176,125 @@ case class HashedShingleSet(child: Expression, k: Int)
     copy(child = newChild)
 
   override def prettyName: String = "hashed_shingle_set"
+}
+
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+  * — the MOSS algorithm) over the word k-grams of a token array, one
+  * compiled pass per row: hash every k-gram with [[HashedShingleSet]]'s
+  * exact gram rule (md5 of the space-joined gram → 60-bit long → mod
+  * [[TextFunctions.HashMod]]), slide a window of `w` consecutive grams,
+  * select the MINIMUM hash of each window, and return the sorted
+  * DISTINCT selected hashes.
+  *
+  * Why this beats shipping every gram: the selection keeps an expected
+  * 2/(w+1) fraction of gram hashes but GUARANTEES that any token run of
+  * length ≥ w+k−1 shared by two documents contributes at least one
+  * common fingerprint (every length-(w+k−1) run spans a full window of
+  * k-grams, and both documents select the same minimum inside it) — the
+  * local-guarantee property plain sampling lacks. Fingerprints are a
+  * hash SET per document, so the tie position inside a window is
+  * irrelevant here (ties share the hash value); the selection is
+  * `min(h)` per window on both engines, which is what the DuckDB oracle
+  * restates relationally (offset-exploded window membership → group-min
+  * → distinct).
+  *
+  * Window geometry: gram positions 0..G−1 (G = tokens−k+1); window
+  * starts q = 0..max(G−w, 0), window q covering positions
+  * [q, min(q+w−1, G−1)] — so a document shorter than w grams still
+  * yields one whole-document window, and fewer than k tokens yields an
+  * empty set (DuckDB's generate_series is naturally empty there). The
+  * slide is a monotone-deque minimum — O(G) total, not O(G·w). */
+case class WinnowedFingerprintSet(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "gram width must be >= 1")
+  require(w >= 1, "winnowing window must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val tokBytes = new Array[Array[Byte]](n)
+    var t = 0
+    // null elements contribute nothing to a gram (HashedShingleSet's
+    // concat_ws convention), so gram hashes agree with the d2/d4 tier
+    while (t < n) {
+      tokBytes(t) = if (toks.isNullAt(t)) null else toks.getUTF8String(t).getBytes
+      t += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = Array[Byte](' ')
+    val g = n - k + 1
+    val hs = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      md.reset()
+      var d = 0
+      var written = 0
+      while (d < k) {
+        if (tokBytes(i + d) != null) {
+          if (written > 0) md.update(space)
+          md.update(tokBytes(i + d))
+          written += 1
+        }
+        d += 1
+      }
+      val digest = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 15) {
+        val b = digest(j / 2) & 0xff
+        h = (h << 4) | (if (j % 2 == 0) b >>> 4 else b & 0xf)
+        j += 1
+      }
+      hs(i) = h % TextFunctions.HashMod
+      i += 1
+    }
+    // monotone deque over positions: deque holds candidate minima of the
+    // current window in increasing hash order; selections accumulate per
+    // window start q = 0..max(g-w, 0)
+    val nWin = math.max(g - w, 0) + 1
+    val out = new Array[Long](nWin)
+    val deque = new Array[Int](g)
+    var head = 0
+    var tail = 0 // exclusive
+    var p = 0
+    var q = 0
+    while (p < g) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(p)) tail -= 1
+      deque(tail) = p
+      tail += 1
+      // window q = p-w+1 is complete once p reaches q+w-1; the final
+      // (possibly short) window when g < w completes at p = g-1
+      if (p >= w - 1 || p == g - 1) {
+        while (deque(head) < p - w + 1) head += 1 // expire left-of-window
+        out(q) = hs(deque(head))
+        q += 1
+      }
+      p += 1
+    }
+    java.util.Arrays.sort(out)
+    var wr = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(wr - 1)) { out(wr) = out(i); wr += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (wr == out.length) out else java.util.Arrays.copyOf(out, wr))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowedFingerprintSet =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnowed_fingerprint_set"
 }
 
 /** The full MinHash signature — `array_min(transform(hs, h → (h·a+b)

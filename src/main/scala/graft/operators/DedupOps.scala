@@ -743,6 +743,70 @@ object DedupOps {
       .agg(max(when(isDup, 1).otherwise(0)).as("is_pruned"))
   }
 
+  /** d17 winnowing geometry: word 4-grams, window of 4 grams — the
+    * guarantee is "any shared token run of ≥ k+w−1 = 7 tokens yields a
+    * shared fingerprint"; expected index density 2/(w+1) = 40% of gram
+    * hashes. */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** d17's over-common-fingerprint cap: a fingerprint appearing in more
+    * than this many documents is boilerplate, not provenance, and is
+    * dropped before pairing (the MOSS practice, and tx6's
+    * document-frequency discipline — it also BOUNDS the per-hash pair
+    * fan-out at Cap², making worst-case pair count linear in distinct
+    * fingerprints). */
+  val WinnowCap = 10L
+
+  /** D17 — winnowing fingerprint match (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS local-fingerprinting algorithm): every
+    * document is reduced to the winnowed selection of its word-4-gram
+    * hashes (min hash per sliding window of [[WinnowW]] grams — ONE
+    * compiled pass per row, [[graft.functions.WinnowedFingerprintSet]]),
+    * over-common fingerprints are dropped ([[WinnowCap]]), and documents
+    * are paired by shared surviving fingerprints. Where d4's blocked
+    * Jaccard measures whole-document set similarity inside a blocking
+    * key, winnowing detects LOCAL overlap — a paragraph lifted between
+    * otherwise-unrelated documents — with a hard guarantee: any shared
+    * run of ≥ [[WinnowK]]+[[WinnowW]]−1 tokens is detected, while only
+    * ~2/(w+1) of gram hashes ever leave the scan.
+    *
+    * 100 TB plan: the selection runs inside the document scan (no text
+    * leaves the task); the only wide exchanges are the fingerprint-key
+    * shuffle (density-reduced by winnowing) and the pair aggregate,
+    * and the cap bounds any hash bucket's join fan-out at Cap² pairs —
+    * the same guard that keeps d4's blocks and d2's LSH buckets out of
+    * O(n²). */
+  def winnowing(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions._
+    val fp = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(winnowedFingerprintSet(tokens(col("text")), WinnowK, WinnowW))
+          .as("h"))
+    // fingerprints are distinct per doc (expression postcondition), so
+    // the window count IS document frequency; kept is read three times
+    // (per-doc totals + both pair sides) — persist per the
+    // multi-consumer rule
+    val kept = fp
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("nd") <= WinnowCap)
+      .select(col("doc_id"), col("h"))
+    if (kept.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      kept.persist()
+    val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(cnt.select(col("doc_id").as("a"), col("nfp").as("fp_a")), Seq("a"))
+      .join(cnt.select(col("doc_id").as("b"), col("nfp").as("fp_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_shared"), col("fp_a"), col("fp_b"),
+        (col("n_shared").cast("double") /
+          least(col("fp_a"), col("fp_b")).cast("double")).as("overlap"))
+      .transform(Common.presented(_, col("a"), col("b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
@@ -761,7 +825,8 @@ object DedupOps {
     "d12_split_leakage" -> (splitLeakage _),
     "d13_incremental_clusters" -> (incrementalClusters _),
     "d14_containment" -> (containment _),
-    "d16_semdedup" -> (semDedup _))
+    "d16_semdedup" -> (semDedup _),
+    "d17_winnowing" -> (winnowing _))
 
   /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
     * as a recursive-closure CTE. */
@@ -1034,7 +1099,34 @@ object DedupOps {
          |FROM h ORDER BY doc_id""".stripMargin,
     // x3's cell-assignment CTE with cent_cos kept; the prune predicate
     // restates the Spark filter verbatim (same fold, same tie-break)
-    "d16_semdedup" -> s"$d16CoreSql\nORDER BY a.vec_id")
+    "d16_semdedup" -> s"$d16CoreSql\nORDER BY a.vec_id",
+    "d17_winnowing" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, u.p AS p, ${tokHashSql("gs[u.p]")} AS h, len(gs) AS ng
+         |  FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), WinnowK)} AS gs
+         |        FROM documents) dd,
+         |       unnest(generate_series(1, len(gs))) AS u(p)),
+         |sel AS (
+         |  SELECT doc_id, p - o.o AS q, min(h) AS h
+         |  FROM g, unnest(generate_series(0, ${WinnowW - 1})) AS o(o)
+         |  WHERE p - o.o >= 1 AND p - o.o <= greatest(ng - ${WinnowW - 1}, 1)
+         |  GROUP BY doc_id, p - o.o),
+         |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+         |kept AS (SELECT doc_id, h FROM
+         |           (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS nd
+         |            FROM fp)
+         |         WHERE nd <= $WinnowCap),
+         |cnt AS (SELECT doc_id, count(*) AS nfp FROM kept GROUP BY doc_id),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+         |          FROM kept x JOIN kept y
+         |            ON x.h = y.h AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, n_shared, ca.nfp AS fp_a, cb.nfp AS fp_b,
+         |       CAST(n_shared AS DOUBLE) / least(ca.nfp, cb.nfp) AS overlap
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = pairs.a
+         |JOIN cnt cb ON cb.doc_id = pairs.b
+         |ORDER BY a, b""".stripMargin)
 
   /** The d16 oracle body minus its presentation ORDER BY — c2 embeds
     * it as the semantic-dedup stage CTE (the d5→d11 convention: any

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.DedupOps
+import graft.sources.Tables
 
 /** The banding schemes' DETERMINISTIC guarantees (probabilistic recall
   * is measured by x5; these are the cases where the math promises 100%):
@@ -114,5 +115,101 @@ class DedupGuaranteesSpec extends SparkSpec {
     // exchange, which partitions on doc_id but is not hash)
     val docEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
     assert(docEx === 1, s"corpus side shuffled more than the agg:\n$plan")
+  }
+
+  /** Plain-Scala winnowing reference: gram hashes via the shared md5
+    * rule, min per sliding window (window q covers gram positions
+    * [q, min(q+w−1, G−1)], q = 0..max(G−w, 0)), distinct sorted. */
+  private def winnowRef(toks: Seq[String], k: Int, w: Int): Seq[Long] = {
+    def md5Long60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    if (toks.length < k) return Seq.empty
+    val hs = toks.sliding(k).map(g =>
+      md5Long60(g.mkString(" ")) % graft.functions.TextFunctions.HashMod).toArray
+    val g = hs.length
+    (0 to math.max(g - w, 0)).map { q =>
+      hs.slice(q, math.min(q + w, g)).min
+    }.distinct.sorted
+  }
+
+  test("d17's compiled winnowing == the plain-Scala reference (seeded fuzz)") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    // lengths straddle every geometry edge: < k tokens, exactly k,
+    // fewer grams than the window, and long runs with repeats
+    val docs = (0 until 60).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    import spark.implicits._
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.ShingleExpressions.winnowedFingerprintSet(
+          split(col("text"), " "), DedupOps.WinnowK, DedupOps.WinnowW).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    docs.foreach { case (id, text) =>
+      val toks = if (text.isEmpty) Seq("") else text.split(" ").toSeq
+      val want = winnowRef(toks, DedupOps.WinnowK, DedupOps.WinnowW)
+      assert(got(id) == want, s"doc $id (${toks.length} tokens)")
+    }
+  }
+
+  test("d17 guarantee: a shared run of k+w-1 tokens always yields a shared fingerprint") {
+    // two documents share exactly one 7-token run (k+w−1 = 7) embedded
+    // in otherwise-disjoint text: winnowing's local guarantee says the
+    // full window of k-grams inside the run selects the same minimum
+    // on both sides — so the pair MUST surface in d17's output
+    val run = (0 until DedupOps.WinnowK + DedupOps.WinnowW - 1)
+      .map(i => s"shared$i")
+    val a = ((0 until 20).map(i => s"left$i") ++ run ++
+      (0 until 20).map(i => s"lA$i")).mkString(" ")
+    val b = ((0 until 20).map(i => s"right$i") ++ run ++
+      (0 until 20).map(i => s"rB$i")).mkString(" ")
+    import spark.implicits._
+    val fps = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.ShingleExpressions.winnowedFingerprintSet(
+          split(col("text"), " "), DedupOps.WinnowK, DedupOps.WinnowW).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val shared = fps(1L) intersect fps(2L)
+    assert(shared.nonEmpty, "guaranteed shared fingerprint missing")
+    // and a run ONE token shorter carries no guarantee from these
+    // disjoint surroundings (no full gram window fits inside it)
+    val short = run.dropRight(1)
+    val a2 = ((0 until 20).map(i => s"left$i") ++ short ++
+      (0 until 20).map(i => s"lA$i")).mkString(" ")
+    val b2 = ((0 until 20).map(i => s"right$i") ++ short ++
+      (0 until 20).map(i => s"rB$i")).mkString(" ")
+    val ref1 = winnowRef(a2.split(" ").toSeq, DedupOps.WinnowK, DedupOps.WinnowW).toSet
+    val ref2 = winnowRef(b2.split(" ").toSeq, DedupOps.WinnowK, DedupOps.WinnowW).toSet
+    // not asserted empty (a lucky minimum can still collide) — just
+    // strictly weaker than the guaranteed case on this fixture
+    assert(ref1.intersect(ref2).size <= shared.size)
+  }
+
+  test("d17 on the harness corpus: density reduced, exact-dup pairs at full overlap") {
+    // winnowing keeps a strict subset of gram hashes per doc...
+    val both = Tables.documents(spark, Sf).limit(50)
+      .select(col("doc_id"),
+        size(graft.functions.ShingleExpressions.winnowedFingerprintSet(
+          split(col("text"), " "), DedupOps.WinnowK, DedupOps.WinnowW)).as("nw"),
+        size(graft.functions.ShingleExpressions.hashedShingleSet(
+          split(col("text"), " "), DedupOps.WinnowK)).as("ng"))
+      .collect()
+    both.foreach(r => assert(r.getInt(1) <= r.getInt(2) &&
+      (r.getInt(2) == 0 || r.getInt(1) > 0), s"doc ${r.getLong(0)}"))
+    // ...and byte-identical documents (d1's exact-dup ground truth)
+    // surface as winnowing pairs with overlap 1.0 — unless the cap
+    // dropped every fingerprint (boilerplate-only docs)
+    val dupPairs = DedupOps.exact(spark, Sf).filter(col("n_copies") >= 2)
+    assert(dupPairs.count() > 0) // non-vacuous on harness data
+    val winnowed = DedupOps.winnowing(spark, Sf)
+      .filter(col("overlap") === 1.0).count()
+    assert(winnowed > 0, "no full-overlap winnowing pair on a corpus with exact dups")
   }
 }
