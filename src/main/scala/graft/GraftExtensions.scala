@@ -122,7 +122,7 @@ object GraftExtensions {
 
   private[graft] val bowScoreBuilder: Seq[Expression] => Expression = { args =>
     require(args.length == 2,
-      "hashed_bow_score(tokens, weights) takes array<string> tokens and an array<bigint> weight table")
+      "hashed_bow_score(tokens, weights) takes array<string> tokens and an integral-element weight table")
     graft.functions.HashedBowScore(args(0), args(1))
   }
 

@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
 /** Hashed bag-of-words linear score, compiled — the qf-tier inference
   * kernel: `Σ_tokens weights[md5Long(token) % weights.length]`.
@@ -25,16 +26,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * zero element on both engines.
   */
 case class HashedBowScore(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with CodegenFallback {
 
-  // ImplicitCastInputTypes (not bare ExpectsInputTypes) so a SQL caller
-  // writing hashed_bow_score(toks, array(10, -3)) gets the array<int>
-  // weight literal coerced to array<bigint> by Catalyst instead of a
-  // type-check failure that forces per-element CASTs at the call site
-  // (returns Seq[DataType] — covariant with the trait's AbstractDataType,
-  // which is private[sql] in Spark 4 and so unnameable here)
-  override def inputTypes: Seq[DataType] =
-    Seq(ArrayType(StringType), ArrayType(LongType))
+  // NO implicit input coercion: under a non-ANSI session the legacy
+  // coercion rules would silently narrow array<double> or parse-cast
+  // array<string> weight tables to array<bigint> (truncating/nulling a
+  // model) where this check fails loudly in EVERY session mode.
+  // Integral widening — the one safe coercion a SQL caller actually
+  // wants (hashed_bow_score(toks, array(10, -3)) is array<int>) — is
+  // handled natively by the element reader instead of a cast.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _),
+            ArrayType(ByteType | ShortType | IntegerType | LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "hashed_bow_score requires (array<string> tokens, array<integral> " +
+          s"weights); got ($l, $r) — fractional or string weight tables " +
+          "must be cast explicitly (a silent narrowing would corrupt the model)")
+    }
+
+  // the width-specific weight reader, resolved once per element type
+  @transient private lazy val readWeight: (ArrayData, Int) => Long =
+    right.dataType.asInstanceOf[ArrayType].elementType match {
+      case LongType    => (a, i) => a.getLong(i)
+      case IntegerType => (a, i) => a.getInt(i).toLong
+      case ShortType   => (a, i) => a.getShort(i).toLong
+      case ByteType    => (a, i) => a.getByte(i).toLong
+      case other => throw new IllegalStateException(
+        s"unreachable after checkInputDataTypes: $other")
+    }
 
   override def dataType: DataType = LongType
 
@@ -78,7 +99,7 @@ case class HashedBowScore(left: Expression, right: Expression)
       }
       val idx = (h % buckets).toInt
       if (weights.isNullAt(idx)) return null
-      sum += weights.getLong(idx)
+      sum += readWeight(weights, idx)
       t += 1
     }
     sum

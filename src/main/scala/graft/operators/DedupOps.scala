@@ -777,20 +777,28 @@ object DedupOps {
     * and the cap bounds any hash bucket's join fan-out at Cap² pairs —
     * the same guard that keeps d4's blocks and d2's LSH buckets out of
     * O(n²). */
-  def winnowing(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.ShingleExpressions._
-    val fp = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(winnowedFingerprintSet(tokens(col("text")), WinnowK, WinnowW))
-          .as("h"))
+  def winnowing(s: SparkSession, dir: String): DataFrame =
+    winnowingCore(Tables.documents(s, dir))
+      .transform(Common.presented(_, col("a"), col("b")))
+
+  /** d17's body over any (`doc_id`, `text`) frame — the unit the
+    * planted-document specs and the incremental/streaming bindings
+    * reuse. */
+  def winnowingCore(docs: DataFrame): DataFrame = {
+    val fp = winnowedFingerprints(docs)
     // fingerprints are distinct per doc (expression postcondition), so
-    // the window count IS document frequency; kept is read three times
-    // (per-doc totals + both pair sides) — persist per the
-    // multi-consumer rule
-    val kept = fp
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("nd") <= WinnowCap)
-      .select(col("doc_id"), col("h"))
+    // the hash count IS document frequency — computed as a
+    // pre-aggregation (map-side partials: only (h, count) pairs cross
+    // its exchange) whose over-cap survivors are BOILERPLATE hashes, a
+    // set at most |fp|/Cap and in practice tiny, so it broadcasts into
+    // an anti-join and the full-width (doc_id, h) frame is never
+    // shuffled just to learn its DF (at extreme scale the same set
+    // rides an ap3-style bloom filter instead of an exact broadcast);
+    // kept is read three times (per-doc totals + both pair sides) —
+    // persist per the multi-consumer rule
+    val overCap = fp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > WinnowCap).select(col("h"))
+    val kept = fp.join(broadcast(overCap), Seq("h"), "left_anti")
     if (kept.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       kept.persist()
     val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
@@ -804,7 +812,94 @@ object DedupOps {
       .select(col("a"), col("b"), col("n_shared"), col("fp_a"), col("fp_b"),
         (col("n_shared").cast("double") /
           least(col("fp_a"), col("fp_b")).cast("double")).as("overlap"))
-      .transform(Common.presented(_, col("a"), col("b")))
+  }
+
+  /** The winnowed-fingerprint explode shared by d17 and d18: one row
+    * per (doc, surviving fingerprint), selection entirely in-scan. */
+  private[operators] def winnowedFingerprints(docs: DataFrame): DataFrame = {
+    import graft.functions.ShingleExpressions._
+    docs.select(col("doc_id"),
+      explode(winnowedFingerprintSet(tokens(col("text")), WinnowK, WinnowW))
+        .as("h"))
+  }
+
+  /** The corpus's standing winnowing index: winnowed fingerprints with
+    * the boilerplate cap applied using CORPUS document frequency only —
+    * the frozen artifact a re-crawl batch probes (d7's key-index
+    * discipline; at 100 TB this is a persisted table bucketed on `h`,
+    * so the probe join is exchange-free on the index side). */
+  def winnowingIndex(corpus: DataFrame): DataFrame = {
+    val fp = winnowedFingerprints(corpus)
+    val overCap = fp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > WinnowCap).select(col("h"))
+    fp.join(broadcast(overCap), Seq("h"), "left_anti")
+  }
+
+  /** D18 — INCREMENTAL winnowing match, the d7/d15 re-crawl discipline
+    * applied to d17's local-overlap detector: an incoming snapshot
+    * batch is winnowed and probed against the corpus's FROZEN
+    * fingerprint index ([[winnowingIndex]]) — the corpus is never
+    * re-fingerprinted per batch, and batch docs are NOT paired with
+    * each other (that is d17's job on the merged corpus). Per incoming
+    * doc: its surviving fingerprint count, how many corpus docs share
+    * any fingerprint, the best match (most shared fingerprints, ties
+    * to the smallest corpus doc), and a verdict — any surviving shared
+    * fingerprint means a detected lifted run (winnowing's guarantee),
+    * so `overlaps_corpus` vs `new`.
+    *
+    * 100 TB plan: only the batch's fingerprints shuffle (the index is
+    * at rest, bucketed on `h`); the cap inherited from the index bounds
+    * any hash bucket's probe fan-out at [[WinnowCap]] corpus rows; the
+    * per-doc windows share one `doc_id` exchange. Verdicts are per-row
+    * independent given the frozen index, so the streaming binding
+    * (micro-batched probe, StreamingWinnowSpec) equals this batch form
+    * under any arrival order or batch cut. */
+  def winnowingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val incoming = docs.filter(col("doc_id") % IncomingMod === 0)
+    val corpus = docs.filter(col("doc_id") % IncomingMod =!= 0)
+    winnowingIncrementalAgainst(incoming, winnowingIndex(corpus))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
+  /** D18 production-shape core: verdict an incoming (`doc_id`, `text`)
+    * batch against a standing fingerprint index (`doc_id`, `h`). The
+    * batch side carries NO cap of its own — boilerplate hashes are
+    * already absent from the index, so they simply miss. */
+  def winnowingIncrementalAgainst(incoming: DataFrame,
+      index: DataFrame, cacheBatch: Boolean = true): DataFrame = {
+    val bfp = winnowedFingerprints(incoming)
+    // read twice: per-doc totals + the probe join — but a long-running
+    // streaming monitor calls this per micro-batch and must not
+    // accumulate per-batch persists (the appendManifest convention)
+    if (cacheBatch &&
+        bfp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      bfp.persist()
+    val nfp = bfp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    val hits = bfp
+      .join(index.select(col("doc_id").as("match_doc"), col("h")), Seq("h"))
+      .groupBy(col("doc_id"), col("match_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+    // both windows key on doc_id — one exchange serves the pair
+    val best = hits
+      .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("n_shared").desc, col("match_doc"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_cand"), col("match_doc"), col("n_shared"))
+    incoming.select(col("doc_id"))
+      .join(nfp, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nfp"), lit(0L)).as("nfp"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("match_doc"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_shared") > 0,
+          col("n_shared").cast("double") / col("nfp").cast("double"))
+          .as("overlap"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, lit("overlaps_corpus"))
+          .otherwise(lit("new")).as("verdict"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -826,7 +921,8 @@ object DedupOps {
     "d13_incremental_clusters" -> (incrementalClusters _),
     "d14_containment" -> (containment _),
     "d16_semdedup" -> (semDedup _),
-    "d17_winnowing" -> (winnowing _))
+    "d17_winnowing" -> (winnowing _),
+    "d18_winnowing_incremental" -> (winnowingIncremental _))
 
   /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
     * as a recursive-closure CTE. */
@@ -1101,17 +1197,7 @@ object DedupOps {
     // restates the Spark filter verbatim (same fold, same tie-break)
     "d16_semdedup" -> s"$d16CoreSql\nORDER BY a.vec_id",
     "d17_winnowing" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, u.p AS p, ${tokHashSql("gs[u.p]")} AS h, len(gs) AS ng
-         |  FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), WinnowK)} AS gs
-         |        FROM documents) dd,
-         |       unnest(generate_series(1, len(gs))) AS u(p)),
-         |sel AS (
-         |  SELECT doc_id, p - o.o AS q, min(h) AS h
-         |  FROM g, unnest(generate_series(0, ${WinnowW - 1})) AS o(o)
-         |  WHERE p - o.o >= 1 AND p - o.o <= greatest(ng - ${WinnowW - 1}, 1)
-         |  GROUP BY doc_id, p - o.o),
-         |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+      s"""WITH $d17FpCtesSql,
          |kept AS (SELECT doc_id, h FROM
          |           (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS nd
          |            FROM fp)
@@ -1126,7 +1212,58 @@ object DedupOps {
          |FROM pairs
          |JOIN cnt ca ON ca.doc_id = pairs.a
          |JOIN cnt cb ON cb.doc_id = pairs.b
-         |ORDER BY a, b""".stripMargin)
+         |ORDER BY a, b""".stripMargin,
+    // d17's shared fp CTEs split on the d7/d15 snapshot modulus; the
+    // cap is computed from CORPUS document frequency only (the frozen
+    // index), and the batch carries no cap of its own
+    "d18_winnowing_incremental" ->
+      s"""WITH $d17FpCtesSql,
+         |corpus AS (SELECT doc_id, h FROM fp WHERE doc_id % $IncomingMod <> 0),
+         |overcap AS (SELECT h FROM corpus GROUP BY h
+         |            HAVING count(*) > $WinnowCap),
+         |idx AS (SELECT c.doc_id, c.h FROM corpus c
+         |        LEFT JOIN overcap o ON c.h = o.h WHERE o.h IS NULL),
+         |batch AS (SELECT doc_id, h FROM fp WHERE doc_id % $IncomingMod = 0),
+         |nf AS (SELECT doc_id, count(*) AS nfp FROM batch GROUP BY doc_id),
+         |hits AS (SELECT b.doc_id, i.doc_id AS match_doc,
+         |                count(*) AS n_shared
+         |         FROM batch b JOIN idx i ON b.h = i.h GROUP BY 1, 2),
+         |best AS (SELECT doc_id, match_doc, n_shared,
+         |                count(*) OVER (PARTITION BY doc_id) AS n_cand
+         |         FROM hits
+         |         QUALIFY row_number() OVER (PARTITION BY doc_id
+         |                   ORDER BY n_shared DESC, match_doc) = 1)
+         |SELECT d.doc_id,
+         |       coalesce(n.nfp, 0) AS nfp,
+         |       coalesce(b.n_cand, 0) AS n_cand,
+         |       b.match_doc,
+         |       coalesce(b.n_shared, 0) AS n_shared,
+         |       CASE WHEN coalesce(b.n_shared, 0) > 0
+         |            THEN CAST(b.n_shared AS DOUBLE) / n.nfp END AS overlap,
+         |       CASE WHEN coalesce(b.n_shared, 0) > 0
+         |            THEN 'overlaps_corpus' ELSE 'new' END AS verdict
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
+         |LEFT JOIN nf n ON n.doc_id = d.doc_id
+         |LEFT JOIN best b ON b.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+
+  /** d17/d18's shared DuckDB fingerprint derivation: `fp(doc_id, h)` =
+    * each document's DISTINCT winnowed word-[[WinnowK]]-gram hashes
+    * (window of [[WinnowW]], rightmost-minimum tie rule via the
+    * per-window-position min over the gram-position group). ONE
+    * definition feeds both oracles so the selection can't drift. */
+  private lazy val d17FpCtesSql: String =
+    s"""g AS (
+       |  SELECT doc_id, u.p AS p, ${tokHashSql("gs[u.p]")} AS h, len(gs) AS ng
+       |  FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), WinnowK)} AS gs
+       |        FROM documents) dd,
+       |       unnest(generate_series(1, len(gs))) AS u(p)),
+       |sel AS (
+       |  SELECT doc_id, p - o.o AS q, min(h) AS h
+       |  FROM g, unnest(generate_series(0, ${WinnowW - 1})) AS o(o)
+       |  WHERE p - o.o >= 1 AND p - o.o <= greatest(ng - ${WinnowW - 1}, 1)
+       |  GROUP BY doc_id, p - o.o),
+       |fp AS (SELECT DISTINCT doc_id, h FROM sel)""".stripMargin
 
   /** The d16 oracle body minus its presentation ORDER BY — c2 embeds
     * it as the semantic-dedup stage CTE (the d5→d11 convention: any

@@ -203,13 +203,46 @@ class DedupGuaranteesSpec extends SparkSpec {
       .collect()
     both.foreach(r => assert(r.getInt(1) <= r.getInt(2) &&
       (r.getInt(2) == 0 || r.getInt(1) > 0), s"doc ${r.getLong(0)}"))
-    // ...and byte-identical documents (d1's exact-dup ground truth)
-    // surface as winnowing pairs with overlap 1.0 — unless the cap
-    // dropped every fingerprint (boilerplate-only docs)
-    val dupPairs = DedupOps.exact(spark, Sf).filter(col("n_copies") >= 2)
-    assert(dupPairs.count() > 0) // non-vacuous on harness data
-    val winnowed = DedupOps.winnowing(spark, Sf)
-      .filter(col("overlap") === 1.0).count()
-    assert(winnowed > 0, "no full-overlap winnowing pair on a corpus with exact dups")
+    // ...and byte-identical documents surface as winnowing pairs with
+    // overlap 1.0 — the pair is PLANTED in-test (the sf0.001 fixture
+    // has zero exact-duplicate text groups, so asserting on the corpus
+    // would be asserting fixture composition), next to an unrelated
+    // doc that must not pair at all
+    import spark.implicits._
+    val dupText = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val otherText = (0 until 30).map(i => s"zzz$i").mkString(" ")
+    val planted = Seq((1L, dupText), (2L, dupText), (3L, otherText))
+      .toDF("doc_id", "text")
+    val out = DedupOps.winnowingCore(planted).collect()
+    val full = out.filter(_.getAs[Double]("overlap") == 1.0)
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(full === Set((1L, 2L)),
+      s"expected exactly the planted dup pair at overlap 1.0, got $full")
+    assert(out.forall(r => r.getAs[Long]("a") != 3L && r.getAs[Long]("b") != 3L),
+      "the unrelated doc must share no fingerprint")
+  }
+
+  test("d18: a lifted paragraph is detected against the frozen index; unrelated docs verdict new") {
+    import spark.implicits._
+    // corpus: two unrelated docs; incoming: one doc lifting a ≥ k+w−1
+    // token run from corpus doc 10, one sharing nothing
+    val para = (0 until 12).map(i => s"lift$i").mkString(" ")
+    val corpus = Seq(
+      (10L, (0 until 10).map(i => s"c$i").mkString(" ") + " " + para),
+      (11L, (0 until 25).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, (0 until 10).map(i => s"in$i").mkString(" ") + " " + para),
+      (21L, (0 until 25).map(i => s"fresh$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = DedupOps
+      .winnowingIncrementalAgainst(incoming, DedupOps.winnowingIndex(corpus))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(20L).getAs[String]("verdict") === "overlaps_corpus")
+    assert(out(20L).getAs[Long]("match_doc") === 10L)
+    assert(out(20L).getAs[Long]("n_shared") > 0)
+    assert(out(21L).getAs[String]("verdict") === "new")
+    assert(out(21L).getAs[Long]("n_cand") === 0L)
+    assert(out(21L).isNullAt(out(21L).fieldIndex("overlap")))
   }
 }

@@ -68,12 +68,32 @@ class DocsDriftSpec extends SparkSpec {
     val text = read("COVERAGE.md")
     raw"(\d+) specs across (\d+) suites".r.findFirstMatchIn(text) match {
       case Some(m) =>
-        val suites = new java.io.File("src/test/scala/graft").listFiles()
-          .count(f => f.getName.endsWith("Spec.scala") &&
+        val files = new java.io.File("src/test/scala/graft").listFiles()
+          .filter(f => f.getName.endsWith("Spec.scala") &&
             f.getName != "SparkSpec.scala") // the base trait, not a suite
-        assert(m.group(2).toInt == suites,
-          s"COVERAGE.md claims ${m.group(2)} suites; tree has $suites")
+        assert(m.group(2).toInt == files.length,
+          s"COVERAGE.md claims ${m.group(2)} suites; tree has ${files.length}")
+        // the TEST count drifts the same way the suite count does
+        // (round 11 claimed 232 while the run had 235) — pin it to the
+        // statically countable line-anchored test registrations in the
+        // tree (comments and strings mentioning the keyword don't count)
+        val tests = files.map(f => raw"""(?m)^\s*test\("""".r
+          .findAllMatchIn(read(f.getPath)).size).sum
+        assert(m.group(1).toInt == tests,
+          s"COVERAGE.md claims ${m.group(1)} specs; tree registers $tests")
       case None => fail("COVERAGE.md no longer states a spec total")
     }
+  }
+
+  test("every registered query has a PLANS.md plan-audit row") {
+    // the round-11 miss: d17 landed with no audited plan because the
+    // regen step was skipped — make a stale plan table fail the build
+    // the same way a stale COVERAGE row does
+    val rows = raw"(?m)^\| ([a-z0-9_]+) \|".r
+      .findAllMatchIn(read("PLANS.md")).map(_.group(1)).toSet
+    val unaudited = registry -- rows
+    assert(unaudited.isEmpty,
+      s"PLANS.md has no plan row for: $unaudited — regenerate via " +
+        """sbt "runMain graft.Plans" + scripts/plantable.py""")
   }
 }

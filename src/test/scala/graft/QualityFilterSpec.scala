@@ -88,12 +88,23 @@ class QualityFilterSpec extends SparkSpec {
         |         CAST(array() AS ARRAY<BIGINT>)) AS empty_wt""".stripMargin)
       .head()
     assert(edges.isNullAt(0) && edges.isNullAt(1) && edges.isNullAt(2))
-    // an array<int> weight literal coerces via ImplicitCastInputTypes —
-    // a SQL caller does not have to CAST every weight to BIGINT by hand
+    // an array<int> weight literal is read natively (integral widening
+    // in the element reader, no Catalyst cast) — a SQL caller does not
+    // have to CAST every weight to BIGINT by hand...
     val coerced = spark.sql(
       "SELECT hashed_bow_score(split('alpha beta', ' '), array(10, -3)) AS s")
       .head().getLong(0)
-    assert(coerced == want, "int weight literals must coerce to bigint")
+    assert(coerced == want, "int weight literals must widen to bigint")
+    // ...but a FRACTIONAL weight table fails analysis loudly in every
+    // session mode — under non-ANSI legacy coercion an implicit-cast
+    // signature would silently truncate the model to bigint
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT hashed_bow_score(split('a', ' '), array(0.5, 1.5)) AS s")
+        .head()
+    }
+    assert(err.getMessage.contains("hashed_bow_score"),
+      s"expected the kernel's own type-check message, got: ${err.getMessage}")
   }
 
   test("qf1 plan: inference is shuffle-free (only the presentation exchange)") {

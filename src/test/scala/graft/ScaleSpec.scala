@@ -91,6 +91,50 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("d18 production shape: winnowing probe against a PERSISTED bucketed fingerprint index, zero index-side shuffle") {
+    // d18's standing side at 100 TB: the corpus fingerprint index is
+    // written ONCE, bucketed on h; every re-crawl batch probes those
+    // files with no index-side exchange (the d7 discipline on d17's
+    // winnowed fingerprints)
+    import graft.operators.DedupOps
+    import org.apache.spark.sql.DataFrame
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val isNew = col("doc_id") % DedupOps.IncomingMod === 0
+    spark.sql("DROP TABLE IF EXISTS winnow_idx_bkt")
+    DedupOps.winnowingIndex(docs.filter(!isNew))
+      .write.bucketBy(8, "h").sortBy("h").saveAsTable("winnow_idx_bkt")
+    try {
+      // forbid broadcast: the tiny harness index would otherwise
+      // broadcast and prove nothing about the fact-sized-index plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val incoming = docs.filter(isNew)
+      def exchanges(df: DataFrame): Int =
+        df.queryExecution.executedPlan.toString.linesIterator.count(l =>
+          l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      val fromIndex = DedupOps.winnowingIncrementalAgainst(
+        incoming, spark.table("winnow_idx_bkt"), cacheBatch = false)
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), "index scan must read as bucketed")
+      assert(plan.contains("SortMergeJoin"),
+        plan.linesIterator.take(5).mkString("\n"))
+      // the inline restatement recomputes + reshuffles the index per
+      // run; the bucketed read must plan strictly fewer exchanges
+      val restated = DedupOps.winnowingIncrementalAgainst(incoming,
+        DedupOps.winnowingIndex(docs.filter(!isNew)), cacheBatch = false)
+      assert(exchanges(fromIndex) < exchanges(restated),
+        s"bucketed=${exchanges(fromIndex)} inline=${exchanges(restated)}")
+      // verdict parity with the self-contained restatement
+      val a = fromIndex.orderBy("doc_id").collect().toSeq
+      val b = restated.orderBy("doc_id").collect().toSeq
+      assert(a === b)
+      assert(a.nonEmpty && a.map(_.getAs[String]("verdict")).toSet ===
+        Set("overlaps_corpus", "new"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS winnow_idx_bkt")
+    }
+  }
+
   test("partitioned layout: a partition-column filter prunes at the directory level") {
     val dir = Files.createTempDirectory("ev_part").toString
     Tables.events(spark, Sf).write

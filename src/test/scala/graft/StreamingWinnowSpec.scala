@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+import graft.sources.Tables
+
+/** D18's winnowing probe bound as a STREAMING ingest monitor: each
+  * micro-batch of re-crawled documents winnows in-scan and probes the
+  * corpus's FROZEN fingerprint index through the same core the
+  * registered batch query uses (`DedupOps.winnowingIncrementalAgainst`),
+  * accumulated via `foreachBatch` — the StreamingIndexSpec convention
+  * (shared core, frozen standing side). Because every verdict row
+  * depends only on its own document and the frozen index, the
+  * accumulated streamed verdicts must equal the batch d18 over the
+  * unioned input REGARDLESS of arrival order or micro-batch cuts —
+  * asserted across 3 fuzz seeds. */
+object StreamingWinnowSpec {
+  case class Doc(doc_id: Long, text: String)
+}
+
+class StreamingWinnowSpec extends SparkSpec {
+  import StreamingWinnowSpec.Doc
+
+  private def keyed(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("nfp"),
+        r.getAs[Long]("n_cand"),
+        Option(r.getAs[java.lang.Long]("match_doc")).map(_.toLong),
+        r.getAs[Long]("n_shared"),
+        Option(r.getAs[java.lang.Double]("overlap")).map(_.toDouble),
+        r.getAs[String]("verdict"))
+    }.sortBy(_._1).toSeq
+
+  test("streamed winnowing verdicts == batch d18 over the unioned input, across 3 fuzz seeds") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+    val isNew = col("doc_id") % DedupOps.IncomingMod === 0
+    // the frozen standing side: built once, persisted — at 100 TB this
+    // is the at-rest table bucketed on h; here the persist plays it
+    val idx = DedupOps.winnowingIndex(docs.filter(!isNew)).persist()
+    try {
+      val expected = keyed(
+        DedupOps.winnowingIncrementalAgainst(docs.filter(isNew), idx)
+          .collect())
+      assert(expected.nonEmpty, "fixture regression: empty incoming batch")
+      assert(expected.exists(_._7 == "overlaps_corpus") &&
+        expected.exists(_._7 == "new"),
+        "fixture regression: both verdicts should occur at sf0.001")
+      val batchDocs = docs.filter(isNew)
+        .select(col("doc_id"), col("text")).as[Doc].collect().toVector
+
+      for (seed <- Seq(1, 7, 42)) {
+        val rnd = new scala.util.Random(seed)
+        val in = MemoryStream[Doc]
+        val acc = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+        val q = in.toDF().writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val rows = DedupOps
+              .winnowingIncrementalAgainst(batch, idx, cacheBatch = false)
+              .collect()
+            acc.synchronized { acc ++= rows }
+            ()
+          }
+          .start()
+        try {
+          var rest = rnd.shuffle(batchDocs)
+          while (rest.nonEmpty) {
+            val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(10))
+            rest = tail
+            in.addData(chunk: _*)
+            q.processAllAvailable() // stateless foreachBatch — safe to drain
+          }
+        } finally q.stop()
+        assert(keyed(acc.toArray) === expected,
+          s"seed $seed: streamed verdicts diverged from the batch probe")
+      }
+    } finally idx.unpersist()
+  }
+}
