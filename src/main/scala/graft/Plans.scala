@@ -26,6 +26,13 @@ object Plans {
       try sb.append(fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       catch { case e: Throwable => sb.append(s"ERROR: ${e.getMessage}\n") }
+      // a query's internal persist() marks its logical fragment in the
+      // cache manager even though explain never executes it — without
+      // this, a LATER query sharing that fragment plans through
+      // InMemoryRelation and its audited exchange count is wrong
+      // (s11's cached cutoff state perturbed s8's row; Verify and
+      // Bench already clear identically)
+      spark.sharedState.cacheManager.clearCache()
     }
     Files.writeString(Paths.get(out), sb.toString)
     spark.stop()

@@ -23,7 +23,7 @@ object SparkEntry {
       WindowOps.queries ++ AggOps.queries ++ ApproxOps.queries ++
       SqlSurfaceOps.queries ++ VariantOps.queries ++ AuditOps.queries ++
       RetrievalOps.queries ++ TimeSeriesOps.queries ++
-      QualityFilterOps.queries
+      QualityFilterOps.queries ++ LayoutOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +34,5 @@ object SparkEntry {
       WindowOps.oracles ++ AggOps.oracles ++ ApproxOps.oracles ++
       SqlSurfaceOps.oracles ++ VariantOps.oracles ++ AuditOps.oracles ++
       RetrievalOps.oracles ++ TimeSeriesOps.oracles ++
-      QualityFilterOps.oracles
+      QualityFilterOps.oracles ++ LayoutOps.oracles
 }

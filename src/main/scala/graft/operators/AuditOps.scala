@@ -25,6 +25,12 @@ object AuditOps {
   private val one = (c: org.apache.spark.sql.Column) =>
     sum(when(c, 1L).otherwise(0L))
 
+  /** The shared document length bucket (dq2 drift cells, dq3
+    * quasi-identifier): `min(9, n_chars div 100)` — ONE definition so
+    * the audit family's cell space can't desynchronize. */
+  private[graft] def lenBucket: org.apache.spark.sql.Column =
+    least(lit(9), expr("n_chars div 100")).cast("int")
+
   /** The events-table audit counters as ONE fused aggregate over any
     * frame with the events schema — sort-free and source-agnostic, so
     * the same core audits a parquet snapshot (dq1) or each micro-batch
@@ -100,7 +106,7 @@ object AuditOps {
     val isNew = (col("doc_id") % DedupOps.IncomingMod === 0)
     val cells = graft.sources.Tables.documents(s, dir)
       .select(col("lang"),
-        least(lit(9), expr("n_chars div 100")).cast("int").as("len_bucket"),
+        lenBucket.as("len_bucket"),
         when(isNew, 1L).otherwise(0L).as("is_new"))
       .groupBy(col("lang"), col("len_bucket"))
       .agg(sum(lit(1L) - col("is_new")).as("n_old"),
@@ -130,7 +136,7 @@ object AuditOps {
     import org.apache.spark.sql.expressions.Window
     val cells = batch
       .select(col("lang"),
-        least(lit(9), expr("n_chars div 100")).cast("int").as("len_bucket"))
+        lenBucket.as("len_bucket"))
       .groupBy(col("lang"), col("len_bucket"))
       .agg(count(lit(1)).as("n_batch"))
     val joined = reference
@@ -146,11 +152,64 @@ object AuditOps {
           .otherwise(0).as("drift"))
   }
 
+  /** dq3's anonymity threshold: a quasi-identifier cell with fewer
+    * than K members is re-identifiable (k-anonymity, Sweeney 2002).
+    * K=5 keeps both verdicts live at every harness SF; production
+    * policy typically sets 10-50. */
+  val KAnonK = 5L
+
+  /** DQ3 — k-anonymity audit over the quasi-identifier tuple
+    * (lang, source, length-bucket): the governance check a
+    * training-data release runs before publishing corpus statistics
+    * or per-slice samples — any QI cell with fewer than [[KAnonK]]
+    * documents re-identifies its members by its published coordinates
+    * alone (tx9 scrubs PII *content*; dq3 bounds *membership*
+    * disclosure — complementary releases-side discipline). Per cell:
+    * population, the k-anonymity flag, and the re-identification
+    * upper bound 1/n a risk report thresholds.
+    *
+    * Plan: ONE exchange — the QI-cell aggregate with map-side
+    * partials (cells bounded by langs × sources × 10 buckets, never
+    * by docs); the flag arithmetic rides the collapsed frame. The
+    * cells come from the same standing count state a streaming
+    * aggregation maintains (counts are associative), so the audit
+    * serves from state with zero operator changes —
+    * StreamingAuditSpec pins streamed==batch across fuzz seeds. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    kAnonCells(Tables.documents(s, dir)
+        .select(col("lang"), col("source"), lenBucket.as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs")))
+      .transform(Common.presented(_,
+        col("lang"), col("source"), col("len_bucket")))
+
+  /** dq3's verdict rule over any (lang, source, len_bucket, n_docs)
+    * cells frame — the unit the streaming-aggregation serving path
+    * reuses on its standing state. */
+  def kAnonCells(cells: DataFrame): DataFrame =
+    cells.select(col("lang"), col("source"), col("len_bucket"),
+      col("n_docs"),
+      when(col("n_docs") >= KAnonK, 1).otherwise(0).as("is_k_anon"),
+      (lit(1.0) / col("n_docs").cast("double")).as("reident_risk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_constraints" -> (constraints _),
-    "dq2_drift" -> (drift _))
+    "dq2_drift" -> (drift _),
+    "dq3_k_anonymity" -> (kAnonymity _))
 
   val oracles: Map[String, String] = Map(
+    // count(*) widens to BIGINT on both engines; the risk bound is one
+    // double division of identical operands
+    "dq3_k_anonymity" ->
+      s"""WITH cells AS (SELECT lang, source,
+         |                      CAST(least(9, n_chars // 100) AS INT) AS len_bucket,
+         |                      count(*) AS n_docs
+         |               FROM documents GROUP BY 1, 2, 3)
+         |SELECT lang, source, len_bucket, n_docs,
+         |       CASE WHEN n_docs >= $KAnonK THEN 1 ELSE 0 END AS is_k_anon,
+         |       CAST(1 AS DOUBLE) / n_docs AS reident_risk
+         |FROM cells
+         |ORDER BY lang, source, len_bucket""".stripMargin,
     // sums widen to HUGEINT in DuckDB -> CAST back; shares are
     // DOUBLE/BIGINT divisions (exact on both engines); the drift flag
     // is pure integer arithmetic

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multi-dimensional data LAYOUT — the write-side technique SCALE.md's
+  * read-side queries assume: sorting a 100 TB fact table on one key
+  * gives min/max file pruning on that key and NOTHING on the second
+  * query dimension (ScaleSpec's compaction test shows the one-key
+  * form). Z-ORDER clustering (Morton-curve interleaving, the published
+  * OPTIMIZE ZORDER technique in Delta/Iceberg/Hudi) maps each row to
+  * the bit-interleaving of its two clustering keys, so rows close in
+  * EITHER dimension land close in z — and every z-aligned cell is an
+  * axis-aligned rectangle with a HARD span bound in BOTH dimensions.
+  *
+  * No counterpart in the reference (its sinks append row-at-a-time —
+  * `/root/reference/src/main/java/com/thaihoc/sink/InvoiceSaveSink.java`);
+  * this is the at-rest discipline a Spark lakehouse adds around the
+  * same data.
+  */
+object LayoutOps {
+
+  /** Bits per interleaved dimension (16 → a 32-bit z value). */
+  val ZBits = 16
+
+  /** Cell width exponent: a z cell freezes the top `ZBits - CellBits`
+    * bits of BOTH dimensions, so every cell spans at most 2^CellBits
+    * distinct values of each key — the guarantee LayoutSpec pins. */
+  val CellBits = 5
+
+  private val DimMask = (1L << ZBits) - 1
+
+  /** Spread the low [[ZBits]] bits of `c` to even bit positions — the
+    * classic 4-step shift-mask bit dilation (Morton encoding; public
+    * bit-twiddling identity). Pure codegen'd column arithmetic: no
+    * UDF, no HOF lambda, constant work per row. */
+  private[graft] def spread16(c: Column): Column = {
+    val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val d = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(0x33333333L))
+    (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** The 32-bit Morton code of `(x, y)` (each masked to [[ZBits]]
+    * bits): x's bits at even positions, y's at odd. */
+  private[graft] def zValue(x: Column, y: Column): Column =
+    spread16(x.bitwiseAND(lit(DimMask)))
+      .bitwiseOR(shiftleft(spread16(y.bitwiseAND(lit(DimMask))), 1))
+
+  /** LY1 — Z-order layout audit of events on (user_id, day): each row
+    * maps to its Morton code and its z CELL (`z >> 2·CellBits` — the
+    * aligned grid rectangle a clustered writer would emit as one file
+    * or one file group); per cell: population and the min/max column
+    * stats a file-skipping reader prunes on. The audit's claim is the
+    * Morton guarantee itself: every cell's span is ≤ 2^CellBits in
+    * BOTH dimensions (a user-major sort bounds only user_span and
+    * leaves day_span at the full calendar — LayoutSpec measures the
+    * contrast), so point/range filters on EITHER key skip cells.
+    *
+    * 100 TB plan: the z value is four shift-mask steps per row inside
+    * the scan (codegen'd, no lambda), and the audit is ONE exchange —
+    * the cell aggregate with map-side partials, bounded by occupied
+    * cells, never rows. The layout job itself is
+    * `repartitionByRange(z).sortWithinPartitions(z)` + write (equal
+    * SIZE files from contiguous z runs — the production shape; the
+    * fixed grid here is its deterministic, sort-free audit twin), and
+    * re-clustering composes with x17's partition-rewriting compaction:
+    * only cells whose stats regressed rewrite. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val coords = ev.select(
+      col("user_id").bitwiseAND(lit(DimMask)).as("u"),
+      TimeSeriesOps.dayOf(ev).bitwiseAND(lit(DimMask)).as("day"))
+    coords
+      .select(col("u"), col("day"),
+        shiftright(zValue(col("u"), col("day")), 2 * CellBits).as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("u")).as("u_min"), max(col("u")).as("u_max"),
+        min(col("day")).as("day_min"), max(col("day")).as("day_max"))
+      .select(col("cell"), col("n_rows"),
+        col("u_min"), col("u_max"), col("day_min"), col("day_max"),
+        (col("u_max") - col("u_min") + 1).as("u_span"),
+        (col("day_max") - col("day_min") + 1).as("day_span"))
+      .transform(Common.presented(_, col("cell")))
+  }
+
+  /** The SQL twin of [[spread16]] — same four shift-mask steps. */
+  private def spreadSql(x: String): String = {
+    val a = s"((($x) | (($x) << 8)) & 16711935)"
+    val b = s"((($a) | (($a) << 4)) & 252645135)"
+    val c = s"((($b) | (($b) << 2)) & 858993459)"
+    s"((($c) | (($c) << 1)) & 1431655765)"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ly1_zorder_layout" -> (zorderLayout _))
+
+  val oracles: Map[String, String] = Map(
+    // identical integer bit arithmetic on both engines; day via the
+    // shared epoch_ns day grid (WindowOps.DayNanos)
+    "ly1_zorder_layout" ->
+      s"""WITH base AS (
+         |  SELECT user_id & $DimMask AS u,
+         |         (epoch_ns(ts) // ${WindowOps.DayNanos}) & $DimMask AS day
+         |  FROM events),
+         |zt AS (SELECT u, day,
+         |              (${spreadSql("u")} | (${spreadSql("day")} << 1))
+         |                >> ${2 * CellBits} AS cell
+         |       FROM base)
+         |SELECT cell, count(*) AS n_rows,
+         |       min(u) AS u_min, max(u) AS u_max,
+         |       min(day) AS day_min, max(day) AS day_max,
+         |       max(u) - min(u) + 1 AS u_span,
+         |       max(day) - min(day) + 1 AS day_span
+         |FROM zt GROUP BY cell
+         |ORDER BY cell""".stripMargin)
+}

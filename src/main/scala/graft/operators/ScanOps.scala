@@ -190,14 +190,21 @@ object ScanOps {
     * at 100 TB its size tracks the CHANGED keys between cutoffs, not
     * the table). Both snapshot windows and the join share the user_id
     * hash partitioning; input bucketed by user_id → exchange-free. */
-  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    def stateAt(cutoff: String): DataFrame =
-      visibleState(stateOf(eventsTs(s, dir)
-        .filter(col("ts") <= to_timestamp(lit(cutoff)))))
-    snapshotDiffAgainst(
-        stateAt("2024-01-10 00:00:00"), stateAt("2024-01-20 00:00:00"))
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame =
+    snapshotDiffAgainst(stateAtCutoff(s, dir, DiffCutoff1),
+        stateAtCutoff(s, dir, DiffCutoff2))
       .transform(Common.presented(_, col("user_id")))
-  }
+
+  /** s8/s11's shared snapshot cutoffs — ONE pair of instants so the
+    * feed producer and its apply consumer can't desynchronize. */
+  val DiffCutoff1 = "2024-01-10 00:00:00"
+  val DiffCutoff2 = "2024-01-20 00:00:00"
+
+  /** The visible keyed snapshot as of `cutoff` — s6's latest-per-key
+    * rule with tombstones dropped at read (s8/s11's state source). */
+  def stateAtCutoff(s: SparkSession, dir: String, cutoff: String): DataFrame =
+    visibleState(stateOf(eventsTs(s, dir)
+      .filter(col("ts") <= to_timestamp(lit(cutoff)))))
 
   /** The latest-per-key compacted STATE of a change log, tombstones
     * INCLUDED: one row per user carrying its latest (event_type →
@@ -261,6 +268,46 @@ object ScanOps {
       .filter(col("op") =!= "=")
       .select(col("user_id"), col("op"), col("old_state"), col("old_value"),
         col("new_state"), col("new_value"))
+  }
+
+  /** S11 — CDF APPLY, the MERGE half of s8's pair: consume the I/U/D
+    * feed between the two shared cutoffs ([[DiffCutoff1]]/[[DiffCutoff2]])
+    * against the cutoff-1 snapshot and emit the merged table — what a
+    * lakehouse MERGE INTO does with the change feed a CDC source
+    * publishes. The composition invariant is the point (x20's
+    * discipline at the table-maintenance layer):
+    * `applyCdf(state₁, diff(state₁, state₂)) == state₂`, pinned
+    * bit-exactly by CdfApplySpec; here the registered query emits the
+    * applied snapshot and the oracle restates the same merge.
+    *
+    * Scale: see [[applyCdf]] — the base table never shuffles. */
+  def cdfApply(s: SparkSession, dir: String): DataFrame = {
+    // prev feeds both the diff and the merge — persist per the
+    // multi-consumer rule (one compacted row per user, never events)
+    val prev = stateAtCutoff(s, dir, DiffCutoff1)
+    if (prev.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      prev.persist()
+    applyCdf(prev,
+        snapshotDiffAgainst(prev, stateAtCutoff(s, dir, DiffCutoff2)))
+      .transform(Common.presented(_, col("user_id")))
+  }
+
+  /** MERGE semantics over a visible snapshot and an I/U/D feed: rows
+    * whose key the feed never mentions carry over, I/U rows take the
+    * feed's new image VERBATIM (including a null new_value — a
+    * coalesce-style merge would silently resurrect the old value), D
+    * rows vanish. The base side NEVER shuffles: untouched rows survive
+    * a broadcast anti-join on the feed's keys and the upserts union in
+    * — at 100 TB the feed tracks changed keys, not the table, so it
+    * broadcasts (or bloom-prefilters, ap3) while the 100 TB base
+    * streams through scan-bound. */
+  def applyCdf(base: DataFrame, cdf: DataFrame): DataFrame = {
+    val carried = base.join(broadcast(cdf.select(col("user_id"))),
+      Seq("user_id"), "left_anti")
+    val upserts = cdf.filter(col("op") =!= "D")
+      .select(col("user_id"), col("new_state").as("state"),
+        col("new_value").as("value"))
+    carried.unionByName(upserts)
   }
 
   /** S7 — SCD Type-2 history reconstruction: turn the change log into
@@ -354,36 +401,57 @@ object ScanOps {
     "s5_max_id" -> (maxId _),
     "s6_latest_snapshot" -> (latestSnapshot _),
     "s8_snapshot_diff" -> (snapshotDiff _),
+    "s11_cdf_apply" -> (cdfApply _),
     "u1_union6" -> (union6 _),
     "u2_side_union" -> (sideUnion _))
 
+  /** s8/s11's shared DuckDB CTEs: the two cutoff snapshots (S6's
+    * latest-per-key rule, tombstones dropped) and the I/U/D feed
+    * between them — ONE definition so the feed producer's oracle and
+    * the apply consumer's can't drift. NULL-safe change test via IS
+    * DISTINCT FROM (Spark's =!= on a U-row is never null because both
+    * sides are present there). */
+  private lazy val diffCtesSql: String =
+    s"""st AS (SELECT user_id, event_type AS state, value,
+       |              CAST(ts AS TIMESTAMP) AS tts, event_id
+       |       FROM events),
+       |a AS (SELECT user_id, state AS old_state, value AS old_value
+       |      FROM st WHERE tts <= TIMESTAMP '$DiffCutoff1'
+       |      QUALIFY row_number() OVER (PARTITION BY user_id
+       |               ORDER BY tts DESC, event_id DESC) = 1 AND state <> 'error'),
+       |b AS (SELECT user_id, state AS new_state, value AS new_value
+       |      FROM st WHERE tts <= TIMESTAMP '$DiffCutoff2'
+       |      QUALIFY row_number() OVER (PARTITION BY user_id
+       |               ORDER BY tts DESC, event_id DESC) = 1 AND state <> 'error'),
+       |cdf AS (SELECT user_id,
+       |               CASE WHEN old_state IS NULL THEN 'I'
+       |                    WHEN new_state IS NULL THEN 'D'
+       |                    ELSE 'U' END AS op,
+       |               old_state, old_value, new_state, new_value
+       |        FROM a FULL JOIN b USING (user_id)
+       |        WHERE old_state IS NULL OR new_state IS NULL
+       |           OR old_state IS DISTINCT FROM new_state
+       |           OR old_value IS DISTINCT FROM new_value)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // S6's latest-per-key rule at two cutoffs (error = delete
-    // tombstone), full-outer diff, unchanged keys dropped. NULL-safe
-    // change test via IS DISTINCT FROM (Spark's =!= on a U-row is
-    // never null because both sides are present there).
     "s8_snapshot_diff" ->
-      """WITH st AS (SELECT user_id, event_type AS state, value,
-        |                   CAST(ts AS TIMESTAMP) AS tts, event_id
-        |            FROM events),
-        |a AS (SELECT user_id, state AS old_state, value AS old_value
-        |      FROM st WHERE tts <= TIMESTAMP '2024-01-10 00:00:00'
-        |      QUALIFY row_number() OVER (PARTITION BY user_id
-        |               ORDER BY tts DESC, event_id DESC) = 1 AND state <> 'error'),
-        |b AS (SELECT user_id, state AS new_state, value AS new_value
-        |      FROM st WHERE tts <= TIMESTAMP '2024-01-20 00:00:00'
-        |      QUALIFY row_number() OVER (PARTITION BY user_id
-        |               ORDER BY tts DESC, event_id DESC) = 1 AND state <> 'error')
-        |SELECT user_id,
-        |       CASE WHEN old_state IS NULL THEN 'I'
-        |            WHEN new_state IS NULL THEN 'D'
-        |            ELSE 'U' END AS op,
-        |       old_state, old_value, new_state, new_value
-        |FROM a FULL JOIN b USING (user_id)
-        |WHERE old_state IS NULL OR new_state IS NULL
-        |   OR old_state IS DISTINCT FROM new_state
-        |   OR old_value IS DISTINCT FROM new_value
-        |ORDER BY user_id""".stripMargin,
+      s"""WITH $diffCtesSql
+         |SELECT user_id, op, old_state, old_value, new_state, new_value
+         |FROM cdf
+         |ORDER BY user_id""".stripMargin,
+    // s8's shared diff CTEs + the MERGE restated relationally:
+    // untouched base rows anti-join the feed keys, I/U rows take the
+    // feed's new image verbatim, D rows vanish
+    "s11_cdf_apply" ->
+      s"""WITH $diffCtesSql
+         |SELECT user_id, state, value FROM (
+         |  SELECT p.user_id, p.old_state AS state, p.old_value AS value
+         |  FROM a p LEFT JOIN cdf c ON p.user_id = c.user_id
+         |  WHERE c.user_id IS NULL
+         |  UNION ALL
+         |  SELECT user_id, new_state AS state, new_value AS value
+         |  FROM cdf WHERE op <> 'D')
+         |ORDER BY user_id""".stripMargin,
     // both engines window over the same physical ts precision (the
     // CAST is a no-op on timestamp[us] input), so the version order
     // agrees; ties break on event_id on both sides

@@ -37,4 +37,28 @@ class AuditOpsSpec extends SparkSpec {
       .filter(col("l_quantity") <= 0).count()
     assert(rows("lineitem.l_quantity_positive").getAs[Long]("n_violations") == badQty)
   }
+
+  test("dq3: QI cells == brute-force recount, flag rule exact, universe covered") {
+    val cells = AuditOps.kAnonymity(spark, Sf).collect()
+    // brute-force cell recount off the raw table
+    val docs = Tables.documents(spark, Sf)
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.min(9L, r.getLong(2) / 100).toInt))
+    val truth = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(cells.length == truth.size, "one row per occupied QI cell")
+    cells.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Int]("len_bucket"))
+      val n = r.getAs[Long]("n_docs")
+      assert(n == truth(key), s"cell $key population")
+      assert((r.getAs[Int]("is_k_anon") == 1) == (n >= AuditOps.KAnonK), key)
+      assert(r.getAs[Double]("reident_risk") == 1.0 / n, key)
+    }
+    // every document is in exactly one cell, and both verdicts occur
+    // (K was chosen so the gate is non-vacuous at every harness SF)
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(cells.map(_.getAs[Int]("is_k_anon")).toSet == Set(0, 1),
+      "degenerate verdict distribution — retune KAnonK")
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LayoutOps
+import graft.sources.Tables
+
+/** LY1's two claims, pinned independently of the DuckDB oracle:
+  *
+  *   1. the compiled shift-mask Morton code equals a bit-by-bit
+  *      plain-Scala interleave (the definition, not the trick);
+  *   2. the layout GUARANTEE: a z cell freezes the top bits of both
+  *      dimensions, so every cell spans ≤ 2^CellBits in BOTH — while
+  *      the user-major sort it replaces leaves the day span at the
+  *      full calendar width (measured on the same data).
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until LayoutOps.ZBits).foldLeft(0L) { (z, i) =>
+      z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("compiled z value == bit-by-bit Morton reference on every event") {
+    val ev = Tables.events(spark, Sf)
+    val got = ev.select(
+        col("user_id").bitwiseAND(lit(65535L)).as("u"),
+        graft.operators.TimeSeriesOps.dayOf(ev).bitwiseAND(lit(65535L)).as("day"))
+      .select(col("u"), col("day"),
+        LayoutOps.zValue(col("u"), col("day")).as("z"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (u, d, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == mortonRef(u, d), s"u=$u day=$d")
+    }
+    // seeded fuzz off the fixture domain: the shift-mask spread must
+    // hold over the full 16-bit range, not just the corpus's corner
+    val rnd = new scala.util.Random(42)
+    val pairs = Vector.fill(200)((rnd.nextLong() & 65535L, rnd.nextLong() & 65535L))
+    import spark.implicits._
+    val fz = pairs.toDF("u", "day")
+      .select(col("u"), col("day"), LayoutOps.zValue(col("u"), col("day")).as("z"))
+      .collect()
+    fz.foreach(r => assert(r.getLong(2) == mortonRef(r.getLong(0), r.getLong(1))))
+  }
+
+  test("every z cell spans <= 2^CellBits in BOTH dimensions; user-major files do not bound day") {
+    val cells = LayoutOps.zorderLayout(spark, Sf).collect()
+    assert(cells.nonEmpty)
+    val bound = 1L << LayoutOps.CellBits
+    cells.foreach { r =>
+      assert(r.getAs[Long]("u_span") <= bound, s"cell ${r.getAs[Long]("cell")}")
+      assert(r.getAs[Long]("day_span") <= bound, s"cell ${r.getAs[Long]("cell")}")
+      assert(r.getAs[Long]("u_span") == r.getAs[Long]("u_max") - r.getAs[Long]("u_min") + 1)
+      assert(r.getAs[Long]("day_span") == r.getAs[Long]("day_max") - r.getAs[Long]("day_min") + 1)
+    }
+    // universe: every event lands in exactly one cell
+    assert(cells.map(_.getAs[Long]("n_rows")).sum == Tables.events(spark, Sf).count())
+    // the contrast claim: chop the SAME rows into as many user-major
+    // files (sort by (u, day), equal count) — day span per file stays
+    // at (nearly) the full calendar because each file holds complete
+    // user timelines; the z grid cut it to <= 2^CellBits
+    val ev = Tables.events(spark, Sf)
+    val coords = ev.select(
+        col("user_id").bitwiseAND(lit(65535L)).as("u"),
+        graft.operators.TimeSeriesOps.dayOf(ev).bitwiseAND(lit(65535L)).as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val calendar = coords.map(_._2).max - coords.map(_._2).min + 1
+    val perFile = math.max(1, coords.length / cells.length)
+    val lexDaySpans = coords.sortBy(identity).grouped(perFile).toSeq
+      .map(f => f.map(_._2).max - f.map(_._2).min + 1)
+    assert(lexDaySpans.max >= calendar,
+      "fixture regression: user-major files should span the calendar")
+    assert(cells.map(_.getAs[Long]("day_span")).max < lexDaySpans.max,
+      "z cells must bound the day dimension the user-major sort leaves unbounded")
+  }
+}

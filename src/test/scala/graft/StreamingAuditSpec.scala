@@ -98,4 +98,49 @@ class StreamingAuditSpec extends SparkSpec {
       assert(b1(("fr", 9)) == 1, "never-seen bucket must flag")
     } finally q.stop()
   }
+
+  test("dq3 served from streamed QI-cell count state == batch audit, 3 seeds") {
+    // the StreamingTimeSeriesSpec discipline: counts are associative,
+    // so the standing streaming-aggregation state over (lang, source,
+    // len_bucket) equals the batch collapse under ANY arrival order /
+    // micro-batch cut — and dq3's verdict rule (kAnonCells) serves
+    // from that state with zero operator changes
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val keyed = (rows: Array[org.apache.spark.sql.Row]) => rows.map { r =>
+      (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Int]("len_bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Int]("is_k_anon"), r.getAs[Double]("reident_risk"))
+    }.sortBy(t => (t._1, t._2, t._3)).toSeq
+    val expected = keyed(graft.operators.AuditOps.kAnonymity(spark, Sf).collect())
+    val docs = {
+      val d = graft.sources.Tables.documents(spark, Sf)
+      d.select(col("lang"), col("source"),
+          graft.operators.AuditOps.lenBucket.as("len_bucket"))
+        .as[(String, String, Int)].collect().toVector
+    }
+    for (seed <- Seq(3, 11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[(String, String, Int)]
+      val cells = in.toDF().toDF("lang", "source", "len_bucket")
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+      val name = s"dq3_cells_state_$seed"
+      val q = cells.writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+      try {
+        var rest = rnd.shuffle(docs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(100))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable() // plain streaming agg — safe to drain
+        }
+        val served = keyed(graft.operators.AuditOps
+          .kAnonCells(spark.table(name)).collect())
+        assert(served == expected,
+          s"seed $seed: dq3 served from streamed state drifted from batch")
+      } finally q.stop()
+    }
+  }
 }
