@@ -67,24 +67,57 @@ object LayoutOps {
     * fixed grid here is its deterministic, sort-free audit twin), and
     * re-clustering composes with x17's partition-rewriting compaction:
     * only cells whose stats regressed rewrite. */
-  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val coords = ev.select(
-      col("user_id").bitwiseAND(lit(DimMask)).as("u"),
-      TimeSeriesOps.dayOf(ev).bitwiseAND(lit(DimMask)).as("day"))
-    coords
-      .select(col("u"), col("day"),
-        shiftright(zValue(col("u"), col("day")), 2 * CellBits).as("cell"))
-      .groupBy(col("cell"))
+  def zorderLayout(s: SparkSession, dir: String): DataFrame =
+    cellSpans(cellAgg(zCoords(Tables.events(s, dir))))
+      .transform(Common.presented(_, col("cell")))
+
+  /** The (u, day, cell) projection of an events frame — the ONE
+    * clustering-coordinate definition the audit, the at-rest writer
+    * (ScaleSpec) and the streaming state share. */
+  def zCoords(ev: DataFrame): DataFrame =
+    ev.select(
+        col("user_id").bitwiseAND(lit(DimMask)).as("u"),
+        TimeSeriesOps.dayOf(ev).bitwiseAND(lit(DimMask)).as("day"))
+      .withColumn("cell",
+        shiftright(zValue(col("u"), col("day")), 2 * CellBits))
+
+  /** Per-cell population + column stats — count/min/max are all
+    * associative, so this same aggregate IS a streaming aggregation's
+    * standing state (LayoutSpec pins streamed == batch). */
+  def cellAgg(coords: DataFrame): DataFrame =
+    coords.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("u")).as("u_min"), max(col("u")).as("u_max"),
         min(col("day")).as("day_min"), max(col("day")).as("day_max"))
-      .select(col("cell"), col("n_rows"),
-        col("u_min"), col("u_max"), col("day_min"), col("day_max"),
-        (col("u_max") - col("u_min") + 1).as("u_span"),
-        (col("day_max") - col("day_min") + 1).as("day_span"))
-      .transform(Common.presented(_, col("cell")))
-  }
+
+  /** The span projection over a cell-stats frame. */
+  def cellSpans(stats: DataFrame): DataFrame =
+    stats.select(col("cell"), col("n_rows"),
+      col("u_min"), col("u_max"), col("day_min"), col("day_max"),
+      (col("u_max") - col("u_min") + 1).as("u_span"),
+      (col("day_max") - col("day_min") + 1).as("day_span"))
+
+  /** Driver-side Morton code of a CELL-grid coordinate pair — equal to
+    * the `cell` id [[zCoords]] assigns every row inside that cell
+    * (LayoutSpec pins the equality). */
+  private def mortonCell(xc: Long, yc: Long): Long =
+    (0 until (ZBits - CellBits)).foldLeft(0L) { (z, i) =>
+      z | (((xc >> i) & 1L) << (2 * i)) | (((yc >> i) & 1L) << (2 * i + 1))
+    }
+
+  /** Enumerate the z cells intersecting the query rectangle
+    * `[u0,u1] × [d0,d1]` — the driver-side PLANNING step of a z-order
+    * range query: O(rectangle area in cells), independent of table
+    * size. Against a cell-partitioned at-rest layout the resulting
+    * `cell IN (...)` predicate prunes at the directory level on
+    * EITHER dimension (ScaleSpec reads back exactly this way); the
+    * exact `u/day BETWEEN` residual then filters inside the touched
+    * cells only. */
+  def cellsForRange(u0: Long, u1: Long, d0: Long, d1: Long): Seq[Long] =
+    for {
+      uc <- (u0 >> CellBits) to (u1 >> CellBits)
+      dc <- (d0 >> CellBits) to (d1 >> CellBits)
+    } yield mortonCell(uc, dc)
 
   /** The SQL twin of [[spread16]] — same four shift-mask steps. */
   private def spreadSql(x: String): String = {

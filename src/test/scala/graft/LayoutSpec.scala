@@ -74,4 +74,60 @@ class LayoutSpec extends SparkSpec {
     assert(cells.map(_.getAs[Long]("day_span")).max < lexDaySpans.max,
       "z cells must bound the day dimension the user-major sort leaves unbounded")
   }
+
+  test("driver-side cell enumeration matches the per-row cell assignment") {
+    // cellsForRange's planning step and zCoords' per-row cell id must
+    // agree, or a pruned read silently drops rows: every row's cell is
+    // in the enumeration of its own point rectangle
+    val ev = Tables.events(spark, Sf)
+    val rows = LayoutOps.zCoords(ev).collect()
+    rows.foreach { r =>
+      val (u, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(LayoutOps.cellsForRange(u, u, d, d) == Seq(c), s"u=$u day=$d")
+    }
+    // and a rectangle's enumeration covers exactly the cells its rows
+    // occupy plus (possibly) empty grid cells — never fewer
+    val d0 = rows.map(_.getLong(1)).min
+    val enumd = LayoutOps.cellsForRange(0, 40, d0, d0 + 12).toSet
+    val occupied = rows.filter(r => r.getLong(0) <= 40 &&
+      r.getLong(1) >= d0 && r.getLong(1) <= d0 + 12).map(_.getLong(2)).toSet
+    assert(occupied.subsetOf(enumd))
+  }
+
+  test("ly1 served from streamed cell-stat state == batch audit, 3 seeds") {
+    // count/min/max are associative, so the standing streaming
+    // aggregation over cell IS the audit's stats table under any
+    // arrival order; the span projection serves from it unchanged
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val keyed = (rows: Array[org.apache.spark.sql.Row]) => rows.map { r =>
+      (r.getAs[Long]("cell"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("u_min"), r.getAs[Long]("u_max"),
+        r.getAs[Long]("day_min"), r.getAs[Long]("day_max"),
+        r.getAs[Long]("u_span"), r.getAs[Long]("day_span"))
+    }.sortBy(_._1).toSeq
+    val expected = keyed(LayoutOps.zorderLayout(spark, Sf).collect())
+    val coords = LayoutOps.zCoords(Tables.events(spark, Sf))
+      .as[(Long, Long, Long)].collect().toVector
+    for (seed <- Seq(2, 17, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+      val stats = LayoutOps.cellAgg(in.toDF().toDF("u", "day", "cell"))
+      val name = s"ly1_cell_state_$seed"
+      val q = stats.writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+      try {
+        var rest = rnd.shuffle(coords)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(300))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable() // plain streaming agg — safe to drain
+        }
+        val served = keyed(LayoutOps.cellSpans(spark.table(name)).collect())
+        assert(served == expected,
+          s"seed $seed: ly1 served from streamed state drifted from batch")
+      } finally q.stop()
+    }
+  }
 }

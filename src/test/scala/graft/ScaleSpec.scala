@@ -167,6 +167,53 @@ class ScaleSpec extends SparkSpec {
       .exists(p => p.contains("event_type=") && !p.contains("event_type=click")))
   }
 
+  test("z-order layout at rest: a rectangle query prunes to its cells' directories") {
+    // the write side of ly1: events land cell-partitioned; a reader's
+    // rectangle on (user, day) plans as `cell IN (cellsForRange(...))`
+    // — directory pruning driven by EITHER dimension — plus the exact
+    // BETWEEN residual inside the touched cells
+    import graft.operators.LayoutOps
+    val dir = Files.createTempDirectory("ev_zorder").toString
+    val coords = LayoutOps.zCoords(Tables.events(spark, Sf))
+      // partition-column values read back as int (partition inference);
+      // cell < 2^22 by construction so the narrowing is lossless
+      .withColumn("cell", col("cell").cast("int"))
+    coords.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val all = spark.read.parquet(dir)
+    // rectangle: the first half of the user range × a 10-day window
+    val st = coords.agg(min(col("u")), max(col("u")), min(col("day"))).head()
+    val (u0, u1, d0) = (st.getLong(0), (st.getLong(0) + st.getLong(1)) / 2,
+      st.getLong(2))
+    val d1 = d0 + 9
+    val cells = LayoutOps.cellsForRange(u0, u1, d0, d1)
+    val q = all.filter(col("cell").isin(cells: _*) &&
+      col("u").between(u0, u1) && col("day").between(d0, d1))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.linesIterator.take(8).mkString("\n"))
+    assert(plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      .contains("cell"), "the cell IN list must prune directories")
+    // physical proof: only the enumerated cells' directories are read
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    val read = scan.relation.location.listFiles(
+        scan.partitionFilters, scan.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    val wanted = cells.map(c => s"cell=$c/").toSet
+    assert(read.nonEmpty && read.forall(p => wanted.exists(p.contains)),
+      s"scan read outside the rectangle's cells: ${read.filterNot(p => wanted.exists(p.contains)).take(3)}")
+    val touched = read.flatMap(p =>
+      "cell=(-?\\d+)/".r.findFirstMatchIn(p).map(_.group(1))).toSet
+    assert(touched.size < new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("cell=")),
+      "fixture regression: the rectangle should not cover every cell")
+    // parity with the unpartitioned filter
+    val expected = LayoutOps.zCoords(Tables.events(spark, Sf))
+      .filter(col("u").between(u0, u1) && col("day").between(d0, d1)).count()
+    assert(q.count() === expected)
+  }
+
   test("size-targeted compaction: range-clustered files with bounded rows and disjoint key ranges") {
     import org.apache.spark.sql.functions._
     // the small-files compaction pass every lakehouse table needs:
