@@ -98,13 +98,47 @@ object SqlSurfaceOps {
          |ORDER BY doc_id""".stripMargin)
   }
 
+  /** SX5 — the ly1 Z-order audit in pure SQL text: the Morton
+    * interleave is plain `& | shiftleft` arithmetic, so a SQL-first
+    * user needs NO registered function at all — this is the paste-in
+    * form of the layout audit. Oracle is ly1's VERBATIM, so the SQL
+    * path must hash-match the DataFrame path bit-for-bit. */
+  def sqlZorder(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.createOrReplaceTempView("events_sqlsurface_z")
+    val day = s"((${ScanOps.tsMicrosSql(ev)}) div ${WindowOps.DayMicros})"
+    def sp(x: String): String = {
+      val a = s"((($x) | shiftleft($x, 8)) & 16711935)"
+      val b = s"((($a) | shiftleft($a, 4)) & 252645135)"
+      val c = s"((($b) | shiftleft($b, 2)) & 858993459)"
+      s"((($c) | shiftleft($c, 1)) & 1431655765)"
+    }
+    s.sql(
+      s"""WITH base AS (SELECT user_id & 65535 AS u, $day & 65535 AS day
+         |              FROM events_sqlsurface_z),
+         |zt AS (SELECT u, day,
+         |              shiftright(${sp("u")} | shiftleft(${sp("day")}, 1),
+         |                         ${2 * LayoutOps.CellBits}) AS cell
+         |       FROM base)
+         |SELECT cell, count(*) AS n_rows,
+         |       min(u) AS u_min, max(u) AS u_max,
+         |       min(day) AS day_min, max(day) AS day_max,
+         |       max(u) - min(u) + 1 AS u_span,
+         |       max(day) - min(day) + 1 AS day_span
+         |FROM zt GROUP BY cell
+         |ORDER BY cell""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sx1_sql_signatures" -> (sqlSignatures _),
     "sx2_sql_topk" -> (sqlTopkByNorm _),
     "sx3_sql_asof" -> (sqlAsof _),
-    "sx4_sql_classifier" -> (sqlClassifier _))
+    "sx4_sql_classifier" -> (sqlClassifier _),
+    "sx5_sql_zorder" -> (sqlZorder _))
 
   val oracles: Map[String, String] = Map(
+    // ly1's oracle verbatim: SQL-text path == DataFrame path == DuckDB
+    "sx5_sql_zorder" -> LayoutOps.oracles("ly1_zorder_layout"),
     // qf1's oracle verbatim: SQL-text path == DataFrame path == DuckDB
     "sx4_sql_classifier" -> QualityFilterOps.oracles("qf1_classifier"),
     // same oracle as jx4/jx5: the SQL-text path must agree bit-for-bit

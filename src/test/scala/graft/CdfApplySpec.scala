@@ -59,4 +59,44 @@ class CdfApplySpec extends SparkSpec {
       s"merge must not shuffle the base:\n" +
         plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
+
+  test("replaying the per-batch CDF through applyCdf tracks the upstream table, 3 seeds") {
+    // the downstream-REPLICA invariant a CDF subscriber relies on:
+    // start from the empty table, apply each micro-batch's feed in
+    // order — after EVERY batch the replica equals the upstream
+    // visible state, under any event arrival order (advanceState's
+    // tombstone-keeping compaction absorbs late arrivals)
+    import spark.implicits._
+    val events = ScanOps.eventsTs(spark, Sf).limit(600)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[java.lang.Double]("value")).map(_.toDouble),
+        r.getTimestamp(3), r.getLong(4))).toVector
+    assert(events.nonEmpty)
+    for (seed <- Seq(1, 9, 27)) {
+      val rnd = new scala.util.Random(seed)
+      var state = Seq.empty[(Long, String, Option[Double],
+          java.sql.Timestamp, Long)]
+        .toDF("user_id", "state", "value", "ts", "event_id")
+      var replica = Seq.empty[(Long, String, Option[Double])]
+        .toDF("user_id", "state", "value")
+      var rest = rnd.shuffle(events)
+      val chunkSz = math.max(1, rest.length / 5)
+      while (rest.nonEmpty) {
+        val (chunk, tail) = rest.splitAt(chunkSz)
+        rest = tail
+        val batch = chunk
+          .toDF("user_id", "event_type", "value", "ts", "event_id")
+        val next = ScanOps.advanceState(state, batch).localCheckpoint()
+        val feed = ScanOps.snapshotDiffAgainst(
+          ScanOps.visibleState(state), ScanOps.visibleState(next))
+        replica = ScanOps.applyCdf(replica, feed).localCheckpoint()
+        state = next
+        assert(keyed(replica.collect()) ===
+          keyed(ScanOps.visibleState(state).collect()),
+          s"seed $seed: replica diverged mid-stream")
+      }
+    }
+  }
 }
