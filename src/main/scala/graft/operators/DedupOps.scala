@@ -828,12 +828,8 @@ object DedupOps {
     * the frozen artifact a re-crawl batch probes (d7's key-index
     * discipline; at 100 TB this is a persisted table bucketed on `h`,
     * so the probe join is exchange-free on the index side). */
-  def winnowingIndex(corpus: DataFrame): DataFrame = {
-    val fp = winnowedFingerprints(corpus)
-    val overCap = fp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") > WinnowCap).select(col("h"))
-    fp.join(broadcast(overCap), Seq("h"), "left_anti")
-  }
+  def winnowingIndex(corpus: DataFrame): DataFrame =
+    winnowingIndexWithStats(corpus)._1
 
   /** D18 — INCREMENTAL winnowing match, the d7/d15 re-crawl discipline
     * applied to d17's local-overlap detector: an incoming snapshot
@@ -860,6 +856,75 @@ object DedupOps {
     val corpus = docs.filter(col("doc_id") % IncomingMod =!= 0)
     winnowingIncrementalAgainst(incoming, winnowingIndex(corpus))
       .transform(Common.presented(_, col("doc_id")))
+  }
+
+  /** The at-rest winnowing index PAIR: the capped fingerprint table
+    * AND the full document-frequency stats — the stats retain the
+    * over-cap hashes the fingerprint table dropped, because an append
+    * must know the true running DF to re-evaluate the cap (without
+    * them an evicted hash's count restarts at zero and boilerplate
+    * sneaks back in). */
+  def winnowingIndexWithStats(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val fp = winnowedFingerprints(corpus)
+    if (fp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      fp.persist() // feeds both halves
+    val dfAll = fp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    val kept = fp.join(
+      broadcast(dfAll.filter(col("nd") > WinnowCap).select(col("h"))),
+      Seq("h"), "left_anti")
+    (kept, dfAll)
+  }
+
+  /** D19 — winnowing index APPEND, the maintenance half d18's probe
+    * assumes (ir7's postings-append discipline): fold a fresh document
+    * batch into the standing index WITHOUT re-fingerprinting the
+    * corpus. DF stats merge by summation; a hash whose TOTAL frequency
+    * crosses [[WinnowCap]] evicts ALL its rows (old and fresh — DF
+    * only grows, so eviction is monotone and nothing ever resurrects);
+    * under-cap hashes keep their old rows and gain the batch's. The
+    * result is BIT-EQUAL to rebuilding from scratch over
+    * corpus ∪ batch — that is this query's oracle (the registered
+    * output IS the appended fingerprint table, and the DuckDB twin
+    * computes the full rebuild), and DedupGuaranteesSpec additionally
+    * pins a planted cap-crossing eviction.
+    *
+    * 100 TB plan: only the batch's fingerprints shuffle (one
+    * map-side-partial DF aggregate + the explode); the stats merge
+    * exchanges (h, count) pairs only; the merged over-cap set (≤
+    * |fp|/Cap keys, d17's broadcast bound) anti-joins both halves in
+    * one pass. At rest only the hashes that CROSSED cap in this batch
+    * — a tiny subset — require rewriting standing buckets (the table
+    * is bucketed on h, so the rewrite touches affected buckets only,
+    * x17's discipline); the rest of the standing table is untouched. */
+  def winnowingAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isNew = col("doc_id") % IncomingMod === 0
+    val (kept, dfAll) = winnowingIndexWithStats(docs.filter(!isNew))
+    winnowingAppendCore(kept, dfAll, docs.filter(isNew))._1
+      .transform(Common.presented(_, col("doc_id"), col("h")))
+  }
+
+  /** d19's core: merge a fresh batch into (kept fingerprints, full DF
+    * stats); returns the new pair. */
+  def winnowingAppendCore(oldKept: DataFrame, oldDf: DataFrame,
+      fresh: DataFrame): (DataFrame, DataFrame) = {
+    val bfp = winnowedFingerprints(fresh)
+    if (bfp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      bfp.persist() // feeds the batch DF aggregate and the new rows
+    val bdf = bfp.groupBy(col("h")).agg(count(lit(1)).as("nd_new"))
+    val mergedDf = oldDf
+      .join(bdf, Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("nd"), lit(0L)) + coalesce(col("nd_new"), lit(0L)))
+          .as("nd"))
+    // over-cap AFTER the merge: evicts old rows that crossed and
+    // filters the batch's own additions (a batch can push a hash over
+    // by itself); DF is monotone, so previously-evicted hashes are
+    // already absent from oldKept and stay out via the same filter
+    val overCap = mergedDf.filter(col("nd") > WinnowCap).select(col("h"))
+    val newKept = oldKept.unionByName(bfp)
+      .join(broadcast(overCap), Seq("h"), "left_anti")
+    (newKept, mergedDf)
   }
 
   /** D18 production-shape core: verdict an incoming (`doc_id`, `text`)
@@ -922,7 +987,8 @@ object DedupOps {
     "d14_containment" -> (containment _),
     "d16_semdedup" -> (semDedup _),
     "d17_winnowing" -> (winnowing _),
-    "d18_winnowing_incremental" -> (winnowingIncremental _))
+    "d18_winnowing_incremental" -> (winnowingIncremental _),
+    "d19_winnowing_append" -> (winnowingAppend _))
 
   /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
     * as a recursive-closure CTE. */
@@ -1245,7 +1311,17 @@ object DedupOps {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
          |LEFT JOIN nf n ON n.doc_id = d.doc_id
          |LEFT JOIN best b ON b.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin)
+         |ORDER BY d.doc_id""".stripMargin,
+    // the append==rebuild invariant IS the oracle: the appended index
+    // must equal the capped fingerprint table of the FULL corpus
+    "d19_winnowing_append" ->
+      s"""WITH $d17FpCtesSql,
+         |overcap AS (SELECT h FROM fp GROUP BY h
+         |            HAVING count(*) > $WinnowCap)
+         |SELECT f.doc_id, f.h
+         |FROM fp f LEFT JOIN overcap o ON f.h = o.h
+         |WHERE o.h IS NULL
+         |ORDER BY f.doc_id, f.h""".stripMargin)
 
   /** d17/d18's shared DuckDB fingerprint derivation: `fp(doc_id, h)` =
     * each document's DISTINCT winnowed word-[[WinnowK]]-gram hashes

@@ -245,4 +245,39 @@ class DedupGuaranteesSpec extends SparkSpec {
     assert(out(21L).getAs[Long]("n_cand") === 0L)
     assert(out(21L).isNullAt(out(21L).fieldIndex("overlap")))
   }
+
+  test("d19: a batch pushing boilerplate over the cap evicts it everywhere; append == rebuild") {
+    import spark.implicits._
+    // corpus: exactly Cap docs sharing one paragraph (its fingerprints
+    // sit AT the cap — kept); the fresh batch repeats it once more, so
+    // the shared hashes cross and must vanish from old AND new rows,
+    // while the stats remember the true running DF
+    val para = (0 until 12).map(i => s"bp$i").mkString(" ")
+    val corpus = (1L to DedupOps.WinnowCap).map(i =>
+      (i, s"p${i}a p${i}b p${i}c " + para)).toDF("doc_id", "text")
+    val fresh = Seq((100L, "q1 q2 q3 " + para)).toDF("doc_id", "text")
+    val (kept, dfAll) = DedupOps.winnowingIndexWithStats(corpus)
+    val keptRows = kept.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h")))
+    val byDoc = keptRows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val shared = byDoc.values.reduce(_ intersect _)
+    assert(shared.nonEmpty, "a 12-token shared run must yield shared fingerprints")
+    val (newKept, newDf) = DedupOps.winnowingAppendCore(kept, dfAll, fresh)
+    val after = newKept.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h")))
+    assert(after.forall(p => !shared.contains(p._2)),
+      "crossed-cap hashes must vanish from every doc's rows")
+    assert(after.exists(_._1 == 100L),
+      "the fresh doc's unique fingerprints must land")
+    val nd = newDf.filter(col("h").isin(shared.toSeq: _*))
+      .collect().map(_.getAs[Long]("nd"))
+    assert(nd.length == shared.size &&
+      nd.forall(_ == DedupOps.WinnowCap + 1),
+      "stats must retain evicted hashes at their true running DF")
+    // append == rebuild, bit-exact, on the planted corpus too
+    val rebuilt = DedupOps.winnowingIndex(corpus.unionByName(fresh))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h")))
+      .sorted.toSeq
+    assert(after.sorted.toSeq === rebuilt)
+  }
 }
