@@ -79,4 +79,51 @@ class StreamingWinnowSpec extends SparkSpec {
       }
     } finally idx.unpersist()
   }
+
+  test("streamed index maintenance: per-batch d19 folds == full rebuild, 3 fuzz seeds") {
+    // the MAINTENANCE binding: each micro-batch of fresh documents
+    // folds into the standing (fingerprints, DF stats) pair through
+    // the same core the registered d19 uses — append==rebuild per step
+    // makes the SEQUENTIAL fold equal a fresh rebuild over everything,
+    // regardless of how arrivals are cut into batches
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+    val isNew = col("doc_id") % DedupOps.IncomingMod === 0
+    val expected = DedupOps.winnowingIndex(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h"))).sorted.toSeq
+    val freshDocs = docs.filter(isNew)
+      .select(col("doc_id"), col("text")).as[Doc].collect().toVector
+
+    for (seed <- Seq(4, 19, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val (k0, d0) = DedupOps.winnowingIndexWithStats(docs.filter(!isNew))
+      // fold state crosses micro-batches — localCheckpoint truncates
+      // the growing lineage exactly as StarComponents' loop does
+      var kept = k0.localCheckpoint()
+      var dfStats = d0.localCheckpoint()
+      val in = MemoryStream[Doc]
+      val q = in.toDF().writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val (k, d) = DedupOps.winnowingAppendCore(kept, dfStats, batch)
+          kept = k.localCheckpoint()
+          dfStats = d.localCheckpoint()
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(freshDocs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(10))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable() // stateless foreachBatch — safe to drain
+        }
+      } finally q.stop()
+      val got = kept.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h"))).sorted.toSeq
+      assert(got === expected,
+        s"seed $seed: streamed index folds diverged from the full rebuild")
+    }
+  }
 }
