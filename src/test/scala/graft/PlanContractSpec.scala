@@ -204,6 +204,67 @@ class PlanContractSpec extends SparkSpec {
       "a consumer bypassed the cached assignment and re-scanned parquet")
   }
 
+  /** EVERY physical node reachable from `p` — through adaptive
+    * wrappers, finalized query stages AND persisted consumers'
+    * cachedPlans (the winnowing tier's cap machinery lives inside the
+    * persisted `kept`/`fp` frames, invisible to the outer plan, and a
+    * materialized cache nests its own AdaptiveSparkPlanExec → query
+    * stages). */
+  private def deepNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val through: Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(m.relation.cachedPlan)
+      case _ => Nil
+    }
+    p +: (p.children ++ p.subqueries ++ through).flatMap(deepNodes)
+  }
+
+  test("d17: the DF cap is a broadcast anti-join, never a full-width window shuffle") {
+    val nodes = deepNodes(
+      graft.operators.DedupOps.winnowing(spark, Sf).queryExecution.executedPlan)
+    // the regression this pins against: computing document frequency
+    // with count() OVER (PARTITION BY h) shuffles every (doc_id, h)
+    // row just to learn its DF — the pre-aggregated groupBy + broadcast
+    // anti-join form must keep d17 entirely Window-free, INCLUDING the
+    // persisted kept frame's cached plan
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"d17 regained a window: ${windows.take(1)}")
+    val anti = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.toString.contains("LeftAnti") => j
+    }
+    assert(anti.nonEmpty, "the over-cap filter must be a broadcast anti-join")
+    // the pair stage must stay a hashed equi-join keyed on the
+    // fingerprint (broadcast at fixture scale, shuffled-hash/SMJ at
+    // real scale) — losing the key degenerates to the global pair space
+    val equi = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.toString == "Inner" => j.leftKeys
+    }
+    assert(equi.exists(_.exists(_.toString.startsWith("h"))),
+      s"pair join lost its fingerprint key: $equi")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+  }
+
+  test("d19: append is window-free; eviction is a broadcast anti-join over both halves") {
+    val nodes = deepNodes(graft.operators.DedupOps
+      .winnowingAppend(spark, Sf).queryExecution.executedPlan)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "d19 must not window-shuffle fingerprints")
+    val anti = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType.toString.contains("LeftAnti") => j
+    }
+    assert(anti.nonEmpty, "cap eviction must be a broadcast anti-join")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("CartesianProduct")))
+  }
+
   test("ap5: sketch is a bounded partial aggregate over one cached distinct pass") {
     val p = executed(graft.operators.ApproxOps.kmvOverlap(spark, Sf))
     assert(!p.toString.contains("CartesianProduct"),
