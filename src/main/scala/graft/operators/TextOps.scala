@@ -475,7 +475,14 @@ object TextOps {
     * function. An empty doc still yields its one empty chunk (start 0)
     * on both engines — sequence(0,0,s) == generate_series(0,0,s). */
   def chunk(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    chunkGrid(Tables.documents(s, dir))
+      .transform(Common.presented(_, col("doc_id"), col("chunk_idx")))
+
+  /** The tx14 chunk grid over any (`doc_id`, `text`) frame — ONE
+    * definition shared with tx19's duplication signal so the two can't
+    * disagree on chunk geometry. */
+  private def chunkGrid(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0),
           greatest(length(col("text")) - 1, lit(0)),
@@ -486,7 +493,60 @@ object TextOps {
         col("chunk_start").cast("int").as("chunk_start"),
         length(substring_index_free).as("chunk_len"),
         md5(substring_index_free).as("chunk_md5"))
-      .transform(Common.presented(_, col("doc_id"), col("chunk_idx")))
+
+  /** tx19's duplication threshold as an integer cross-multiplication:
+    * `dup_chars · 10 > total_chars · 3` ⇔ fraction > 0.3 — hash-exact
+    * on both engines, no float compare in the verdict. */
+  val DupHeavyNum = 3L
+  val DupHeavyDen = 10L
+
+  /** TX19 — duplicated-prose fraction, the Gopher/RefinedWeb-style
+    * quality signal: per document, the share of its chunk-grid
+    * characters belonging to chunks that appear VERBATIM in at least
+    * one OTHER document (copy-pasted boilerplate, syndicated passages,
+    * mirrored pages). Intra-doc repetition is tx8's job; this one is
+    * CROSS-doc: a chunk counts as duplicated when its md5 occurs in ≥2
+    * distinct documents. Per doc: chunk counts, character masses, the
+    * exact fraction, and the >0.3 heavy flag a filtering pipeline
+    * drops on.
+    *
+    * Plan: the grid explodes scan-bound (tx14); chunk document
+    * frequency is a pre-aggregated (md5 → n_docs) map-side-partial
+    * exchange; the flag join then keys on md5 and the per-doc rollup
+    * on doc_id. At 100 TB the duplicated-chunk SET (df ≥ 2) is the
+    * broadcast/bloom candidate (d17's over-cap discipline) — the
+    * grid itself never needs a second scan of text. */
+  def dupFraction(s: SparkSession, dir: String): DataFrame =
+    dupFractionCore(Tables.documents(s, dir))
+      .transform(Common.presented(_, col("doc_id")))
+
+  /** tx19's body over any (`doc_id`, `text`) frame — the unit the
+    * planted-documents spec drives. */
+  def dupFractionCore(docs: DataFrame): DataFrame = {
+    val ch = chunkGrid(docs)
+      .select(col("doc_id"), col("chunk_md5"), col("chunk_len"))
+    if (ch.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      ch.persist() // read twice: the df aggregate and the flag join
+    val dfreq = ch.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    ch.join(dfreq, Seq("chunk_md5"))
+      .select(col("doc_id"), col("chunk_len").cast("long").as("len"),
+        when(col("ndocs") >= 2, 1L).otherwise(0L).as("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("dup")).as("n_dup_chunks"),
+        sum(col("len")).as("n_chars_chunked"),
+        sum(when(col("dup") === 1, col("len")).otherwise(0L))
+          .as("n_dup_chars"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("n_chars_chunked"), col("n_dup_chars"),
+        when(col("n_chars_chunked") > 0,
+          col("n_dup_chars").cast("double") /
+            col("n_chars_chunked").cast("double")).as("dup_char_fraction"),
+        when(col("n_dup_chars") * DupHeavyDen >
+            col("n_chars_chunked") * DupHeavyNum, 1)
+          .otherwise(0).as("is_dup_heavy"))
+  }
 
   /** The chunk slice both TX14 output columns share (1-based substring,
     * overrun truncates — identical in Spark and DuckDB). */
@@ -787,6 +847,7 @@ object TextOps {
     "tx18_novelty" -> (ngramNovelty _),
     "tx13_curation_report" -> (curationReport _),
     "tx14_chunk" -> (chunk _),
+    "tx19_dup_fraction" -> (dupFraction _),
     "tx16_weighted_sample" -> (weightedSample _),
     "tx17_budget_select" -> (budgetSelect _),
     "tx1_token_stats" -> (tokenStats _),
@@ -1160,14 +1221,37 @@ object TextOps {
     // same stride grid: generate_series and sequence() are both
     // inclusive-stop, so the start sets match exactly (incl. the
     // empty-doc start-0 chunk)
-    "tx14_chunk" ->
-      s"""SELECT doc_id,
-         |       CAST(start // $ChunkStride AS INT) AS chunk_idx,
-         |       CAST(start AS INT) AS chunk_start,
-         |       CAST(length(substring(text, start + 1, $ChunkSize)) AS INT) AS chunk_len,
-         |       md5(substring(text, start + 1, $ChunkSize)) AS chunk_md5
-         |FROM (SELECT doc_id, text,
-         |             unnest(generate_series(0, greatest(length(text) - 1, 0), $ChunkStride)) AS start
-         |      FROM documents)
-         |ORDER BY doc_id, chunk_idx""".stripMargin)
+    "tx14_chunk" -> s"$chunkGridSql\nORDER BY doc_id, chunk_idx",
+    // tx14's grid CTE verbatim; count(*) / sums widen-then-cast to
+    // BIGINT; the fraction is one double division of exact integers
+    "tx19_dup_fraction" ->
+      s"""WITH ch AS ($chunkGridSql),
+         |dfq AS (SELECT chunk_md5, count(DISTINCT doc_id) AS ndocs
+         |        FROM ch GROUP BY chunk_md5),
+         |j AS (SELECT ch.doc_id, ch.chunk_len AS len,
+         |             CASE WHEN dfq.ndocs >= 2 THEN 1 ELSE 0 END AS dup
+         |      FROM ch JOIN dfq USING (chunk_md5))
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+         |       CAST(sum(len) AS BIGINT) AS n_chars_chunked,
+         |       CAST(sum(CASE WHEN dup = 1 THEN len ELSE 0 END) AS BIGINT) AS n_dup_chars,
+         |       CASE WHEN sum(len) > 0
+         |            THEN CAST(sum(CASE WHEN dup = 1 THEN len ELSE 0 END) AS DOUBLE)
+         |                 / CAST(sum(len) AS DOUBLE) END AS dup_char_fraction,
+         |       CASE WHEN sum(CASE WHEN dup = 1 THEN len ELSE 0 END) * $DupHeavyDen
+         |              > sum(len) * $DupHeavyNum
+         |            THEN 1 ELSE 0 END AS is_dup_heavy
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** tx14/tx19's shared DuckDB chunk grid (the SQL twin of
+    * `chunkGrid`). */
+  private lazy val chunkGridSql: String =
+    s"""SELECT doc_id,
+       |       CAST(start // $ChunkStride AS INT) AS chunk_idx,
+       |       CAST(start AS INT) AS chunk_start,
+       |       CAST(length(substring(text, start + 1, $ChunkSize)) AS INT) AS chunk_len,
+       |       md5(substring(text, start + 1, $ChunkSize)) AS chunk_md5
+       |FROM (SELECT doc_id, text,
+       |             unnest(generate_series(0, greatest(length(text) - 1, 0), $ChunkStride)) AS start
+       |      FROM documents)""".stripMargin
 }

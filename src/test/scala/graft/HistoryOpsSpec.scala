@@ -44,6 +44,58 @@ class HistoryOpsSpec extends SparkSpec {
     }
   }
 
+  test("tx19: dup fraction == brute-force recount; planted mirrored docs flag heavy") {
+    // brute-force reference off the raw texts, same slicing rule
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def chunksOf(text: String): Seq[(String, Int)] =
+      (0 to math.max(text.length - 1, 0) by TextOps.ChunkStride).map { st =>
+        val sl = text.substring(math.min(st, text.length),
+          math.min(st + TextOps.ChunkSize, text.length))
+        (md5hex(sl), sl.length)
+      }
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val allChunks = docs.flatMap { case (id, t) => chunksOf(t).map(c => (id, c._1, c._2)) }
+    val dupSet = allChunks.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.size).filter(_._2 >= 2).keySet
+    val ref = allChunks.groupBy(_._1).view.mapValues { cs =>
+      val dupChars = cs.filter(c => dupSet(c._2)).map(_._3.toLong).sum
+      val total = cs.map(_._3.toLong).sum
+      (cs.length.toLong, cs.count(c => dupSet(c._2)).toLong, total, dupChars)
+    }.toMap
+    val got = TextOps.dupFraction(spark, Sf).collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, nd, tot, dch) = ref(id)
+      assert(r.getAs[Long]("n_chunks") == n, s"doc $id n_chunks")
+      assert(r.getAs[Long]("n_dup_chunks") == nd, s"doc $id n_dup_chunks")
+      assert(r.getAs[Long]("n_chars_chunked") == tot, s"doc $id chars")
+      assert(r.getAs[Long]("n_dup_chars") == dch, s"doc $id dup chars")
+      if (tot > 0)
+        assert(r.getAs[Double]("dup_char_fraction") == dch.toDouble / tot.toDouble)
+      assert((r.getAs[Int]("is_dup_heavy") == 1) ==
+        (dch * TextOps.DupHeavyDen > tot * TextOps.DupHeavyNum), s"doc $id flag")
+    }
+    // non-vacuous on the fixture: some cross-doc duplication exists
+    assert(got.exists(_.getAs[Long]("n_dup_chunks") > 0),
+      "fixture regression: no cross-doc duplicate chunks at this SF")
+    // planted: two byte-identical docs are 100% duplicated prose (heavy),
+    // an unrelated doc is 0% (clean) — driven through the core
+    import spark.implicits._
+    val mirrored = ("x" * 500)
+    val planted = Seq((1L, mirrored), (2L, mirrored), (3L, "y" * 500))
+      .toDF("doc_id", "text")
+    val out = TextOps.dupFractionCore(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("dup_char_fraction"), r.getAs[Int]("is_dup_heavy"))).toMap
+    assert(out(1L) == ((1.0, 1)) && out(2L) == ((1.0, 1)))
+    assert(out(3L) == ((0.0, 0)))
+  }
+
   test("s7: SCD-2 intervals chain per user with one open current row") {
     val rows = ScanOps.scd2(spark, Sf).collect()
     val n = Tables.events(spark, Sf).count()
