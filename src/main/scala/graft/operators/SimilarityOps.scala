@@ -1179,7 +1179,51 @@ object SimilarityOps {
         col("vec_id").as("neighbor_id"), col("adc"))
   }
 
+  /** X21 — SCALAR quantization (SQ8), the other standard vector
+    * compression next to PQ (x8): every dimension maps independently
+    * to an 8-bit code on the corpus's per-dim [min, max] range —
+    * 4 bytes/float → 1 byte/dim, the Faiss `SQ8` / Milvus `SQ8` index
+    * storage format. Per (vector, dim): the code and the mid-rise
+    * reconstruction `mn + (code + 0.5)·(mx − mn)/255` an ADC serve
+    * dequantizes against. Where PQ quantizes 16-dim SUBSPACES against
+    * learned centroids (better ratio, needs training), SQ8 is
+    * training-light and exact-per-dim — the standard first step down
+    * from float32.
+    *
+    * Every arithmetic step is IEEE double with identical operand order
+    * in the DuckDB twin, so codes AND reconstructions hash-match
+    * bit-for-bit; degenerate dims (mx == mn) code to 0 by definition.
+    *
+    * 100 TB plan: the per-dim stats collapse to DIM rows through one
+    * map-side-partial exchange (at extreme scale a sample fits the
+    * range — the x7/x12 sampling note applies) and broadcast back; the
+    * encode itself is scan-bound arithmetic on the exploded frame, and
+    * at rest the codes table replaces the float column at 1/4 the
+    * bytes. */
+  def sq8Encode(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("d").cast("int").as("d"),
+        col("xf").cast("double").as("x"))
+    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      e.persist() // read twice: the stats aggregate and the encode
+    val st = e.groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    e.join(broadcast(st), Seq("d"))
+      .select(col("vec_id"), col("d"), col("mn"), col("mx"),
+        when(col("mx") > col("mn"),
+          least(lit(255L), greatest(lit(0L),
+            floor((col("x") - col("mn")) * lit(255.0d) /
+              (col("mx") - col("mn"))))))
+          .otherwise(lit(0L)).cast("int").as("code"))
+      .select(col("vec_id"), col("d"), col("code"),
+        (col("mn") + ((col("code").cast("double") + lit(0.5d)) *
+          (col("mx") - col("mn"))) / lit(255.0d)).as("dq"))
+      .transform(Common.presented(_, col("vec_id"), col("d")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_sq8_encode" -> (sq8Encode _),
     "x20_ivfpq_lifecycle" -> (ivfPqLifecycle _),
     "x19_ivfpq_applied" -> (ivfPqApplied _),
     "x18_ivfpq_trained_full" -> (ivfPqTrainedFull _),
@@ -1208,6 +1252,26 @@ object SimilarityOps {
        |FROM embeddings""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    // all-double arithmetic with operand order matching the Spark
+    // expressions exactly; constants written as double casts (a bare
+    // 255.0 is DECIMAL in DuckDB)
+    "x21_sq8_encode" ->
+      s"""WITH x AS (SELECT vec_id, CAST(u.d AS INT) - 1 AS d,
+         |                  CAST(embedding[u.d] AS DOUBLE) AS x
+         |           FROM embeddings,
+         |                unnest(generate_series(1, len(embedding))) AS u(d)),
+         |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM x GROUP BY d),
+         |c AS (SELECT vec_id, x.d, st.mn, st.mx,
+         |             CASE WHEN st.mx > st.mn
+         |                  THEN CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+         |                         CAST(floor((x.x - st.mn) * CAST(255 AS DOUBLE)
+         |                                    / (st.mx - st.mn)) AS BIGINT))) AS INT)
+         |                  ELSE 0 END AS code
+         |      FROM x JOIN st USING (d))
+         |SELECT vec_id, d, code,
+         |       mn + ((CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn))
+         |              / CAST(255 AS DOUBLE) AS dq
+         |FROM c ORDER BY vec_id, d""".stripMargin,
     "x1_knn_brute" ->
       s"""WITH c AS ($corpusSql),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM c WHERE vec_id < $NumQueries),

@@ -14,6 +14,39 @@ class PqSpec extends SparkSpec {
   private def emb = graft.sources.Tables.embeddings(spark, Sf)
     .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
 
+  test("x21: SQ8 codes == plain-Scala reference; mid-rise residual bounded by half a step") {
+    val ref = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = ref.head._2.length
+    val mn = Array.tabulate(dims)(d => ref.map(_._2(d)).min)
+    val mx = Array.tabulate(dims)(d => ref.map(_._2(d)).max)
+    def codeOf(x: Double, d: Int): Int =
+      if (mx(d) > mn(d))
+        math.min(255L, math.max(0L,
+          math.floor((x - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong)).toInt
+      else 0
+    val got = SimilarityOps.sq8Encode(spark, Sf).collect()
+    assert(got.length == ref.length * dims)
+    val byVec = ref.toMap
+    got.foreach { r =>
+      val (id, d) = (r.getAs[Long]("vec_id"), r.getAs[Int]("d"))
+      val x = byVec(id)(d)
+      val code = r.getAs[Int]("code")
+      assert(code == codeOf(x, d), s"vec $id dim $d")
+      val dq = r.getAs[Double]("dq")
+      assert(dq == mn(d) + ((code.toDouble + 0.5) * (mx(d) - mn(d))) / 255.0,
+        s"vec $id dim $d reconstruction")
+      // the SQ8 point: dequantization never strays more than half a
+      // quantization step from the original (clamp included)
+      val step = (mx(d) - mn(d)) / 255.0
+      assert(math.abs(x - dq) <= step * 0.5 + 1e-12,
+        s"vec $id dim $d residual ${math.abs(x - dq)} > half-step $step")
+    }
+    // codes actually use the range (non-degenerate fixture)
+    assert(got.map(_.getAs[Int]("code")).distinct.length > 100,
+      "fixture regression: SQ8 code space collapsed")
+  }
+
   test("seeds encode to themselves with exactly zero quantization error") {
     val enc = SimilarityOps.pqEncode(spark, Sf)
       .filter(col("vec_id") >= SimilarityOps.NumQueries &&
