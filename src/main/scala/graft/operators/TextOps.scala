@@ -529,9 +529,40 @@ object TextOps {
       ch.persist() // read twice: the df aggregate and the flag join
     val dfreq = ch.groupBy(col("chunk_md5"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
-    ch.join(dfreq, Seq("chunk_md5"))
+    dupRollup(ch.join(dfreq, Seq("chunk_md5"))
       .select(col("doc_id"), col("chunk_len").cast("long").as("len"),
-        when(col("ndocs") >= 2, 1L).otherwise(0L).as("dup"))
+        when(col("ndocs") >= 2, 1L).otherwise(0L).as("dup")))
+  }
+
+  /** The corpus's FROZEN duplicated-chunk digest set — the standing
+    * artifact tx19's streaming monitor probes (chunk md5s appearing in
+    * ≥2 distinct documents; at most |chunks|/2 keys and in practice a
+    * tiny boilerplate head — the broadcast/bloom candidate). */
+  def dupChunkSet(corpus: DataFrame): DataFrame =
+    chunkGrid(corpus)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("chunk_md5"))
+
+  /** tx19's streaming form: score ONE micro-batch of documents against
+    * the frozen [[dupChunkSet]] (broadcast) — each doc's verdict
+    * depends only on its own chunks and the frozen set, so the
+    * streamed scores equal the batch scoring against the same set
+    * under any arrival order (StreamingCurationSpec pins it). The
+    * monitor a re-crawl ingest runs to bounce syndicated boilerplate
+    * before it lands in the corpus. */
+  def dupFractionAgainst(batch: DataFrame, dupChunks: DataFrame): DataFrame =
+    dupRollup(chunkGrid(batch)
+      .select(col("doc_id"), col("chunk_md5"), col("chunk_len"))
+      .join(broadcast(dupChunks.select(col("chunk_md5"),
+        lit(1L).as("hit"))), Seq("chunk_md5"), "left")
+      .select(col("doc_id"), col("chunk_len").cast("long").as("len"),
+        coalesce(col("hit"), lit(0L)).as("dup")))
+
+  /** The shared tx19 per-doc rollup over a (doc_id, len, dup) frame. */
+  private def dupRollup(flagged: DataFrame): DataFrame =
+    flagged
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("dup")).as("n_dup_chunks"),
@@ -546,7 +577,6 @@ object TextOps {
         when(col("n_dup_chars") * DupHeavyDen >
             col("n_chars_chunked") * DupHeavyNum, 1)
           .otherwise(0).as("is_dup_heavy"))
-  }
 
   /** The chunk slice both TX14 output columns share (1-based substring,
     * overrun truncates — identical in Spark and DuckDB). */

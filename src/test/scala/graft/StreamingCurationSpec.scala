@@ -84,4 +84,54 @@ class StreamingCurationSpec extends SparkSpec {
         split.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("tx19 streamed against the frozen dup-chunk set == batch scoring, 2 seeds") {
+    // the boilerplate-bounce monitor: each micro-batch of re-crawled
+    // docs scores against the corpus's FROZEN duplicated-chunk digest
+    // set; per-doc independence given the frozen set makes the
+    // accumulated streamed scores equal the batch call over the
+    // unioned input regardless of batch cuts
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val isNew = col("doc_id") % DedupOps.IncomingMod === 0
+    val frozen = TextOps.dupChunkSet(docs.filter(!isNew)).persist()
+    try {
+      val keyed = (rows: Array[org.apache.spark.sql.Row]) => rows.map { r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chunks"),
+          r.getAs[Long]("n_dup_chunks"), r.getAs[Long]("n_chars_chunked"),
+          r.getAs[Long]("n_dup_chars"),
+          Option(r.getAs[java.lang.Double]("dup_char_fraction")).map(_.toDouble),
+          r.getAs[Int]("is_dup_heavy"))
+      }.sortBy(_._1).toSeq
+      val expected = keyed(
+        TextOps.dupFractionAgainst(docs.filter(isNew), frozen).collect())
+      assert(expected.nonEmpty)
+      val incoming = docs.filter(isNew)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toVector
+      for (seed <- Seq(6, 21)) {
+        val rnd = new scala.util.Random(seed)
+        val in = MemoryStream[(Long, String)]
+        val acc = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+        val q = in.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val rows = TextOps.dupFractionAgainst(b, frozen).collect()
+            acc.synchronized { acc ++= rows }
+            ()
+          }
+          .start()
+        try {
+          var rest = rnd.shuffle(incoming)
+          while (rest.nonEmpty) {
+            val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(15))
+            rest = tail
+            in.addData(chunk: _*)
+            q.processAllAvailable() // stateless foreachBatch — safe to drain
+          }
+        } finally q.stop()
+        assert(keyed(acc.toArray) === expected,
+          s"seed $seed: streamed dup scores diverged from the batch call")
+      }
+    } finally frozen.unpersist()
+  }
 }
