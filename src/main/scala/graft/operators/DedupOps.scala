@@ -907,10 +907,15 @@ object DedupOps {
   /** d19's core: merge a fresh batch into (kept fingerprints, full DF
     * stats); returns the new pair. */
   def winnowingAppendCore(oldKept: DataFrame, oldDf: DataFrame,
-      fresh: DataFrame): (DataFrame, DataFrame) = {
+      fresh: DataFrame, cacheBatch: Boolean = true): (DataFrame, DataFrame) = {
     val bfp = winnowedFingerprints(fresh)
-    if (bfp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      bfp.persist() // feeds the batch DF aggregate and the new rows
+    // feeds the batch DF aggregate and the new rows — but a
+    // long-running streaming maintenance monitor calls this per
+    // micro-batch and must not accumulate per-batch persists (the
+    // appendManifest / winnowingIncrementalAgainst convention)
+    if (cacheBatch &&
+        bfp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      bfp.persist()
     val bdf = bfp.groupBy(col("h")).agg(count(lit(1)).as("nd_new"))
     val mergedDf = oldDf
       .join(bdf, Seq("h"), "full_outer")

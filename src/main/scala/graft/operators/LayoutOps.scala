@@ -29,7 +29,10 @@ object LayoutOps {
     * distinct values of each key — the guarantee LayoutSpec pins. */
   val CellBits = 5
 
-  private val DimMask = (1L << ZBits) - 1
+  /** Per-dimension mask (low [[ZBits]] bits) — shared with sx5's
+    * SQL-text restatement so a ZBits retune cannot desynchronize the
+    * two paths. */
+  private[operators] val DimMask = (1L << ZBits) - 1
 
   /** Spread the low [[ZBits]] bits of `c` to even bit positions — the
     * classic 4-step shift-mask bit dilation (Morton encoding; public
@@ -119,13 +122,21 @@ object LayoutOps {
       dc <- (d0 >> CellBits) to (d1 >> CellBits)
     } yield mortonCell(uc, dc)
 
-  /** The SQL twin of [[spread16]] — same four shift-mask steps. */
-  private def spreadSql(x: String): String = {
-    val a = s"((($x) | (($x) << 8)) & 16711935)"
-    val b = s"((($a) | (($a) << 4)) & 252645135)"
-    val c = s"((($b) | (($b) << 2)) & 858993459)"
-    s"((($c) | (($c) << 1)) & 1431655765)"
+  /** The SQL-text form of [[spread16]], parameterized by the dialect's
+    * shift-left syntax — ONE place holds the four shift-mask steps for
+    * the DuckDB oracle (`x << n`) AND sx5's Spark-SQL restatement
+    * (`shiftleft(x, n)`). */
+  private[operators] def spreadSqlText(x: String,
+      shl: (String, Int) => String): String = {
+    val a = s"((($x) | ${shl(x, 8)}) & 16711935)"
+    val b = s"((($a) | ${shl(a, 4)}) & 252645135)"
+    val c = s"((($b) | ${shl(b, 2)}) & 858993459)"
+    s"((($c) | ${shl(c, 1)}) & 1431655765)"
   }
+
+  /** The DuckDB twin of [[spread16]]. */
+  private def spreadSql(x: String): String =
+    spreadSqlText(x, (e, n) => s"(($e) << $n)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ly1_zorder_layout" -> (zorderLayout _))

@@ -107,14 +107,14 @@ object SqlSurfaceOps {
     val ev = Tables.events(s, dir)
     ev.createOrReplaceTempView("events_sqlsurface_z")
     val day = s"((${ScanOps.tsMicrosSql(ev)}) div ${WindowOps.DayMicros})"
-    def sp(x: String): String = {
-      val a = s"((($x) | shiftleft($x, 8)) & 16711935)"
-      val b = s"((($a) | shiftleft($a, 4)) & 252645135)"
-      val c = s"((($b) | shiftleft($b, 2)) & 858993459)"
-      s"((($c) | shiftleft($c, 1)) & 1431655765)"
-    }
+    // the ONE spread definition (LayoutOps), rendered with Spark SQL's
+    // shiftleft(x, n) syntax — a ZBits/mask retune cannot leave this
+    // restatement behind
+    def sp(x: String): String =
+      LayoutOps.spreadSqlText(x, (e, n) => s"shiftleft($e, $n)")
     s.sql(
-      s"""WITH base AS (SELECT user_id & 65535 AS u, $day & 65535 AS day
+      s"""WITH base AS (SELECT user_id & ${LayoutOps.DimMask} AS u,
+         |                     $day & ${LayoutOps.DimMask} AS day
          |              FROM events_sqlsurface_z),
          |zt AS (SELECT u, day,
          |              shiftright(${sp("u")} | shiftleft(${sp("day")}, 1),

@@ -105,7 +105,8 @@ class StreamingWinnowSpec extends SparkSpec {
       val in = MemoryStream[Doc]
       val q = in.toDF().writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val (k, d) = DedupOps.winnowingAppendCore(kept, dfStats, batch)
+          val (k, d) = DedupOps.winnowingAppendCore(kept, dfStats, batch,
+            cacheBatch = false) // per-batch persists must not accumulate
           kept = k.localCheckpoint()
           dfStats = d.localCheckpoint()
           ()
