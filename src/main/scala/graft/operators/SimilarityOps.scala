@@ -1200,7 +1200,16 @@ object SimilarityOps {
     * encode itself is scan-bound arithmetic on the exploded frame, and
     * at rest the codes table replaces the float column at 1/4 the
     * bytes. */
-  def sq8Encode(s: SparkSession, dir: String): DataFrame = {
+  def sq8Encode(s: SparkSession, dir: String): DataFrame =
+    sq8Codes(s, dir)
+      .select(col("vec_id"), col("d"), col("code"),
+        (col("mn") + ((col("code").cast("double") + lit(0.5d)) *
+          (col("mx") - col("mn"))) / lit(255.0d)).as("dq"))
+      .transform(Common.presented(_, col("vec_id"), col("d")))
+
+  /** The SQ8 code frame (vec_id, d, mn, mx, code) x21 and x22 share —
+    * one exploded pass, per-dim stats broadcast back. */
+  private def sq8Codes(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
       .select(col("vec_id"), col("d").cast("int").as("d"),
@@ -1216,14 +1225,48 @@ object SimilarityOps {
             floor((col("x") - col("mn")) * lit(255.0d) /
               (col("mx") - col("mn"))))))
           .otherwise(lit(0L)).cast("int").as("code"))
-      .select(col("vec_id"), col("d"), col("code"),
-        (col("mn") + ((col("code").cast("double") + lit(0.5d)) *
-          (col("mx") - col("mn"))) / lit(255.0d)).as("dq"))
-      .transform(Common.presented(_, col("vec_id"), col("d")))
+  }
+
+  /** X22 — SQ8 SYMMETRIC serve (Faiss's SDC mode): queries are encoded
+    * with the SAME per-dim quantizer as the corpus and ranked by the
+    * squared distance IN CODE SPACE, `Σ_d (qcode_d − code_d)²` — every
+    * compared value is exact integer arithmetic, so the ranking is
+    * bit-stable under any partitioning or engine (no float enters the
+    * pipeline after the one-time encode). The asymmetric (ADC) mode
+    * dequantizes the corpus side instead and is x9's shape against
+    * x21's `dq` reconstructions; SDC is what serves when BOTH sides
+    * live compressed at rest.
+    *
+    * 100 TB plan: the corpus codes are the at-rest 1-byte/dim table;
+    * the Q query code rows broadcast (Q × dims rows), the pair space
+    * streams through the codes scan keyed by dim, and the per-pair
+    * integer sum is a map-side-partial aggregate. At serving scale the
+    * same distance computes as a fold over PACKED code arrays (or a
+    * 256×256 LUT per dim pair — the published SDC trick); the grouped
+    * form here keeps the oracle twin exact row-for-row. */
+  def sq8Sdc(s: SparkSession, dir: String): DataFrame = {
+    val codes = sq8Codes(s, dir).select(col("vec_id"), col("d"), col("code"))
+    if (codes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      codes.persist() // both the query and corpus sides read it
+    val q = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("d"), col("code").as("qcode"))
+    val diff = col("qcode") - col("code")
+    val pairs = codes.join(broadcast(q), Seq("d"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum((diff * diff).cast("long")).as("code_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("code_d2"), col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("code_d2"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x21_sq8_encode" -> (sq8Encode _),
+    "x22_sq8_sdc" -> (sq8Sdc _),
     "x20_ivfpq_lifecycle" -> (ivfPqLifecycle _),
     "x19_ivfpq_applied" -> (ivfPqApplied _),
     "x18_ivfpq_trained_full" -> (ivfPqTrainedFull _),
@@ -1251,27 +1294,51 @@ object SimilarityOps {
        |       sqrt(${dotDSql("embedding", "embedding")}) AS nrm
        |FROM embeddings""".stripMargin
 
+  /** x21/x22's shared DuckDB CTEs: the exploded double frame, per-dim
+    * stats and the SQ8 code assignment — ONE definition so the encode
+    * and the SDC serve cannot drift. */
+  private lazy val sq8CtesSql: String =
+    s"""x AS (SELECT vec_id, CAST(u.d AS INT) - 1 AS d,
+       |             CAST(embedding[u.d] AS DOUBLE) AS x
+       |      FROM embeddings,
+       |           unnest(generate_series(1, len(embedding))) AS u(d)),
+       |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM x GROUP BY d),
+       |c AS (SELECT vec_id, x.d, st.mn, st.mx,
+       |             CASE WHEN st.mx > st.mn
+       |                  THEN CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+       |                         CAST(floor((x.x - st.mn) * CAST(255 AS DOUBLE)
+       |                                    / (st.mx - st.mn)) AS BIGINT))) AS INT)
+       |                  ELSE 0 END AS code
+       |      FROM x JOIN st USING (d))""".stripMargin
+
   private val oraclesBase: Map[String, String] = Map(
     // all-double arithmetic with operand order matching the Spark
     // expressions exactly; constants written as double casts (a bare
     // 255.0 is DECIMAL in DuckDB)
     "x21_sq8_encode" ->
-      s"""WITH x AS (SELECT vec_id, CAST(u.d AS INT) - 1 AS d,
-         |                  CAST(embedding[u.d] AS DOUBLE) AS x
-         |           FROM embeddings,
-         |                unnest(generate_series(1, len(embedding))) AS u(d)),
-         |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM x GROUP BY d),
-         |c AS (SELECT vec_id, x.d, st.mn, st.mx,
-         |             CASE WHEN st.mx > st.mn
-         |                  THEN CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
-         |                         CAST(floor((x.x - st.mn) * CAST(255 AS DOUBLE)
-         |                                    / (st.mx - st.mn)) AS BIGINT))) AS INT)
-         |                  ELSE 0 END AS code
-         |      FROM x JOIN st USING (d))
+      s"""WITH $sq8CtesSql
          |SELECT vec_id, d, code,
          |       mn + ((CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn))
          |              / CAST(255 AS DOUBLE) AS dq
          |FROM c ORDER BY vec_id, d""".stripMargin,
+    // x21's shared code CTEs; the SDC distance is pure integer
+    // arithmetic (sum widens to HUGEINT -> cast back)
+    "x22_sq8_sdc" ->
+      s"""WITH $sq8CtesSql,
+         |q AS (SELECT vec_id AS query_id, d, code AS qcode
+         |      FROM c WHERE vec_id < $NumQueries),
+         |p AS (SELECT q.query_id, c.vec_id,
+         |             CAST(sum(CAST((q.qcode - c.code) * (q.qcode - c.code) AS BIGINT)) AS BIGINT) AS code_d2
+         |      FROM c JOIN q USING (d)
+         |      WHERE q.query_id <> c.vec_id
+         |      GROUP BY 1, 2)
+         |SELECT query_id,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |              ORDER BY code_d2, vec_id) AS INT) AS rank,
+         |       vec_id AS neighbor_id, code_d2
+         |FROM p
+         |QUALIFY rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     "x1_knn_brute" ->
       s"""WITH c AS ($corpusSql),
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM c WHERE vec_id < $NumQueries),

@@ -47,6 +47,37 @@ class PqSpec extends SparkSpec {
       "fixture regression: SQ8 code space collapsed")
   }
 
+  test("x22: SDC top-k == plain-Scala integer recount over the reference codes") {
+    val ref = emb.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = ref.head._2.length
+    val mn = Array.tabulate(dims)(d => ref.map(_._2(d)).min)
+    val mx = Array.tabulate(dims)(d => ref.map(_._2(d)).max)
+    def codeOf(x: Double, d: Int): Long =
+      if (mx(d) > mn(d))
+        math.min(255L, math.max(0L,
+          math.floor((x - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong))
+      else 0L
+    val codes = ref.map { case (id, v) =>
+      id -> Array.tabulate(dims)(d => codeOf(v(d), d)) }.toMap
+    def sdc(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(d => (a(d) - b(d)) * (a(d) - b(d))).sum
+    val expected = (0L until SimilarityOps.NumQueries).flatMap { q =>
+      codes.keys.filter(_ != q).toSeq
+        .map(n => (n, sdc(codes(q), codes(n))))
+        .sortBy { case (n, d2) => (d2, n) }
+        .take(SimilarityOps.K).zipWithIndex
+        .map { case ((n, d2), i) => (q, i + 1, n, d2) }
+    }.toSet
+    val got = SimilarityOps.sq8Sdc(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("code_d2"))).toSet
+    assert(got === expected)
+    // identical codes → zero distance: each query vs its own code array
+    (0L until SimilarityOps.NumQueries).foreach(q =>
+      assert(sdc(codes(q), codes(q)) == 0L))
+  }
+
   test("seeds encode to themselves with exactly zero quantization error") {
     val enc = SimilarityOps.pqEncode(spark, Sf)
       .filter(col("vec_id") >= SimilarityOps.NumQueries &&
