@@ -1208,13 +1208,19 @@ object SimilarityOps {
       .transform(Common.presented(_, col("vec_id"), col("d")))
 
   /** The SQ8 code frame (vec_id, d, mn, mx, code) x21 and x22 share —
-    * one exploded pass, per-dim stats broadcast back. */
-  private def sq8Codes(s: SparkSession, dir: String): DataFrame = {
+    * one exploded pass, per-dim stats broadcast back. `cacheExploded`
+    * persists the exploded-doubles frame for its two consumers (stats
+    * + encode); a caller that persists the RESULT instead (x22) turns
+    * it off so the largest intermediate is not held as dead weight
+    * once the codes materialize. */
+  private def sq8Codes(s: SparkSession, dir: String,
+      cacheExploded: Boolean = true): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
       .select(col("vec_id"), col("d").cast("int").as("d"),
         col("xf").cast("double").as("x"))
-    if (e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (cacheExploded &&
+        e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       e.persist() // read twice: the stats aggregate and the encode
     val st = e.groupBy(col("d"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -1245,7 +1251,11 @@ object SimilarityOps {
     * 256×256 LUT per dim pair — the published SDC trick); the grouped
     * form here keeps the oracle twin exact row-for-row. */
   def sq8Sdc(s: SparkSession, dir: String): DataFrame = {
-    val codes = sq8Codes(s, dir).select(col("vec_id"), col("d"), col("code"))
+    // cacheExploded = false: x22 persists the 3-column codes frame for
+    // its two consumers; holding the exploded-doubles frame too would
+    // keep the largest intermediate resident as dead weight
+    val codes = sq8Codes(s, dir, cacheExploded = false)
+      .select(col("vec_id"), col("d"), col("code"))
     if (codes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       codes.persist() // both the query and corpus sides read it
     val q = codes.filter(col("vec_id") < NumQueries)

@@ -14,7 +14,10 @@ class PqSpec extends SparkSpec {
   private def emb = graft.sources.Tables.embeddings(spark, Sf)
     .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
 
-  test("x21: SQ8 codes == plain-Scala reference; mid-rise residual bounded by half a step") {
+  /** The ONE reference SQ8 quantizer both x21 and x22 tests pin
+    * against: per-dim (mn, mx) plus the clamped mid-tread code rule. */
+  private lazy val sq8Ref: (Map[Long, Array[Double]], Array[Double],
+      Array[Double], (Double, Int) => Int) = {
     val ref = emb.collect().map(r => (r.getLong(0),
       r.getSeq[Float](1).map(_.toDouble).toArray))
     val dims = ref.head._2.length
@@ -25,9 +28,14 @@ class PqSpec extends SparkSpec {
         math.min(255L, math.max(0L,
           math.floor((x - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong)).toInt
       else 0
+    (ref.toMap, mn, mx, codeOf)
+  }
+
+  test("x21: SQ8 codes == plain-Scala reference; mid-rise residual bounded by half a step") {
+    val (byVec, mn, mx, codeOf) = sq8Ref
+    val dims = mn.length
     val got = SimilarityOps.sq8Encode(spark, Sf).collect()
-    assert(got.length == ref.length * dims)
-    val byVec = ref.toMap
+    assert(got.length == byVec.size * dims)
     got.foreach { r =>
       val (id, d) = (r.getAs[Long]("vec_id"), r.getAs[Int]("d"))
       val x = byVec(id)(d)
@@ -48,18 +56,10 @@ class PqSpec extends SparkSpec {
   }
 
   test("x22: SDC top-k == plain-Scala integer recount over the reference codes") {
-    val ref = emb.collect().map(r => (r.getLong(0),
-      r.getSeq[Float](1).map(_.toDouble).toArray))
-    val dims = ref.head._2.length
-    val mn = Array.tabulate(dims)(d => ref.map(_._2(d)).min)
-    val mx = Array.tabulate(dims)(d => ref.map(_._2(d)).max)
-    def codeOf(x: Double, d: Int): Long =
-      if (mx(d) > mn(d))
-        math.min(255L, math.max(0L,
-          math.floor((x - mn(d)) * 255.0 / (mx(d) - mn(d))).toLong))
-      else 0L
-    val codes = ref.map { case (id, v) =>
-      id -> Array.tabulate(dims)(d => codeOf(v(d), d)) }.toMap
+    val (byVec, mn, _, codeOf) = sq8Ref
+    val dims = mn.length
+    val codes = byVec.map { case (id, v) =>
+      id -> Array.tabulate(dims)(d => codeOf(v(d), d).toLong) }
     def sdc(a: Array[Long], b: Array[Long]): Long =
       a.indices.map(d => (a(d) - b(d)) * (a(d) - b(d))).sum
     val expected = (0L until SimilarityOps.NumQueries).flatMap { q =>
@@ -69,13 +69,21 @@ class PqSpec extends SparkSpec {
         .take(SimilarityOps.K).zipWithIndex
         .map { case ((n, d2), i) => (q, i + 1, n, d2) }
     }.toSet
-    val got = SimilarityOps.sq8Sdc(spark, Sf).collect()
+    val rows = SimilarityOps.sq8Sdc(spark, Sf).collect()
+    val got = rows
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
         r.getAs[Long]("neighbor_id"), r.getAs[Long]("code_d2"))).toSet
     assert(got === expected)
-    // identical codes → zero distance: each query vs its own code array
-    (0L until SimilarityOps.NumQueries).foreach(q =>
-      assert(sdc(codes(q), codes(q)) == 0L))
+    // structural: every query emits exactly ranks 1..K, distances
+    // non-negative and non-decreasing in rank (implementation output,
+    // not the reference)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to SimilarityOps.K), s"query $q ranks")
+      val d2s = byRank.map(_.getAs[Long]("code_d2")).toSeq
+      assert(d2s.head >= 0L && d2s == d2s.sorted, s"query $q distances")
+    }
   }
 
   test("seeds encode to themselves with exactly zero quantization error") {
