@@ -204,6 +204,73 @@ object RetrievalOps {
         .crossJoin(broadcast(statsRow(perDoc(Tables.documents(s, dir)))))
         .withColumn("score", scoreCol))
 
+  /** IR11 — MaxScore-PRUNED BM25 top-k (the Turtle & Flood upper-bound
+    * pruning behind WAND-family serving): per query term, the maximum
+    * per-term contribution U_t over the corpus is one tiny aggregate;
+    * a threshold θ = the K-th best FULL score among docs matching the
+    * highest-impact term; every candidate whose upper bound
+    * `Σ_t (tf_t>0 ? U_t : 0)` falls strictly below θ is pruned BEFORE
+    * the final ranking. Soundness is exact even in floating point:
+    * score and bound fold per-term in the same written order with
+    * elementwise domination (`c_t ≤ U_t`, and `c_t = 0` when
+    * `tf_t = 0`), double addition is monotone under rounding, θ never
+    * exceeds the global K-th best (its subset is a subset), and the
+    * prune is strict — so every true top-K doc (ties included)
+    * survives and the output is BIT-IDENTICAL to ir2's exhaustive
+    * scoring. The oracle IS ir2's SQL verbatim (the ir7 convention:
+    * the oracle states the invariant, the program takes the pruned
+    * path).
+    *
+    * 100 TB plan: U_t lives in the dictionary next to df/cf (ir1's
+    * metadata row, maintained incrementally by ir7's merge — max is
+    * associative); θ comes from ONE term's postings; only surviving
+    * candidates reach the ranking heap — the classic order-of-
+    * magnitude postings-traffic cut for selective queries. Fewer than
+    * K matches on the seed term degrades θ to −∞ (no pruning), never
+    * to a wrong answer. */
+  def maxscoreTopK(s: SparkSession, dir: String): DataFrame =
+    rankedTopK(maxscoreSurvivors(Tables.documents(s, dir)))
+
+  /** The pruned candidate frame (doc_id, dl, tf_*, score) —
+    * RetrievalOpsSpec measures its size against the full candidate set
+    * to pin that the prune actually bites. */
+  private[graft] def maxscoreSurvivors(docs: DataFrame): DataFrame = {
+    val pd = perDoc(docs)
+    var cand = pd.crossJoin(broadcast(statsRow(pd))).filter(anyMatch)
+    QueryTerms.foreach { t =>
+      cand = cand.withColumn(s"c_$t",
+        idfCol(col(s"df_$t"), col("n_docs")) *
+          tfPart(col(s"tf_$t"), col("dl").cast("double") / col("avgdl")))
+    }
+    cand = cand.withColumn("score",
+      QueryTerms.map(t => col(s"c_$t")).reduce(_ + _))
+    if (cand.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      cand.persist() // three consumers: U aggregate, θ subset, survivors
+    val uAggs = QueryTerms.map(t => max(col(s"c_$t")).as(s"u_$t"))
+    val u = cand.agg(uAggs.head, uAggs.tail: _*)
+    // tf of the highest-impact term (ties to the earlier term in
+    // QueryTerms order) — the seed postings list θ is computed from
+    val seedTf = QueryTerms.init.zipWithIndex
+      .foldRight(col(s"tf_${QueryTerms.last}")) { case ((t, i), els) =>
+        val ge = QueryTerms.drop(i + 1)
+          .map(o => col(s"u_$t") >= col(s"u_$o")).reduce(_ && _)
+        when(ge, col(s"tf_$t")).otherwise(els)
+      }
+    val withU = cand.crossJoin(broadcast(u))
+    val theta = withU.filter(seedTf > 0)
+      .orderBy(col("score").desc).limit(TopK)
+      .agg(count(lit(1)).as("n"), min(col("score")).as("kth"))
+      .select(when(col("n") >= TopK, col("kth"))
+        .otherwise(lit(Double.NegativeInfinity)).as("theta"))
+    val ub = QueryTerms
+      .map(t => when(col(s"tf_$t") > 0, col(s"u_$t")).otherwise(lit(0.0d)))
+      .reduce(_ + _)
+    withU.crossJoin(broadcast(theta))
+      .filter(ub >= col("theta"))
+      .select(Seq(col("doc_id"), col("dl"), col("score")) ++
+        QueryTerms.map(t => col(s"tf_$t")): _*)
+  }
+
   /** IR7 — incremental postings/dictionary maintenance, the x19/d7
     * convention applied to the text index: the corpus splits into a
     * STANDING side (doc_id % 5 != 0 — at rest, the written term-bucketed
@@ -696,6 +763,7 @@ object RetrievalOps {
     "ir8_term_cooccur" -> (termCooccur _),
     "ir1_term_stats" -> (termStats _),
     "ir2_bm25_topk" -> (bm25TopK _),
+    "ir11_maxscore" -> (maxscoreTopK _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
     "ir4_inverted_serve" -> (invertedServe _),
     "ir5_batch_serve" -> (batchServe _),
@@ -835,6 +903,13 @@ object RetrievalOps {
             s"       ${idfSql(s"df_$t")} AS idf FROM s2").mkString("\nUNION ALL\n")}
          |ORDER BY term""".stripMargin,
     "ir2_bm25_topk" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |${rankedSql("d")}""".stripMargin,
+    // ir11's oracle IS ir2's: MaxScore pruning provably returns the
+    // exhaustive top-k (the oracle states the invariant, the program
+    // takes the pruned path)
+    "ir11_maxscore" ->
       s"""WITH d AS ($dSql),
          |$statsSql,
          |${rankedSql("d")}""".stripMargin,

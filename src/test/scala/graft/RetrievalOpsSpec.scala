@@ -23,6 +23,24 @@ class RetrievalOpsSpec extends SparkSpec {
       "the two BM25 paths diverged — the index path may only change the PLAN")
   }
 
+  test("ir11 MaxScore prune is bit-identical to ir2, and the prune actually bites") {
+    val exhaustive = RetrievalOps.bm25TopK(spark, Sf).collect().toSeq
+    val pruned = RetrievalOps.maxscoreTopK(spark, Sf).collect().toSeq
+    assert(exhaustive.nonEmpty && pruned == exhaustive,
+      "MaxScore may only change the PLAN — the top-k must be exhaustive's")
+    // the efficiency claim: strictly fewer candidates reach the final
+    // ranking than the exhaustive path scores (a θ of −∞ — seed term
+    // matching fewer than K docs — would make this vacuous, so the
+    // fixture must exercise real pruning)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val full = RetrievalOps.bm25ScoredCore(docs).count()
+    val survivors = RetrievalOps.maxscoreSurvivors(docs).count()
+    assert(survivors >= RetrievalOps.TopK,
+      "survivors must still cover the top-k")
+    assert(survivors < full,
+      s"prune did not bite: $survivors survivors of $full candidates")
+  }
+
   test("ir1 dictionary identities: cf >= df > 0, idf strictly decreasing in df, avgdl consistent") {
     val rows = RetrievalOps.termStats(spark, Sf).collect()
     assert(rows.length == RetrievalOps.QueryTerms.length)
