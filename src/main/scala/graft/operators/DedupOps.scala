@@ -972,6 +972,76 @@ object DedupOps {
           .otherwise(lit("new")).as("verdict"))
   }
 
+  /** d20's rewrite-chunk geometry: stride == size, so the grid
+    * PARTITIONS the text (no overlap) and the kept chunks concatenate
+    * back into a well-defined cleaned document. Distinct from tx14's
+    * overlapping retrieval grid on purpose — an overlap would make
+    * reconstruction ambiguous. */
+  val CleanChunk = 120
+
+  /** D20 — exact-substring dedup with corpus REWRITE (the Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr family, grid-approximated): where d1 drops whole
+    * duplicate documents and tx19 only SCORES cross-doc chunk
+    * duplication, d20 produces the cleaned corpus itself — every
+    * duplicated [[CleanChunk]]-char aligned span is kept exactly ONCE
+    * globally (at its first occurrence in (doc_id, chunk_start) order)
+    * and every later copy is cut out of its document's text. Output
+    * per document: chunk counts, original/cleaned character masses,
+    * and the md5 of the reconstructed cleaned text (the verifiable
+    * digest of the rewrite — the compared surface stays narrow while
+    * pinning every byte of the reconstruction).
+    *
+    * 100 TB plan: the grid is a scan-bound explode (×1 row volume —
+    * the chunks partition the text); duplicate-digest first owners
+    * come from ONE map-side-partial aggregate whose df≥2 survivors
+    * are the boilerplate head (tx19's broadcast/bloom candidate), so
+    * the full-width grid is never shuffled to learn ownership — the
+    * owner lookup is a broadcast join. The only text-bearing exchange
+    * is the per-doc reconstruction rollup on doc_id; that is the
+    * rewrite's irreducible cost (it writes the new corpus), and at
+    * rest it is exactly the write of the cleaned table. */
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupCore(Tables.documents(s, dir))
+      .transform(Common.presented(_, col("doc_id")))
+
+  /** d20's body over any (`doc_id`, `text`) frame — the unit the
+    * planted-document spec drives. */
+  def substringDedupCore(docs: DataFrame): DataFrame = {
+    val grid = docs.select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)),
+          lit(CleanChunk))).as("chunk_start"))
+      .select(col("doc_id"), col("chunk_start"),
+        expr(s"substring(text, chunk_start + 1, $CleanChunk)").as("content"))
+      .withColumn("h", md5(col("content")))
+    // read twice (owner aggregate + owner join) — multi-consumer rule
+    if (grid.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      grid.persist()
+    // first owner per DUPLICATED digest only: unique chunks (the
+    // overwhelming mass) never enter the join's build side
+    val dupFirst = grid.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"),
+        min(struct(col("doc_id"), col("chunk_start"))).as("first"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), col("first"))
+    val kept = when(col("first").isNull ||
+        (col("doc_id") === col("first.doc_id") &&
+          col("chunk_start") === col("first.chunk_start")), 1L)
+      .otherwise(0L)
+    grid.join(broadcast(dupFirst), Seq("h"), "left")
+      .select(col("doc_id"), col("chunk_start"), col("content"),
+        length(col("content")).cast("long").as("cl"), kept.as("kept"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("cl")).as("orig_len"),
+        sum(when(col("kept") === 1, col("cl")).otherwise(0L)).as("clean_len"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("kept") === 1,
+            struct(col("chunk_start"), col("content"))))),
+          x => x.getField("content")), "")).as("clean_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
@@ -993,7 +1063,8 @@ object DedupOps {
     "d16_semdedup" -> (semDedup _),
     "d17_winnowing" -> (winnowing _),
     "d18_winnowing_incremental" -> (winnowingIncremental _),
-    "d19_winnowing_append" -> (winnowingAppend _))
+    "d19_winnowing_append" -> (winnowingAppend _),
+    "d20_substring_dedup" -> (substringDedup _))
 
   /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
     * as a recursive-closure CTE. */
@@ -1326,7 +1397,33 @@ object DedupOps {
          |SELECT f.doc_id, f.h
          |FROM fp f LEFT JOIN overcap o ON f.h = o.h
          |WHERE o.h IS NULL
-         |ORDER BY f.doc_id, f.h""".stripMargin)
+         |ORDER BY f.doc_id, f.h""".stripMargin,
+    // the non-overlapping grid (stride == size, unlike tx14's);
+    // first-occurrence = row_number over (doc_id, chunk_start), the
+    // window twin of the Spark side's min(struct) owner; string_agg
+    // skips the CASE's NULLs and coalesces to '' so the all-dropped
+    // document hashes like Spark's empty array_join; sums cast to
+    // BIGINT (DuckDB widens sum(int) to HUGEINT)
+    "d20_substring_dedup" ->
+      s"""WITH g AS (SELECT doc_id, CAST(start AS INT) AS chunk_start,
+         |                  substring(text, start + 1, $CleanChunk) AS content
+         |           FROM (SELECT doc_id, text,
+         |                        unnest(generate_series(0, greatest(length(text) - 1, 0), $CleanChunk)) AS start
+         |                 FROM documents)),
+         |k AS (SELECT doc_id, chunk_start, content,
+         |             CAST(length(content) AS BIGINT) AS cl,
+         |             CASE WHEN row_number() OVER (PARTITION BY md5(content)
+         |                    ORDER BY doc_id, chunk_start) = 1
+         |                  THEN 1 ELSE 0 END AS kept
+         |      FROM g)
+         |SELECT doc_id,
+         |       count(*) AS n_chunks,
+         |       CAST(sum(kept) AS BIGINT) AS n_kept,
+         |       CAST(sum(cl) AS BIGINT) AS orig_len,
+         |       CAST(sum(CASE WHEN kept = 1 THEN cl ELSE 0 END) AS BIGINT) AS clean_len,
+         |       md5(coalesce(string_agg(CASE WHEN kept = 1 THEN content END,
+         |                               '' ORDER BY chunk_start), '')) AS clean_md5
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** d17/d18's shared DuckDB fingerprint derivation: `fp(doc_id, h)` =
     * each document's DISTINCT winnowed word-[[WinnowK]]-gram hashes

@@ -280,4 +280,58 @@ class DedupGuaranteesSpec extends SparkSpec {
       .sorted.toSeq
     assert(after.sorted.toSeq === rebuilt)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("d20 rewrite: duplicated aligned spans survive exactly once, at their first occurrence") {
+    import spark.implicits._
+    // documents assembled from CleanChunk-sized blocks so duplicate
+    // spans are grid-aligned; one short tail exercises the partial
+    // final chunk
+    def blk(c: Char) = c.toString * DedupOps.CleanChunk
+    val (a, b, cc, x, y, z) = (blk('a'), blk('b'), blk('c'), blk('x'), blk('y'), blk('z'))
+    val docs = Seq(
+      (1L, a + b + cc),   // first owner of a, b, c — untouched
+      (2L, x + b + y),    // loses its copy of b
+      (3L, b + z),        // loses b too
+      (4L, cc + "tail")   // loses c; keeps the short unique tail
+    ).toDF("doc_id", "text")
+    val out = DedupOps.substringDedupCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val expect = Map(1L -> (a + b + cc, 3L), 2L -> (x + y, 2L),
+      3L -> (z, 1L), 4L -> ("tail", 1L))
+    for ((id, (clean, nKept)) <- expect) {
+      assert(out(id).getAs[String]("clean_md5") === md5Hex(clean),
+        s"doc $id reconstruction diverges")
+      assert(out(id).getAs[Long]("n_kept") === nKept)
+      assert(out(id).getAs[Long]("clean_len") === clean.length.toLong)
+    }
+    assert(out(1L).getAs[Long]("orig_len") === (3 * DedupOps.CleanChunk).toLong)
+  }
+
+  test("d20 on the harness corpus: every distinct chunk survives exactly once; untouched docs round-trip") {
+    val docs = Tables.documents(spark, Sf)
+    val out = DedupOps.substringDedupCore(docs)
+    if (out.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      out.persist()
+    // global guarantee: Σ n_kept == number of DISTINCT chunk contents
+    // (each distinct aligned span is kept exactly once corpus-wide)
+    val totKept = out.agg(sum(col("n_kept"))).collect()(0).getLong(0)
+    val distinctChunks = docs.select(col("text"),
+        explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)),
+          lit(DedupOps.CleanChunk))).as("s"))
+      .select(expr(s"substring(text, s + 1, ${DedupOps.CleanChunk})").as("c"))
+      .agg(countDistinct(md5(col("c")))).collect()(0).getLong(0)
+    assert(totKept === distinctChunks)
+    // a document that lost nothing reconstructs to its own text
+    val untouched = out.filter(col("n_kept") === col("n_chunks"))
+      .join(docs, Seq("doc_id"))
+      .select(col("clean_md5"), md5(col("text")).as("want")).collect()
+    assert(untouched.nonEmpty)
+    untouched.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // and the rewrite never grows a document
+    assert(out.filter(col("clean_len") > col("orig_len")).count() === 0L)
+  }
 }
