@@ -38,6 +38,9 @@ object ShingleExpressions {
 
   def winnowedFingerprintSet(toks: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowedFingerprintSet(GraftSqlBridge.expression(toks), k, w))
+
+  def topGramStats(toks: Column, k: Int): Column =
+    GraftSqlBridge.column(TopGramStats(GraftSqlBridge.expression(toks), k))
 }
 
 /** Longest run of equal adjacent elements in a string array, one
@@ -295,6 +298,88 @@ case class WinnowedFingerprintSet(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 
   override def prettyName: String = "winnowed_fingerprint_set"
+}
+
+/** Most-frequent word k-gram of a token array — `struct(gram, cnt)` in
+  * one compiled pass per row, the kernel of tx20's Gopher-style
+  * top-n-gram repetition signals (Rae et al. 2021, "Scaling Language
+  * Models: Methods, Analysis & Insights from Training Gopher", Table A1:
+  * "fraction of characters in the most frequent n-gram").
+  *
+  * Grams are the space-joined k-grams of [[HashedShingleSet]]'s gram
+  * rule but kept as STRINGS (the mass needs the winner's character
+  * length, and the compared surface carries the gram itself as
+  * evidence). Tie-break: highest count, then the LEXICOGRAPHICALLY
+  * SMALLEST gram by UTF-8 byte order ([[UTF8String.compareTo]] — the
+  * same binary collation DuckDB's `ORDER BY cnt DESC, gram` applies),
+  * so the winner is deterministic on both engines. Fewer than k tokens
+  * → NULL (the oracle's left-join naturally yields NULL there).
+  *
+  * The relational restatement (explode grams → count → window-max) is
+  * the oracle's shape; running it IN-ENGINE would shuffle the full
+  * gram frame. This kernel keeps the whole signal scan-bound: one
+  * open-addressed count pass per row, O(tokens) space, nothing but the
+  * winner leaves the task. */
+case class TopGramStats(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "gram width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gram", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", IntegerType, nullable = false)))
+
+  /** Null for fewer than k tokens (zero grams), not just null input. */
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < k) return null
+    val g = n - k + 1
+    val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](g * 2)
+    var i = 0
+    while (i < g) {
+      // concatWs skips nulls AND their separators — the HOF concat_ws
+      // convention shared with the shingle/winnow kernels
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var d = 0
+      while (d < k) {
+        parts(d) = if (toks.isNullAt(i + d)) null else toks.getUTF8String(i + d)
+        d += 1
+      }
+      val gram = org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*)
+      val c = counts.get(gram)
+      if (c == null) counts.put(gram.clone(), Array(1)) else c(0) += 1
+      i += 1
+    }
+    var bestGram: org.apache.spark.unsafe.types.UTF8String = null
+    var bestCnt = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c > bestCnt || (c == bestCnt && e.getKey.compareTo(bestGram) < 0)) {
+        bestCnt = c
+        bestGram = e.getKey
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestGram, bestCnt))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopGramStats =
+    copy(child = newChild)
+
+  override def prettyName: String = "top_gram_stats"
 }
 
 /** The full MinHash signature — `array_min(transform(hs, h → (h·a+b)

@@ -869,7 +869,49 @@ object TextOps {
       .transform(Common.presented(_, col("store")))
   }
 
+  /** TX20 — Gopher-style top-n-gram repetition signals (Rae et al.
+    * 2021, Table A1): for n ∈ {2,3,4}, the most frequent word n-gram,
+    * its occurrence count, and the fraction of the document's
+    * characters its occurrences cover (`count · length(gram) /
+    * length(text)` — the published approximation; overlapping
+    * occurrences may push it past 1 on pathological input, which is
+    * exactly the over-threshold signal the filter wants). Complements
+    * tx8: tx8 measures DISTINCT-bigram collapse and the longest
+    * same-token run; tx20 finds the single dominating phrase — the
+    * "subscribe to our newsletter"-class boilerplate loop that keeps a
+    * high distinct ratio while one n-gram soaks up the mass.
+    *
+    * Scale: the relational form (explode n-grams → count → per-doc
+    * argmax) shuffles the full gram frame three times; here each leg is
+    * the compiled [[graft.functions.TopGramStats]] kernel — one
+    * open-addressed count pass per row inside the scan, so the signal
+    * is another narrow scan-bound projection like tx1-tx4 and ONLY the
+    * three winners leave the task. The oracle restates the relational
+    * form; ties break (count DESC, gram ASC by binary collation) on
+    * both engines. */
+  def topGram(s: SparkSession, dir: String): DataFrame =
+    topGramCore(Tables.documents(s, dir))
+
+  /** tx20's body over any (doc_id, text) frame — the unit the
+    * random-token fuzz drives against a plain-Scala argmax. */
+  def topGramCore(docs: DataFrame): DataFrame = {
+    import graft.functions.ShingleExpressions.topGramStats
+    val legs = Seq(2, 3, 4).map(n => topGramStats(toks, n).as(s"t$n"))
+    docs
+      .select(col("doc_id") +: size(toks).cast("long").as("n_tokens") +:
+        length(col("text")).as("len") +: legs: _*)
+      .select(col("doc_id") +: col("n_tokens") +: Seq(2, 3, 4).flatMap { n =>
+        Seq(
+          col(s"t$n.gram").as(s"top${n}_gram"),
+          col(s"t$n.cnt").cast("long").as(s"top${n}_count"),
+          ((col(s"t$n.cnt") * length(col(s"t$n.gram"))).cast("double") /
+            col("len").cast("double")).as(s"top${n}_mass"))
+      }: _*)
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx20_topgram" -> (topGram _),
     "c4_forget_audit" -> (forgetAudit _),
     "c3_shard_export" -> (shardExport _),
     "c1_training_manifest" -> (trainingManifest _),
@@ -1117,6 +1159,30 @@ object TextOps {
          |                 / (len(t) - 1)
          |            ELSE 0.0 END AS dup_bigram_ratio
          |FROM r ORDER BY doc_id""".stripMargin,
+    // the relational restatement of the compiled TopGramStats kernel:
+    // explode n-grams, count, per-(doc, n) argmax with the SAME
+    // (cnt DESC, gram ASC binary-collation) tie-break; a LEFT JOIN from
+    // documents keeps short docs (no n-grams for some n) with NULL legs
+    "tx20_topgram" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |g AS (${Seq(2, 3, 4).map(n =>
+                 s"SELECT doc_id, $n AS k, unnest(${shinglesSql("toks", n)}) AS gram FROM t")
+                 .mkString("\n|      UNION ALL\n|      ")}),
+         |c AS (SELECT doc_id, k, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+         |top AS (SELECT doc_id, k, gram, cnt FROM c
+         |        QUALIFY row_number() OVER (PARTITION BY doc_id, k
+         |                                   ORDER BY cnt DESC, gram) = 1)
+         |SELECT t.doc_id,
+         |       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |${Seq(2, 3, 4).map(n =>
+            s"""       max(CASE WHEN p.k = $n THEN p.gram END) AS top${n}_gram,
+               |       CAST(max(CASE WHEN p.k = $n THEN p.cnt END) AS BIGINT) AS top${n}_count,
+               |       max(CASE WHEN p.k = $n THEN CAST(p.cnt * length(p.gram) AS DOUBLE)
+               |                                   / CAST(length(t.text) AS DOUBLE) END) AS top${n}_mass"""
+              .stripMargin).mkString(",\n")}
+         |FROM t LEFT JOIN top p ON t.doc_id = p.doc_id
+         |GROUP BY t.doc_id, t.toks, t.text
+         |ORDER BY t.doc_id""".stripMargin,
     // same deterministic salt, patterns and email→IP→phone redaction
     // order as piiScrub; DuckDB regexp_replace needs the 'g' flag
     // (default is first-match-only; Spark replaces all)

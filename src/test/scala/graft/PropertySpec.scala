@@ -113,6 +113,67 @@ class PropertySpec extends SparkSpec {
     }, 5)
   }
 
+  test("tx20 top-gram equals the plain-Scala argmax reference on random token lists") {
+    import spark.implicits._
+    // tiny alphabet so n-grams repeat and ties actually occur — the
+    // tie-break (count DESC, then gram ASC by binary order) is the part
+    // worth fuzzing; reference recomputes the argmax independently
+    val docGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))
+    check(Prop.forAllNoShrink(Gen.listOfN(25, docGen)) { docs =>
+      def ref(ts: List[String], n: Int): Option[(String, Int)] =
+        if (ts.size < n) None
+        else {
+          val counts = ts.sliding(n).map(_.mkString(" ")).toList
+            .groupBy(identity).view.mapValues(_.size).toMap
+          Some(counts.toSeq.minBy { case (g, c) => (-c, g) } match {
+            case (g, c) => (g, c)
+          })
+        }
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      graft.operators.TextOps.topGramCore(df).collect().forall { r =>
+        val ts = docs(r.getAs[Long]("doc_id").toInt)
+        Seq(2, 3, 4).forall { n =>
+          val got = Option(r.getAs[String](s"top${n}_gram"))
+            .map(g => (g, r.getAs[Long](s"top${n}_count").toInt))
+          got == ref(ts, n) && (ref(ts, n) match {
+            case Some((g, c)) =>
+              val len = ts.mkString(" ").length
+              r.getAs[Double](s"top${n}_mass") ==
+                (c.toLong * g.length).toDouble / len.toDouble
+            case None => r.isNullAt(r.fieldIndex(s"top${n}_mass"))
+          })
+        }
+      }
+    }, 5)
+  }
+
+  test("tx20 planted boilerplate loop dominates; short docs yield null legs") {
+    import spark.implicits._
+    // "x y x y x y" — bigram "x y" occurs 3×, covering 9 of 11 chars;
+    // the tie between "x y" and "y x" (2 each) inside "x y x y x"
+    // breaks to the lexicographically smaller gram
+    val df = Seq(
+      (1L, "x y x y x y"),
+      (2L, "x y x y x"),
+      (3L, "solo"),
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.topGramCore(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("top2_gram") === "x y")
+    assert(out(1L).getAs[Long]("top2_count") === 3L)
+    assert(out(1L).getAs[Double]("top2_mass") === 9.0 / 11.0)
+    // tie at count 2: "x y" < "y x" in binary order
+    assert(out(2L).getAs[String]("top2_gram") === "x y")
+    assert(out(2L).getAs[Long]("top2_count") === 2L)
+    // one token: no bigrams at all
+    assert(out(3L).isNullAt(out(3L).fieldIndex("top2_gram")))
+    // two tokens: a bigram exists but no trigram
+    assert(out(4L).getAs[String]("top2_gram") === "a b")
+    assert(out(4L).isNullAt(out(4L).fieldIndex("top3_gram")))
+  }
+
   test("property: bloom filter never false-negatives and codegen == library probe") {
     import org.apache.spark.sql.GraftSqlBridge.{column, expression}
     import graft.functions.{BloomBuildAgg, BloomMightContain}
