@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, NullType, ShortType, StringType}
 
 /** Hashed bag-of-words linear score, compiled — the qf-tier inference
   * kernel: `Σ_tokens weights[md5Long(token) % weights.length]`.
@@ -39,6 +39,12 @@ case class HashedBowScore(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(_: StringType, _),
             ArrayType(ByteType | ShortType | IntegerType | LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      // a bare untyped empty/all-null literal (`array()` is
+      // array<null>) stays legal as the degenerate no-model table: the
+      // documented empty ⇒ NULL / null-slot ⇒ NULL semantics apply
+      // before any weight is ever read, so no coercion is needed
+      case (ArrayType(_: StringType, _), ArrayType(NullType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         "hashed_bow_score requires (array<string> tokens, array<integral> " +

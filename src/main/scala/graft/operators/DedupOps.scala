@@ -786,6 +786,12 @@ object DedupOps {
     * reuse. */
   def winnowingCore(docs: DataFrame): DataFrame = {
     val fp = winnowedFingerprints(docs)
+    // fp feeds the DF pre-aggregate AND the anti-join's probe side —
+    // without a persist the winnowed explode (the most expensive scan)
+    // computes twice (the multi-consumer rule; winnowingIndexWithStats
+    // persists the identical frame for the same reason)
+    if (fp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      fp.persist()
     // fingerprints are distinct per doc (expression postcondition), so
     // the hash count IS document frequency — computed as a
     // pre-aggregation (map-side partials: only (h, count) pairs cross

@@ -904,7 +904,11 @@ object TextOps {
         Seq(
           col(s"t$n.gram").as(s"top${n}_gram"),
           col(s"t$n.cnt").cast("long").as(s"top${n}_count"),
-          ((col(s"t$n.cnt") * length(col(s"t$n.gram"))).cast("double") /
+          // cnt widens to long BEFORE the multiply (the top_count leg's
+          // cast): int×int would wrap (or ANSI-error) on a ~2G-char
+          // document where the DuckDB twin multiplies BIGINTs
+          ((col(s"t$n.cnt").cast("long") * length(col(s"t$n.gram")))
+            .cast("double") /
             col("len").cast("double")).as(s"top${n}_mass"))
       }: _*)
       .transform(Common.presented(_, col("doc_id")))

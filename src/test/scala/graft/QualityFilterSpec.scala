@@ -85,9 +85,13 @@ class QualityFilterSpec extends SparkSpec {
         |       hashed_bow_score(split('a', ' '),
         |         array(CAST(NULL AS BIGINT))) AS null_wt,
         |       hashed_bow_score(split('a', ' '),
-        |         CAST(array() AS ARRAY<BIGINT>)) AS empty_wt""".stripMargin)
+        |         CAST(array() AS ARRAY<BIGINT>)) AS empty_wt,
+        |       hashed_bow_score(split('a', ' '), array()) AS bare_empty""".stripMargin)
       .head()
     assert(edges.isNullAt(0) && edges.isNullAt(1) && edges.isNullAt(2))
+    // a BARE untyped empty literal (array<null>) is accepted as the
+    // degenerate no-model table — same NULL verdict, no cast required
+    assert(edges.isNullAt(3), "bare array() must be NULL, not an analysis error")
     // an array<int> weight literal is read natively (integral widening
     // in the element reader, no Catalyst cast) — a SQL caller does not
     // have to CAST every weight to BIGINT by hand...
