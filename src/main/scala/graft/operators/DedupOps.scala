@@ -1001,19 +1001,47 @@ object DedupOps {
     * 100 TB plan: the grid is a scan-bound explode (×1 row volume —
     * the chunks partition the text); duplicate-digest first owners
     * come from ONE map-side-partial aggregate whose df≥2 survivors
-    * are the boilerplate head (tx19's broadcast/bloom candidate), so
-    * the full-width grid is never shuffled to learn ownership — the
-    * owner lookup is a broadcast join. The only text-bearing exchange
-    * is the per-doc reconstruction rollup on doc_id; that is the
-    * rewrite's irreducible cost (it writes the new corpus), and at
+    * are the boilerplate head. The owner lookup DEFAULTS to the bloom
+    * path ([[substringDedupCore]]): a few-KB sketch of the dup digests
+    * prunes the grid in-scan — provably-unique chunks never join — and
+    * only probe-hits reach the exact owner join, whose strategy AQE
+    * picks (broadcast small, shuffle large; no forced hint, because
+    * the dup set has no structural size bound). The only text-bearing
+    * exchange is the per-doc reconstruction rollup on doc_id; that is
+    * the rewrite's irreducible cost (it writes the new corpus), and at
     * rest it is exactly the write of the cleaned table. */
   def substringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedupCore(Tables.documents(s, dir))
       .transform(Common.presented(_, col("doc_id")))
 
+  /** d20's bloom sizing: the sketch covers the duplicated-digest set at
+    * ~1.2 MB per 10⁶ keys (ap3's arithmetic) — at 100 TB size it to the
+    * measured dup-digest estimate; the RESULT is invariant to the
+    * sizing (false positives only send extra rows to the exact join). */
+  val DupOwnerBloomItems = 1L << 16
+  val DupOwnerBloomFpp = 0.03
+
   /** d20's body over any (`doc_id`, `text`) frame — the unit the
-    * planted-document spec drives. */
-  def substringDedupCore(docs: DataFrame): DataFrame = {
+    * planted-document spec drives.
+    *
+    * Owner-lookup strategy: the duplicated-digest first-owner set has
+    * NO structural size bound (unlike d17's ≤|fp|/Cap over-cap set) —
+    * Lee et al.-scale duplication makes it several % of all chunks, far
+    * past any broadcast budget at 100 TB. So the DEFAULT path ships
+    * only a few-KB Bloom sketch of the dup digests to every task
+    * (ap3's dataflow: one map-side-merged aggregate row → driver → plan
+    * constant), prunes the grid to probe-hits inside the scan, and
+    * resolves the tiny survivor set against the exact owner table with
+    * NO forced broadcast — AQE picks broadcast while the set is small
+    * and degrades to a shuffled join when it is not, which is exactly
+    * the fallback a forced hint forecloses. Bloom-miss rows are
+    * DEFINITELY unique (no false negatives) and keep their chunk
+    * without ever entering a join. `ownerBroadcast = true` keeps the
+    * forced-broadcast form for the equality spec
+    * (DedupGuaranteesSpec/ScaleSpec pin path-agreement and the pruning
+    * contrast). */
+  def substringDedupCore(docs: DataFrame,
+      ownerBroadcast: Boolean = false): DataFrame = {
     val grid = docs.select(col("doc_id"), col("text"),
         explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)),
           lit(CleanChunk))).as("chunk_start"))
@@ -1034,9 +1062,33 @@ object DedupOps {
         (col("doc_id") === col("first.doc_id") &&
           col("chunk_start") === col("first.chunk_start")), 1L)
       .otherwise(0L)
-    grid.join(broadcast(dupFirst), Seq("h"), "left")
-      .select(col("doc_id"), col("chunk_start"), col("content"),
-        length(col("content")).cast("long").as("cl"), kept.as("kept"))
+    val outCols = Seq(col("doc_id"), col("chunk_start"), col("content"),
+      length(col("content")).cast("long").as("cl"))
+    val flagged =
+      if (ownerBroadcast)
+        grid.join(broadcast(dupFirst), Seq("h"), "left")
+          .select(outCols :+ kept.as("kept"): _*)
+      else {
+        import graft.functions.{BloomBuildAgg, BloomMightContain}
+        import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+        val sketch = dupFirst.agg(column(
+          BloomBuildAgg(expression(xxhash64(col("h"))),
+            DupOwnerBloomItems, DupOwnerBloomFpp)
+            .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        val probed = grid.withColumn("maybe_dup",
+          column(BloomMightContain(expression(lit(sketch)),
+            expression(xxhash64(col("h"))))))
+        // probe-hits (true dups + fpp false positives) go through the
+        // exact owner join — strategy left to AQE; probe-misses are
+        // provably unique and keep their chunk join-free
+        probed.filter(col("maybe_dup"))
+          .join(dupFirst, Seq("h"), "left")
+          .select(outCols :+ kept.as("kept"): _*)
+          .unionByName(probed.filter(!col("maybe_dup"))
+            .select(outCols :+ lit(1L).as("kept"): _*))
+      }
+    flagged
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("kept")).as("n_kept"),

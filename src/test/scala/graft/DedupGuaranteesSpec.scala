@@ -311,6 +311,23 @@ class DedupGuaranteesSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("orig_len") === (3 * DedupOps.CleanChunk).toLong)
   }
 
+  test("d20 owner-join paths agree: bloom-pruned default == forced-broadcast form, bit-exact") {
+    // the bloom sketch has no false negatives and the exact join clears
+    // its false positives, so the two strategies are result-identical —
+    // the invariant that makes the non-broadcast path safe to default
+    // at 100 TB (where the dup-digest set outgrows any broadcast budget)
+    val docs = Tables.documents(spark, Sf)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("orig_len"),
+        r.getAs[Long]("clean_len"), r.getAs[String]("clean_md5")))
+      .sortBy(_._1).toSeq
+    val bloomPath = canon(DedupOps.substringDedupCore(docs))
+    spark.sharedState.cacheManager.clearCache()
+    val bcastPath = canon(DedupOps.substringDedupCore(docs, ownerBroadcast = true))
+    assert(bloomPath === bcastPath)
+  }
+
   test("d20 on the harness corpus: every distinct chunk survives exactly once; untouched docs round-trip") {
     val docs = Tables.documents(spark, Sf)
     val out = DedupOps.substringDedupCore(docs)

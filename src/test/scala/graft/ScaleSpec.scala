@@ -214,6 +214,47 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() === expected)
   }
 
+  test("d20 owner lookup: the bloom sketch stays KB-scale while pruning the grid to the dup neighborhood") {
+    // the threshold contrast behind defaulting d20 to the bloom path:
+    // the dup-OWNER table grows with duplication (no structural bound —
+    // at Lee et al.-scale duplication it is several % of ALL chunks and
+    // outgrows any broadcast budget), while the SKETCH that crosses the
+    // plan is constant-size. Measured here so SCALE.md can cite numbers.
+    import graft.operators.DedupOps
+    import graft.functions.{BloomBuildAgg, BloomMightContain}
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val docs = Tables.documents(spark, Sf)
+    val grid = docs.select(col("doc_id"),
+        explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)),
+          lit(DedupOps.CleanChunk))).as("s"), col("text"))
+      .select(md5(expr(
+        s"substring(text, s + 1, ${DedupOps.CleanChunk})")).as("h"))
+    if (grid.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      grid.persist()
+    val nGrid = grid.count()
+    val dup = grid.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+    val nDupDigests = dup.count()
+    assert(nDupDigests > 0, "fixture regression: corpus lost its duplication")
+    val sketch = dup.agg(column(
+      BloomBuildAgg(expression(xxhash64(col("h"))),
+        DedupOps.DupOwnerBloomItems, DedupOps.DupOwnerBloomFpp)
+        .toAggregateExpression())).head().getAs[Array[Byte]](0)
+    // constant-size plan constant: tens of KB at the configured
+    // capacity, independent of corpus size (the owner TABLE is not)
+    assert(sketch.length < 256 * 1024, s"sketch ${sketch.length}B")
+    val nHits = grid.filter(column(BloomMightContain(
+      expression(lit(sketch)), expression(xxhash64(col("h")))))).count()
+    // every true dup row survives the probe (no false negatives) ...
+    val nDupRows = dup.agg(sum(col("nd"))).head().getLong(0)
+    assert(nHits >= nDupRows)
+    // ... and the probe prunes the unique mass in-scan: hits stay
+    // within fpp slack of the true dup rows, far below the full grid
+    assert(nHits <= nDupRows + (DedupOps.DupOwnerBloomFpp * 2 * nGrid).toLong,
+      s"bloom stopped pruning: $nHits hits of $nGrid grid rows")
+    assert(nHits < nGrid, "probe must not pass the whole grid")
+  }
+
   test("size-targeted compaction: range-clustered files with bounded rows and disjoint key ranges") {
     import org.apache.spark.sql.functions._
     // the small-files compaction pass every lakehouse table needs:
