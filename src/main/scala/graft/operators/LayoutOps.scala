@@ -76,11 +76,13 @@ object LayoutOps {
 
   /** The (u, day, cell) projection of an events frame — the ONE
     * clustering-coordinate definition the audit, the at-rest writer
-    * (ScaleSpec) and the streaming state share. */
-  def zCoords(ev: DataFrame): DataFrame =
-    ev.select(
+    * (ScaleSpec / ly2) and the streaming state share. `keep` carries
+    * extra row-identity columns through (ly2 keeps event_id for the
+    * row-level read-back surface); the coordinate trees stay single. */
+  def zCoords(ev: DataFrame, keep: Column*): DataFrame =
+    ev.select(keep ++ Seq(
         col("user_id").bitwiseAND(lit(DimMask)).as("u"),
-        TimeSeriesOps.dayOf(ev).bitwiseAND(lit(DimMask)).as("day"))
+        TimeSeriesOps.dayOf(ev).bitwiseAND(lit(DimMask)).as("day")): _*)
       .withColumn("cell",
         shiftright(zValue(col("u"), col("day")), 2 * CellBits))
 
@@ -122,6 +124,54 @@ object LayoutOps {
       dc <- (d0 >> CellBits) to (d1 >> CellBits)
     } yield mortonCell(uc, dc)
 
+  /** ly2's fixed query rectangle `[U0,U1] × [D0,D1]` — inside the
+    * harness envelope at every SF (user-id head × one 10-day window of
+    * the 30-day calendar) and CROSSING a u-cell boundary (u 3..40 spans
+    * u-cells 0 and 1 at CellBits = 5), so the pruned read provably
+    * touches a multi-cell list, not one lucky directory. */
+  val RectU0 = 3L
+  val RectU1 = 40L
+  val RectD0 = 19725L
+  val RectD1 = 19734L
+
+  /** LY2 — the READ half of the z-order layout (ly1 audits the write):
+    * a rectangle query on (user, day) served from the at-rest
+    * cell-partitioned table. BUILD writes [[zCoords]] (+ event_id)
+    * partitioned by cell — the clustered layout a z-order writer
+    * emits; SERVE plans the rectangle driver-side with
+    * [[cellsForRange]] (O(rectangle cells), independent of table size)
+    * into a STATIC `cell IN (...)` partition predicate — directory
+    * pruning on EITHER dimension, no file of a non-intersecting cell
+    * is listed or read — plus the exact BETWEEN residual inside the
+    * touched cells (PlanContractSpec pins the partition filter; the
+    * ScaleSpec twin proves the physical file-list bound). The output
+    * is the row-level rectangle content, so the DuckDB twin is the
+    * plain two-predicate filter — the pruning changes the PLAN, never
+    * the rows.
+    *
+    * 100 TB plan: this is the x11 DPP discipline with STATIC pruning
+    * (the cell list is known at plan time — no subquery needed): a
+    * rectangle reads |cells ∩ rectangle| directories of a table
+    * clustered once at write time, vs a full scan under any one-key
+    * sort when filtering on the second dimension. */
+  def zorderRangeRead(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/zorder"
+    zCoords(Tables.events(s, dir), col("event_id"))
+      // partition-column values read back as int (partition
+      // inference); cell < 2^22 by construction so the narrowing is
+      // lossless and the IN probe stays on the bare attribute
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(root)
+    val cells = cellsForRange(RectU0, RectU1, RectD0, RectD1)
+    s.read.parquet(root)
+      .filter(col("cell").isin(cells.map(_.toInt): _*) &&
+        col("u").between(RectU0, RectU1) &&
+        col("day").between(RectD0, RectD1))
+      .select(col("event_id"), col("u"), col("day"),
+        col("cell").cast("long").as("cell"))
+      .transform(Common.presented(_, col("event_id")))
+  }
+
   /** The SQL-text form of [[spread16]], parameterized by the dialect's
     * shift-left syntax — ONE place holds the four shift-mask steps for
     * the DuckDB oracle (`x << n`) AND sx5's Spark-SQL restatement
@@ -139,7 +189,8 @@ object LayoutOps {
     spreadSqlText(x, (e, n) => s"(($e) << $n)")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ly1_zorder_layout" -> (zorderLayout _))
+    "ly1_zorder_layout" -> (zorderLayout _),
+    "ly2_zorder_read" -> (zorderRangeRead _))
 
   val oracles: Map[String, String] = Map(
     // identical integer bit arithmetic on both engines; day via the
@@ -159,5 +210,23 @@ object LayoutOps {
          |       max(u) - min(u) + 1 AS u_span,
          |       max(day) - min(day) + 1 AS day_span
          |FROM zt GROUP BY cell
-         |ORDER BY cell""".stripMargin)
+         |ORDER BY cell""".stripMargin,
+    // the pruned read returns exactly the rectangle's rows — the cell
+    // IN list is a plan-only device (it is implied by the residual:
+    // every row in the rectangle lies in an enumerated cell), so the
+    // twin is the plain two-predicate filter over the same coordinates
+    "ly2_zorder_read" ->
+      s"""WITH base AS (
+         |  SELECT event_id, user_id & $DimMask AS u,
+         |         (epoch_ns(ts) // ${WindowOps.DayNanos}) & $DimMask AS day
+         |  FROM events),
+         |zt AS (SELECT event_id, u, day,
+         |              (${spreadSql("u")} | (${spreadSql("day")} << 1))
+         |                >> ${2 * CellBits} AS cell
+         |       FROM base)
+         |SELECT event_id, u, day, cell
+         |FROM zt
+         |WHERE u BETWEEN $RectU0 AND $RectU1
+         |  AND day BETWEEN $RectD0 AND $RectD1
+         |ORDER BY event_id""".stripMargin)
 }

@@ -231,10 +231,11 @@ object RetrievalOps {
   def maxscoreTopK(s: SparkSession, dir: String): DataFrame =
     rankedTopK(maxscoreSurvivors(Tables.documents(s, dir)))
 
-  /** The pruned candidate frame (doc_id, dl, tf_*, score) —
-    * RetrievalOpsSpec measures its size against the full candidate set
-    * to pin that the prune actually bites. */
-  private[graft] def maxscoreSurvivors(docs: DataFrame): DataFrame = {
+  /** Per-candidate per-term contributions + score — the shared front of
+    * the upper-bound-pruned rankers (ir11/ir12): one corpus pass,
+    * stats broadcast, integer any-match prune, then `c_t` per term and
+    * their written-order sum. Callers persist (multiple consumers). */
+  private def scoredContrib(docs: DataFrame): DataFrame = {
     val pd = perDoc(docs)
     var cand = pd.crossJoin(broadcast(statsRow(pd))).filter(anyMatch)
     QueryTerms.foreach { t =>
@@ -242,33 +243,107 @@ object RetrievalOps {
         idfCol(col(s"df_$t"), col("n_docs")) *
           tfPart(col(s"tf_$t"), col("dl").cast("double") / col("avgdl")))
     }
-    cand = cand.withColumn("score",
+    cand.withColumn("score",
       QueryTerms.map(t => col(s"c_$t")).reduce(_ + _))
-    if (cand.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      cand.persist() // three consumers: U aggregate, θ subset, survivors
-    val uAggs = QueryTerms.map(t => max(col(s"c_$t")).as(s"u_$t"))
-    val u = cand.agg(uAggs.head, uAggs.tail: _*)
-    // tf of the highest-impact term (ties to the earlier term in
-    // QueryTerms order) — the seed postings list θ is computed from
-    val seedTf = QueryTerms.init.zipWithIndex
+  }
+
+  /** tf of the highest-impact term (ties to the earlier term in
+    * QueryTerms order) — the seed postings list θ is computed from.
+    * Reads the `u_*` corpus-global maxima columns. */
+  private def seedTfCol: Column =
+    QueryTerms.init.zipWithIndex
       .foldRight(col(s"tf_${QueryTerms.last}")) { case ((t, i), els) =>
         val ge = QueryTerms.drop(i + 1)
           .map(o => col(s"u_$t") >= col(s"u_$o")).reduce(_ && _)
         when(ge, col(s"tf_$t")).otherwise(els)
       }
-    val withU = cand.crossJoin(broadcast(u))
-    val theta = withU.filter(seedTf > 0)
+
+  /** One-row θ frame from a candidate frame carrying `u_*`: the K-th
+    * best FULL score among docs matching the seed term; −∞ (no
+    * pruning, never a wrong answer) when the seed matches < K docs. */
+  private def thetaFrom(withU: DataFrame): DataFrame =
+    withU.filter(seedTfCol > 0)
       .orderBy(col("score").desc).limit(TopK)
       .agg(count(lit(1)).as("n"), min(col("score")).as("kth"))
       .select(when(col("n") >= TopK, col("kth"))
         .otherwise(lit(Double.NegativeInfinity)).as("theta"))
+
+  private def survivorCols: Seq[Column] =
+    Seq(col("doc_id"), col("dl"), col("score")) ++
+      QueryTerms.map(t => col(s"tf_$t"))
+
+  /** The pruned candidate frame (doc_id, dl, tf_*, score) —
+    * RetrievalOpsSpec measures its size against the full candidate set
+    * to pin that the prune actually bites. */
+  private[graft] def maxscoreSurvivors(docs: DataFrame): DataFrame = {
+    val cand = scoredContrib(docs)
+    if (cand.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      cand.persist() // three consumers: U aggregate, θ subset, survivors
+    val uAggs = QueryTerms.map(t => max(col(s"c_$t")).as(s"u_$t"))
+    val u = cand.agg(uAggs.head, uAggs.tail: _*)
+    val withU = cand.crossJoin(broadcast(u))
     val ub = QueryTerms
       .map(t => when(col(s"tf_$t") > 0, col(s"u_$t")).otherwise(lit(0.0d)))
       .reduce(_ + _)
-    withU.crossJoin(broadcast(theta))
+    withU.crossJoin(broadcast(thetaFrom(withU)))
       .filter(ub >= col("theta"))
-      .select(Seq(col("doc_id"), col("dl"), col("score")) ++
-        QueryTerms.map(t => col(s"tf_$t")): _*)
+      .select(survivorCols: _*)
+  }
+
+  /** ir12's postings-block geometry: doc-id-range blocks of
+    * [[BlockSize]] documents — the postings-bucket chunk a term's
+    * at-rest list is physically split into (ir7's bucketed layout).
+    * `div` keeps the block id exact integer arithmetic at any id
+    * magnitude (a double-floor would lose exactness past 2^53). */
+  val BlockSize = 64L
+
+  /** IR12 — BLOCK-MAX WAND pruning (Ding & Suel 2011, the published
+    * step after ir11's corpus-global MaxScore): per (term, postings
+    * block) the maximum contribution U_{t,b} is index metadata — ONE
+    * tiny aggregate here, maintained beside each postings bucket at
+    * rest — and a candidate's upper bound uses ITS OWN block's maxima,
+    * `Σ_t (tf_t>0 ? U_{t,b(d)} : 0)`, which is elementwise ≤ ir11's
+    * global bound. θ is ir11's (the K-th best full score on the seed
+    * term's postings). Soundness is the same monotone-domination
+    * argument: c_t(d) ≤ U_{t,b(d)} per term, double addition is
+    * monotone under rounding, θ never exceeds the global K-th best,
+    * the prune is strict — output BIT-IDENTICAL to ir2's exhaustive
+    * scoring (the oracle IS ir2's SQL verbatim), while the survivor
+    * set is a SUBSET of ir11's (RetrievalOpsSpec measures the strict
+    * improvement on the harness corpus).
+    *
+    * 100 TB plan: U_{t,b} lives beside each postings bucket (block
+    * metadata, merged monotonically by ir7's append — max is
+    * associative); a serve reads the query terms' block-max rows
+    * (O(blocks) per term, ≪ postings), evaluates the bound per block
+    * BEFORE touching the block's postings, and skips whole blocks
+    * below θ — the published order-of-magnitude postings-IO cut on
+    * selective queries. Relationally the bound is a per-candidate
+    * filter through a broadcast of the block-max table; at rest it is
+    * a block-granular skip of the postings scan itself. */
+  def blockmaxTopK(s: SparkSession, dir: String): DataFrame =
+    rankedTopK(blockmaxSurvivors(Tables.documents(s, dir)))
+
+  private[graft] def blockmaxSurvivors(docs: DataFrame): DataFrame = {
+    val cand = scoredContrib(docs)
+      .withColumn("blk", expr(s"doc_id div $BlockSize"))
+    if (cand.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      cand.persist() // four consumers: U, block-max, θ subset, survivors
+    // corpus-global maxima — ONLY for the seed-term pick and θ (ir11's
+    // rule verbatim, so the two pruners share one θ and stay comparable)
+    val uAggs = QueryTerms.map(t => max(col(s"c_$t")).as(s"u_$t"))
+    val u = cand.agg(uAggs.head, uAggs.tail: _*)
+    // the block-max table: |blocks| rows, the at-rest bucket metadata
+    val buAggs = QueryTerms.map(t => max(col(s"c_$t")).as(s"bu_$t"))
+    val bu = cand.groupBy(col("blk")).agg(buAggs.head, buAggs.tail: _*)
+    val withU = cand.crossJoin(broadcast(u))
+    val blockUb = QueryTerms
+      .map(t => when(col(s"tf_$t") > 0, col(s"bu_$t")).otherwise(lit(0.0d)))
+      .reduce(_ + _)
+    withU.join(broadcast(bu), Seq("blk"))
+      .crossJoin(broadcast(thetaFrom(withU)))
+      .filter(blockUb >= col("theta"))
+      .select(survivorCols: _*)
   }
 
   /** IR7 — incremental postings/dictionary maintenance, the x19/d7
@@ -764,6 +839,7 @@ object RetrievalOps {
     "ir1_term_stats" -> (termStats _),
     "ir2_bm25_topk" -> (bm25TopK _),
     "ir11_maxscore" -> (maxscoreTopK _),
+    "ir12_blockmax" -> (blockmaxTopK _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
     "ir4_inverted_serve" -> (invertedServe _),
     "ir5_batch_serve" -> (batchServe _),
@@ -910,6 +986,13 @@ object RetrievalOps {
     // exhaustive top-k (the oracle states the invariant, the program
     // takes the pruned path)
     "ir11_maxscore" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |${rankedSql("d")}""".stripMargin,
+    // ir12's oracle IS ir2's too: block-max pruning is provably
+    // lossless (tighter bounds, same theta) — the oracle states the
+    // invariant, the program takes the block-pruned path
+    "ir12_blockmax" ->
       s"""WITH d AS ($dSql),
          |$statsSql,
          |${rankedSql("d")}""".stripMargin,

@@ -187,6 +187,26 @@ class PlanContractSpec extends SparkSpec {
     }.isEmpty, "cell-restricted serve re-introduced a generator")
   }
 
+  test("ly2: the rectangle read carries a static cell partition filter and lists only intersecting cells") {
+    val lay = graft.operators.LayoutOps
+    val p = executed(lay.zorderRangeRead(spark, Sf))
+    val cellScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("zorder")))
+    assert(cellScans.nonEmpty, "at-rest z-order scan missing from read plan")
+    val pf = cellScans.head.partitionFilters
+    assert(pf.exists(_.toString.contains("cell")),
+      s"rectangle read lost its cell partition predicate: $pf")
+    // the predicate is STATIC (plan-time cell list from cellsForRange)
+    // — no subquery needed, unlike x11's runtime-probed DPP
+    val cells = lay.cellsForRange(lay.RectU0, lay.RectU1, lay.RectD0, lay.RectD1)
+      .map(c => s"cell=$c/").toSet
+    val listed = cellScans.head.relation.location
+      .listFiles(pf, cellScans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(listed.nonEmpty && listed.forall(f => cells.exists(f.contains)),
+      s"scan listed files outside the rectangle's cells: ${listed.take(3)}")
+  }
+
   test("x17: the compaction stage partition-prunes the codes scan to the affected cells") {
     val root = "target/graft-index/spec-x17-plan"
     val sim = graft.operators.SimilarityOps

@@ -41,6 +41,31 @@ class RetrievalOpsSpec extends SparkSpec {
       s"prune did not bite: $survivors survivors of $full candidates")
   }
 
+  test("ir12 block-max prune is bit-identical to ir2 and strictly beats ir11's survivor count") {
+    val exhaustive = RetrievalOps.bm25TopK(spark, Sf).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val pruned = RetrievalOps.blockmaxTopK(spark, Sf).collect().toSeq
+    assert(exhaustive.nonEmpty && pruned == exhaustive,
+      "block-max may only change the PLAN — the top-k must be exhaustive's")
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    spark.sharedState.cacheManager.clearCache()
+    val msKeys = RetrievalOps.maxscoreSurvivors(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    spark.sharedState.cacheManager.clearCache()
+    val bmKeys = RetrievalOps.blockmaxSurvivors(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // per-block maxima dominate per-doc contributions but are bounded
+    // by the corpus-global maxima, and both pruners share one θ — so
+    // the block-max survivor set is structurally a SUBSET of ir11's
+    assert(bmKeys.subsetOf(msKeys),
+      s"block-max admitted docs MaxScore pruned: ${(bmKeys -- msKeys).take(5)}")
+    // and the measured improvement on the selective probe query: the
+    // tighter bounds must actually cut candidates, not just tie
+    assert(bmKeys.size < msKeys.size,
+      s"block pruning did not improve on MaxScore: ${bmKeys.size} vs ${msKeys.size}")
+    assert(bmKeys.size >= RetrievalOps.TopK)
+  }
+
   test("ir1 dictionary identities: cf >= df > 0, idf strictly decreasing in df, avgdl consistent") {
     val rows = RetrievalOps.termStats(spark, Sf).collect()
     assert(rows.length == RetrievalOps.QueryTerms.length)
