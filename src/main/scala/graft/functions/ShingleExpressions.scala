@@ -41,6 +41,9 @@ object ShingleExpressions {
 
   def topGramStats(toks: Column, k: Int): Column =
     GraftSqlBridge.column(TopGramStats(GraftSqlBridge.expression(toks), k))
+
+  def winnowAnchorPositions(toks: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowAnchorPositions(GraftSqlBridge.expression(toks), k, w))
 }
 
 /** Longest run of equal adjacent elements in a string array, one
@@ -502,4 +505,112 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "sorted_intersect_count"
+}
+
+/** Winnowing ANCHOR POSITIONS — the position-bearing sibling of
+  * [[WinnowedFingerprintSet]]: the same gram rule (md5 of the
+  * space-joined word k-gram → 60-bit long → mod
+  * [[TextFunctions.HashMod]]), the same window geometry, but each
+  * window selects the RIGHTMOST minimal-hash gram POSITION (0-based)
+  * and the sorted distinct positions come back as `array<int>`.
+  *
+  * Why positions: d21's content-defined segmentation cuts documents AT
+  * the anchors, so identical token runs produce identical segments
+  * regardless of their offset in the document (the winnowing local
+  * guarantee applied to chunk boundaries, the rsync/LBFS
+  * content-defined-chunking idea with a deterministic selector). The
+  * fingerprint SET form is blind to position by design; segmentation
+  * needs the cut points themselves, and the tie rule must be a fixed
+  * POSITION rule (rightmost) so both engines cut identically — the
+  * DuckDB restatement is `row_number() OVER (PARTITION BY doc, window
+  * ORDER BY h, p DESC) = 1`.
+  *
+  * The deque loop yields exactly that rule: candidates pop on `>=`, so
+  * among equal minima the latest position survives and the head is the
+  * window's rightmost minimum. Fewer than k tokens → empty array (no
+  * grams, no cuts — the caller's whole-document segment). O(G) total.
+  */
+case class WinnowAnchorPositions(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "gram width must be >= 1")
+  require(w >= 1, "winnowing window must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Int])
+    val tokBytes = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) {
+      tokBytes(t) = if (toks.isNullAt(t)) null else toks.getUTF8String(t).getBytes
+      t += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = Array[Byte](' ')
+    val g = n - k + 1
+    val hs = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      md.reset()
+      var d = 0
+      var written = 0
+      while (d < k) {
+        if (tokBytes(i + d) != null) {
+          if (written > 0) md.update(space)
+          md.update(tokBytes(i + d))
+          written += 1
+        }
+        d += 1
+      }
+      val digest = md.digest()
+      var h = 0L
+      var j = 0
+      while (j < 15) {
+        val b = digest(j / 2) & 0xff
+        h = (h << 4) | (if (j % 2 == 0) b >>> 4 else b & 0xf)
+        j += 1
+      }
+      hs(i) = h % TextFunctions.HashMod
+      i += 1
+    }
+    // monotone deque (pop on >= keeps the RIGHTMOST of equal minima);
+    // selected positions flagged, then emitted in ascending order
+    val selected = new Array[Boolean](g)
+    val deque = new Array[Int](g)
+    var head = 0
+    var tail = 0 // exclusive
+    var p = 0
+    while (p < g) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(p)) tail -= 1
+      deque(tail) = p
+      tail += 1
+      if (p >= w - 1 || p == g - 1) {
+        while (deque(head) < p - w + 1) head += 1 // expire left-of-window
+        selected(deque(head)) = true
+      }
+      p += 1
+    }
+    var cnt = 0
+    i = 0
+    while (i < g) { if (selected(i)) cnt += 1; i += 1 }
+    val out = new Array[Int](cnt)
+    var wr = 0
+    i = 0
+    while (i < g) { if (selected(i)) { out(wr) = i; wr += 1 }; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchorPositions =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_anchor_positions"
 }

@@ -1100,6 +1100,135 @@ object DedupOps {
           x => x.getField("content")), "")).as("clean_md5"))
   }
 
+  /** d21's segmentation window: anchors from winnowing windows of
+    * [[CutWinnowW]] grams over [[WinnowK]]-grams — expected segment
+    * (w+1)/2 ≈ 4.5 grams, max gap w; any identical token run places
+    * identical anchors once the run is longer than the window, so
+    * segments inside a duplicated span match REGARDLESS of the span's
+    * offset in each document (the property d20's fixed grid lacks). */
+  val CutWinnowW = 8
+
+  /** d21's cut threshold: a maximal run of consecutive duplicate
+    * segments is excised only when it spans at least this many tokens —
+    * short incidental repeats (a shared idiom that happens to be one
+    * whole segment) survive; lifted passages do not. Lee et al. use a
+    * 50-BPE-token span on web corpora; the harness corpus runs shorter
+    * documents, same semantics. */
+  val CutRunTokens = 15L
+
+  /** D21 — ANY-ALIGNMENT substring dedup with corpus rewrite: the
+    * alignment-free half of the Lee et al. ExactSubstr pair (d20 is
+    * the grid-aligned approximation — a duplicated span shifted off
+    * the 120-char grid is invisible to it). Documents are cut into
+    * CONTENT-DEFINED segments at winnowing anchor positions
+    * ([[graft.functions.WinnowAnchorPositions]] — rightmost-minimum
+    * per window, the MOSS selector used as an rsync/LBFS-style
+    * content-defined chunker): because anchors are chosen by content,
+    * an identical token run ≥ the window span selects identical
+    * interior anchors in every copy at ANY offset, so its interior
+    * segments are bytewise identical across copies. Each segment's
+    * digest is globally deduplicated exactly like d20's chunks (first
+    * (doc_id, position) occurrence owns it); maximal runs of
+    * consecutive duplicate segments ≥ [[CutRunTokens]] tokens are
+    * excised (gaps-and-islands on the segment index) and the cleaned
+    * document is reconstructed from the kept segments. Guarantee: a
+    * duplicated span of L tokens loses at most ~2·([[CutWinnowW]] +
+    * [[WinnowK]]) tokens of detection at its edges (anchor agreement
+    * needs a full interior window), so every span with
+    * L − 2(w+k) ≥ [[CutRunTokens]] is cut at every later copy —
+    * DedupGuaranteesSpec plants an off-grid duplicate and checks the
+    * excision live.
+    *
+    * 100 TB plan: segmentation is one compiled pass inside the scan
+    * (anchors, then a bounded explode — segments ≈ 2/(w+1) of gram
+    * count, ×1 total token volume); ownership is d20's shape verbatim
+    * (map-side-partial digest aggregate, df≥2 survivors resolved
+    * through the bloom-or-AQE owner join — the dup-segment set has no
+    * structural bound, so no forced broadcast); the islands pass and
+    * the reconstruction share ONE doc_id exchange, the rewrite's
+    * irreducible cost. */
+  def substringCut(s: SparkSession, dir: String): DataFrame =
+    substringCutCore(Tables.documents(s, dir))
+      .transform(Common.presented(_, col("doc_id")))
+
+  /** d21's body over any (`doc_id`, `text`) frame. */
+  def substringCutCore(docs: DataFrame): DataFrame = {
+    import graft.functions.ShingleExpressions.winnowAnchorPositions
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("cs", array_sort(array_distinct(concat(
+        array(lit(0)),
+        winnowAnchorPositions(col("tk"), WinnowK, CutWinnowW),
+        array(col("n"))))))
+    // segment rows: the generator input is guarded (sequence(1, 0)
+    // would COUNT DOWN); element_at stays in plain projections below
+    // the Generate, never inside a lambda over a projected split
+    val segs = base
+      .select(col("doc_id"), col("tk"), col("cs"),
+        explode(when(size(col("cs")) >= 2,
+            sequence(lit(1), size(col("cs")) - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), col("i").as("seg_idx"),
+        element_at(col("cs"), col("i")).as("s"),
+        (element_at(col("cs"), col("i") + 1) - element_at(col("cs"), col("i")))
+          .cast("long").as("slen"),
+        array_join(slice(col("tk"), element_at(col("cs"), col("i")) + 1,
+          element_at(col("cs"), col("i") + 1) - element_at(col("cs"), col("i"))),
+          " ").as("seg_txt"))
+      .withColumn("sh", md5(col("seg_txt")))
+    // read twice (owner aggregate + owner join) — multi-consumer rule
+    if (segs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      segs.persist()
+    val dupFirst = segs.groupBy(col("sh"))
+      .agg(count(lit(1)).as("nd"),
+        min(struct(col("doc_id"), col("s"))).as("first"))
+      .filter(col("nd") >= 2)
+      .select(col("sh"), col("first"))
+    // owner join strategy: AQE (d20's no-forced-broadcast rule; at
+    // scale the same bloom prefilter slots in front — the probe shape
+    // is identical, segment digests for chunk digests)
+    val flagged = segs.join(dupFirst, Seq("sh"), "left")
+      .withColumn("is_dup", when(col("first").isNotNull &&
+          !(col("doc_id") === col("first.doc_id") &&
+            col("s") === col("first.s")), 1L)
+        .otherwise(0L))
+    // gaps-and-islands on the segment index: one doc_id exchange
+    // serves the run window, the run rollup and the reconstruction
+    val grpW = Window.partitionBy(col("doc_id"), col("is_dup"))
+      .orderBy(col("seg_idx"))
+    val withGrp = flagged
+      .withColumn("grp", col("seg_idx") - row_number().over(grpW))
+    if (withGrp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      withGrp.persist() // run rollup + cut join both read it
+    val runs = withGrp.filter(col("is_dup") === 1)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(sum(col("slen")).as("run_len"))
+    val cutRows = withGrp.join(runs, Seq("doc_id", "grp"), "left")
+      .withColumn("cut", when(col("is_dup") === 1 &&
+          col("run_len") >= CutRunTokens, 1L).otherwise(0L))
+    val perDoc = cutRows.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("is_dup")).as("n_dup"),
+        sum(col("cut")).as("n_cut"),
+        sum(col("slen")).as("orig_tokens"),
+        sum(when(col("cut") === 0, col("slen")).otherwise(lit(0L)))
+          .as("clean_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("cut") === 0,
+            struct(col("seg_idx"), col("seg_txt"))))),
+          x => x.getField("seg_txt")), " ")).as("clean_md5"))
+    // zero-token documents produce no segments — carry them through
+    // with the empty-reconstruction digest (both engines agree)
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("orig_tokens"), lit(0L)).as("orig_tokens"),
+        coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
@@ -1122,7 +1251,8 @@ object DedupOps {
     "d17_winnowing" -> (winnowing _),
     "d18_winnowing_incremental" -> (winnowingIncremental _),
     "d19_winnowing_append" -> (winnowingAppend _),
-    "d20_substring_dedup" -> (substringDedup _))
+    "d20_substring_dedup" -> (substringDedup _),
+    "d21_substring_cut" -> (substringCut _))
 
   /** The d5 oracle body minus its presentation ORDER BY — d11 embeds it
     * as a recursive-closure CTE. */
@@ -1481,7 +1611,63 @@ object DedupOps {
          |       CAST(sum(CASE WHEN kept = 1 THEN cl ELSE 0 END) AS BIGINT) AS clean_len,
          |       md5(coalesce(string_agg(CASE WHEN kept = 1 THEN content END,
          |                               '' ORDER BY chunk_start), '')) AS clean_md5
-         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // d21: the full content-defined segmentation restated relationally —
+    // d17's gram/window CTE style with the POSITION-bearing rightmost-min
+    // rule (ORDER BY h, p DESC), list-built cut arrays, the d20 owner
+    // rule at segment level, and gaps-and-islands for the run excision
+    "d21_substring_cut" ->
+      s"""WITH tk0 AS (SELECT doc_id, ${tokensSql("text")} AS gs_tk FROM documents),
+         |tk AS (SELECT doc_id, gs_tk,
+         |              ${shinglesSql("gs_tk", WinnowK)} AS gs
+         |       FROM tk0),
+         |g AS (SELECT doc_id, u.p AS p, ${tokHashSql("gs[u.p]")} AS h, len(gs) AS ng
+         |      FROM tk, unnest(generate_series(1, len(gs))) AS u(p)),
+         |sel AS (SELECT doc_id, p - o.o AS q, p, h
+         |        FROM g, unnest(generate_series(0, ${CutWinnowW - 1})) AS o(o)
+         |        WHERE p - o.o >= 1 AND p - o.o <= greatest(ng - ${CutWinnowW - 1}, 1)),
+         |anch AS (SELECT DISTINCT doc_id, p FROM (
+         |           SELECT doc_id, q, p,
+         |                  row_number() OVER (PARTITION BY doc_id, q
+         |                    ORDER BY h, p DESC) AS rn
+         |           FROM sel)
+         |         WHERE rn = 1),
+         |cutl AS (SELECT t.doc_id, t.gs_tk AS tkk,
+         |                list_sort(list_distinct(
+         |                  coalesce(list(a.p - 1), []) || [0, len(t.gs_tk)])) AS cs
+         |         FROM tk t LEFT JOIN anch a ON t.doc_id = a.doc_id
+         |         GROUP BY t.doc_id, t.gs_tk),
+         |segs AS (SELECT doc_id, i.i AS seg_idx, cs[i.i] AS s,
+         |                CAST(cs[i.i + 1] - cs[i.i] AS BIGINT) AS slen,
+         |                array_to_string(tkk[cs[i.i] + 1 : cs[i.i + 1]], ' ') AS seg_txt
+         |         FROM cutl, unnest(generate_series(1, len(cs) - 1)) AS i(i)),
+         |sd AS (SELECT doc_id, seg_idx, s, slen, seg_txt,
+         |              CASE WHEN count(*) OVER (PARTITION BY md5(seg_txt)) >= 2
+         |                    AND row_number() OVER (PARTITION BY md5(seg_txt)
+         |                          ORDER BY doc_id, s) > 1
+         |                   THEN 1 ELSE 0 END AS is_dup
+         |       FROM segs),
+         |isl AS (SELECT *, seg_idx - row_number() OVER (PARTITION BY doc_id, is_dup
+         |                    ORDER BY seg_idx) AS grp
+         |        FROM sd),
+         |runs AS (SELECT doc_id, grp, sum(slen) AS run_len
+         |         FROM isl WHERE is_dup = 1 GROUP BY doc_id, grp),
+         |cutseg AS (SELECT i.doc_id, i.seg_idx, i.slen, i.seg_txt, i.is_dup,
+         |                  CASE WHEN i.is_dup = 1 AND r.run_len >= $CutRunTokens
+         |                       THEN 1 ELSE 0 END AS cut
+         |           FROM isl i LEFT JOIN runs r
+         |             ON i.doc_id = r.doc_id AND i.grp = r.grp AND i.is_dup = 1)
+         |SELECT d.doc_id,
+         |       CAST(count(c.seg_idx) AS BIGINT) AS n_segs,
+         |       CAST(coalesce(sum(c.is_dup), 0) AS BIGINT) AS n_dup,
+         |       CAST(coalesce(sum(c.cut), 0) AS BIGINT) AS n_cut,
+         |       CAST(coalesce(sum(c.slen), 0) AS BIGINT) AS orig_tokens,
+         |       CAST(coalesce(sum(CASE WHEN c.cut = 0 THEN c.slen ELSE 0 END), 0) AS BIGINT) AS clean_tokens,
+         |       md5(coalesce(string_agg(CASE WHEN c.cut = 0 THEN c.seg_txt END,
+         |                               ' ' ORDER BY c.seg_idx), '')) AS clean_md5
+         |FROM documents d LEFT JOIN cutseg c ON d.doc_id = c.doc_id
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
 
   /** d17/d18's shared DuckDB fingerprint derivation: `fp(doc_id, h)` =
     * each document's DISTINCT winnowed word-[[WinnowK]]-gram hashes

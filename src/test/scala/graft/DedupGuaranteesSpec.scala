@@ -328,6 +328,74 @@ class DedupGuaranteesSpec extends SparkSpec {
     assert(bloomPath === bcastPath)
   }
 
+  test("d21 cuts an OFF-GRID duplicated span that the aligned grid (d20) cannot see") {
+    import spark.implicits._
+    // unique-token prefixes of DIFFERENT lengths push the shared span
+    // to different offsets in each document — no 120-char aligned
+    // chunk coincides, so d20 is structurally blind to the duplicate;
+    // the winnowing anchors are content-chosen, so d21 is not
+    val span = (1 to 80).map(i => s"sp$i")
+    val docA = ((1 to 7).map(i => s"pa$i") ++ span ++
+      (1 to 9).map(i => s"sa$i")).mkString(" ")
+    val docB = ((1 to 13).map(i => s"pb$i") ++ span ++
+      (1 to 5).map(i => s"sb$i")).mkString(" ")
+    val docC = (1 to 60).map(i => s"un$i").mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val out = DedupOps.substringCutCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the first owner and the unrelated doc are untouched and
+    // reconstruct to their own text (token segments rejoin losslessly)
+    for (id <- Seq(1L, 3L)) {
+      assert(out(id).getAs[Long]("n_cut") === 0L, s"doc $id must keep everything")
+      assert(out(id).getAs[Long]("clean_tokens") === out(id).getAs[Long]("orig_tokens"))
+    }
+    assert(out(1L).getAs[String]("clean_md5") === md5Hex(docA))
+    assert(out(3L).getAs[String]("clean_md5") === md5Hex(docC))
+    // the later copy loses the span's interior: detection can miss at
+    // most ~2(w+k) edge tokens, so at least L − 2(w+k) tokens are cut
+    val edgeLoss = 2L * (DedupOps.CutWinnowW + DedupOps.WinnowK)
+    val b = out(2L)
+    assert(b.getAs[Long]("n_cut") > 0L, "off-grid duplicate went undetected")
+    assert(b.getAs[Long]("clean_tokens") <=
+      b.getAs[Long]("orig_tokens") - (span.length - edgeLoss),
+      s"cut too little: ${b.getAs[Long]("orig_tokens") - b.getAs[Long]("clean_tokens")} " +
+        s"of a ${span.length}-token span")
+    // and the copy's own prefix/suffix survive (the cut is local)
+    assert(b.getAs[Long]("clean_tokens") >= 13L + 5L)
+    // d20's aligned grid keeps every chunk of every doc here — the
+    // contrast that motivates the alignment-free form
+    val gridOut = DedupOps.substringDedupCore(docs).collect()
+    gridOut.foreach { r =>
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_chunks"),
+        s"doc ${r.getAs[Long]("doc_id")}: the grid should be blind to this geometry")
+    }
+  }
+
+  test("d21 on the harness corpus: structural invariants and untouched-doc round-trip") {
+    val docs = Tables.documents(spark, Sf)
+    val out = DedupOps.substringCutCore(docs)
+    if (out.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      out.persist()
+    // cut ⊆ dup ⊆ segments; token accounting is exact
+    assert(out.filter(col("n_cut") > col("n_dup")).count() === 0L)
+    assert(out.filter(col("n_dup") > col("n_segs")).count() === 0L)
+    val tokCheck = out.join(docs, Seq("doc_id"))
+      .filter(col("orig_tokens") =!=
+        size(split(col("text"), " ")).cast("long")).count()
+    assert(tokCheck === 0L, "orig_tokens must equal the document's token count")
+    // the corpus actually exercises the operator (tx19's duplicated
+    // prose is off-grid-visible too)
+    assert(out.filter(col("n_cut") > 0).count() > 0L,
+      "fixture regression: no duplicated span long enough to cut")
+    // a document that lost nothing reconstructs to its own text
+    // bit-exactly (split-on-space rejoin is lossless, empty tokens incl.)
+    val untouched = out.filter(col("n_cut") === 0)
+      .join(docs, Seq("doc_id"))
+      .select(col("clean_md5"), md5(col("text")).as("want")).collect()
+    assert(untouched.nonEmpty)
+    untouched.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("d20 on the harness corpus: every distinct chunk survives exactly once; untouched docs round-trip") {
     val docs = Tables.documents(spark, Sf)
     val out = DedupOps.substringDedupCore(docs)
