@@ -192,12 +192,79 @@ object AuditOps {
       when(col("n_docs") >= KAnonK, 1).otherwise(0).as("is_k_anon"),
       (lit(1.0) / col("n_docs").cast("double")).as("reident_risk"))
 
+  /** dq4's diversity threshold: a QI cell whose documents come from
+    * fewer than L distinct sources lets the cell's published
+    * coordinates infer provenance (distinct ℓ-diversity, Machanavajjhala
+    * et al. 2007 — the refinement k-anonymity needs when the SENSITIVE
+    * attribute, not membership, is the secret). L=5 keeps both verdicts
+    * live at the correctness SFs (sf0.001/sf0.01); at sf0.1 the corpus
+    * is genuinely diverse everywhere and the audit correctly all-passes
+    * — saturation with volume is the expected production behavior, not
+    * a tuning miss. */
+  val LDivL = 5L
+
+  /** DQ4 — ℓ-DIVERSITY audit over QI (lang, length-bucket) with
+    * `source` as the sensitive attribute: dq3 bounds MEMBERSHIP
+    * disclosure (cell size ≥ k); dq4 bounds ATTRIBUTE disclosure — a
+    * k-anonymous cell whose members all share one source still leaks
+    * that source for every member. Per cell: population, distinct
+    * sensitive values, the distinct-ℓ flag, and the top-source share
+    * (the homogeneity-attack success probability a risk report
+    * thresholds — exact n_top/n_docs division, identical operands both
+    * engines).
+    *
+    * Plan: TWO cascaded aggregates, both with map-side partials and
+    * both bounded by attribute cardinality (langs × buckets × sources,
+    * then langs × buckets) — never by docs; the first exchange does
+    * the doc-volume collapse, the second moves ≤ |cells| rows. The
+    * (QI, source) counts are the same associative standing state a
+    * streaming aggregation maintains, so [[lDivCells]] serves the
+    * audit from state unchanged (dq3's discipline). */
+  def lDiversity(s: SparkSession, dir: String): DataFrame =
+    lDivCells(Tables.documents(s, dir)
+        .select(col("lang"), lenBucket.as("len_bucket"), col("source"))
+        .groupBy(col("lang"), col("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("n_src")))
+      .transform(Common.presented(_, col("lang"), col("len_bucket")))
+
+  /** dq4's rollup + verdict over any (lang, len_bucket, source, n_src)
+    * counts frame — the unit the streaming serving path reuses. */
+  def lDivCells(cells: DataFrame): DataFrame =
+    cells.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("n_src")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(col("n_src")).as("n_top"))
+      .select(col("lang"), col("len_bucket"),
+        col("n_docs"), col("n_sources"),
+        when(col("n_sources") >= LDivL, 1).otherwise(0).as("is_l_diverse"),
+        (col("n_top").cast("double") / col("n_docs").cast("double"))
+          .as("top_share"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_constraints" -> (constraints _),
     "dq2_drift" -> (drift _),
-    "dq3_k_anonymity" -> (kAnonymity _))
+    "dq3_k_anonymity" -> (kAnonymity _),
+    "dq4_l_diversity" -> (lDiversity _))
 
   val oracles: Map[String, String] = Map(
+    // two cascaded integer aggregates; sums widen to HUGEINT in DuckDB
+    // -> CAST back; top_share is one double division of identical
+    // operands
+    "dq4_l_diversity" ->
+      s"""WITH sc AS (SELECT lang,
+         |                   CAST(least(9, n_chars // 100) AS INT) AS len_bucket,
+         |                   source, count(*) AS n_src
+         |            FROM documents GROUP BY 1, 2, 3),
+         |g AS (SELECT lang, len_bucket,
+         |             CAST(sum(n_src) AS BIGINT) AS n_docs,
+         |             count(*) AS n_sources,
+         |             max(n_src) AS n_top
+         |      FROM sc GROUP BY 1, 2)
+         |SELECT lang, len_bucket, n_docs, n_sources,
+         |       CASE WHEN n_sources >= $LDivL THEN 1 ELSE 0 END AS is_l_diverse,
+         |       CAST(n_top AS DOUBLE) / CAST(n_docs AS DOUBLE) AS top_share
+         |FROM g
+         |ORDER BY lang, len_bucket""".stripMargin,
     // count(*) widens to BIGINT on both engines; the risk bound is one
     // double division of identical operands
     "dq3_k_anonymity" ->

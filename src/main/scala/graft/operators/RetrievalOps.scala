@@ -346,6 +346,68 @@ object RetrievalOps {
       .select(survivorCols: _*)
   }
 
+  /** ir13's champion-list size: per term, the at-rest index keeps the
+    * top-[[ChampM]] postings by tf. Sized so the candidate union stays
+    * well below the any-match set at every harness SF while keeping
+    * high overlap with the exhaustive top-[[TopK]] (RetrievalOpsSpec
+    * measures both); production tunes it per tier (Manning et al.
+    * suggest M of a few dozen to a few hundred). */
+  val ChampM = 32
+
+  /** IR13 — CHAMPION-LIST serving (Manning, Raghavan & Schütze, IIR
+    * §7.1.3 "champion lists"/"top docs"): per term the index
+    * precomputes the [[ChampM]] highest-tf postings (integer-exact
+    * selection, doc-id tie-break), and a query is served from the
+    * UNION of its terms' champion lists only — the classic
+    * inexact-but-cheap tier BELOW the lossless pruners (ir11's
+    * MaxScore and ir12's block-max skip postings but still guarantee
+    * the exhaustive answer; champions give up the guarantee for a
+    * hard per-term IO bound). Because the result may differ from the
+    * exhaustive top-[[TopK]], the output carries the audit column:
+    * `exact_rank` = the document's rank in ir2's exhaustive ranking
+    * (0 when outside it) — the per-release recall evidence that
+    * decides whether M is safe to serve (x5's recall discipline
+    * applied to sparse retrieval).
+    *
+    * 100 TB plan: champion lists are index metadata — the tf-ordered
+    * PREFIX of each term's at-rest postings bucket, maintained by
+    * ir7's merge (a tf-ordered top-M is re-derivable per bucket on
+    * append; max/top-M are associative) — so a serve reads
+    * ≤ M·|terms| postings rows regardless of df: the hard IO bound
+    * MaxScore cannot promise on high-df terms. The candidate set
+    * (≤ M·|terms| ids) BROADCASTS into the scoring join; the
+    * exhaustive arm here exists only because the audit column needs
+    * it — a production serve emits the champion arm alone. */
+  def championTopK(s: SparkSession, dir: String): DataFrame =
+    championCore(Tables.documents(s, dir), ChampM)
+      .transform(Common.presented(_, col("rank")))
+
+  private[graft] def championCore(docs: DataFrame, m: Int): DataFrame = {
+    val scored = bm25ScoredCore(docs)
+    if (scored.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      scored.persist() // two consumers: exhaustive ranks + champion scoring
+    val exW = Window.orderBy(col("score").desc, col("doc_id"))
+    val ex = scored.orderBy(col("score").desc, col("doc_id")).limit(TopK)
+      .withColumn("exact_rank", row_number().over(exW))
+      .select(col("doc_id"), col("exact_rank"))
+    // champion selection: per term, top-m postings by (tf, doc_id) —
+    // pure integer ranking over the postings frame (at rest: the
+    // tf-ordered prefix of each term's bucket)
+    val wt = Window.partitionBy(col("tok"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val cand = postings(docs)
+      .withColumn("crank", row_number().over(wt))
+      .filter(col("crank") <= m)
+      .select(col("doc_id")).distinct()
+    val ctop = scored.join(broadcast(cand), Seq("doc_id"))
+      .orderBy(col("score").desc, col("doc_id")).limit(TopK)
+      .withColumn("rank", row_number().over(exW))
+    ctop.join(broadcast(ex), Seq("doc_id"), "left_outer")
+      .select(Seq(col("rank"), col("doc_id"), col("score"), col("dl")) ++
+        QueryTerms.map(t => col(s"tf_$t")) :+
+        coalesce(col("exact_rank"), lit(0)).cast("int").as("exact_rank"): _*)
+  }
+
   /** IR7 — incremental postings/dictionary maintenance, the x19/d7
     * convention applied to the text index: the corpus splits into a
     * STANDING side (doc_id % 5 != 0 — at rest, the written term-bucketed
@@ -577,6 +639,67 @@ object RetrievalOps {
     top
       .withColumn("rank", row_number().over(Window.orderBy(
         col("phrase_tf").desc, col("anchor_ratio").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("phrase_tf"),
+        col(s"tf_$w1"), col(s"tf_$w2"), col("dl"), col("anchor_ratio"))
+      .transform(Common.presented(_, col("rank")))
+  }
+
+  /** The POSITIONAL postings lists for `terms` — `(tok, doc_id, pos,
+    * dl)`, dl denormalized in (ir4's convention): the index layout
+    * phrase and proximity queries serve from. The probe filter sits
+    * directly on the generated rows; at rest the lists are written
+    * `partitionBy(term_bucket)` ordered by (doc_id, pos), so a probe
+    * partition-prunes to the query's terms and the adjacency join
+    * below is a merge over co-sorted lists. */
+  private[graft] def positionalPostings(docs: DataFrame,
+      terms: Seq[String]): DataFrame =
+    docs.select(col("doc_id"), size(toks).as("dl"),
+        posexplode(toks).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms: _*))
+
+  /** IR14 — PHRASE SERVE FROM THE POSITIONAL INDEX: ir6's positional
+    * adjacency ranking answered from at-rest positional postings
+    * instead of re-scanning every document's token array — the ir4
+    * path-substitution discipline applied to phrase search (IIR §2.4
+    * positional indexes: adjacency is a positions-intersection with
+    * offset 1, the classic `pos₂ = pos₁ + 1` merge). The two probed
+    * lists join on (doc_id, adjacent positions) and collapse to
+    * per-doc phrase_tf; per-term tf and dl come off the same lists —
+    * NO text is touched at serve time. Counts are integers and the
+    * anchor ratio is the same single division, so the output is
+    * BIT-IDENTICAL to ir6's scan form and the oracle is ir6's SQL
+    * verbatim (RetrievalOpsSpec pins the equality).
+    *
+    * 100 TB plan: the positional lists are the index — built once,
+    * maintained by ir7's append discipline (positions are per-doc
+    * facts, so appends never touch standing lists); a phrase serve
+    * reads TWO term partitions (partition-pruned, df-bounded) instead
+    * of every token of every document, and the adjacency join is
+    * position-co-sorted within doc — the at-rest sort order makes it
+    * a streaming merge, never a hash of the full lists. */
+  def phraseIndexServe(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2) = Phrase
+    val pp = positionalPostings(Tables.documents(s, dir), Seq(w1, w2))
+    if (pp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      pp.persist() // three consumers: both phrase sides + the tf rollup
+    val p1 = pp.filter(col("tok") === w1)
+      .select(col("doc_id"), col("pos"), col("dl"))
+    val p2 = pp.filter(col("tok") === w2)
+      .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+    val adj = p1.join(p2,
+        col("doc_id") === col("d2") && col("pos2") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("phrase_tf"), max(col("dl")).as("dl"))
+    val tfs = pp.groupBy(col("doc_id")).agg(
+      sum(when(col("tok") === w1, 1).otherwise(0)).cast("int").as(s"tf_$w1"),
+      sum(when(col("tok") === w2, 1).otherwise(0)).cast("int").as(s"tf_$w2"))
+    val ord = Seq(col("phrase_tf").desc, col("anchor_ratio").desc, col("doc_id"))
+    adj.join(tfs, Seq("doc_id"))
+      .withColumn("anchor_ratio",
+        col("phrase_tf").cast("double") /
+          least(col(s"tf_$w1"), col(s"tf_$w2")))
+      .orderBy(ord: _*).limit(TopK)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
       .select(col("rank"), col("doc_id"), col("phrase_tf"),
         col(s"tf_$w1"), col(s"tf_$w2"), col("dl"), col("anchor_ratio"))
       .transform(Common.presented(_, col("rank")))
@@ -840,6 +963,8 @@ object RetrievalOps {
     "ir2_bm25_topk" -> (bm25TopK _),
     "ir11_maxscore" -> (maxscoreTopK _),
     "ir12_blockmax" -> (blockmaxTopK _),
+    "ir13_champion" -> (championTopK _),
+    "ir14_phrase_index" -> (phraseIndexServe _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
     "ir4_inverted_serve" -> (invertedServe _),
     "ir5_batch_serve" -> (batchServe _),
@@ -896,6 +1021,26 @@ object RetrievalOps {
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
        |       doc_id, score, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")}
        |FROM top ORDER BY rank""".stripMargin
+
+  /** ir6's twin — ONE definition for both the scan form (ir6) and the
+    * positional-index serve (ir14), which is bit-identical. */
+  private lazy val phraseOracleSql: String = {
+    val (w1, w2) = Phrase
+    s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS dl,
+       |             CAST(len(list_filter(list_zip($toksSql, ($toksSql)[2:]),
+       |               s -> s[1] = '$w1' AND s[2] = '$w2')) AS INT) AS phrase_tf,
+       |             ${tfSql(w1)} AS tf_$w1,
+       |             ${tfSql(w2)} AS tf_$w2
+       |           FROM documents),
+       |f AS (SELECT *,
+       |             CAST(phrase_tf AS DOUBLE) / least(tf_$w1, tf_$w2) AS anchor_ratio
+       |      FROM d WHERE phrase_tf > 0),
+       |top AS (SELECT * FROM f
+       |        ORDER BY phrase_tf DESC, anchor_ratio DESC, doc_id LIMIT $TopK)
+       |SELECT CAST(row_number() OVER (ORDER BY phrase_tf DESC, anchor_ratio DESC, doc_id) AS INT) AS rank,
+       |       doc_id, phrase_tf, tf_$w1, tf_$w2, dl, anchor_ratio
+       |FROM top ORDER BY rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "ir10_term_centrality" ->
@@ -996,6 +1141,30 @@ object RetrievalOps {
       s"""WITH d AS ($dSql),
          |$statsSql,
          |${rankedSql("d")}""".stripMargin,
+    // ir13: champion selection is integer tf ranking per term (UNION
+    // dedups the candidate ids); both arms share the one scored CTE,
+    // so score doubles are identical node-for-node with ir2's
+    "ir13_champion" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |scored AS (SELECT doc_id, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")},
+         |             ($scoreSql) AS score
+         |           FROM d, s2 WHERE $anyMatchSql),
+         |ex AS (SELECT doc_id,
+         |              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS exact_rank
+         |       FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $TopK)),
+         |cand AS (
+         |${QueryTerms.map(t =>
+            s"  SELECT doc_id FROM d WHERE tf_$t > 0\n" +
+            s"  QUALIFY row_number() OVER (ORDER BY tf_$t DESC, doc_id) <= $ChampM")
+            .mkString("\n  UNION\n")}),
+         |ct AS (SELECT scored.* FROM scored JOIN cand USING (doc_id)
+         |       ORDER BY score DESC, doc_id LIMIT $TopK)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, ct.doc_id) AS INT) AS rank,
+         |       ct.doc_id, score, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")},
+         |       CAST(coalesce(ex.exact_rank, 0) AS INT) AS exact_rank
+         |FROM ct LEFT JOIN ex ON ex.doc_id = ct.doc_id
+         |ORDER BY rank""".stripMargin,
     // ir7's oracle IS ir2's: append∘serve == build-over-union∘serve
     // (the x19 associativity convention — the oracle states the
     // invariant, the Spark program takes the incremental path)
@@ -1064,23 +1233,12 @@ object RetrievalOps {
          |QUALIFY rank <= $TopK
          |ORDER BY query_id, rank""".stripMargin
     },
-    "ir6_phrase" -> {
-      val (w1, w2) = Phrase
-      s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS dl,
-         |             CAST(len(list_filter(list_zip($toksSql, ($toksSql)[2:]),
-         |               s -> s[1] = '$w1' AND s[2] = '$w2')) AS INT) AS phrase_tf,
-         |             ${tfSql(w1)} AS tf_$w1,
-         |             ${tfSql(w2)} AS tf_$w2
-         |           FROM documents),
-         |f AS (SELECT *,
-         |             CAST(phrase_tf AS DOUBLE) / least(tf_$w1, tf_$w2) AS anchor_ratio
-         |      FROM d WHERE phrase_tf > 0),
-         |top AS (SELECT * FROM f
-         |        ORDER BY phrase_tf DESC, anchor_ratio DESC, doc_id LIMIT $TopK)
-         |SELECT CAST(row_number() OVER (ORDER BY phrase_tf DESC, anchor_ratio DESC, doc_id) AS INT) AS rank,
-         |       doc_id, phrase_tf, tf_$w1, tf_$w2, dl, anchor_ratio
-         |FROM top ORDER BY rank""".stripMargin
-    },
+    "ir6_phrase" -> phraseOracleSql,
+    // ir14 serves ir6's exact result from the positional index — the
+    // oracle is ir6's SQL verbatim (the ir4/x11 path-substitution
+    // convention: the index layout is Spark plumbing the oracle has no
+    // analog for)
+    "ir14_phrase_index" -> phraseOracleSql,
     "ir3_hybrid_rrf" ->
       s"""WITH d AS ($dSql),
          |$statsSql,

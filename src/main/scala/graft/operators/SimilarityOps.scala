@@ -1378,7 +1378,115 @@ object SimilarityOps {
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
+  /** x25's shortlist size: the quantized stage keeps `4·K` candidates
+    * per query for the exact stage to re-rank — the standard refine
+    * multiplier (Faiss `RefineFlat` defaults to small multiples of k;
+    * recall lost to quantization decays geometrically in R/K). */
+  val RerankR = 4 * K
+
+  /** X25 — QUANTIZED-SHORTLIST + EXACT RE-RANK (the Faiss
+    * `IndexRefineFlat` serving pattern, the production two-stage ANN
+    * shape): stage 1 ranks the corpus by x23's compiled packed-SQ8
+    * SDC fold and keeps the top-[[RerankR]] per query; stage 2
+    * re-ranks ONLY that shortlist by exact float cosine and emits the
+    * top-[[K]]. Both stages are individually deterministic (integer
+    * distances + id tie-break; left-fold doubles), so the composition
+    * is restated verbatim by the DuckDB twin.
+    *
+    * 100 TB plan: the float vectors — 4 bytes/dim × corpus, the
+    * column quantization exists to avoid scanning — are touched for
+    * exactly Q×[[RerankR]] rows: the shortlist BROADCASTS into the
+    * float table's scan (a broadcast-semi-join shape; at rest the
+    * float table is id-bucketed so the fetch prunes to matching
+    * buckets instead of scanning). Stage 1 is x23's serve: one scan
+    * of the 1-byte/dim codes at whole-stage-codegen speed. The
+    * recall/cost dial is [[RerankR]] alone — no index rebuild. */
+  def sq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    val packed = sq8Packed(
+      sq8Codes(s, dir).select(col("vec_id"), col("d"), col("code")))
+    if (packed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      packed.persist() // two consumers: the query side and the corpus scan
+    val q = packed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("code_d2"), col("vec_id"))
+    val shortlist = packed.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Sq8Expressions.sq8SdcDist(col("qcodes"), col("codes"))
+          .as("code_d2"))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= RerankR)
+      .select(col("query_id"), col("vec_id"), col("code_d2"))
+    val c = corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val qv = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(shortlist), Seq("vec_id")) // floats fetched for Q·R ids only
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("code_d2"), qCos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos"), col("code_d2"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
+  /** One 32-bit word of the sign signature: bit `i−lo` set iff
+    * `v[i] > 0`, for `i ∈ [lo, lo+32)` — [[VectorFunctions.signBucket]]
+    * widened to long words. Pure codegen'd column arithmetic. */
+  private def signWord(v: Column, lo: Int): Column =
+    (lo until lo + 32)
+      .map(i => when(element_at(v, i + 1) > 0f,
+        lit(1L << (i - lo))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** X26 — BINARY sign-code serve (1 bit/dim — the binary-hashing
+    * tier below SQ8's byte/dim and PQ's sub-byte/dim; Charikar 2002
+    * sign-random-projection, stored as the packed "binary embedding"
+    * Faiss serves with `IndexBinaryFlat`): each vector compresses to
+    * its 64 per-dim sign bits in two 32-bit words, and ranking is
+    * Hamming distance — `bit_count(xor)` per word, exact integer
+    * arithmetic end-to-end, so the ranking is bit-stable across
+    * engines and partitionings. x2's sign-LSH uses 4 of these bits as
+    * a BUCKET key for candidate pruning; x26 ranks by the FULL 64-bit
+    * distance — the coarse-but-complete serve when even 1 byte/dim is
+    * too much (32× smaller than the float column).
+    *
+    * 100 TB plan: the signature build is scan-bound column arithmetic
+    * (no explode, no shuffle — two long words per row); at rest two
+    * BIGINTs replace 256 float bytes. The serve is ONE scan of the
+    * signature table with the Q query words broadcast; xor+popcount
+    * sits inside whole-stage codegen. Dims beyond 64 add words, not
+    * plan shape; production composes this as stage 1 of x25's refine
+    * (Hamming shortlist → exact re-rank). */
+  def signHamming(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        signWord(col("embedding"), 0).as("w0"),
+        signWord(col("embedding"), 32).as("w1"))
+    val q = sig.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    sig.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("int")
+          .as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("hamming"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x25_sq8_rerank" -> (sq8Rerank _),
+    "x26_sign_hamming" -> (signHamming _),
     "x21_sq8_encode" -> (sq8Encode _),
     "x22_sq8_sdc" -> (sq8Sdc _),
     "x23_sq8_packed" -> (sq8PackedServe _),
@@ -1426,6 +1534,63 @@ object SimilarityOps {
        |                                    / (st.mx - st.mn)) AS BIGINT))) AS INT)
        |                  ELSE 0 END AS code
        |      FROM x JOIN st USING (d))""".stripMargin
+
+  /** x25's twin: x22's shared code CTEs → top-[[RerankR]] shortlist by
+    * integer SDC distance → exact float cosine ([[dotDSql]]'s fold
+    * order) over the shortlist only → top-[[K]]. */
+  private lazy val sq8RerankSql: String =
+    s"""WITH $sq8CtesSql,
+       |q AS (SELECT vec_id AS query_id, d, code AS qcode
+       |      FROM c WHERE vec_id < $NumQueries),
+       |p AS (SELECT q.query_id, c.vec_id,
+       |             CAST(sum(CAST((q.qcode - c.code) * (q.qcode - c.code) AS BIGINT)) AS BIGINT) AS code_d2
+       |      FROM c JOIN q USING (d)
+       |      WHERE q.query_id <> c.vec_id
+       |      GROUP BY 1, 2),
+       |sl AS (SELECT query_id, vec_id, code_d2 FROM p
+       |       QUALIFY row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY code_d2, vec_id) <= $RerankR),
+       |e AS (SELECT vec_id, embedding AS v,
+       |             sqrt(${dotDSql("embedding", "embedding")}) AS nrm
+       |      FROM embeddings),
+       |r AS (SELECT sl.query_id, sl.vec_id AS neighbor_id, sl.code_d2,
+       |             ${dotDSql("qe.v", "e.v")} / (qe.nrm * e.nrm) AS cos
+       |      FROM sl JOIN e ON sl.vec_id = e.vec_id
+       |               JOIN e qe ON sl.query_id = qe.vec_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       |       neighbor_id, cos, code_d2
+       |FROM r
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB twin of [[signWord]] — identical sign rule and bit
+    * weights, BIGINT terms so the 32-term sum never leaves int64. */
+  private def signWordSql(v: String, lo: Int): String =
+    (lo until lo + 32)
+      .map(i => s"CASE WHEN $v[${i + 1}] > 0 THEN CAST(${1L << (i - lo)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString("(", " + ", ")")
+
+  private lazy val signHammingSql: String =
+    s"""WITH sig AS (SELECT vec_id,
+       |                    ${signWordSql("embedding", 0)} AS w0,
+       |                    ${signWordSql("embedding", 32)} AS w1
+       |             FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+       |      FROM sig WHERE vec_id < $NumQueries),
+       |p AS (SELECT query_id, s.vec_id,
+       |             CAST(bit_count(xor(s.w0, q.qw0)) +
+       |                  bit_count(xor(s.w1, q.qw1)) AS INT) AS hamming
+       |      FROM sig s CROSS JOIN q
+       |      WHERE query_id <> s.vec_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY hamming, vec_id) AS INT) AS rank,
+       |       vec_id AS neighbor_id, hamming
+       |FROM p
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
     // all-double arithmetic with operand order matching the Spark
@@ -2055,6 +2220,8 @@ object SimilarityOps {
       // pack/write/read is Spark plumbing the oracle has no analog for)
       ("x23_sq8_packed" -> oraclesBase("x22_sq8_sdc")) +
       ("x24_sq8_ivf" -> sq8IvfSql) +
+      ("x25_sq8_rerank" -> sq8RerankSql) +
+      ("x26_sign_hamming" -> signHammingSql) +
       ("x16_cell_split" -> cellSplitSql) +
       // x17 serves x10's result over the corpus MINUS the deleted
       // vectors — the tombstone/rewrite mechanics are Spark plumbing

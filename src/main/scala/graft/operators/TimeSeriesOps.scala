@@ -429,7 +429,79 @@ object TimeSeriesOps {
     "ts4_sax_index" -> (saxIndex _),
     "ts5_sax_knn" -> (saxKnn _),
     "ts6_lead_lag" -> (leadLag _),
-    "ts7_changepoint" -> (changepoint _))
+    "ts7_changepoint" -> (changepoint _),
+    "ts8_sax_discord" -> (saxDiscord _))
+
+  /** ts8's window geometry and DAY-level breakpoints (the segment
+    * breakpoints [[BpMid]]/[[BpHigh]] quantize 8-day sums; discord
+    * windows quantize single days — observed day counts run 1..10
+    * with median 2 at every harness SF, so 3/5 splits the occupied
+    * range into three live symbols; 0 = inactive day). */
+  val DiscordLen = 3
+  val DayBpMid = 3L
+  val DayBpHigh = 5L
+
+  /** TS8 — SAX DISCORD ranking (the HOT SAX outer heuristic, Keogh,
+    * Lin & Fu 2005): every [[DiscordLen]]-day sliding window of every
+    * user's series collapses to a SAX word (per-day symbols, integer
+    * breakpoints), and windows are ranked by how RARE their word is
+    * corpus-wide — rarest first. That word-occupancy ordering is
+    * exactly the published discord candidate order ("subsequences with
+    * the least-frequent words first"); the exact-distance verify that
+    * HOT SAX runs over candidates is ts5's banded-SSE machinery,
+    * composable downstream. All-integer (counts, words, occupancies),
+    * so the ranking is bit-stable across engines. Windows with no
+    * active day are not indexed (ts4's not-active-not-indexed rule);
+    * ties break (word, user, wstart) for determinism.
+    *
+    * 100 TB plan: SPARSE window generation — each active (user, day)
+    * count row explodes to its ≤ [[DiscordLen]] covering windows
+    * (slot = offset, no range join), so row volume is
+    * activity × L, never users × calendar (the dense-grid anti-shape
+    * the ts-family header bans). One (user, wstart) collapse, one
+    * word-keyed exchange over the COLLAPSED window rows for
+    * occupancy, and the top-k is TakeOrderedAndProject. The word
+    * table is the standing artifact: a streaming ingest maintains the
+    * (user, wstart, word) rows incrementally (day counts are
+    * associative) and re-ranks occupancy per batch. */
+  def saxDiscord(s: SparkSession, dir: String): DataFrame =
+    saxDiscordCore(cachedCounts(s, dir))
+
+  private[graft] def saxDiscordCore(c: DataFrame): DataFrame = {
+    val bounds = c.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val slots = c.crossJoin(broadcast(bounds))
+      .select(col("user_id"), (col("day") - col("d0")).as("rel"),
+        (col("d1") - col("d0")).as("span"), col("cnt"))
+      .select(col("user_id"), col("rel"), col("span"), col("cnt"),
+        explode(sequence(lit(0), lit(DiscordLen - 1))).as("off"))
+      .select(col("user_id"), (col("rel") - col("off")).as("wstart"),
+        col("span"), col("off"), col("cnt"))
+      .filter(col("wstart") >= 0 &&
+        col("wstart") <= col("span") - (DiscordLen - 1))
+    def slotSum(i: Int) =
+      sum(when(col("off") === i, col("cnt"))).as(s"c$i")
+    def sym(i: Int): Column =
+      when(col(s"c$i") >= DayBpHigh, lit(3L))
+        .when(col(s"c$i") >= DayBpMid, lit(2L))
+        .when(col(s"c$i").isNotNull, lit(1L)).otherwise(lit(0L))
+    val words = slots.groupBy(col("user_id"), col("wstart"))
+      .agg(slotSum(0), (1 until DiscordLen).map(slotSum): _*)
+      .select(Seq(col("user_id"), col("wstart"),
+        (0 until DiscordLen).map(i => sym(i) * (1L << (2 * i)))
+          .reduce(_ + _).as("word")) ++
+        (0 until DiscordLen).map(i =>
+          coalesce(col(s"c$i"), lit(0L)).as(s"c$i")): _*)
+    val ord = Seq(col("n_bucket"), col("word"), col("user_id"), col("wstart"))
+    words
+      .withColumn("n_bucket", count(lit(1)).over(
+        Window.partitionBy(col("word"))))
+      .orderBy(ord: _*).limit(TopK)
+      .withColumn("rank", row_number().over(Window.orderBy(ord: _*)))
+      .select(Seq(col("rank"), col("user_id"), col("wstart"), col("word"),
+        col("n_bucket")) ++
+        (0 until DiscordLen).map(i => col(s"c$i")): _*)
+      .transform(Common.presented(_, col("rank")))
+  }
 
   private def daySql = s"epoch_ns(ts) // ${WindowOps.DayNanos}"
 
@@ -453,6 +525,43 @@ object TimeSeriesOps {
        |          FROM sym GROUP BY user_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // ts8: sparse window generation restated via the offset unnest;
+    // every compared value is integer (words, counts, occupancies)
+    "ts8_sax_discord" -> {
+      val symSql = (i: Int) =>
+        s"CASE WHEN c$i >= $DayBpHigh THEN 3 WHEN c$i >= $DayBpMid THEN 2 " +
+          s"WHEN c$i IS NOT NULL THEN 1 ELSE 0 END"
+      val slotSums = (0 until DiscordLen).map(i =>
+        s"CAST(sum(CASE WHEN off = $i THEN cnt END) AS BIGINT) AS c$i")
+        .mkString(",\n       |               ")
+      s"""WITH c AS (SELECT user_id, $daySql AS day, count(*) AS cnt
+         |           FROM events GROUP BY user_id, ($daySql)),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+         |sl AS (SELECT user_id, (day - d0) - u.off AS wstart,
+         |              CAST(u.off AS INT) AS off, cnt
+         |       FROM c, b, unnest(range($DiscordLen)) AS u(off)
+         |       WHERE (day - d0) - u.off >= 0
+         |         AND (day - d0) - u.off <= (d1 - d0) - ${DiscordLen - 1}),
+         |w AS (SELECT user_id, wstart,
+         |               $slotSums
+         |      FROM sl GROUP BY user_id, wstart),
+         |w2 AS (SELECT user_id, wstart,
+         |              CAST(${(0 until DiscordLen)
+                  .map(i => s"(${symSql(i)}) * ${1L << (2 * i)}")
+                  .mkString(" + ")} AS BIGINT) AS word,
+         |              ${(0 until DiscordLen)
+                  .map(i => s"coalesce(c$i, 0) AS c$i").mkString(", ")}
+         |       FROM w),
+         |w3 AS (SELECT *, count(*) OVER (PARTITION BY word) AS n_bucket
+         |       FROM w2),
+         |top AS (SELECT * FROM w3
+         |        ORDER BY n_bucket, word, user_id, wstart LIMIT $TopK)
+         |SELECT CAST(row_number() OVER (ORDER BY n_bucket, word, user_id,
+         |              wstart) AS INT) AS rank,
+         |       user_id, wstart, word, n_bucket,
+         |       ${(0 until DiscordLen).map(i => s"c$i").mkString(", ")}
+         |FROM top ORDER BY rank""".stripMargin
+    },
     "ts7_changepoint" ->
       s"""WITH daily AS (SELECT event_type, $daySql AS day, count(*) AS cnt
          |               FROM events GROUP BY event_type, ($daySql)),

@@ -61,4 +61,30 @@ class AuditOpsSpec extends SparkSpec {
     assert(cells.map(_.getAs[Int]("is_k_anon")).toSet == Set(0, 1),
       "degenerate verdict distribution — retune KAnonK")
   }
+
+  test("dq4: rollup == brute-force recount; flag and top-share rules exact") {
+    val cells = AuditOps.lDiversity(spark, Sf).collect()
+    val docs = Tables.documents(spark, Sf)
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), math.min(9L, r.getLong(2) / 100).toInt,
+        r.getString(1)))
+    val byCell = docs.groupBy(d => (d._1, d._2))
+    assert(cells.length == byCell.size, "one row per occupied QI cell")
+    cells.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Int]("len_bucket"))
+      val members = byCell(key)
+      val bySrc = members.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      assert(r.getAs[Long]("n_docs") == members.length.toLong, key)
+      assert(r.getAs[Long]("n_sources") == bySrc.size.toLong, key)
+      assert((r.getAs[Int]("is_l_diverse") == 1) ==
+        (bySrc.size >= AuditOps.LDivL), key)
+      assert(r.getAs[Double]("top_share") ==
+        bySrc.values.max.toDouble / members.length.toDouble, key)
+    }
+    // every doc in exactly one cell; both verdicts live at the fixture
+    // SF (the scaladoc's saturation note covers sf0.1)
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(cells.map(_.getAs[Int]("is_l_diverse")).toSet == Set(0, 1),
+      "degenerate verdict distribution — retune LDivL")
+  }
 }

@@ -187,6 +187,37 @@ class PlanContractSpec extends SparkSpec {
     }.isEmpty, "cell-restricted serve re-introduced a generator")
   }
 
+  test("x25: the shortlist stage uses the compiled packed fold; floats fetch via broadcast, never a shuffle join") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.SimilarityOps.sq8Rerank(spark, Sf))
+    assert(p.toString.contains("sq8_sdc_dist"),
+      "quantized stage lost the compiled packed-distance fold")
+    // the ONLY generator is the encode's per-dim explode (the stats
+    // need it); the serve/re-rank stages stay packed and fold-based
+    assert(collectAll(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.size <= 1, "re-rank plan re-introduced exploded serving rows")
+    // the exact stage must FETCH floats for the broadcast shortlist —
+    // a shuffle join here would re-shuffle the whole float table
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "float fetch degraded to a corpus-wide shuffle join")
+  }
+
+  test("x26: the sign-code serve is generator- and shuffle-join-free — scan-bound words + broadcast probe") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.SimilarityOps.signHamming(spark, Sf))
+    assert(collectAll(p) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, "signature build exploded — must be per-row column arithmetic")
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "query probe degraded to a shuffle join")
+    assert(collectAll(p) {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }.nonEmpty, "the Q query signatures must broadcast")
+  }
+
   test("ly2: the rectangle read carries a static cell partition filter and lists only intersecting cells") {
     val lay = graft.operators.LayoutOps
     val p = executed(lay.zorderRangeRead(spark, Sf))

@@ -139,6 +139,80 @@ class PqSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("x25: quantized-shortlist + exact re-rank == plain-Scala two-stage recount") {
+    val (byVec, mn, _, codeOf) = sq8Ref
+    val dims = mn.length
+    val codes = byVec.map { case (id, v) =>
+      id -> Array.tabulate(dims)(d => codeOf(v(d), d).toLong) }
+    def sdc(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(d => (a(d) - b(d)) * (a(d) - b(d))).sum
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val nrm = byVec.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val expected = (0L until SimilarityOps.NumQueries).flatMap { q =>
+      val shortlist = codes.keys.filter(_ != q).toSeq
+        .map(n => (n, sdc(codes(q), codes(n))))
+        .sortBy { case (n, d2) => (d2, n) }
+        .take(SimilarityOps.RerankR)
+      shortlist
+        .map { case (n, d2) =>
+          (n, d2, dot(byVec(q), byVec(n)) / (nrm(q) * nrm(n))) }
+        .sortBy { case (n, _, cos) => (-cos, n) }
+        .take(SimilarityOps.K).zipWithIndex
+        .map { case ((n, d2, cos), i) => (q, i + 1, n, cos, d2) }
+    }.toSet
+    val got = SimilarityOps.sq8Rerank(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"),
+        r.getAs[Long]("code_d2"))).toSet
+    assert(got === expected)
+    // the refine point: the exact stage REORDERS the quantized stage's
+    // shortlist on the fixture (otherwise the test pins nothing beyond
+    // x23) — at least one query's top-K by cosine differs in order
+    // from its top-K by code distance
+    val reordered = (0L until SimilarityOps.NumQueries).exists { q =>
+      val byD2 = codes.keys.filter(_ != q).toSeq
+        .map(n => (n, sdc(codes(q), codes(n))))
+        .sortBy { case (n, d2) => (d2, n) }
+        .take(SimilarityOps.K).map(_._1)
+      val byCos = expected.toSeq.filter(_._1 == q).sortBy(_._2).map(_._3)
+      byD2 != byCos
+    }
+    assert(reordered, "fixture regression: refine never changes the ranking")
+  }
+
+  test("x26: sign-word Hamming top-k == plain-Scala recount; words reconstruct the signs") {
+    val (byVec, _, _, _) = sq8Ref
+    val dims = byVec.head._2.length
+    assert(dims == 64, "fixture contract: one 64-bit signature in two words")
+    def words(v: Array[Double]): (Long, Long) = {
+      def word(lo: Int): Long = (lo until lo + 32)
+        .map(i => if (v(i) > 0) 1L << (i - lo) else 0L).sum
+      (word(0), word(32))
+    }
+    val sigs = byVec.map { case (id, v) => id -> words(v) }
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val expected = (0L until SimilarityOps.NumQueries).flatMap { q =>
+      sigs.keys.filter(_ != q).toSeq
+        .map(n => (n, ham(sigs(q), sigs(n))))
+        .sortBy { case (n, h) => (h, n) }
+        .take(SimilarityOps.K).zipWithIndex
+        .map { case ((n, h), i) => (q, i + 1, n, h) }
+    }.toSet
+    val got = SimilarityOps.signHamming(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("hamming"))).toSet
+    assert(got === expected)
+    // every word stays within its 32-bit budget (the no-overflow
+    // argument the BIGINT oracle terms rely on)
+    sigs.values.foreach { case (w0, w1) =>
+      assert(w0 >= 0L && w0 < (1L << 32) && w1 >= 0L && w1 < (1L << 32))
+    }
+  }
+
   test("seeds encode to themselves with exactly zero quantization error") {
     val enc = SimilarityOps.pqEncode(spark, Sf)
       .filter(col("vec_id") >= SimilarityOps.NumQueries &&

@@ -143,4 +143,48 @@ class StreamingAuditSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("dq4 served from streamed (QI, source) count state == batch audit, 3 seeds") {
+    // dq3's discipline one level down: the (lang, len_bucket, source)
+    // counts are associative standing state, and dq4's rollup+verdict
+    // (lDivCells) serves from that state unchanged under any arrival
+    // order / micro-batch cut
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val keyed = (rows: Array[org.apache.spark.sql.Row]) => rows.map { r =>
+      (r.getAs[String]("lang"), r.getAs[Int]("len_bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_sources"),
+        r.getAs[Int]("is_l_diverse"), r.getAs[Double]("top_share"))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val expected = keyed(graft.operators.AuditOps.lDiversity(spark, Sf).collect())
+    val docs = {
+      val d = graft.sources.Tables.documents(spark, Sf)
+      d.select(col("lang"),
+          graft.operators.AuditOps.lenBucket.as("len_bucket"), col("source"))
+        .as[(String, Int, String)].collect().toVector
+    }
+    for (seed <- Seq(5, 13, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[(String, Int, String)]
+      val cells = in.toDF().toDF("lang", "len_bucket", "source")
+        .groupBy(col("lang"), col("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      val name = s"dq4_cells_state_$seed"
+      val q = cells.writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+      try {
+        var rest = rnd.shuffle(docs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(100))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        val served = keyed(graft.operators.AuditOps
+          .lDivCells(spark.table(name)).collect())
+        assert(served == expected,
+          s"seed $seed: dq4 served from streamed state drifted from batch")
+      } finally q.stop()
+    }
+  }
 }

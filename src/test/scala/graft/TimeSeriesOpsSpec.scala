@@ -30,6 +30,49 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got == expected, "sparse SSE drifted from the dense reference")
   }
 
+  test("ts8: discord ranking == dense plain-Scala sliding recount (words, occupancy, order)") {
+    val ts = TimeSeriesOps
+    val allDays = counts.values.flatMap(_.keys)
+    val (d0, d1) = (allDays.min, allDays.max)
+    val span = d1 - d0
+    // dense reference: EVERY window position of every user, symbol 0
+    // for inactive days, windows with no active day dropped (the
+    // not-active-not-indexed rule)
+    def sym(c: Option[Long]): Long = c match {
+      case None => 0L
+      case Some(v) if v >= ts.DayBpHigh => 3L
+      case Some(v) if v >= ts.DayBpMid => 2L
+      case Some(_) => 1L
+    }
+    val windows = for {
+      (u, ds) <- counts.toSeq
+      w <- 0L to (span - (ts.DiscordLen - 1))
+      slots = (0 until ts.DiscordLen).map(i => ds.get(d0 + w + i))
+      if slots.exists(_.isDefined)
+    } yield {
+      val word = slots.zipWithIndex.map { case (c, i) => sym(c) << (2 * i) }.sum
+      (u, w, word, slots.map(_.getOrElse(0L)))
+    }
+    val occ = windows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expected = windows
+      .map { case (u, w, word, cs) => (occ(word), word, u, w, cs) }
+      .sortBy { case (n, word, u, w, _) => (n, word, u, w) }
+      .take(ts.TopK).zipWithIndex
+      .map { case ((n, word, u, w, cs), i) =>
+        (i + 1, u, w, word, n, cs(0), cs(1), cs(2)) }
+    val got = TimeSeriesOps.saxDiscord(spark, Sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("wstart"), r.getAs[Long]("word"),
+        r.getAs[Long]("n_bucket"), r.getAs[Long]("c0"),
+        r.getAs[Long]("c1"), r.getAs[Long]("c2"))).toSeq
+    assert(got == expected,
+      "sparse discord pipeline drifted from the dense sliding reference")
+    // the ranking is non-vacuous: the top discord's word is strictly
+    // rarer than the modal word
+    assert(occ.values.max > got.head._5,
+      "fixture regression: all words equally common — retune breakpoints")
+  }
+
   test("ts3: lag autocovariance == dense reference; exactly one peak per type") {
     import org.apache.spark.sql.functions.{col, expr, count, lit}
     val ev = graft.sources.Tables.events(spark, Sf)
