@@ -531,9 +531,10 @@ object SimilarityOps {
 
   /** [[ivfPqProbeCoreWith]] with the COARSE quantizer parameterized too
     * (x18): both quantizer tables broadcast, so swapping either never
-    * touches the corpus-side plan. */
+    * touches the corpus-side plan. `topN` widens the per-query cut
+    * (x27 keeps a [[RerankR]] shortlist instead of the final K). */
   private[graft] def ivfPqProbeCoreWith(c: DataFrame, nProbe: Int,
-      cents: DataFrame, coarse: DataFrame): DataFrame = {
+      cents: DataFrame, coarse: DataFrame, topN: Int = K): DataFrame = {
     val assigned = coarseAssign(c, coarse).drop("nrm")
     val codes = pqEncodeWith(c, cents)
       .select(col("vec_id"),
@@ -558,9 +559,51 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("vec_id"))
     adc.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= topN)
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"), col("cell_id").as("cell"), col("adc"))
+  }
+
+  /** X27 — IVF-PQ + EXACT RE-RANK: the COMPLETE Faiss production
+    * serving stack (`IndexIVFPQ` wrapped in `IndexRefineFlat`): x13's
+    * multi-probe ADC pipeline keeps a top-[[RerankR]] shortlist per
+    * query, and the final top-[[K]] comes from exact float cosine over
+    * the shortlist only — x25's refine stage on the LEARNED index
+    * instead of the scalar quantizer. ADC error (two quantizers deep)
+    * is exactly what the refine step exists to absorb: the
+    * coarse+PQ index buys the scan reduction, the R-row exact pass
+    * buys back the ranking fidelity, and the recall/cost dial is
+    * (nProbe, R) with no index rebuild.
+    *
+    * 100 TB plan: stage 1 is x13's shape verbatim — cell-partitioned
+    * codes scan (DPP at rest), broadcast ADC tables, 4 lookups per
+    * candidate; stage 2 touches the 4-byte/dim float column for
+    * exactly Q×[[RerankR]] ids via the broadcast-shortlist fetch
+    * (id-bucketed at rest). Every stage deterministic (double folds +
+    * id tie-breaks), so the whole composition restates in SQL. */
+  def ivfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      c.persist() // the probe pipeline + both re-rank sides read it
+    val shortlist = ivfPqProbeCoreWith(c, ProbeCells, pqSeedCents(c),
+        coarseCentroids(c), topN = RerankR)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"),
+        col("cell"), col("adc"))
+    val base = c.select(col("vec_id"), col("v"), col("nrm"))
+    val qv = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    base.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("adc"), qCos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cell"), col("cos"), col("adc"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
   // one cleanup hook PER application root — a JVM that creates several
@@ -1486,6 +1529,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_sq8_rerank" -> (sq8Rerank _),
+    "x27_ivfpq_rerank" -> (ivfPqRerank _),
     "x26_sign_hamming" -> (signHamming _),
     "x21_sq8_encode" -> (sq8Encode _),
     "x22_sq8_sdc" -> (sq8Sdc _),
@@ -1869,10 +1913,11 @@ object SimilarityOps {
        |QUALIFY rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
-  /** X13 oracle: [[ivfPqSql]] with the query-side cell assignment
-    * widened to the top-`nProbe` cells (rank ≤ P instead of = 1); the
+  /** The x13/x27 shared CTE body: [[ivfPqSql]] with the query-side
+    * cell assignment widened to the top-`nProbe` cells (rank ≤ P
+    * instead of = 1), ending at the per-candidate `adc` CTE; the
     * corpus side and the ADC math are unchanged. */
-  private def ivfPqMultiSql(nProbe: Int) =
+  private def ivfPqMultiBodySql(nProbe: Int) =
     s"""WITH c AS ($corpusSql),
        |coarse AS (SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM c
        |           WHERE vec_id >= $NumQueries
@@ -1919,12 +1964,37 @@ object SimilarityOps {
        |adc AS (SELECT query_id, vec_id, cell_id,
        |               max(CASE WHEN m = 0 THEN pd END) + max(CASE WHEN m = 1 THEN pd END)
        |                 + max(CASE WHEN m = 2 THEN pd END) + max(CASE WHEN m = 3 THEN pd END) AS adc
-       |        FROM j GROUP BY query_id, vec_id, cell_id)
+       |        FROM j GROUP BY query_id, vec_id, cell_id)""".stripMargin
+
+  /** X13 oracle: [[ivfPqMultiBodySql]] + the plain top-K tail. */
+  private def ivfPqMultiSql(nProbe: Int) =
+    s"""${ivfPqMultiBodySql(nProbe)}
        |SELECT query_id,
        |       CAST(row_number() OVER (PARTITION BY query_id
        |         ORDER BY adc, vec_id) AS INT) AS rank,
        |       vec_id AS neighbor_id, cell_id AS cell, adc
        |FROM adc
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** x27's twin: the multi-probe ADC body -> top-[[RerankR]] shortlist
+    * -> exact cosine over the shortlist only (the `c` CTE already
+    * carries v and nrm), top-[[K]]. */
+  private lazy val ivfPqRerankSql: String =
+    s"""${ivfPqMultiBodySql(ProbeCells)},
+       |sl AS (SELECT query_id, vec_id, cell_id, adc FROM adc
+       |       QUALIFY row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY adc, vec_id) <= $RerankR),
+       |rr AS (SELECT sl.query_id, sl.vec_id AS neighbor_id,
+       |              sl.cell_id AS cell, sl.adc,
+       |              ${dotDSql("qe.v", "cn.v")} / (qe.nrm * cn.nrm) AS cos
+       |       FROM sl JOIN c cn ON sl.vec_id = cn.vec_id
+       |                JOIN c qe ON sl.query_id = qe.vec_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       |       neighbor_id, cell, cos, adc
+       |FROM rr
        |QUALIFY rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
@@ -2222,6 +2292,7 @@ object SimilarityOps {
       ("x24_sq8_ivf" -> sq8IvfSql) +
       ("x25_sq8_rerank" -> sq8RerankSql) +
       ("x26_sign_hamming" -> signHammingSql) +
+      ("x27_ivfpq_rerank" -> ivfPqRerankSql) +
       ("x16_cell_split" -> cellSplitSql) +
       // x17 serves x10's result over the corpus MINUS the deleted
       // vectors — the tombstone/rewrite mechanics are Spark plumbing

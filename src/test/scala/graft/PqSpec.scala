@@ -213,6 +213,58 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("x27: IVF-PQ shortlist + exact re-rank == plain-Scala full-stack recount") {
+    val sim = SimilarityOps
+    val byVec = sq8Ref._1
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def sub(v: Array[Double], m: Int): Array[Double] =
+      v.slice(m * sim.PqSubDim, (m + 1) * sim.PqSubDim)
+    // the shared PQ distance in its exact written order: (|x|²−2x·c)+|c|²
+    def pd(x: Array[Double], c: Array[Double]): Double =
+      dot(x, x) - 2.0 * dot(x, c) + dot(c, c)
+    val centIds = (sim.NumQueries.toLong until
+      (sim.NumQueries + sim.NumCentroids).toLong).toSeq
+    val nrm = byVec.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    // coarse: argmax cosine, ties to the smaller cell id
+    def cellsRanked(id: Long): Seq[Long] = centIds
+      .map(cid => (cid, dot(byVec(id), byVec(cid)) / (nrm(id) * nrm(cid))))
+      .sortBy { case (cid, cos) => (-cos, cid) }.map(_._1)
+    val cellOf = byVec.keys.map(id => id -> cellsRanked(id).head).toMap
+    // PQ encode against the seed sub-codebooks: per-subspace argmin
+    def codeOf(id: Long): IndexedSeq[Long] = (0 until sim.PqM).map { m =>
+      centIds.map(cid => (cid, pd(sub(byVec(id), m), sub(byVec(cid), m))))
+        .minBy { case (cid, d2) => (d2, cid) }._1
+    }
+    val codes = byVec.keys.map(id => id -> codeOf(id)).toMap
+    // ADC in m order (the adcSum fold): Σ_m pd(qsub_m, centsub(code_m))
+    def adc(q: Long, n: Long): Double =
+      (0 until sim.PqM).map(m =>
+        pd(sub(byVec(q), m), sub(byVec(codes(n)(m)), m))).reduce(_ + _)
+    val expected = (0L until sim.NumQueries).flatMap { q =>
+      val probed = cellsRanked(q).take(sim.ProbeCells).toSet
+      val shortlist = byVec.keys
+        .filter(n => n != q && probed(cellOf(n))).toSeq
+        .map(n => (n, adc(q, n)))
+        .sortBy { case (n, a) => (a, n) }
+        .take(sim.RerankR)
+      shortlist
+        .map { case (n, a) =>
+          (n, a, dot(byVec(q), byVec(n)) / (nrm(q) * nrm(n))) }
+        .sortBy { case (n, _, cos) => (-cos, n) }
+        .take(sim.K).zipWithIndex
+        .map { case ((n, a, cos), i) => (q, i + 1, n, cellOf(n), cos, a) }
+    }.toSet
+    val got = sim.ivfPqRerank(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("cell"),
+        r.getAs[Double]("cos"), r.getAs[Double]("adc"))).toSet
+    assert(got === expected)
+    spark.sharedState.cacheManager.clearCache() // x27 persists the corpus
+  }
+
   test("seeds encode to themselves with exactly zero quantization error") {
     val enc = SimilarityOps.pqEncode(spark, Sf)
       .filter(col("vec_id") >= SimilarityOps.NumQueries &&

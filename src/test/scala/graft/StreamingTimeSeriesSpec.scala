@@ -69,12 +69,18 @@ class StreamingTimeSeriesSpec extends SparkSpec {
         val servedLag = TimeSeriesOps.leadLagCore(state).collect().toSeq
         assert(servedLag == ts6,
           s"seed $seed: ts6 served from streamed state drifted from batch ts6")
+        // the discord word table maintains off the same counts state
+        val servedDiscord =
+          TimeSeriesOps.saxDiscordCore(state).collect().toSeq
+        assert(servedDiscord == ts8,
+          s"seed $seed: ts8 served from streamed state drifted from batch ts8")
       } finally q.stop()
     }
   }
 
   private lazy val ts5 = TimeSeriesOps.saxKnn(spark, Sf).collect().toSeq
   private lazy val ts6 = TimeSeriesOps.leadLag(spark, Sf).collect().toSeq
+  private lazy val ts8 = TimeSeriesOps.saxDiscord(spark, Sf).collect().toSeq
 
   test("streamed (event_type, day) count state serves ts3 and ts7 == their batch twins, 3 seeds") {
     implicit val sq = spark.sqlContext
