@@ -240,13 +240,94 @@ object AuditOps {
         (col("n_top").cast("double") / col("n_docs").cast("double"))
           .as("top_share"))
 
+  /** dq5's profiled columns — ONE structure drives the Spark aggregate
+    * AND the oracle SQL, so the two cannot drift. Numeric columns
+    * profile min/max of the value; string columns profile min/max of
+    * the character LENGTH (the width profile — a cross-engine-exact
+    * integer, where raw string min/max would hinge on collation). */
+  private[graft] val ProfileCols: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("orders", Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      Seq("o_orderstatus")),
+    ("lineitem", Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq("l_returnflag")),
+    ("events", Seq("user_id", "value"), Seq("event_type")),
+    ("documents", Seq("n_chars"), Seq("lang", "source")))
+
+  /** DQ5 — COLUMN PROFILE (the deequ/TFDV "profile" every platform
+    * computes before trusting a table): per (table, column) the row
+    * count, null count, exact distinct count, and numeric min/max
+    * (string columns profile length — see [[ProfileCols]]). dq1
+    * asserts DECLARED expectations; dq5 is the discovery pass that
+    * tells you what to declare.
+    *
+    * Plan: ONE fused aggregate per table (dq1's add-a-column-not-a-
+    * scan discipline) unpivoted by a single explode. The exact
+    * `count(distinct)` set makes Spark plan an Expand (scan ×(cols+1)
+    * row replication before the partial agg) — the textbook exact-
+    * profiler cost; at 100 TB the production profile swaps each
+    * distinct for ap1's HLL sketch column (same single-scan plan,
+    * no Expand, ±2% error) and this exact form remains the
+    * oracle-checkable audit it calibrates against. */
+  def profile(s: SparkSession, dir: String): DataFrame =
+    ProfileCols.map { case (t, nums, strs) =>
+      profileTable(Tables.table(s, dir, t), t, nums, strs)
+    }.reduce(_.unionByName(_))
+      .transform(Common.presented(_, col("table_name"), col("column_name")))
+
+  private def profileTable(df: DataFrame, table: String,
+      nums: Seq[String], strs: Seq[String]): DataFrame = {
+    val cols = nums ++ strs
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { cn =>
+      val c = col(cn)
+      val v = if (nums.contains(cn)) c.cast("double")
+        else length(c).cast("double")
+      Seq(one(c.isNull).as(s"nn_$cn"),
+        countDistinct(c).as(s"nd_$cn"),
+        min(v).as(s"mn_$cn"), max(v).as(s"mx_$cn"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { cn =>
+        struct(lit(table).as("table_name"), lit(cn).as("column_name"),
+          col("n_rows"), col(s"nn_$cn").cast("long").as("n_nulls"),
+          col(s"nd_$cn").as("n_distinct"),
+          col(s"mn_$cn").as("min_num"), col(s"mx_$cn").as("max_num"))
+      }: _*)).as("r"))
+      .select(col("r.*"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_constraints" -> (constraints _),
     "dq2_drift" -> (drift _),
     "dq3_k_anonymity" -> (kAnonymity _),
-    "dq4_l_diversity" -> (lDiversity _))
+    "dq4_l_diversity" -> (lDiversity _),
+    "dq5_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
+    // dq5: generated from the same ProfileCols structure as the Spark
+    // aggregate; min/max are single values (no accumulation — exact on
+    // both engines), distincts are exact counts, string columns
+    // profile length
+    "dq5_profile" -> {
+      val ctes = ProfileCols.map { case (t, nums, strs) =>
+        val counters = (nums ++ strs).flatMap { cn =>
+          val v = if (nums.contains(cn)) s"CAST($cn AS DOUBLE)"
+            else s"CAST(length($cn) AS DOUBLE)"
+          Seq(
+            s"CAST(sum(CASE WHEN $cn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$cn",
+            s"count(DISTINCT $cn) AS nd_$cn",
+            s"min($v) AS mn_$cn",
+            s"max($v) AS mx_$cn")
+        }.mkString(",\n              ")
+        s"p_$t AS (SELECT count(*) AS n_rows,\n              $counters\n       FROM $t)"
+      }.mkString(",\n")
+      val rows = ProfileCols.flatMap { case (t, nums, strs) =>
+        (nums ++ strs).map(cn =>
+          s"SELECT '$t' AS table_name, '$cn' AS column_name, n_rows, " +
+            s"nn_$cn AS n_nulls, nd_$cn AS n_distinct, " +
+            s"mn_$cn AS min_num, mx_$cn AS max_num FROM p_$t")
+      }.mkString("\nUNION ALL ")
+      s"WITH $ctes\n$rows\nORDER BY table_name, column_name"
+    },
     // two cascaded integer aggregates; sums widen to HUGEINT in DuckDB
     // -> CAST back; top_share is one double division of identical
     // operands

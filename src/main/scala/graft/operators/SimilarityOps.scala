@@ -406,8 +406,13 @@ object SimilarityOps {
     * slice or trained (x12): the centroid side always broadcasts, so
     * swapping codebooks never touches the corpus-side plan
     * (PlanContractSpec pins both). */
-  def pqEncodeWith(c: DataFrame, cents: DataFrame): DataFrame = {
-    val sub = pqSubvectors(c, "vec_id", "m", "s")
+  def pqEncodeWith(c: DataFrame, cents: DataFrame): DataFrame =
+    pqEncodeSub(pqSubvectors(c, "vec_id", "m", "s"), cents)
+
+  /** The encode tail over an ARBITRARY (vec_id, m, s) subvector frame —
+    * x8/x12 feed the natural slices, x28 feeds spread-balanced
+    * permuted gathers; the argmin/pivot plan is identical. */
+  private[graft] def pqEncodeSub(sub: DataFrame, cents: DataFrame): DataFrame = {
     val d2 = pqD2(col("s"), col("cs"))
     // nearest code per subspace as a min over (d2, cent_id) STRUCTS —
     // lexicographic struct ordering IS the (distance, id-tiebreak)
@@ -427,6 +432,66 @@ object SimilarityOps {
         col("b0.cent_id").as("code0"), col("b1.cent_id").as("code1"),
         col("b2.cent_id").as("code2"), col("b3.cent_id").as("code3"),
         (col("b0.d2") + col("b1.d2") + col("b2.d2") + col("b3.d2")).as("qerr"))
+  }
+
+  /** X28 — SPREAD-BALANCED PQ (OPQ-lite, the "allocate dimensions to
+    * subspaces by balancing their energy" half of Ge et al.'s
+    * Optimized Product Quantization, with the per-dim SPREAD
+    * (mx − mn — x21's SQ8 statistic, exact on both engines with no
+    * accumulation) standing in for variance and a deterministic
+    * round-robin permutation standing in for the learned rotation):
+    * dims rank by descending spread and deal out round-robin, so each
+    * subspace receives an equal share of high- and low-energy
+    * dimensions instead of whatever the natural column order packed
+    * together. The audit encodes every vector BOTH ways against the
+    * correspondingly-permuted seed codebooks and reports per-vector
+    * natural vs balanced quantization error + the improved flag —
+    * the measurable claim OPQ makes, stated as an oracle-checkable
+    * per-vector comparison (PqSpec asserts the corpus-total
+    * improvement on the fixture).
+    *
+    * 100 TB plan: the mapping is 64 rows from one per-dim stats
+    * aggregate (a sample fits it at extreme scale — the x21 note);
+    * the permuted gather is one explode + broadcast-join + per-(vec,
+    * m) collect, the same ×[[PqM]] narrow shape as the natural slice,
+    * and the encode tail is x8's single-shuffle argmin/pivot
+    * verbatim. A production OPQ replaces the permutation with a
+    * learned rotation matrix — one broadcast matmul per row, same
+    * plan. */
+  def pqBalanced(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      c.persist() // natural encode + the exploded stats/gather side
+    val x = c.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("d").cast("int").as("d"), col("xf"))
+    if (x.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      x.persist() // two consumers: the spread stats and the gather
+    val st = x.groupBy(col("d"))
+      .agg(min(col("xf").cast("double")).as("mn"),
+        max(col("xf").cast("double")).as("mx"))
+    val wR = Window.orderBy((col("mx") - col("mn")).desc, col("d"))
+    val mapping = st.select(col("d"), (row_number().over(wR) - 1).as("r"))
+      .select(col("d"), pmod(col("r"), lit(PqM)).cast("int").as("m"),
+        expr(s"r div $PqM").cast("int").as("slot"))
+    val pv = x.join(broadcast(mapping), Seq("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("slot"), col("xf")))),
+        e => e.getField("xf")).as("s"))
+    val centsB = pv
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + NumCentroids)
+      .select(col("m").as("cm"), col("vec_id").as("cent_id"),
+        col("s").as("cs"))
+    val bal = pqEncodeSub(pv, centsB)
+      .select(col("vec_id"), col("qerr").as("qerr_bal"))
+    val nat = pqEncodeCore(c)
+      .select(col("vec_id"), col("qerr").as("qerr_nat"))
+    nat.join(bal, Seq("vec_id"))
+      .select(col("vec_id"), col("qerr_nat"), col("qerr_bal"),
+        when(col("qerr_bal") < col("qerr_nat"), 1).otherwise(0)
+          .as("improved"))
+      .transform(Common.presented(_, col("vec_id")))
   }
 
   /** X9 — ADC search over the PQ codes (the query path x8's encode
@@ -1530,6 +1595,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_sq8_rerank" -> (sq8Rerank _),
     "x27_ivfpq_rerank" -> (ivfPqRerank _),
+    "x28_pq_balanced" -> (pqBalanced _),
     "x26_sign_hamming" -> (signHamming _),
     "x21_sq8_encode" -> (sq8Encode _),
     "x22_sq8_sdc" -> (sq8Sdc _),
@@ -1635,6 +1701,43 @@ object SimilarityOps {
        |FROM p
        |QUALIFY rank <= $K
        |ORDER BY query_id, rank""".stripMargin
+
+  /** x28's twin: spread-ranked round-robin mapping → permuted gathers
+    * (list ordered by slot — the collect_list/array_sort twin) →
+    * the x8 argmin/pivot restated per subspace, joined against the
+    * natural encode's qerr ([[pqSql]] as a subquery). */
+  private lazy val pqBalancedSql: String =
+    s"""WITH c AS ($corpusSql),
+       |xx AS (SELECT vec_id, CAST(u.d AS INT) - 1 AS d, v[u.d] AS xf
+       |       FROM c, unnest(generate_series(1, len(v))) AS u(d)),
+       |stm AS (SELECT d, min(CAST(xf AS DOUBLE)) AS mn,
+       |               max(CAST(xf AS DOUBLE)) AS mx
+       |        FROM xx GROUP BY d),
+       |mp AS (SELECT d, CAST((r - 1) % $PqM AS INT) AS m,
+       |              CAST((r - 1) // $PqM AS INT) AS slot
+       |       FROM (SELECT d, row_number() OVER (ORDER BY mx - mn DESC, d) AS r
+       |             FROM stm)),
+       |pv AS (SELECT vec_id, m, list(xf ORDER BY slot) AS s
+       |       FROM xx JOIN mp USING (d) GROUP BY vec_id, m),
+       |centb AS (SELECT m, vec_id AS cent_id, s AS cs FROM pv
+       |          WHERE vec_id >= $NumQueries
+       |            AND vec_id < ${NumQueries + NumCentroids}),
+       |db AS (SELECT pv.vec_id, pv.m, centb.cent_id,
+       |              ${dotDSql("s", "s")} - 2 * ${dotDSql("s", "cs")}
+       |                + ${dotDSql("cs", "cs")} AS d2
+       |       FROM pv JOIN centb USING (m)),
+       |bb AS (SELECT vec_id, m, d2 FROM db
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |                                  ORDER BY d2, cent_id) = 1),
+       |qb AS (SELECT vec_id,
+       |              max(CASE WHEN m = 0 THEN d2 END) + max(CASE WHEN m = 1 THEN d2 END)
+       |                + max(CASE WHEN m = 2 THEN d2 END) + max(CASE WHEN m = 3 THEN d2 END) AS qerr_bal
+       |       FROM bb GROUP BY vec_id),
+       |qn AS (SELECT vec_id, qerr AS qerr_nat FROM ($pqSql) nat)
+       |SELECT vec_id, qerr_nat, qerr_bal,
+       |       CASE WHEN qerr_bal < qerr_nat THEN 1 ELSE 0 END AS improved
+       |FROM qn JOIN qb USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
     // all-double arithmetic with operand order matching the Spark
@@ -2293,6 +2396,7 @@ object SimilarityOps {
       ("x25_sq8_rerank" -> sq8RerankSql) +
       ("x26_sign_hamming" -> signHammingSql) +
       ("x27_ivfpq_rerank" -> ivfPqRerankSql) +
+      ("x28_pq_balanced" -> pqBalancedSql) +
       ("x16_cell_split" -> cellSplitSql) +
       // x17 serves x10's result over the corpus MINUS the deleted
       // vectors — the tombstone/rewrite mechanics are Spark plumbing

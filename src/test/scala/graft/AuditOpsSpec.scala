@@ -87,4 +87,38 @@ class AuditOpsSpec extends SparkSpec {
     assert(cells.map(_.getAs[Int]("is_l_diverse")).toSet == Set(0, 1),
       "degenerate verdict distribution — retune LDivL")
   }
+
+  test("dq5: per-column profile == brute-force recount over EVERY profiled column") {
+    val rows = AuditOps.profile(spark, Sf).collect()
+      .map(r => (r.getAs[String]("table_name"),
+        r.getAs[String]("column_name")) -> r).toMap
+    val declared = AuditOps.ProfileCols
+      .flatMap { case (t, nums, strs) => (nums ++ strs).map(t -> _) }
+    assert(rows.keySet == declared.toSet, "one row per declared column")
+    AuditOps.ProfileCols.foreach { case (t, nums, strs) =>
+      val raw = Tables.table(spark, Sf, t)
+        .select((nums ++ strs).map(col): _*).collect()
+      (nums ++ strs).zipWithIndex.foreach { case (cn, i) =>
+        val r = rows((t, cn))
+        val vals = raw.map(row => if (row.isNullAt(i)) None else Some(row.get(i)))
+        val nums2 = vals.flatten.map {
+          case s: String => s.length.toDouble
+          case n: Number => n.doubleValue()
+          case other => fail(s"unprofilable type $other")
+        }
+        assert(r.getAs[Long]("n_rows") == raw.length.toLong, s"$t.$cn rows")
+        assert(r.getAs[Long]("n_nulls") == vals.count(_.isEmpty).toLong,
+          s"$t.$cn nulls")
+        assert(r.getAs[Long]("n_distinct") ==
+          vals.flatten.distinct.length.toLong, s"$t.$cn distinct")
+        assert(r.getAs[Double]("min_num") == nums2.min, s"$t.$cn min")
+        assert(r.getAs[Double]("max_num") == nums2.max, s"$t.$cn max")
+      }
+    }
+    // the profile surface is non-degenerate on the fixture: a key
+    // column where distinct == rows, and a bounded-domain column
+    val ok = rows(("orders", "o_orderkey"))
+    assert(ok.getAs[Long]("n_distinct") == ok.getAs[Long]("n_rows"))
+    assert(rows(("documents", "lang")).getAs[Long]("n_distinct") < 10L)
+  }
 }

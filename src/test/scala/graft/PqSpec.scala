@@ -265,6 +265,53 @@ class PqSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // x27 persists the corpus
   }
 
+  test("x28: spread-balanced encode == plain-Scala permuted recount; corpus qerr improves") {
+    val sim = SimilarityOps
+    val (byVec, mn, mx, _) = sq8Ref
+    val dims = mn.length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def pd(x: Array[Double], c: Array[Double]): Double =
+      dot(x, x) - 2.0 * dot(x, c) + dot(c, c)
+    val centIds = (sim.NumQueries.toLong until
+      (sim.NumQueries + sim.NumCentroids).toLong).toSeq
+    def qerrAll(subOf: (Array[Double], Int) => Array[Double]): Map[Long, Double] =
+      byVec.map { case (id, v) =>
+        id -> (0 until sim.PqM).map { m =>
+          centIds.map(cid => (cid, pd(subOf(v, m), subOf(byVec(cid), m))))
+            .minBy { case (cid, d2) => (d2, cid) }._2
+        }.reduce(_ + _)
+      }
+    def subN(v: Array[Double], m: Int): Array[Double] =
+      v.slice(m * sim.PqSubDim, (m + 1) * sim.PqSubDim)
+    // spread-ranked round-robin deal, exactly the registered mapping
+    val order = (0 until dims).sortBy(d => (-(mx(d) - mn(d)), d))
+    val dimsFor: Int => Array[Int] = {
+      val assign = order.zipWithIndex
+        .map { case (d, r) => d -> (r % sim.PqM, r / sim.PqM) }.toMap
+      m => (0 until dims).filter(d => assign(d)._1 == m)
+        .sortBy(d => assign(d)._2).toArray
+    }
+    def subB(v: Array[Double], m: Int): Array[Double] = dimsFor(m).map(v(_))
+    val qn = qerrAll(subN)
+    val qb = qerrAll(subB)
+    val got = sim.pqBalanced(spark, Sf).collect()
+    assert(got.length == byVec.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[Double]("qerr_nat") == qn(id), s"vec $id natural")
+      assert(r.getAs[Double]("qerr_bal") == qb(id), s"vec $id balanced")
+      assert((r.getAs[Int]("improved") == 1) == (qb(id) < qn(id)), s"vec $id flag")
+    }
+    // the OPQ claim the audit exists to measure: balancing the spread
+    // lowers TOTAL corpus quantization error on the fixture
+    assert(qb.values.sum < qn.values.sum,
+      s"balanced grouping did not improve: ${qb.values.sum} vs ${qn.values.sum}")
+    spark.sharedState.cacheManager.clearCache() // x28 persists the corpus
+  }
+
   test("seeds encode to themselves with exactly zero quantization error") {
     val enc = SimilarityOps.pqEncode(spark, Sf)
       .filter(col("vec_id") >= SimilarityOps.NumQueries &&
