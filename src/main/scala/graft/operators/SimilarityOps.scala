@@ -194,6 +194,44 @@ object SimilarityOps {
       .transform(Common.presented(_, col("query_id")))
   }
 
+  /** X29 — recall@k of the COMPRESSED serving tiers against the x1
+    * exact baseline — x5's eval discipline applied to the compression
+    * ladder (x5 audits the candidate-pruning tiers; x29 audits the
+    * tiers that change the DISTANCE itself): SQ8 symmetric code
+    * distance (x22), 1-bit sign Hamming (x26), SQ8 shortlist + exact
+    * re-rank (x25) and IVF-PQ + exact re-rank (x27). This is the
+    * table that justifies each byte budget: it shows the re-rank
+    * stages buying back what their quantized stage lost, per query —
+    * the offline eval that tunes (bits, R, nProbe) before a tier
+    * serves. Same 1:1 join algebra as x5: each side carries ≤ K rows
+    * per query. */
+  def quantRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBruteCore(corpus(s, dir))
+      .select(col("query_id"), col("neighbor_id"))
+    def hits(df: DataFrame, mark: String) =
+      df.select(col("query_id"), col("neighbor_id"), lit(1).as(mark))
+    val joined = brute
+      .join(hits(sq8Sdc(s, dir), "in_sdc"),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(hits(signHamming(s, dir), "in_ham"),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(hits(sq8Rerank(s, dir), "in_sq8rr"),
+        Seq("query_id", "neighbor_id"), "left")
+      .join(hits(ivfPqRerank(s, dir), "in_ivfrr"),
+        Seq("query_id", "neighbor_id"), "left")
+    def n(mark: String) = sum(coalesce(col(mark), lit(0))).cast("int")
+    joined.groupBy(col("query_id"))
+      .agg(n("in_sdc").as("n_sdc"), n("in_ham").as("n_ham"),
+        n("in_sq8rr").as("n_sq8rr"), n("in_ivfrr").as("n_ivfrr"))
+      .select(col("query_id"),
+        col("n_sdc"), col("n_ham"), col("n_sq8rr"), col("n_ivfrr"),
+        (col("n_sdc").cast("double") / K).as("recall_sdc"),
+        (col("n_ham").cast("double") / K).as("recall_ham"),
+        (col("n_sq8rr").cast("double") / K).as("recall_sq8rr"),
+        (col("n_ivfrr").cast("double") / K).as("recall_ivfrr"))
+      .transform(Common.presented(_, col("query_id")))
+  }
+
   /** X6 — per-bucket top-k through the custom [[graft.functions.TopKByAgg]]
     * aggregate (SURVEY §2.11 UDAF surface): the window-free top-k — a
     * bounded k-entry heap per group, merged map-side like any partial
@@ -1596,6 +1634,7 @@ object SimilarityOps {
     "x25_sq8_rerank" -> (sq8Rerank _),
     "x27_ivfpq_rerank" -> (ivfPqRerank _),
     "x28_pq_balanced" -> (pqBalanced _),
+    "x29_quant_recall" -> (quantRecall _),
     "x26_sign_hamming" -> (signHamming _),
     "x21_sq8_encode" -> (sq8Encode _),
     "x22_sq8_sdc" -> (sq8Sdc _),
@@ -1861,6 +1900,38 @@ object SimilarityOps {
        |FROM joined GROUP BY query_id ORDER BY query_id""".stripMargin
 
   private def oracleBase(name: String): String = oraclesBase(name)
+
+  /** The x29 oracle composes the tier oracles verbatim as CTE bodies —
+    * x5's convention: drift between any tier's Spark program and its
+    * oracle surfaces in that tier's own row, and x29 stays consistent
+    * by construction. */
+  private lazy val quantRecallSql: String =
+    s"""WITH brute AS (${oracleBase("x1_knn_brute")}),
+       |sdc AS (${oracleBase("x22_sq8_sdc")}),
+       |ham AS ($signHammingSql),
+       |sq8rr AS ($sq8RerankSql),
+       |ivfrr AS ($ivfPqRerankSql),
+       |joined AS (
+       |  SELECT b.query_id,
+       |         CASE WHEN s.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_sdc,
+       |         CASE WHEN h.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_ham,
+       |         CASE WHEN r1.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_sq8rr,
+       |         CASE WHEN r2.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_ivfrr
+       |  FROM brute b
+       |  LEFT JOIN sdc s ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+       |  LEFT JOIN ham h ON b.query_id = h.query_id AND b.neighbor_id = h.neighbor_id
+       |  LEFT JOIN sq8rr r1 ON b.query_id = r1.query_id AND b.neighbor_id = r1.neighbor_id
+       |  LEFT JOIN ivfrr r2 ON b.query_id = r2.query_id AND b.neighbor_id = r2.neighbor_id)
+       |SELECT query_id,
+       |       CAST(SUM(in_sdc) AS INT) AS n_sdc,
+       |       CAST(SUM(in_ham) AS INT) AS n_ham,
+       |       CAST(SUM(in_sq8rr) AS INT) AS n_sq8rr,
+       |       CAST(SUM(in_ivfrr) AS INT) AS n_ivfrr,
+       |       CAST(SUM(in_sdc) AS DOUBLE) / $K AS recall_sdc,
+       |       CAST(SUM(in_ham) AS DOUBLE) / $K AS recall_ham,
+       |       CAST(SUM(in_sq8rr) AS DOUBLE) / $K AS recall_sq8rr,
+       |       CAST(SUM(in_ivfrr) AS DOUBLE) / $K AS recall_ivfrr
+       |FROM joined GROUP BY query_id ORDER BY query_id""".stripMargin
 
   /** x7: the same unrolled assign → decimal-exact mean → re-assign as
     * [[kmeansRefine]]; the refined centroid list is rebuilt in dim
@@ -2397,6 +2468,7 @@ object SimilarityOps {
       ("x26_sign_hamming" -> signHammingSql) +
       ("x27_ivfpq_rerank" -> ivfPqRerankSql) +
       ("x28_pq_balanced" -> pqBalancedSql) +
+      ("x29_quant_recall" -> quantRecallSql) +
       ("x16_cell_split" -> cellSplitSql) +
       // x17 serves x10's result over the corpus MINUS the deleted
       // vectors — the tombstone/rewrite mechanics are Spark plumbing

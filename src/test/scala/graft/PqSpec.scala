@@ -312,6 +312,43 @@ class PqSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache() // x28 persists the corpus
   }
 
+  test("x29: recall counts == overlap recount of the tiers' own outputs; refine dominates its quantized stage") {
+    val sim = SimilarityOps
+    def keyset(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val m = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      spark.sharedState.cacheManager.clearCache()
+      m
+    }
+    val brute = keyset(sim.knnBrute(spark, Sf))
+    val sdc = keyset(sim.sq8Sdc(spark, Sf))
+    val ham = keyset(sim.signHamming(spark, Sf))
+    val sq8rr = keyset(sim.sq8Rerank(spark, Sf))
+    val ivfrr = keyset(sim.ivfPqRerank(spark, Sf))
+    val rows = sim.quantRecall(spark, Sf).collect()
+    spark.sharedState.cacheManager.clearCache()
+    assert(rows.length == sim.NumQueries)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      def ck(mark: String, tier: Map[Long, Set[Long]]): Int = {
+        val n = r.getAs[Int](s"n_$mark")
+        assert(n == (brute(q) & tier.getOrElse(q, Set.empty)).size,
+          s"query $q n_$mark")
+        assert(r.getAs[Double](s"recall_$mark") == n.toDouble / sim.K,
+          s"query $q recall_$mark")
+        n
+      }
+      ck("sdc", sdc); ck("ham", ham)
+      val nrr = ck("sq8rr", sq8rr); ck("ivfrr", ivfrr)
+      // structural domination: a brute neighbor inside the SDC
+      // shortlist is globally cosine-best, so the exact re-rank always
+      // keeps it — x25's recall can never fall below x22's
+      assert(nrr >= (brute(q) & sdc.getOrElse(q, Set.empty)).size,
+        s"query $q: refine lost a hit its quantized stage had")
+    }
+  }
+
   test("seeds encode to themselves with exactly zero quantization error") {
     val enc = SimilarityOps.pqEncode(spark, Sf)
       .filter(col("vec_id") >= SimilarityOps.NumQueries &&
