@@ -66,6 +66,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "hashed_bow_score"),
       GraftExtensions.bowScoreBuilder))
     ext.injectFunction((
+      FunctionIdentifier("pack_codes"),
+      new ExpressionInfo(classOf[graft.functions.PackCodes].getName,
+        "pack_codes"),
+      GraftExtensions.packCodesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_sdc_dist"),
+      new ExpressionInfo(classOf[graft.functions.Sq8SdcDist].getName,
+        "sq8_sdc_dist"),
+      GraftExtensions.sq8SdcDistBuilder))
+    ext.injectFunction((
       FunctionIdentifier("asof_le"),
       new ExpressionInfo(classOf[graft.plans.AsofLE].getName, "asof_le"),
       GraftExtensions.asofLeBuilder))
@@ -173,6 +183,18 @@ object GraftExtensions {
     graft.plans.AsofLE(args(0), args(1))
   }
 
+  private[graft] val packCodesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1,
+      "pack_codes(codes) takes one array<integral> of 0..255 codes")
+    graft.functions.PackCodes(args(0))
+  }
+
+  private[graft] val sq8SdcDistBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2,
+      "sq8_sdc_dist(a, b) takes two binary packed code arrays")
+    graft.functions.Sq8SdcDist(args(0), args(1))
+  }
+
   /** Register every function on a live session. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "float_vec_dot", dotBuilder)
@@ -187,5 +209,7 @@ object GraftExtensions {
     GraftSqlBridge.registerFunction(spark, "cms_build", cmsBuildBuilder)
     GraftSqlBridge.registerFunction(spark, "cms_estimate", cmsEstimateBuilder)
     GraftSqlBridge.registerFunction(spark, "hashed_bow_score", bowScoreBuilder)
+    GraftSqlBridge.registerFunction(spark, "pack_codes", packCodesBuilder)
+    GraftSqlBridge.registerFunction(spark, "sq8_sdc_dist", sq8SdcDistBuilder)
   }
 }

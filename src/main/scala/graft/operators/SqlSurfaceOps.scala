@@ -129,7 +129,50 @@ object SqlSurfaceOps {
          |ORDER BY cell""".stripMargin)
   }
 
+  /** SX6 — the packed-SQ8 SDC serve (x23) in pure SQL text:
+    * `pack_codes` packs the per-dim codes into the at-rest binary
+    * layout and `sq8_sdc_dist` is the compiled integer fold — the
+    * full quantize→pack→serve pipeline a SQL-first user pastes after
+    * installing [[graft.GraftExtensions]]. Every arithmetic node
+    * mirrors x21/x22's trees (the code rule, the grouped pack, the
+    * brute pair space), so the oracle is x22's VERBATIM and the SQL
+    * path must hash-match the DataFrame path bit-for-bit. */
+  def sqlSq8(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_sqlsurface_q")
+    s.sql(
+      s"""WITH x AS (SELECT vec_id, CAST(d AS INT) AS d, CAST(xf AS DOUBLE) AS x
+         |           FROM embeddings_sqlsurface_q
+         |           LATERAL VIEW posexplode(embedding) t AS d, xf),
+         |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM x GROUP BY d),
+         |c AS (SELECT vec_id, x.d,
+         |             CASE WHEN st.mx > st.mn
+         |                  THEN CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+         |                         CAST(floor((x.x - st.mn) * CAST(255 AS DOUBLE)
+         |                                    / (st.mx - st.mn)) AS BIGINT))) AS INT)
+         |                  ELSE 0 END AS code
+         |      FROM x JOIN st ON x.d = st.d),
+         |p AS (SELECT vec_id,
+         |             pack_codes(transform(array_sort(collect_list(struct(d, code))),
+         |                                  s -> s.code)) AS codes
+         |      FROM c GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, codes AS qcodes
+         |      FROM p WHERE vec_id < ${SimilarityOps.NumQueries}),
+         |r AS (SELECT q.query_id, p.vec_id,
+         |             sq8_sdc_dist(q.qcodes, p.codes) AS code_d2
+         |      FROM p JOIN q ON q.query_id <> p.vec_id),
+         |ranked AS (SELECT query_id, vec_id, code_d2,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY code_d2, vec_id) AS rank
+         |           FROM r)
+         |SELECT query_id, CAST(rank AS INT) AS rank,
+         |       vec_id AS neighbor_id, code_d2
+         |FROM ranked WHERE rank <= ${SimilarityOps.K}
+         |ORDER BY query_id, rank""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sx6_sql_sq8" -> (sqlSq8 _),
     "sx1_sql_signatures" -> (sqlSignatures _),
     "sx2_sql_topk" -> (sqlTopkByNorm _),
     "sx3_sql_asof" -> (sqlAsof _),
@@ -138,6 +181,9 @@ object SqlSurfaceOps {
 
   val oracles: Map[String, String] = Map(
     // ly1's oracle verbatim: SQL-text path == DataFrame path == DuckDB
+    // sx6 restates x22's exact integer ranking (x23's packed path) in
+    // SQL text — the oracle is x22's verbatim, the x23 convention
+    "sx6_sql_sq8" -> SimilarityOps.oracles("x22_sq8_sdc"),
     "sx5_sql_zorder" -> LayoutOps.oracles("ly1_zorder_layout"),
     // qf1's oracle verbatim: SQL-text path == DataFrame path == DuckDB
     "sx4_sql_classifier" -> QualityFilterOps.oracles("qf1_classifier"),

@@ -31,6 +31,32 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(one === java.lang.Long.parseLong(hex, 16))
   }
 
+  test("pack_codes + sq8_sdc_dist resolve from SQL; sx6's text pipeline == x22's DataFrame ranking bit-exactly") {
+    GraftExtensions.register(spark)
+    // unit identities: packing is 1 byte per code, the self-distance
+    // is zero, and a one-code difference folds to its square
+    val r = spark.sql(
+      """SELECT length(pack_codes(array(0, 128, 255))) AS n,
+        |       sq8_sdc_dist(pack_codes(array(7, 200)),
+        |                    pack_codes(array(7, 200))) AS zero,
+        |       sq8_sdc_dist(pack_codes(array(10)),
+        |                    pack_codes(array(250))) AS sq""".stripMargin).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 240L * 240L)
+    // the end-to-end SQL-text serve reproduces the DataFrame path
+    def key(row: org.apache.spark.sql.Row) =
+      (row.getAs[Long]("query_id"), row.getAs[Int]("rank"),
+        row.getAs[Long]("neighbor_id"), row.getAs[Long]("code_d2"))
+    val sql = graft.operators.SqlSurfaceOps.sqlSq8(spark, Sf)
+      .collect().map(key).toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val df = graft.operators.SimilarityOps.sq8Sdc(spark, Sf)
+      .collect().map(key).toSeq
+    assert(sql.nonEmpty && sql == df)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("the d2 hot-path trio is callable from SQL and self-consistent") {
     GraftExtensions.register(spark)
     // 'a b c' and 'b c d' share exactly one bigram ('b c')
