@@ -255,6 +255,31 @@ class ScaleSpec extends SparkSpec {
     assert(nHits < nGrid, "probe must not pass the whole grid")
   }
 
+  test("SQ8 at rest: the packed codes table stores a fraction of the float column's parquet bytes") {
+    // the compression claim the whole x21-x25 tier exists for, as a
+    // measured artifact: write the raw float embeddings and the packed
+    // 1-byte/dim codes side by side and compare actual parquet bytes
+    // (near-random floats are ~incompressible at 4 B/dim; codes are
+    // 1 B/dim — the on-disk ratio should sit well under a half even
+    // with footer/page overhead on this small fixture)
+    def dirBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    }
+    val root = "target/graft-index/spec-sq8-bytes"
+    Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$root/floats")
+    spark.sharedState.cacheManager.clearCache()
+    graft.operators.SimilarityOps.sq8PackedServe(spark, Sf) // builds .../sq8
+      .collect()
+    spark.sharedState.cacheManager.clearCache()
+    val packedRoot = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/sq8"
+    val (fb, pb) = (dirBytes(s"$root/floats"), dirBytes(packedRoot))
+    assert(fb > 0 && pb > 0)
+    assert(pb.toDouble / fb < 0.5,
+      f"packed SQ8 is not compressing at rest: $pb%d B packed vs $fb%d B float (${pb.toDouble / fb}%.2f)")
+  }
+
   test("size-targeted compaction: range-clustered files with bounded rows and disjoint key ranges") {
     import org.apache.spark.sql.functions._
     // the small-files compaction pass every lakehouse table needs:
