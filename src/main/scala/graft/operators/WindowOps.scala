@@ -206,7 +206,55 @@ object WindowOps {
     * window spans ≤ 2 buckets — the JX6 construction). */
   val AttrBucketMicros = 7200000000L // 2 hours
 
+  /** w11's result size — the classic "top paths" dashboard cut. */
+  val PathTopK = 10
+
+  /** W11 — sequential PATH MINING: the top-[[PathTopK]] event-type
+    * TRIGRAM paths across every user's chronological stream — the
+    * discovery twin of w6's funnel (the funnel VERIFIES one declared
+    * sequence; path mining SURFACES which sequences actually happen,
+    * the query that tells you which funnels to build). Each event
+    * pairs with its two successors via `lead` over the (user, time)
+    * order — per-row window columns, no self-join, no explode — and
+    * trailing 1-/2-step tails drop (a path must complete inside the
+    * user's stream). Counts are integers and ties break
+    * lexicographically on the path, so the cut is deterministic.
+    *
+    * 100 TB plan: ONE exchange on user_id feeds both lead windows
+    * (shared sort), and the trigram aggregate collapses map-side to at
+    * most |event types|³ rows per partition before its exchange —
+    * the gram space, never the event volume. Top-k is
+    * TakeOrderedAndProject. A skewed power user is w4's AQE-skew/salt
+    * case; longer grams add lead columns, not plan shape. */
+  def pathNgrams(s: SparkSession, dir: String): DataFrame =
+    pathNgramsCore(ScanOps.eventsTs(s, dir))
+
+  /** w11 over any (user_id, event_id, ts, event_type) frame — split out
+    * so the ordering/tail rules are unit-testable on crafted rows. */
+  def pathNgramsCore(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ord = Seq(col("n_paths").desc,
+      col("step1"), col("step2"), col("step3"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("s2", lead(col("event_type"), 1).over(w))
+      .withColumn("s3", lead(col("event_type"), 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("event_type").as("step1"),
+        col("s2").as("step2"), col("s3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(ord: _*).limit(PathTopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*)))
+      .select(col("rank"), col("step1"), col("step2"), col("step3"),
+        col("n_paths"))
+      .transform(Common.presented(_, col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_path_ngrams" -> (pathNgrams _),
     "w10_attribution" -> (attribution _),
     "w2_tumbling" -> (tumbling _),
     "w3_sliding" -> (sliding _),
@@ -304,6 +352,27 @@ object WindowOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // w11: identical lead windows over the identical (ts, event_id)
+    // order; counts integer, ties path-lexicographic
+    "w11_path_ngrams" ->
+      s"""WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |                   event_type
+         |            FROM events),
+         |g AS (SELECT event_type AS step1,
+         |             lead(event_type, 1) OVER (PARTITION BY user_id
+         |               ORDER BY ts, event_id) AS step2,
+         |             lead(event_type, 2) OVER (PARTITION BY user_id
+         |               ORDER BY ts, event_id) AS step3
+         |      FROM ev),
+         |c AS (SELECT step1, step2, step3, count(*) AS n_paths FROM g
+         |      WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+         |      GROUP BY 1, 2, 3),
+         |top AS (SELECT * FROM c
+         |        ORDER BY n_paths DESC, step1, step2, step3 LIMIT $PathTopK)
+         |SELECT CAST(row_number() OVER (ORDER BY n_paths DESC, step1, step2,
+         |              step3) AS INT) AS rank,
+         |       step1, step2, step3, n_paths
+         |FROM top ORDER BY rank""".stripMargin,
     // the raw inequality join is the oracle's privilege (DuckDB plans
     // it fine at oracle scale); the Spark side uses the bucketed
     // equi-join restatement — identical pairs by construction

@@ -49,6 +49,42 @@ class FunnelSpec extends SparkSpec {
     assert(stages(6L) === 0)
   }
 
+  test("w11: trigram paths == plain-Scala sliding recount on the fixture; tails drop; crafted order respected") {
+    // crafted rows: user streams never mix, a 2-event user yields no
+    // trigram, and the path follows (ts, event_id) order
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, 1L, ts(0), "a"), (1L, 2L, ts(1), "b"), (1L, 3L, ts(2), "c"),
+      (1L, 4L, ts(3), "d"), // a,b,c + b,c,d
+      (2L, 5L, ts(0), "x"), (2L, 6L, ts(1), "y")) // too short
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = WindowOps.pathNgramsCore(crafted).collect()
+      .map(r => (r.getAs[String]("step1"), r.getAs[String]("step2"),
+        r.getAs[String]("step3"), r.getAs[Long]("n_paths"))).toSet
+    assert(got == Set(("a", "b", "c", 1L), ("b", "c", "d", 1L)))
+    // fixture recount: every user's chronological trigram multiset
+    val ev = graft.operators.ScanOps.eventsTs(spark, Sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getString(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._2)).map(_._4).sliding(3)
+        .filter(_.length == 3).map(g => (g(0), g(1), g(2))).toSeq
+    }
+    val counts = paths.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val expected = counts
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }
+      .take(WindowOps.PathTopK).zipWithIndex
+      .map { case (((a, b, c), n), i) => (i + 1, a, b, c, n) }
+    val fixture = WindowOps.pathNgrams(spark, Sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("step1"),
+        r.getAs[String]("step2"), r.getAs[String]("step3"),
+        r.getAs[Long]("n_paths"))).toSeq
+    assert(fixture == expected,
+      "window path mining drifted from the dense sliding recount")
+  }
+
   test("funnel plan shuffles once: a single exchange under the window chain") {
     import spark.implicits._
     val df = WindowOps.funnelCore(
