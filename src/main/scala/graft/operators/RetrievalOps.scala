@@ -189,14 +189,20 @@ object RetrievalOps {
     * expression tree as ir2 — output bit-identical to ir2
     * (RetrievalOpsSpec pins equality), so the index path can replace
     * the scan path without a result change. */
-  /** The probed postings pivoted back to one candidate row per doc. */
-  private def matchedPivot(docs: DataFrame): DataFrame =
-    postings(docs)
-      .groupBy(col("doc_id"))
+  /** Probed postings rows (tok, doc_id, tf, dl) pivoted back to one
+    * candidate row per doc — shared by the in-query probe (ir4) and
+    * the at-rest index serves (ir15/ir16), so the candidate shape
+    * cannot drift between the build path and the serve path. */
+  private[graft] def pivotProbed(p: DataFrame): DataFrame =
+    p.groupBy(col("doc_id"))
       .agg(max(col("dl")).as("dl"),
         QueryTerms.map(t =>
           coalesce(max(when(col("tok") === t, col("tf"))), lit(0))
             .cast("int").as(s"tf_$t")): _*)
+
+  /** The probed postings pivoted back to one candidate row per doc. */
+  private def matchedPivot(docs: DataFrame): DataFrame =
+    pivotProbed(postings(docs))
 
   def invertedServe(s: SparkSession, dir: String): DataFrame =
     rankedTopK(
@@ -705,6 +711,272 @@ object RetrievalOps {
       .transform(Common.presented(_, col("rank")))
   }
 
+  // ---------------------------------------------------------------
+  // The at-rest postings index (ir15/ir16): the physical half of the
+  // serving tier. ir4/ir12 prove the SERVING ALGEBRA (pivot + score,
+  // upper-bound pruning) bit-identical to the exhaustive scan; ir15
+  // writes the term-bucketed postings + dictionary + block-max
+  // metadata to parquet and serves from THE FILES, partition-pruned
+  // to the query's term buckets — the x11/x24/ly2 discipline applied
+  // to sparse retrieval, so a serve reads the probed terms' buckets,
+  // never the corpus. ir16 proves the index MAINTAINS under append:
+  // every artifact merges associatively (postings are per-doc facts —
+  // appends never touch standing rows; df/cf/N/total-tokens merge by
+  // integer addition; the block maxima merge by max/min), so
+  // append∘serve == rebuild∘serve bit-exactly (the d19/x15
+  // convention), and nightly rebuilds are unnecessary.
+  // ---------------------------------------------------------------
+
+  /** Term-bucket count of the at-rest postings layout. 16 keeps every
+    * bucket populated at the harness SFs; production sizes buckets to
+    * the target file size (the partition count is layout metadata —
+    * the serve's pruning is correct at any bucket count). */
+  val TermBuckets = 16
+
+  /** Driver-side twin of [[termBucketCol]]: the probe computes its
+    * terms' buckets AT PLAN TIME (ly2's cellsForRange discipline) and
+    * plants a STATIC `term_bucket IN (...)` partition predicate — no
+    * subquery, directory pruning before any task launches.
+    * RetrievalOpsSpec pins scala==spark agreement over the corpus
+    * vocabulary. */
+  def termBucketOf(t: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % TermBuckets
+  }
+
+  /** The engine-side bucket: first 4 hex chars of md5 as an int,
+    * mod [[TermBuckets]] — cheap, stable across engines and JVMs
+    * (xxhash64's seed-dependence would make the driver twin fragile). */
+  private[graft] def termBucketCol(c: Column): Column =
+    (conv(substring(md5(c), 1, 4), 16, 10).cast("int") % TermBuckets)
+      .cast("int")
+
+  /** BUILD/APPEND shared core: one side's postings + the derived
+    * metadata, written under `root`:
+    *   - `postings/` — (tok, doc_id, tf, dl) PARTITIONED BY
+    *     term_bucket: the index body a probe partition-prunes.
+    *   - `blockmeta/` — per (term, [[BlockSize]]-doc block) the
+    *     STATS-INDEPENDENT maxima `max_tf`/`min_dl` the block-max
+    *     bound derives from (the contribution is increasing in tf and
+    *     decreasing in dl, so idf·tfPart(max_tf, min_dl/avgdl)
+    *     dominates every in-block contribution — Ding & Suel 2011's
+    *     U_{t,b}, stored in the form that merges by max/min under
+    *     append instead of going stale when corpus stats move).
+    *   - `dict/` — (tok, df), bucketed like the postings.
+    *   - `consts/` — one row (n_docs, total_tokens, avgdl).
+    * Metadata derives from the written postings (one read of the new
+    * files), not from a second corpus pass. */
+  private def postingsArtifacts(docs: DataFrame): DataFrame =
+    allPostings(docs).withColumn("term_bucket", termBucketCol(col("tok")))
+
+  private def blockMetaOf(p: DataFrame): DataFrame =
+    p.withColumn("blk", expr(s"doc_id div $BlockSize"))
+      .groupBy(col("term_bucket"), col("tok"), col("blk"))
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+
+  private[graft] def writePostingsIndex(s: SparkSession, root: String,
+      docs: DataFrame): Unit = {
+    postingsArtifacts(docs)
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$root/postings")
+    val p = s.read.parquet(s"$root/postings")
+    blockMetaOf(p)
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$root/blockmeta")
+    p.groupBy(col("term_bucket"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$root/dict")
+    constsFull(docs).write.mode("overwrite").parquet(s"$root/consts")
+  }
+
+  /** One-row (n_docs, total_tokens, avgdl) — [[corpusConsts]]'s exact
+    * trees with the integer total kept (the append merge needs it;
+    * the empty-side coalesce is ir7's null-sum guard). */
+  private def constsFull(docs: DataFrame): DataFrame =
+    docs.select(size(toks).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("total_tokens"))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs"))
+
+  /** Fold an incoming batch into the standing index — the ir7 merge
+    * made physical. Postings APPEND (per-doc facts; standing files
+    * untouched); blockmeta/dict/consts MERGE associatively and
+    * rewrite (they are metadata — KBs beside the postings' bytes).
+    * `localCheckpoint` cuts the read-modify-write cycle on each
+    * metadata table (the x15/x17 convention). */
+  private[graft] def appendPostingsIndex(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val bp = postingsArtifacts(batch)
+    bp.write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$root/postings")
+    s.read.parquet(s"$root/blockmeta")
+      .unionByName(blockMetaOf(bp))
+      .groupBy(col("term_bucket"), col("tok"), col("blk"))
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$root/blockmeta")
+    s.read.parquet(s"$root/dict")
+      .unionByName(bp.groupBy(col("term_bucket"), col("tok"))
+        .agg(count(lit(1)).as("df")))
+      .groupBy(col("term_bucket"), col("tok"))
+      .agg(sum(col("df")).as("df"))
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$root/dict")
+    val merged = s.read.parquet(s"$root/consts")
+      .select(col("n_docs").as("s_n"), col("total_tokens").as("s_tt"))
+      .crossJoin(constsFull(batch)
+        .select(col("n_docs").as("b_n"), col("total_tokens").as("b_tt")))
+      .select((col("s_n") + col("b_n")).as("n_docs"),
+        (col("s_tt") + col("b_tt")).as("total_tokens"))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(s"$root/consts")
+  }
+
+  /** The probe's static bucket list — computed driver-side from the
+    * query terms alone, O(|terms|), corpus-independent. */
+  private def probeBuckets: Seq[Int] =
+    QueryTerms.map(termBucketOf).distinct
+
+  /** The one-row serving stats frame assembled from the AT-REST
+    * dictionary + constants (df per probe term, N, avgdl) — the same
+    * column names and value trees as [[statsRow]], so [[scoreCol]]
+    * consumes it unchanged and the served scores are bit-identical. */
+  private[graft] def storedStats(s: SparkSession, root: String): DataFrame = {
+    val dfAggs = QueryTerms.map(t =>
+      coalesce(max(when(col("tok") === t, col("df"))), lit(0L)).as(s"df_$t"))
+    val dfs = s.read.parquet(s"$root/dict")
+      .filter(col("term_bucket").isin(probeBuckets: _*) &&
+        col("tok").isin(QueryTerms: _*))
+      .agg(dfAggs.head, dfAggs.tail: _*)
+    s.read.parquet(s"$root/consts").crossJoin(dfs)
+  }
+
+  /** The partition-pruned probe read: ONLY the query terms' bucket
+    * directories are listed (static predicate — PlanContractSpec pins
+    * the pruned file list, ly2's discipline), then the row filter
+    * keeps the probed terms inside those buckets. */
+  private def probedPostings(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/postings")
+      .filter(col("term_bucket").isin(probeBuckets: _*) &&
+        col("tok").isin(QueryTerms: _*))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+
+  /** IR15 — SERVE FROM THE AT-REST INDEX: the serving path ir4's
+    * docstring promises, made physical. BUILD writes the term-bucketed
+    * postings + dictionary + constants ([[writePostingsIndex]]); SERVE
+    * reads exactly the probe's bucket partitions, pivots the probed
+    * lists and scores with ir2's expression tree against the stored
+    * metadata — NO document is touched at serve time, and the output
+    * is BIT-IDENTICAL to ir2's exhaustive scan (the oracle is ir2's
+    * SQL verbatim — the ir4/x11 path-substitution convention).
+    *
+    * 100 TB plan: the probe lists |terms| of [[TermBuckets]] bucket
+    * directories (driver-side static predicate — no subquery, no
+    * corpus scan, no planning-time size dependence); the pivot
+    * shuffles only the probed terms' postings (df-bounded); the stats
+    * row is a KB-scale metadata read. The build is one corpus pass —
+    * amortized across every query until the next append (ir16). */
+  def indexServe(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/irindex"
+    writePostingsIndex(s, root, Tables.documents(s, dir))
+    rankedTopK(pivotProbed(probedPostings(s, root))
+      .crossJoin(broadcast(storedStats(s, root)))
+      .withColumn("score", scoreCol))
+  }
+
+  /** IR16 — BLOCK-MAX SERVE FROM THE MAINTAINED INDEX: the standing
+    * corpus (doc_id % 5 ≠ 0) builds the at-rest index, the incoming
+    * batch (doc_id % 5 = 0) FOLDS IN through [[appendPostingsIndex]]
+    * (postings append; block maxima merge by max/min; dictionary and
+    * constants merge by integer addition — every merge associative,
+    * so append == rebuild artifact-for-artifact, and RetrievalOpsSpec
+    * pins the bit-equality of all three metadata tables against a
+    * fresh full-corpus build). The serve is ir12's block-max pruning
+    * run ENTIRELY from the stored artifacts: candidate pivot from the
+    * partition-pruned postings, per-block upper bound
+    * `Σ_t (tf_t>0 ? idf_t·tfPart(max_tf_{t,b}, min_dl_{t,b}/avgdl) : 0)`
+    * from the stored maxima (elementwise ≥ every in-block contribution
+    * — tfPart is increasing in tf, decreasing in dl, and IEEE
+    * rounding is monotone), θ from the seed term's full scores (a
+    * subset's K-th best never exceeds the global K-th best), strict
+    * prune — output BIT-IDENTICAL to ir2's exhaustive scan (oracle =
+    * ir2's SQL verbatim) while whole blocks below θ never reach the
+    * ranking.
+    *
+    * 100 TB plan: at rest the bound evaluates per block BEFORE the
+    * block's postings are decoded — the published order-of-magnitude
+    * postings-IO cut — and the metadata stays fresh under append
+    * without recomputation (max/min/sum folds), which is exactly what
+    * the stats-dependent "store U_{t,b} directly" layout cannot do. */
+  def blockmaxIndexServe(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/irindex16"
+    val docs = Tables.documents(s, dir)
+    writePostingsIndex(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0))
+    appendPostingsIndex(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod === 0))
+    rankedTopK(blockmaxSurvivorsFrom(s, root))
+  }
+
+  /** The pruned candidate frame of the at-rest serve — split out so
+    * RetrievalOpsSpec can measure that the stored-metadata prune
+    * still bites (survivors ≪ candidates). */
+  private[graft] def blockmaxSurvivorsFrom(s: SparkSession,
+      root: String): DataFrame = {
+    val stats = storedStats(s, root)
+    var cand = pivotProbed(probedPostings(s, root))
+      .withColumn("blk", expr(s"doc_id div $BlockSize"))
+      .crossJoin(broadcast(stats))
+    QueryTerms.foreach { t =>
+      cand = cand.withColumn(s"c_$t",
+        idfCol(col(s"df_$t"), col("n_docs")) *
+          tfPart(col(s"tf_$t"), col("dl").cast("double") / col("avgdl")))
+    }
+    val scored = cand.withColumn("score",
+      QueryTerms.map(t => col(s"c_$t")).reduce(_ + _))
+    if (scored.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      scored.persist() // two consumers: the θ subset and the survivors
+    // per-(term, block) bound rows from the STORED maxima: idf and
+    // avgdl attach at serve time, so the at-rest metadata never goes
+    // stale when the corpus stats move under append
+    val ubByTok = QueryTerms.foldRight(lit(null).cast("double")) { (t, els) =>
+      when(col("tok") === t,
+        idfCol(col(s"df_$t"), col("n_docs")) *
+          tfPart(col("max_tf"), col("min_dl").cast("double") / col("avgdl")))
+        .otherwise(els)
+    }
+    val meta = s.read.parquet(s"$root/blockmeta")
+      .filter(col("term_bucket").isin(probeBuckets: _*) &&
+        col("tok").isin(QueryTerms: _*))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("blk"), ubByTok.as("ub"))
+    if (meta.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      meta.persist() // two consumers: the block pivot and the global maxima
+    val mubAggs = QueryTerms.map(t =>
+      max(when(col("tok") === t, col("ub"))).as(s"mub_$t"))
+    val metaPivot = meta.groupBy(col("blk")).agg(mubAggs.head, mubAggs.tail: _*)
+    // corpus-global per-term bounds — ONLY for the seed pick and θ
+    // (ir11's rule: any subset's K-th best is a sound θ)
+    val uAggs = QueryTerms.map(t =>
+      coalesce(max(when(col("tok") === t, col("ub"))), lit(0.0d)).as(s"u_$t"))
+    val u = meta.agg(uAggs.head, uAggs.tail: _*)
+    val withU = scored.crossJoin(broadcast(u))
+    val blockUb = QueryTerms
+      .map(t => when(col(s"tf_$t") > 0, col(s"mub_$t")).otherwise(lit(0.0d)))
+      .reduce(_ + _)
+    withU.join(broadcast(metaPivot), Seq("blk"))
+      .crossJoin(broadcast(thetaFrom(withU)))
+      .filter(blockUb >= col("theta"))
+      .select(survivorCols: _*)
+  }
+
   /** Serve the fixed probe query from an EXTERNALLY maintained stats
     * row (ir7's at-rest metadata, or [[PostingsMonitor]]'s standing
     * state) — the candidates pivot and the score tree are the ir4 path
@@ -965,6 +1237,8 @@ object RetrievalOps {
     "ir12_blockmax" -> (blockmaxTopK _),
     "ir13_champion" -> (championTopK _),
     "ir14_phrase_index" -> (phraseIndexServe _),
+    "ir15_index_serve" -> (indexServe _),
+    "ir16_blockmax_index" -> (blockmaxIndexServe _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
     "ir4_inverted_serve" -> (invertedServe _),
     "ir5_batch_serve" -> (batchServe _),
@@ -1138,6 +1412,23 @@ object RetrievalOps {
     // lossless (tighter bounds, same theta) — the oracle states the
     // invariant, the program takes the block-pruned path
     "ir12_blockmax" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |${rankedSql("d")}""".stripMargin,
+    // ir15 serves ir2's exact result from the at-rest term-bucketed
+    // index — the oracle is ir2's SQL verbatim (the x11/ir4
+    // path-substitution convention: the index write/read is Spark
+    // plumbing the oracle has no analog for)
+    "ir15_index_serve" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |${rankedSql("d")}""".stripMargin,
+    // ir16: build∘append∘block-max-pruned-serve == exhaustive scan —
+    // the pruning is provably lossless (stored maxima dominate every
+    // in-block contribution) and the metadata merges associatively,
+    // so the oracle states the invariant (ir2's SQL verbatim) and the
+    // program takes the maintained at-rest path
+    "ir16_blockmax_index" ->
       s"""WITH d AS ($dSql),
          |$statsSql,
          |${rankedSql("d")}""".stripMargin,

@@ -238,6 +238,35 @@ class PlanContractSpec extends SparkSpec {
       s"scan listed files outside the rectangle's cells: ${listed.take(3)}")
   }
 
+  test("ir15: the probe reads the postings partition-pruned to the query's term buckets") {
+    spark.sharedState.cacheManager.clearCache()
+    val ret = graft.operators.RetrievalOps
+    val p = executed(ret.indexServe(spark, Sf))
+    val postScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("irindex/postings")))
+    assert(postScans.nonEmpty, "at-rest postings scan missing from serve plan")
+    val pf = postScans.head.partitionFilters
+    assert(pf.exists(_.toString.contains("term_bucket")),
+      s"probe lost its static term_bucket partition predicate: $pf")
+    // the predicate is STATIC (driver-side termBucketOf — ly2's
+    // discipline): the scan lists ONLY the probe terms' buckets
+    val buckets = ret.QueryTerms.map(ret.termBucketOf)
+      .map(b => s"term_bucket=$b/").toSet
+    val listed = postScans.head.relation.location
+      .listFiles(pf, postScans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(listed.nonEmpty && listed.forall(f => buckets.exists(f.contains)),
+      s"scan listed files outside the probed buckets: ${listed.take(3)}")
+    // the SERVE side never touches documents.parquet — candidates,
+    // dictionary and constants all come from the index files (the two
+    // documents scans in the plan belong to the in-body BUILD writes)
+    val top = p.collect { case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(top.nonEmpty, "serve lost its TakeOrderedAndProject top-k")
+    assert(scans(top.head).forall(!_.relation.location.rootPaths
+        .exists(_.toString.contains("documents"))),
+      "the serve subtree re-reads the corpus")
+  }
+
   test("x17: the compaction stage partition-prunes the codes scan to the affected cells") {
     val root = "target/graft-index/spec-x17-plan"
     val sim = graft.operators.SimilarityOps

@@ -120,6 +120,69 @@ class RetrievalOpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ir15: the at-rest index serve is bit-identical to ir2; bucket fn agrees driver/engine") {
+    spark.sharedState.cacheManager.clearCache()
+    val scan = RetrievalOps.bm25TopK(spark, Sf)
+    val served = RetrievalOps.indexServe(spark, Sf)
+    assert(scan.schema.map(f => (f.name, f.dataType)) ==
+      served.schema.map(f => (f.name, f.dataType)),
+      s"schema drift between scan and at-rest serve:\n${scan.schema}\n${served.schema}")
+    val a = scan.collect().toSeq
+    val b = served.collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "the at-rest index serve may only change the PLAN (and the bytes read)")
+    // the static partition predicate is only sound if the driver-side
+    // bucket function reproduces the engine's — over the WHOLE corpus
+    // vocabulary, not just the probe terms
+    import org.apache.spark.sql.functions.{col, explode, array_distinct}
+    import graft.functions.TextFunctions.tokens
+    val vocab = graft.sources.Tables.documents(spark, Sf)
+      .select(explode(array_distinct(tokens(col("text")))).as("tok"))
+      .distinct()
+      .select(col("tok"), RetrievalOps.termBucketCol(col("tok")).as("b"))
+      .collect()
+    assert(vocab.nonEmpty)
+    vocab.foreach { r =>
+      assert(r.getInt(1) == RetrievalOps.termBucketOf(r.getString(0)),
+        s"bucket drift for token '${r.getString(0)}'")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ir16: append==rebuild on every index artifact; the stored-metadata serve is ir2 and the prune bites") {
+    import org.apache.spark.sql.functions.col
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val rootA = "target/graft-index/spec-ir16-append"
+    val rootB = "target/graft-index/spec-ir16-rebuild"
+    RetrievalOps.writePostingsIndex(spark, rootA,
+      docs.filter(col("doc_id") % graft.operators.DedupOps.IncomingMod =!= 0))
+    RetrievalOps.appendPostingsIndex(spark, rootA,
+      docs.filter(col("doc_id") % graft.operators.DedupOps.IncomingMod === 0))
+    RetrievalOps.writePostingsIndex(spark, rootB, docs)
+    // every artifact merges associatively: appended == rebuilt, row-exact
+    for (art <- Seq("postings", "blockmeta", "dict", "consts")) {
+      val a = spark.read.parquet(s"$rootA/$art")
+      val b = spark.read.parquet(s"$rootB/$art")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"append != rebuild on $art")
+    }
+    // serving from the appended artifacts reproduces ir2 bit-exactly
+    val served = RetrievalOps.rankedTopK(
+      RetrievalOps.blockmaxSurvivorsFrom(spark, rootA)).collect().toSeq
+    val exhaustive = RetrievalOps.bm25TopK(spark, Sf).collect().toSeq
+    assert(exhaustive.nonEmpty && served == exhaustive,
+      "the maintained at-rest block-max serve drifted from the exhaustive scan")
+    // and the stored-maxima bound still prunes (looser than ir12's exact
+    // per-block contribution maxima, but it must CUT, not just pass-through)
+    spark.sharedState.cacheManager.clearCache()
+    val survivors = RetrievalOps.blockmaxSurvivorsFrom(spark, rootA).count()
+    val full = RetrievalOps.bm25ScoredCore(docs).count()
+    assert(survivors >= RetrievalOps.TopK && survivors < full,
+      s"stored-metadata prune did not bite: $survivors of $full")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ir1 dictionary identities: cf >= df > 0, idf strictly decreasing in df, avgdl consistent") {
     val rows = RetrievalOps.termStats(spark, Sf).collect()
     assert(rows.length == RetrievalOps.QueryTerms.length)
