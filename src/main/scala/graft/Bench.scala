@@ -35,11 +35,15 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     def timedMinOf2(materialize: () => Unit): Double = {
       val dt = (1 to 2).map { _ =>
+        // registry-level unpersist of the prior run's internal persists
+        // (CacheScope), then the blanket clearCache as belt-and-braces
+        graft.operators.CacheScope.drain()
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         materialize()
         (System.nanoTime() - t0) / 1e9
       }.min
+      graft.operators.CacheScope.drain()
       spark.sharedState.cacheManager.clearCache()
       dt
     }

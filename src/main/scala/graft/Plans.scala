@@ -32,6 +32,7 @@ object Plans {
       // InMemoryRelation and its audited exchange count is wrong
       // (s11's cached cutoff state perturbed s8's row; Verify and
       // Bench already clear identically)
+      graft.operators.CacheScope.drain()
       spark.sharedState.cacheManager.clearCache()
     }
     Files.writeString(Paths.get(out), sb.toString)

@@ -31,7 +31,10 @@ object Verify {
       // signature table) must not leak their cache into later queries:
       // storage memory would grow across the 70+ query run, and a later
       // query whose plan matches a cached fragment would silently read
-      // another query's cache (Bench defends identically)
+      // another query's cache (Bench defends identically). drain() is
+      // the registry-level unpersist (every internal persist routes
+      // through CacheScope); clearCache stays as belt-and-braces
+      graft.operators.CacheScope.drain()
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

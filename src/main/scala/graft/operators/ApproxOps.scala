@@ -281,15 +281,13 @@ object ApproxOps {
     // the exact-companion self-join — persist so the explode+distinct
     // runs once (x5's convention; the harness clears caches per query)
     val toks = vocabToks(Tables.documents(s, dir))
-    if (toks.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      toks.persist()
+    CacheScope.persist(toks)
     // the per-lang sketch frame feeds BOTH sides of the pair join —
     // persist it (langs rows) so the bounded aggregate over the
     // distinct set runs once, not once per join side
     val sk = toks.groupBy(col("lang"))
       .agg(kmvAgg.as("s"), count(lit(1)).as("exact_n"))
-    if (sk.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      sk.persist()
+    CacheScope.persist(sk)
     def kmvEst(arr: Column): Column =
       when(size(arr) < KmvK, size(arr).cast("double"))
         .otherwise(lit((KmvK - 1).toDouble) /

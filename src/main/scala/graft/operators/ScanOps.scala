@@ -285,8 +285,7 @@ object ScanOps {
     // prev feeds both the diff and the merge — persist per the
     // multi-consumer rule (one compacted row per user, never events)
     val prev = stateAtCutoff(s, dir, DiffCutoff1)
-    if (prev.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      prev.persist()
+    CacheScope.persist(prev)
     applyCdf(prev,
         snapshotDiffAgainst(prev, stateAtCutoff(s, dir, DiffCutoff2)))
       .transform(Common.presented(_, col("user_id")))

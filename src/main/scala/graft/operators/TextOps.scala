@@ -525,8 +525,7 @@ object TextOps {
   def dupFractionCore(docs: DataFrame): DataFrame = {
     val ch = chunkGrid(docs)
       .select(col("doc_id"), col("chunk_md5"), col("chunk_len"))
-    if (ch.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      ch.persist() // read twice: the df aggregate and the flag join
+    CacheScope.persist(ch) // read twice: the df aggregate and the flag join
     val dfreq = ch.groupBy(col("chunk_md5"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
     dupRollup(ch.join(dfreq, Seq("chunk_md5"))
@@ -842,8 +841,7 @@ object TextOps {
     val delKeys = docs.filter(isDel).select(col("doc_id"))
     val liveKeys = docs.filter(!isDel).select(col("doc_id"))
     Seq(delKeys, liveKeys).foreach { f =>
-      if (f.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        f.persist()
+      CacheScope.persist(f)
       ()
     }
     def audit(store: String, rows: DataFrame): DataFrame = {

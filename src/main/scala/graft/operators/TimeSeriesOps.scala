@@ -57,7 +57,7 @@ object TimeSeriesOps {
     * IS the persisted counts table). */
   private def cachedCounts(s: SparkSession, dir: String): DataFrame = {
     val c = dayCounts(s, dir)
-    if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE) c.persist()
+    CacheScope.persist(c)
     c
   }
 
@@ -171,8 +171,7 @@ object TimeSeriesOps {
     val daily = ev.select(col("event_type"), dayOf(ev).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("cnt"))
-    if (daily.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      daily.persist()
+    CacheScope.persist(daily)
     daily
   }
 
@@ -336,8 +335,7 @@ object TimeSeriesOps {
     // the harness clears the cache after each query.
     val cc = c.join(broadcast(cand.unionByName(
         s.range(1).select(lit(ProbeUser).as("user_id")))), Seq("user_id"))
-    if (cc.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      cc.persist()
+    CacheScope.persist(cc)
     seriesKnnCore(cc)
   }
 
