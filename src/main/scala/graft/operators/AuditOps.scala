@@ -240,6 +240,78 @@ object AuditOps {
         (col("n_top").cast("double") / col("n_docs").cast("double"))
           .as("top_share"))
 
+  /** dq6's closeness threshold as a RATIONAL t = 1/[[TCloseDen]]: a QI
+    * cell passes when its sensitive-attribute distribution sits within
+    * total-variation distance t of the global distribution. 1/4 keeps
+    * both verdicts live at EVERY harness SF (measured TV spans
+    * 0.225–0.9 at sf0.001/sf0.01 and 0.077–0.279 at sf0.1 — the
+    * distribution tightens with volume, dq4's saturation note in the
+    * other direction); production policy picks t per release tier
+    * (Li et al. use 0.15–0.2 in the paper's examples). */
+  val TCloseDen = 4L
+
+  /** DQ6 — t-CLOSENESS audit over QI (lang, length-bucket) with
+    * `source` sensitive: the published third rung of the
+    * k-anonymity → ℓ-diversity ladder (Li, Li & Venkatasubramanian
+    * 2007) — an ℓ-diverse cell whose source MIX still skews far from
+    * the corpus-wide mix leaks provenance by its skew (the
+    * skewness/similarity attacks ℓ-diversity misses). Per cell: the
+    * total-variation distance between the cell's source distribution
+    * and the global one (for a categorical sensitive attribute, EMD
+    * under the uniform ground distance reduces to exactly this), and
+    * the t-closeness flag.
+    *
+    * Determinism is the dq2 discipline extended to a SUM: the distance
+    * is stated over the integer cross-multiplied numerator
+    * `tv_num = Σ_v |n_cv·N − N_v·n_cell|` — an exact integer sum
+    * (associative, so partitioning-order-free where a sum of double
+    * shares would not be), with ONE double division at the end and the
+    * flag as pure integer arithmetic `5·tv_num ≤ 2·n_cell·N`. Exact
+    * while n_cv·N < 2⁶³ (N through ~3·10⁹ docs at worst-case cell
+    * concentration); past that, production audits quantized shares —
+    * the ir8 cross-product-through-double guard, documented not
+    * silent.
+    *
+    * Plan: dq4's doc-volume collapse is the ONE data exchange; the
+    * domain completion (every cell × every source, so absent sources
+    * contribute their full global mass) is a broadcast cross of two
+    * attribute-bounded frames, never of docs. The (QI, source) counts
+    * are the same associative standing state dq3/dq4 serve from, so
+    * the audit runs off a streaming aggregation unchanged. */
+  def tCloseness(s: SparkSession, dir: String): DataFrame =
+    tCloseCells(Tables.documents(s, dir)
+        .select(col("lang"), lenBucket.as("len_bucket"), col("source"))
+        .groupBy(col("lang"), col("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("n_cv")))
+      .transform(Common.presented(_, col("lang"), col("len_bucket")))
+
+  /** dq6's rollup + verdict over any (lang, len_bucket, source, n_cv)
+    * counts frame — the dq3/dq4 serve-from-state unit. */
+  def tCloseCells(cellSrc: DataFrame): DataFrame = {
+    // three consumers: cells, globals, the join
+    val sc = CacheScope.persist(cellSrc)
+    val cells = sc.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("n_cv")).as("n_docs"))
+    val glob = sc.groupBy(col("source")).agg(sum(col("n_cv")).as("n_v"))
+    val tot = glob.agg(sum(col("n_v")).as("n_total"))
+    cells
+      .crossJoin(broadcast(glob))
+      .crossJoin(broadcast(tot))
+      .join(sc, Seq("lang", "len_bucket", "source"), "left")
+      .select(col("lang"), col("len_bucket"), col("n_docs"), col("n_total"),
+        abs(coalesce(col("n_cv"), lit(0L)) * col("n_total") -
+          col("n_v") * col("n_docs")).as("ad"))
+      .groupBy(col("lang"), col("len_bucket"), col("n_docs"), col("n_total"))
+      .agg(sum(col("ad")).as("tv_num"))
+      .select(col("lang"), col("len_bucket"), col("n_docs"), col("tv_num"),
+        (col("tv_num").cast("double") /
+          ((lit(2.0d) * col("n_docs").cast("double")) *
+            col("n_total").cast("double"))).as("tv_dist"),
+        when(col("tv_num") * TCloseDen <=
+          col("n_docs") * col("n_total") * 2, 1).otherwise(0)
+          .as("is_t_close"))
+  }
+
   /** dq5's profiled columns — ONE structure drives the Spark aggregate
     * AND the oracle SQL, so the two cannot drift. Numeric columns
     * profile min/max of the value; string columns profile min/max of
@@ -300,9 +372,41 @@ object AuditOps {
     "dq2_drift" -> (drift _),
     "dq3_k_anonymity" -> (kAnonymity _),
     "dq4_l_diversity" -> (lDiversity _),
-    "dq5_profile" -> (profile _))
+    "dq5_profile" -> (profile _),
+    "dq6_t_closeness" -> (tCloseness _))
 
   val oracles: Map[String, String] = Map(
+    // dq6: the TV numerator is an exact integer sum (sums widen to
+    // HUGEINT in DuckDB -> CAST back); one double division at the end
+    // with the same association; the flag is integer cross-multiplication
+    "dq6_t_closeness" ->
+      s"""WITH sc AS (SELECT lang,
+         |                   CAST(least(9, n_chars // 100) AS INT) AS len_bucket,
+         |                   source, count(*) AS n_cv
+         |            FROM documents GROUP BY 1, 2, 3),
+         |cells AS (SELECT lang, len_bucket, CAST(sum(n_cv) AS BIGINT) AS n_docs
+         |          FROM sc GROUP BY 1, 2),
+         |gsrc AS (SELECT source, CAST(sum(n_cv) AS BIGINT) AS n_v
+         |         FROM sc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n_total FROM gsrc),
+         |dom AS (SELECT c.lang, c.len_bucket, c.n_docs, g.source, g.n_v, t.n_total
+         |        FROM cells c CROSS JOIN gsrc g CROSS JOIN tot t),
+         |diff AS (SELECT dom.lang, dom.len_bucket, dom.n_docs, dom.n_total,
+         |                abs(coalesce(sc.n_cv, 0) * dom.n_total
+         |                    - dom.n_v * dom.n_docs) AS ad
+         |         FROM dom LEFT JOIN sc ON sc.lang = dom.lang
+         |                  AND sc.len_bucket = dom.len_bucket
+         |                  AND sc.source = dom.source),
+         |g2 AS (SELECT lang, len_bucket, n_docs, n_total,
+         |              CAST(sum(ad) AS BIGINT) AS tv_num
+         |       FROM diff GROUP BY 1, 2, 3, 4)
+         |SELECT lang, len_bucket, n_docs, tv_num,
+         |       CAST(tv_num AS DOUBLE)
+         |         / ((CAST(2 AS DOUBLE) * CAST(n_docs AS DOUBLE))
+         |            * CAST(n_total AS DOUBLE)) AS tv_dist,
+         |       CASE WHEN tv_num * $TCloseDen <= n_docs * n_total * 2
+         |            THEN 1 ELSE 0 END AS is_t_close
+         |FROM g2 ORDER BY lang, len_bucket""".stripMargin,
     // dq5: generated from the same ProfileCols structure as the Spark
     // aggregate; min/max are single values (no accumulation — exact on
     // both engines), distincts are exact counts, string columns

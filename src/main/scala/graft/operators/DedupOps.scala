@@ -84,8 +84,8 @@ object DedupOps {
     // the band self-join reads it twice. At 100 TB this persist becomes
     // a written signature table — the standard LSH-pipeline checkpoint —
     // with identical plan shape.
-    val withMh = hsets.select(col("doc_id"),
-      minhashSig(col("bg"), MinHashAB).as("mh")).persist()
+    val withMh = CacheScope.persist(hsets.select(col("doc_id"),
+      minhashSig(col("bg"), MinHashAB).as("mh")))
     val sigs = withMh.select(col("doc_id"),
       posexplode(array((0 until Bands).map(bnd =>
         element_at(col("mh"), 2 * bnd + 1) * HashMod +
@@ -147,7 +147,7 @@ object DedupOps {
     * hamming distance verifies via bit_count(xor). Never all-pairs:
     * candidates exist only inside (band, chunk) buckets. */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sigs = simhash60(s, dir).persist()
+    val sigs = CacheScope.persist(simhash60(s, dir))
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), Simhash60BandBits * i)
@@ -508,7 +508,7 @@ object DedupOps {
           element_at(col("mh"), 2 * bnd + 1) * HashMod +
             element_at(col("mh"), 2 * bnd + 2)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-      .persist()
+      .transform(CacheScope.persist)
     val incoming = sigs.filter(col("doc_id") % IncomingMod === 0)
     val bandIndex = sigs.filter(col("doc_id") % IncomingMod =!= 0)
     val cand = incoming.as("x").join(bandIndex.as("y"),
@@ -727,7 +727,7 @@ object DedupOps {
     // carries the winning cent_cos, so no re-derive join is needed.
     val asg = SimilarityOps.coarseProbe(c, cents, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"), col("cent_cos"))
-    if (asg.storageLevel == org.apache.spark.storage.StorageLevel.NONE) asg.persist()
+    CacheScope.persist(asg)
     // one LEFT join carries every vector through (isolated vectors keep
     // a null y-side), and the prune verdict is a max over the vector's
     // same-cell candidates — no distinct, no second join-back
@@ -790,8 +790,7 @@ object DedupOps {
     // without a persist the winnowed explode (the most expensive scan)
     // computes twice (the multi-consumer rule; winnowingIndexWithStats
     // persists the identical frame for the same reason)
-    if (fp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      fp.persist()
+    CacheScope.persist(fp)
     // fingerprints are distinct per doc (expression postcondition), so
     // the hash count IS document frequency — computed as a
     // pre-aggregation (map-side partials: only (h, count) pairs cross
@@ -805,8 +804,7 @@ object DedupOps {
     val overCap = fp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > WinnowCap).select(col("h"))
     val kept = fp.join(broadcast(overCap), Seq("h"), "left_anti")
-    if (kept.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      kept.persist()
+    CacheScope.persist(kept)
     val cnt = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val pairs = kept.as("x").join(kept.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -872,8 +870,7 @@ object DedupOps {
     * sneaks back in). */
   def winnowingIndexWithStats(corpus: DataFrame): (DataFrame, DataFrame) = {
     val fp = winnowedFingerprints(corpus)
-    if (fp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      fp.persist() // feeds both halves
+    CacheScope.persist(fp) // feeds both halves
     val dfAll = fp.groupBy(col("h")).agg(count(lit(1)).as("nd"))
     val kept = fp.join(
       broadcast(dfAll.filter(col("nd") > WinnowCap).select(col("h"))),
@@ -919,9 +916,7 @@ object DedupOps {
     // long-running streaming maintenance monitor calls this per
     // micro-batch and must not accumulate per-batch persists (the
     // appendManifest / winnowingIncrementalAgainst convention)
-    if (cacheBatch &&
-        bfp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      bfp.persist()
+    if (cacheBatch) { CacheScope.persist(bfp); () }
     val bdf = bfp.groupBy(col("h")).agg(count(lit(1)).as("nd_new"))
     val mergedDf = oldDf
       .join(bdf, Seq("h"), "full_outer")
@@ -948,9 +943,7 @@ object DedupOps {
     // read twice: per-doc totals + the probe join — but a long-running
     // streaming monitor calls this per micro-batch and must not
     // accumulate per-batch persists (the appendManifest convention)
-    if (cacheBatch &&
-        bfp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      bfp.persist()
+    if (cacheBatch) { CacheScope.persist(bfp); () }
     val nfp = bfp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val hits = bfp
       .join(index.select(col("doc_id").as("match_doc"), col("h")), Seq("h"))
@@ -1049,8 +1042,7 @@ object DedupOps {
         expr(s"substring(text, chunk_start + 1, $CleanChunk)").as("content"))
       .withColumn("h", md5(col("content")))
     // read twice (owner aggregate + owner join) — multi-consumer rule
-    if (grid.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      grid.persist()
+    CacheScope.persist(grid)
     // first owner per DUPLICATED digest only: unique chunks (the
     // overwhelming mass) never enter the join's build side
     val dupFirst = grid.groupBy(col("h"))
@@ -1068,26 +1060,9 @@ object DedupOps {
       if (ownerBroadcast)
         grid.join(broadcast(dupFirst), Seq("h"), "left")
           .select(outCols :+ kept.as("kept"): _*)
-      else {
-        import graft.functions.{BloomBuildAgg, BloomMightContain}
-        import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-        val sketch = dupFirst.agg(column(
-          BloomBuildAgg(expression(xxhash64(col("h"))),
-            DupOwnerBloomItems, DupOwnerBloomFpp)
-            .toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]](0)
-        val probed = grid.withColumn("maybe_dup",
-          column(BloomMightContain(expression(lit(sketch)),
-            expression(xxhash64(col("h"))))))
-        // probe-hits (true dups + fpp false positives) go through the
-        // exact owner join — strategy left to AQE; probe-misses are
-        // provably unique and keep their chunk join-free
-        probed.filter(col("maybe_dup"))
-          .join(dupFirst, Seq("h"), "left")
+      else
+        dupOwnerLookup(grid, "h", dupFirst)
           .select(outCols :+ kept.as("kept"): _*)
-          .unionByName(probed.filter(!col("maybe_dup"))
-            .select(outCols :+ lit(1L).as("kept"): _*))
-      }
     flagged
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -1098,6 +1073,43 @@ object DedupOps {
           array_sort(collect_list(when(col("kept") === 1,
             struct(col("chunk_start"), col("content"))))),
           x => x.getField("content")), "")).as("clean_md5"))
+  }
+
+  /** d20/d21's SHARED owner lookup — the bloom-or-AQE dup-owner
+    * resolution both substring tiers route through (one definition, so
+    * the probe shape cannot drift between the chunk grid and the
+    * content-defined segments): a few-KB bloom sketch of the
+    * duplicated keys ships to every task (ap3's dataflow: one
+    * map-side-merged aggregate row → driver → plan constant) and
+    * prunes `rows` in-scan — bloom-misses are PROVABLY unique (no
+    * false negatives) and come back with a null `first` without ever
+    * entering a join; probe-hits (true dups + fpp false positives)
+    * resolve against the exact `dupFirst` table with NO forced
+    * broadcast (AQE picks broadcast while the dup set is small and
+    * degrades to a shuffled join when it is not). An EMPTY dup set
+    * (null sketch) short-circuits to all-unique — every row keeps a
+    * null owner instead of vanishing through a null probe. Returns
+    * `rows` plus dupFirst's `first` struct column. */
+  private[graft] def dupOwnerLookup(rows: DataFrame, keyName: String,
+      dupFirst: DataFrame): DataFrame = {
+    import graft.functions.{BloomBuildAgg, BloomMightContain}
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    val firstType = dupFirst.schema("first").dataType
+    val sketch = dupFirst.agg(column(
+      BloomBuildAgg(expression(xxhash64(col(keyName))),
+        DupOwnerBloomItems, DupOwnerBloomFpp)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (sketch == null)
+      return rows.withColumn("first", lit(null).cast(firstType))
+    val probed = rows.withColumn("maybe_dup",
+      column(BloomMightContain(expression(lit(sketch)),
+        expression(xxhash64(col(keyName))))))
+    probed.filter(col("maybe_dup"))
+      .join(dupFirst, Seq(keyName), "left")
+      .unionByName(probed.filter(!col("maybe_dup"))
+        .withColumn("first", lit(null).cast(firstType)))
+      .drop("maybe_dup")
   }
 
   /** d21's segmentation window: anchors from winnowing windows of
@@ -1151,8 +1163,12 @@ object DedupOps {
     substringCutCore(Tables.documents(s, dir))
       .transform(Common.presented(_, col("doc_id")))
 
-  /** d21's body over any (`doc_id`, `text`) frame. */
-  def substringCutCore(docs: DataFrame): DataFrame = {
+  /** d21's body over any (`doc_id`, `text`) frame. `ownerBloom = false`
+    * keeps the exact-only owner join for DedupGuaranteesSpec's
+    * path-agreement pin (d20's ownerBroadcast contrast, same contract:
+    * the lookup strategy may only change the PLAN). */
+  def substringCutCore(docs: DataFrame,
+      ownerBloom: Boolean = true): DataFrame = {
     import graft.functions.ShingleExpressions.winnowAnchorPositions
     val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
       .withColumn("n", size(col("tk")))
@@ -1177,17 +1193,18 @@ object DedupOps {
           " ").as("seg_txt"))
       .withColumn("sh", md5(col("seg_txt")))
     // read twice (owner aggregate + owner join) — multi-consumer rule
-    if (segs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      segs.persist()
+    CacheScope.persist(segs)
     val dupFirst = segs.groupBy(col("sh"))
       .agg(count(lit(1)).as("nd"),
         min(struct(col("doc_id"), col("s"))).as("first"))
       .filter(col("nd") >= 2)
       .select(col("sh"), col("first"))
-    // owner join strategy: AQE (d20's no-forced-broadcast rule; at
-    // scale the same bloom prefilter slots in front — the probe shape
-    // is identical, segment digests for chunk digests)
-    val flagged = segs.join(dupFirst, Seq("sh"), "left")
+    // owner lookup: the DEFAULT is d20's shared bloom-or-AQE helper
+    // (segment digests for chunk digests — the dup-segment set has no
+    // structural bound, so the sketch prunes the grid in-scan and AQE
+    // picks the survivor join's strategy)
+    val flagged = (if (ownerBloom) dupOwnerLookup(segs, "sh", dupFirst)
+      else segs.join(dupFirst, Seq("sh"), "left"))
       .withColumn("is_dup", when(col("first").isNotNull &&
           !(col("doc_id") === col("first.doc_id") &&
             col("s") === col("first.s")), 1L)
@@ -1198,8 +1215,7 @@ object DedupOps {
       .orderBy(col("seg_idx"))
     val withGrp = flagged
       .withColumn("grp", col("seg_idx") - row_number().over(grpW))
-    if (withGrp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      withGrp.persist() // run rollup + cut join both read it
+    CacheScope.persist(withGrp) // run rollup + cut join both read it
     val runs = withGrp.filter(col("is_dup") === 1)
       .groupBy(col("doc_id"), col("grp"))
       .agg(sum(col("slen")).as("run_len"))

@@ -283,8 +283,7 @@ object RetrievalOps {
     * to pin that the prune actually bites. */
   private[graft] def maxscoreSurvivors(docs: DataFrame): DataFrame = {
     val cand = scoredContrib(docs)
-    if (cand.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      cand.persist() // three consumers: U aggregate, θ subset, survivors
+    CacheScope.persist(cand) // three consumers: U aggregate, θ subset, survivors
     val uAggs = QueryTerms.map(t => max(col(s"c_$t")).as(s"u_$t"))
     val u = cand.agg(uAggs.head, uAggs.tail: _*)
     val withU = cand.crossJoin(broadcast(u))
@@ -333,8 +332,7 @@ object RetrievalOps {
   private[graft] def blockmaxSurvivors(docs: DataFrame): DataFrame = {
     val cand = scoredContrib(docs)
       .withColumn("blk", expr(s"doc_id div $BlockSize"))
-    if (cand.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      cand.persist() // four consumers: U, block-max, θ subset, survivors
+    CacheScope.persist(cand) // four consumers: U, block-max, θ subset, survivors
     // corpus-global maxima — ONLY for the seed-term pick and θ (ir11's
     // rule verbatim, so the two pruners share one θ and stay comparable)
     val uAggs = QueryTerms.map(t => max(col(s"c_$t")).as(s"u_$t"))
@@ -390,8 +388,7 @@ object RetrievalOps {
 
   private[graft] def championCore(docs: DataFrame, m: Int): DataFrame = {
     val scored = bm25ScoredCore(docs)
-    if (scored.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      scored.persist() // two consumers: exhaustive ranks + champion scoring
+    CacheScope.persist(scored) // two consumers: exhaustive ranks + champion scoring
     val exW = Window.orderBy(col("score").desc, col("doc_id"))
     val ex = scored.orderBy(col("score").desc, col("doc_id")).limit(TopK)
       .withColumn("exact_rank", row_number().over(exW))
@@ -604,8 +601,8 @@ object RetrievalOps {
     // convention: the harness clears the cache after each query; in
     // production these frames ARE the at-rest index, and a serve
     // reads them, never builds them
-    val index = allPostings(docs).persist()
-    val dict = dictFrom(index).persist()
+    val index = CacheScope.persist(allPostings(docs))
+    val dict = CacheScope.persist(dictFrom(index))
     serveQueryBatch(queries, index, dict, corpusConsts(docs))
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
@@ -683,11 +680,18 @@ object RetrievalOps {
     * of every token of every document, and the adjacency join is
     * position-co-sorted within doc — the at-rest sort order makes it
     * a streaming merge, never a hash of the full lists. */
-  def phraseIndexServe(s: SparkSession, dir: String): DataFrame = {
+  def phraseIndexServe(s: SparkSession, dir: String): DataFrame =
+    phraseFromPositional(positionalPostings(
+      Tables.documents(s, dir), Seq(Phrase._1, Phrase._2)))
+
+  /** The positional-index phrase serve over any probed (tok, doc_id,
+    * pos, dl) rows — ONE core shared by ir14 (in-query lists) and ir17
+    * (the at-rest files), so the adjacency algebra cannot drift
+    * between the build path and the serve path. */
+  private def phraseFromPositional(pp0: DataFrame): DataFrame = {
     val (w1, w2) = Phrase
-    val pp = positionalPostings(Tables.documents(s, dir), Seq(w1, w2))
-    if (pp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      pp.persist() // three consumers: both phrase sides + the tf rollup
+    val pp = pp0
+    CacheScope.persist(pp) // three consumers: both phrase sides + the tf rollup
     val p1 = pp.filter(col("tok") === w1)
       .select(col("doc_id"), col("pos"), col("dl"))
     val p2 = pp.filter(col("tok") === w2)
@@ -941,8 +945,7 @@ object RetrievalOps {
     }
     val scored = cand.withColumn("score",
       QueryTerms.map(t => col(s"c_$t")).reduce(_ + _))
-    if (scored.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      scored.persist() // two consumers: the θ subset and the survivors
+    CacheScope.persist(scored) // two consumers: the θ subset and the survivors
     // per-(term, block) bound rows from the STORED maxima: idf and
     // avgdl attach at serve time, so the at-rest metadata never goes
     // stale when the corpus stats move under append
@@ -957,8 +960,7 @@ object RetrievalOps {
         col("tok").isin(QueryTerms: _*))
       .crossJoin(broadcast(stats))
       .select(col("tok"), col("blk"), ubByTok.as("ub"))
-    if (meta.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      meta.persist() // two consumers: the block pivot and the global maxima
+    CacheScope.persist(meta) // two consumers: the block pivot and the global maxima
     val mubAggs = QueryTerms.map(t =>
       max(when(col("tok") === t, col("ub"))).as(s"mub_$t"))
     val metaPivot = meta.groupBy(col("blk")).agg(mubAggs.head, mubAggs.tail: _*)
@@ -975,6 +977,90 @@ object RetrievalOps {
       .crossJoin(broadcast(thetaFrom(withU)))
       .filter(blockUb >= col("theta"))
       .select(survivorCols: _*)
+  }
+
+  /** IR17 — PHRASE SERVE FROM THE AT-REST POSITIONAL INDEX: the
+    * physical half ir14's docstring promises, made real (the ir15
+    * discipline applied to the positional lists). BUILD writes the
+    * FULL-vocabulary positional postings (tok, doc_id, pos, dl) —
+    * token volume ×1, one scan-bound explode — PARTITIONED BY
+    * term_bucket and sorted (tok, doc_id, pos) within each file, so
+    * the adjacency join streams over co-sorted lists at rest. SERVE
+    * lists exactly the phrase's bucket directories (the static
+    * driver-side predicate — PlanContractSpec pins the pruned file
+    * list), filters to the two terms, and runs ir14's adjacency core
+    * unchanged — NO text is touched, output BIT-IDENTICAL to ir6's
+    * scan form, oracle verbatim.
+    *
+    * 100 TB plan: a phrase serve reads two df-bounded term partitions
+    * instead of every token of every document; positions are per-doc
+    * facts, so ir7's append discipline maintains the lists without
+    * touching standing files. */
+  def phraseAtRestServe(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/irindex17"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("dl"),
+        posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("term_bucket", termBucketCol(col("tok")))
+      // term_bucket leads the sort so the write's required ordering
+      // (the partition column) is already satisfied — otherwise
+      // FileFormatWriter inserts its own partition-column sort and
+      // the promised (tok, doc_id, pos) file order is destroyed
+      .sortWithinPartitions(
+        col("term_bucket"), col("tok"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$root/positional")
+    val (w1, w2) = Phrase
+    val buckets = Seq(w1, w2).map(termBucketOf).distinct
+    phraseFromPositional(
+      s.read.parquet(s"$root/positional")
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("tok").isin(w1, w2))
+        .select(col("doc_id"), col("dl"), col("pos"), col("tok")))
+  }
+
+  /** IR18 — CHAMPION SERVE FROM THE AT-REST INDEX: ir13's
+    * inexact-but-hard-bounded tier run ENTIRELY from ir15's written
+    * artifacts — the "tf-ordered PREFIX of each term's at-rest
+    * postings bucket" ir13's docstring names, selected from the
+    * partition-pruned probe read (integer tf ranking, doc-id
+    * tie-break — the same tree as ir13's in-query selection, so the
+    * candidate set is identical). The exhaustive audit arm (the
+    * exact_rank column) is served from the SAME probed pivot — the
+    * any-match candidate set IS the index's matched docs, so nothing
+    * outside the probe's buckets is ever read. Output BIT-IDENTICAL
+    * to ir13, oracle verbatim.
+    *
+    * 100 TB plan: a champion serve reads ≤ M·|terms| postings rows
+    * from |terms| bucket directories — at rest the prefix is its own
+    * sub-file and even the bucket's tail stays unread; the audit arm
+    * exists per release, not per query (ir13's note). */
+  def championAtRestServe(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/irindex18"
+    writePostingsIndex(s, root, Tables.documents(s, dir))
+    val p = probedPostings(s, root)
+    CacheScope.persist(p) // three consumers: champions, pivot, (via scored) audit
+    val scored = pivotProbed(p)
+      .crossJoin(broadcast(storedStats(s, root)))
+      .withColumn("score", scoreCol)
+    CacheScope.persist(scored) // two consumers: exhaustive ranks + champion scoring
+    val exW = Window.orderBy(col("score").desc, col("doc_id"))
+    val ex = scored.orderBy(col("score").desc, col("doc_id")).limit(TopK)
+      .withColumn("exact_rank", row_number().over(exW))
+      .select(col("doc_id"), col("exact_rank"))
+    val wt = Window.partitionBy(col("tok"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val cand = p.withColumn("crank", row_number().over(wt))
+      .filter(col("crank") <= ChampM)
+      .select(col("doc_id")).distinct()
+    val ctop = scored.join(broadcast(cand), Seq("doc_id"))
+      .orderBy(col("score").desc, col("doc_id")).limit(TopK)
+      .withColumn("rank", row_number().over(exW))
+    ctop.join(broadcast(ex), Seq("doc_id"), "left_outer")
+      .select(Seq(col("rank"), col("doc_id"), col("score"), col("dl")) ++
+        QueryTerms.map(t => col(s"tf_$t")) :+
+        coalesce(col("exact_rank"), lit(0)).cast("int").as("exact_rank"): _*)
+      .transform(Common.presented(_, col("rank")))
   }
 
   /** Serve the fixed probe query from an EXTERNALLY maintained stats
@@ -1111,8 +1197,7 @@ object RetrievalOps {
     val matches = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .filter(col("tok").isin(QueryTerms: _*))
-    if (matches.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      matches.persist() // feeds the window fan-out AND the per-doc totals
+    CacheScope.persist(matches) // feeds the window fan-out AND the per-doc totals
     val best = matches
       .select(col("doc_id"), col("pos"),
         explode(sequence(lit(0), lit(PassageLen - 1))).as("off"))
@@ -1144,8 +1229,7 @@ object RetrievalOps {
   private def presenceOf(docs: DataFrame): DataFrame = {
     val pres = docs.select(col("doc_id"),
       explode(array_distinct(toks)).as("tok"))
-    if (pres.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      pres.persist()
+    CacheScope.persist(pres)
     pres
   }
 
@@ -1189,8 +1273,7 @@ object RetrievalOps {
     val pres = presenceOf(docs)
     val dfAll = presenceDf(pres)
     val nodes = dfAll.orderBy(col("df").desc, col("tok")).limit(CentralTermK)
-    if (nodes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      nodes.persist() // ≤K rows, read by the filter, the seed and the output
+    CacheScope.persist(nodes) // ≤K rows, read by the filter, the seed and the output
     val np = pres.join(broadcast(nodes.select(col("tok"))), Seq("tok"))
       .select(col("doc_id"), col("tok"))
     val edges = np.select(col("doc_id"), col("tok").as("src"))
@@ -1200,8 +1283,7 @@ object RetrievalOps {
       .agg(count(lit(1)).as("cooc"))
       .filter(col("cooc") >= CoocMin)
       .select(col("src"), col("dst"))
-    if (edges.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      edges.persist() // ≤K² rows, read by all three hop joins
+    CacheScope.persist(edges) // ≤K² rows, read by all three hop joins
     def hop(prev: DataFrame, out: String): DataFrame =
       edges.join(broadcast(prev.withColumnRenamed("tok", "src")), Seq("src"))
         .groupBy(col("dst"))
@@ -1239,6 +1321,8 @@ object RetrievalOps {
     "ir14_phrase_index" -> (phraseIndexServe _),
     "ir15_index_serve" -> (indexServe _),
     "ir16_blockmax_index" -> (blockmaxIndexServe _),
+    "ir17_phrase_at_rest" -> (phraseAtRestServe _),
+    "ir18_champion_at_rest" -> (championAtRestServe _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
     "ir4_inverted_serve" -> (invertedServe _),
     "ir5_batch_serve" -> (batchServe _),
@@ -1295,6 +1379,30 @@ object RetrievalOps {
        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
        |       doc_id, score, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")}
        |FROM top ORDER BY rank""".stripMargin
+
+  /** ir13's twin — ONE definition for the in-query champion serve
+    * (ir13) and the at-rest one (ir18), which is bit-identical. */
+  private lazy val championOracleSql: String =
+    s"""WITH d AS ($dSql),
+       |$statsSql,
+       |scored AS (SELECT doc_id, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")},
+       |             ($scoreSql) AS score
+       |           FROM d, s2 WHERE $anyMatchSql),
+       |ex AS (SELECT doc_id,
+       |              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS exact_rank
+       |       FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $TopK)),
+       |cand AS (
+       |${QueryTerms.map(t =>
+          s"  SELECT doc_id FROM d WHERE tf_$t > 0\n" +
+          s"  QUALIFY row_number() OVER (ORDER BY tf_$t DESC, doc_id) <= $ChampM")
+          .mkString("\n  UNION\n")}),
+       |ct AS (SELECT scored.* FROM scored JOIN cand USING (doc_id)
+       |       ORDER BY score DESC, doc_id LIMIT $TopK)
+       |SELECT CAST(row_number() OVER (ORDER BY score DESC, ct.doc_id) AS INT) AS rank,
+       |       ct.doc_id, score, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")},
+       |       CAST(coalesce(ex.exact_rank, 0) AS INT) AS exact_rank
+       |FROM ct LEFT JOIN ex ON ex.doc_id = ct.doc_id
+       |ORDER BY rank""".stripMargin
 
   /** ir6's twin — ONE definition for both the scan form (ir6) and the
     * positional-index serve (ir14), which is bit-identical. */
@@ -1435,27 +1543,13 @@ object RetrievalOps {
     // ir13: champion selection is integer tf ranking per term (UNION
     // dedups the candidate ids); both arms share the one scored CTE,
     // so score doubles are identical node-for-node with ir2's
-    "ir13_champion" ->
-      s"""WITH d AS ($dSql),
-         |$statsSql,
-         |scored AS (SELECT doc_id, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")},
-         |             ($scoreSql) AS score
-         |           FROM d, s2 WHERE $anyMatchSql),
-         |ex AS (SELECT doc_id,
-         |              CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS exact_rank
-         |       FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $TopK)),
-         |cand AS (
-         |${QueryTerms.map(t =>
-            s"  SELECT doc_id FROM d WHERE tf_$t > 0\n" +
-            s"  QUALIFY row_number() OVER (ORDER BY tf_$t DESC, doc_id) <= $ChampM")
-            .mkString("\n  UNION\n")}),
-         |ct AS (SELECT scored.* FROM scored JOIN cand USING (doc_id)
-         |       ORDER BY score DESC, doc_id LIMIT $TopK)
-         |SELECT CAST(row_number() OVER (ORDER BY score DESC, ct.doc_id) AS INT) AS rank,
-         |       ct.doc_id, score, dl, ${QueryTerms.map(t => s"tf_$t").mkString(", ")},
-         |       CAST(coalesce(ex.exact_rank, 0) AS INT) AS exact_rank
-         |FROM ct LEFT JOIN ex ON ex.doc_id = ct.doc_id
-         |ORDER BY rank""".stripMargin,
+    "ir13_champion" -> championOracleSql,
+    // ir17 serves ir6's exact result from the at-rest positional
+    // lists; ir18 serves ir13's from the at-rest postings index — the
+    // oracles are the scan forms' SQL verbatim (the ir4/x11/ir15
+    // path-substitution convention)
+    "ir17_phrase_at_rest" -> phraseOracleSql,
+    "ir18_champion_at_rest" -> championOracleSql,
     // ir7's oracle IS ir2's: append∘serve == build-over-union∘serve
     // (the x19 associativity convention — the oracle states the
     // invariant, the Spark program takes the incremental path)

@@ -176,7 +176,7 @@ object SimilarityOps {
     // the registration — the x5 plan reads the corpus 5×: four
     // pipelines plus the IVF centroid leg).
     val c = corpus(s, dir)
-    if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE) c.persist()
+    CacheScope.persist(c)
     val brute = knnBruteCore(c).select(col("query_id"), col("neighbor_id"))
     def hits(df: DataFrame, mark: String) =
       df.select(col("query_id"), col("neighbor_id"), lit(1).as(mark))
@@ -219,16 +219,21 @@ object SimilarityOps {
         Seq("query_id", "neighbor_id"), "left")
       .join(hits(ivfPqRerank(s, dir), "in_ivfrr"),
         Seq("query_id", "neighbor_id"), "left")
+      .join(hits(sq8IvfRerank(s, dir), "in_ivfsq"),
+        Seq("query_id", "neighbor_id"), "left")
     def n(mark: String) = sum(coalesce(col(mark), lit(0))).cast("int")
     joined.groupBy(col("query_id"))
       .agg(n("in_sdc").as("n_sdc"), n("in_ham").as("n_ham"),
-        n("in_sq8rr").as("n_sq8rr"), n("in_ivfrr").as("n_ivfrr"))
+        n("in_sq8rr").as("n_sq8rr"), n("in_ivfrr").as("n_ivfrr"),
+        n("in_ivfsq").as("n_ivfsq"))
       .select(col("query_id"),
         col("n_sdc"), col("n_ham"), col("n_sq8rr"), col("n_ivfrr"),
+        col("n_ivfsq"),
         (col("n_sdc").cast("double") / K).as("recall_sdc"),
         (col("n_ham").cast("double") / K).as("recall_ham"),
         (col("n_sq8rr").cast("double") / K).as("recall_sq8rr"),
-        (col("n_ivfrr").cast("double") / K).as("recall_ivfrr"))
+        (col("n_ivfrr").cast("double") / K).as("recall_ivfrr"),
+        (col("n_ivfsq").cast("double") / K).as("recall_ivfsq"))
       .transform(Common.presented(_, col("query_id")))
   }
 
@@ -498,12 +503,10 @@ object SimilarityOps {
     * plan. */
   def pqBalanced(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      c.persist() // natural encode + the exploded stats/gather side
+    CacheScope.persist(c) // natural encode + the exploded stats/gather side
     val x = c.select(col("vec_id"), posexplode(col("v")).as(Seq("d", "xf")))
       .select(col("vec_id"), col("d").cast("int").as("d"), col("xf"))
-    if (x.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      x.persist() // two consumers: the spread stats and the gather
+    CacheScope.persist(x) // two consumers: the spread stats and the gather
     val st = x.groupBy(col("d"))
       .agg(min(col("xf").cast("double")).as("mn"),
         max(col("xf").cast("double")).as("mx"))
@@ -686,8 +689,7 @@ object SimilarityOps {
     * id tie-breaks), so the whole composition restates in SQL. */
   def ivfPqRerank(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
-    if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      c.persist() // the probe pipeline + both re-rank sides read it
+    CacheScope.persist(c) // the probe pipeline + both re-rank sides read it
     val shortlist = ivfPqProbeCoreWith(c, ProbeCells, pqSeedCents(c),
         coarseCentroids(c), topN = RerankR)
       .select(col("query_id"), col("neighbor_id").as("vec_id"),
@@ -916,8 +918,7 @@ object SimilarityOps {
     // interactive session that skips the hook keeps it until its own
     // clearCache.
     val cents = pqTrainedCents(c)
-    if (cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      cents.persist()
+    CacheScope.persist(cents)
     Common.presented(ivfPqProbeCoreWith(c, ProbeCells, cents),
       col("query_id"), col("rank"))
   }
@@ -978,9 +979,7 @@ object SimilarityOps {
     // (micro-batches are small; the recompute is the cheaper leak-free
     // trade there).
     val inAssigned = coarseAssign(incoming, coarse).drop("nrm")
-    if (cacheBatch &&
-        inAssigned.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      inAssigned.persist()
+    if (cacheBatch) { CacheScope.persist(inAssigned); () }
     val qsub = pqSubvectors(inAssigned, "query_id", "qm", "qs",
       carry = Seq(col("cell_id").cast("int").as("q_cell")))
     val dt = qsub.join(cents, col("qm") === col("cm"))
@@ -1036,11 +1035,9 @@ object SimilarityOps {
   def ivfPqTrainedFull(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val coarse = refinedCoarse(c)
-    if (coarse.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      coarse.persist()
+    CacheScope.persist(coarse)
     val cents = pqTrainedCents(c)
-    if (cents.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      cents.persist()
+    CacheScope.persist(cents)
     Common.presented(ivfPqProbeCoreWith(c, ProbeCells, cents, coarse),
       col("query_id"), col("rank"))
   }
@@ -1257,15 +1254,13 @@ object SimilarityOps {
     // the harness clearCache hook; at 100 TB the assignment side comes
     // off the at-rest index (x11 stores vec_id→cell) instead.
     val occ = assigned.groupBy(col("cell_id")).agg(count(lit(1)).as("n_cell"))
-    if (occ.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      occ.persist()
+    CacheScope.persist(occ)
     val tot = occ.agg(sum(col("n_cell")).as("n_total"))
     val oversized = occ.crossJoin(broadcast(tot))
       .filter(col("n_cell") > col("n_total") / lit(NumCentroids.toDouble))
       .select(col("cell_id"))
     val members = assigned.join(broadcast(oversized), Seq("cell_id"))
-    if (members.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      members.persist()
+    CacheScope.persist(members)
     val sw = Window.partitionBy(col("cell_id")).orderBy(col("vec_id"))
     val seeds = members.withColumn("srn", row_number().over(sw))
       .filter(col("srn") <= 2)
@@ -1279,8 +1274,7 @@ object SimilarityOps {
       .filter(col("arn") === 1)
       .select(col("cell_id"), col("vec_id"), col("v"), col("nrm"),
         col("child").as("c1"))
-    if (a1.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      a1.persist()
+    CacheScope.persist(a1)
     val refined =
       meanCentroids(a1.select(col("cell_id"), col("c1"), col("v")),
           keys = Seq("cell_id", "c1"))
@@ -1365,9 +1359,9 @@ object SimilarityOps {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
       .select(col("vec_id"), col("d").cast("int").as("d"),
         col("xf").cast("double").as("x"))
-    if (cacheExploded &&
-        e.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      e.persist() // read twice: the stats aggregate and the encode
+    if (cacheExploded) { // read twice: the stats aggregate and the encode
+      CacheScope.persist(e); ()
+    }
     val st = e.groupBy(col("d"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     e.join(broadcast(st), Seq("d"))
@@ -1402,8 +1396,7 @@ object SimilarityOps {
     // keep the largest intermediate resident as dead weight
     val codes = sq8Codes(s, dir, cacheExploded = false)
       .select(col("vec_id"), col("d"), col("code"))
-    if (codes.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      codes.persist() // both the query and corpus sides read it
+    CacheScope.persist(codes) // both the query and corpus sides read it
     val q = codes.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("d"), col("code").as("qcode"))
     val diff = col("qcode") - col("code")
@@ -1486,8 +1479,12 @@ object SimilarityOps {
     * nProbe cells' bytes and re-scanning the whole codes table.
     * Integer distances make the restriction exactly reproducible in
     * SQL — the oracle restates assignment + in-cell SDC verbatim. */
-  def sq8CellServe(s: SparkSession, dir: String): DataFrame = {
-    val root = indexRoot(s, dir) + "/sq8cells"
+  /** x24/x30's shared BUILD: packed SQ8 codes PARTITIONED BY coarse
+    * cell + the pre-encoded query rows beside them, written under
+    * `root` — ONE definition so the two serving compositions (and the
+    * streaming binding's frozen index) cannot drift. */
+  private[graft] def buildSq8CellIndex(s: SparkSession, dir: String,
+      root: String): Unit = {
     val c = corpus(s, dir)
     val packed = sq8Packed(
       sq8Codes(s, dir).select(col("vec_id"), col("d"), col("code")))
@@ -1498,19 +1495,32 @@ object SimilarityOps {
     indexed.write.mode("overwrite").partitionBy("cell_id").parquet(s"$root/codes")
     indexed.filter(col("vec_id") < NumQueries)
       .write.mode("overwrite").parquet(s"$root/queries")
-    val t = s.read.parquet(s"$root/codes")
-    // the vec_id filter is the identity on the pre-filtered queries
-    // table, but DPP only fires when the filtering side carries a
-    // selective predicate — without it the planner (correctly, in
-    // general) declines to build the pruning subquery and the codes
-    // scan reads every cell
-    val q = s.read.parquet(s"$root/queries")
+  }
+
+  /** The pre-encoded query rows of a [[buildSq8CellIndex]] layout.
+    * The redundant vec_id filter keeps DPP live: the pruning subquery
+    * only builds off a selective predicate on the filtering side —
+    * without it the planner (correctly, in general) declines and the
+    * codes scan reads every cell. */
+  private def sq8IndexQueries(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/queries")
       .filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("codes").as("qcodes"),
         col("cell_id").as("q_cell"))
+
+  /** x24's SERVE over an explicit pre-encoded query batch (query_id,
+    * qcodes, q_cell) against the frozen cell-partitioned index — the
+    * unit the STREAMING binding drives per micro-batch
+    * (StreamingSq8Spec: per-query independence + a frozen index make
+    * the accumulated streamed top-k equal the batch serve regardless
+    * of arrival order or batch cuts). The broadcast join on the bare
+    * cell_id partition attribute is what fires DPP on a parquet-backed
+    * `index`. */
+  private[graft] def sq8CellServeAgainst(index: DataFrame,
+      q: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("code_d2"), col("vec_id"))
-    t.join(broadcast(q),
+    index.join(broadcast(q),
         col("cell_id") === col("q_cell") && // → dynamic partition pruning
           col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cell_id"),
@@ -1521,6 +1531,13 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"),
         col("vec_id").as("neighbor_id"),
         col("cell_id").cast("long").as("cell"), col("code_d2"))
+  }
+
+  def sq8CellServe(s: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(s, dir) + "/sq8cells"
+    buildSq8CellIndex(s, dir, root)
+    sq8CellServeAgainst(s.read.parquet(s"$root/codes"),
+        sq8IndexQueries(s, root))
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
@@ -1548,10 +1565,14 @@ object SimilarityOps {
     * of the 1-byte/dim codes at whole-stage-codegen speed. The
     * recall/cost dial is [[RerankR]] alone — no index rebuild. */
   def sq8Rerank(s: SparkSession, dir: String): DataFrame = {
+    // cacheExploded = false (x22's discipline): the persisted packed
+    // frame covers both downstream consumers — holding the exploded
+    // doubles too would keep the largest intermediate resident as
+    // dead weight after packed materializes
     val packed = sq8Packed(
-      sq8Codes(s, dir).select(col("vec_id"), col("d"), col("code")))
-    if (packed.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      packed.persist() // two consumers: the query side and the corpus scan
+      sq8Codes(s, dir, cacheExploded = false)
+        .select(col("vec_id"), col("d"), col("code")))
+    CacheScope.persist(packed) // two consumers: the query side and the corpus scan
     val q = packed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("codes").as("qcodes"))
     val ws = Window.partitionBy(col("query_id"))
@@ -1630,7 +1651,62 @@ object SimilarityOps {
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
+  /** X30 — IVF-CELL-RESTRICTED SQ8 + EXACT REFINE: x24's
+    * dynamic-partition-pruned cell probe as stage 1 of x25's exact
+    * re-rank — the Faiss `IndexIVFScalarQuantizer` + `RefineFlat`
+    * production stack (the SQ8 symmetric of x27's IVF-PQ + re-rank).
+    * BUILD is x24's verbatim: packed codes PARTITIONED BY coarse cell
+    * plus the pre-encoded query rows beside them. STAGE 1 probes each
+    * query's own cell only (broadcast queries join the codes scan on
+    * the bare `cell_id` partition attribute → DPP reads only probed
+    * cells' files — PlanContractSpec pins the dynamicpruning filter)
+    * and keeps the top-[[RerankR]] by the compiled packed-SDC fold.
+    * STAGE 2 fetches floats for exactly Q×[[RerankR]] ids via the
+    * broadcast shortlist and re-ranks by exact cosine. Both stages
+    * deterministic (integer distances + id tie-break; left-fold
+    * doubles), so the DuckDB twin restates the composition verbatim.
+    *
+    * 100 TB plan: the full production cost model — stage 1 touches
+    * nProbe cells' 1-byte/dim codes (not the corpus), stage 2 touches
+    * Q·R float rows (not the codes), and the recall/cost dials are
+    * (nProbe, R) with no index rebuild; x29's recall table carries
+    * this tier's row so the dials are tuned on evidence. */
+  def sq8IvfRerank(s: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(s, dir) + "/sq8ivfrr"
+    buildSq8CellIndex(s, dir, root) // x24's layout at x30's own root
+    val t = s.read.parquet(s"$root/codes")
+    val q = sq8IndexQueries(s, root)
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("code_d2"), col("vec_id"))
+    val shortlist = t.join(broadcast(q),
+        col("cell_id") === col("q_cell") && // → dynamic partition pruning
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cell_id"),
+        graft.functions.Sq8Expressions.sq8SdcDist(col("qcodes"), col("codes"))
+          .as("code_d2"))
+      .withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= RerankR)
+      .select(col("query_id"), col("vec_id"), col("cell_id"), col("code_d2"))
+    val cv = corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"))
+    val qv = cv.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cv.join(broadcast(shortlist), Seq("vec_id")) // floats for Q·R ids only
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell_id").cast("long").as("cell"), col("code_d2"),
+        qCos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cell"), col("cos"), col("code_d2"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_sq8_ivf_rerank" -> (sq8IvfRerank _),
     "x25_sq8_rerank" -> (sq8Rerank _),
     "x27_ivfpq_rerank" -> (ivfPqRerank _),
     "x28_pq_balanced" -> (pqBalanced _),
@@ -1911,26 +1987,31 @@ object SimilarityOps {
        |ham AS ($signHammingSql),
        |sq8rr AS ($sq8RerankSql),
        |ivfrr AS ($ivfPqRerankSql),
+       |ivfsq AS ($sq8IvfRerankSql),
        |joined AS (
        |  SELECT b.query_id,
        |         CASE WHEN s.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_sdc,
        |         CASE WHEN h.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_ham,
        |         CASE WHEN r1.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_sq8rr,
-       |         CASE WHEN r2.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_ivfrr
+       |         CASE WHEN r2.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_ivfrr,
+       |         CASE WHEN r3.neighbor_id IS NULL THEN 0 ELSE 1 END AS in_ivfsq
        |  FROM brute b
        |  LEFT JOIN sdc s ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
        |  LEFT JOIN ham h ON b.query_id = h.query_id AND b.neighbor_id = h.neighbor_id
        |  LEFT JOIN sq8rr r1 ON b.query_id = r1.query_id AND b.neighbor_id = r1.neighbor_id
-       |  LEFT JOIN ivfrr r2 ON b.query_id = r2.query_id AND b.neighbor_id = r2.neighbor_id)
+       |  LEFT JOIN ivfrr r2 ON b.query_id = r2.query_id AND b.neighbor_id = r2.neighbor_id
+       |  LEFT JOIN ivfsq r3 ON b.query_id = r3.query_id AND b.neighbor_id = r3.neighbor_id)
        |SELECT query_id,
        |       CAST(SUM(in_sdc) AS INT) AS n_sdc,
        |       CAST(SUM(in_ham) AS INT) AS n_ham,
        |       CAST(SUM(in_sq8rr) AS INT) AS n_sq8rr,
        |       CAST(SUM(in_ivfrr) AS INT) AS n_ivfrr,
+       |       CAST(SUM(in_ivfsq) AS INT) AS n_ivfsq,
        |       CAST(SUM(in_sdc) AS DOUBLE) / $K AS recall_sdc,
        |       CAST(SUM(in_ham) AS DOUBLE) / $K AS recall_ham,
        |       CAST(SUM(in_sq8rr) AS DOUBLE) / $K AS recall_sq8rr,
-       |       CAST(SUM(in_ivfrr) AS DOUBLE) / $K AS recall_ivfrr
+       |       CAST(SUM(in_ivfrr) AS DOUBLE) / $K AS recall_ivfrr,
+       |       CAST(SUM(in_ivfsq) AS DOUBLE) / $K AS recall_ivfsq
        |FROM joined GROUP BY query_id ORDER BY query_id""".stripMargin
 
   /** x7: the same unrolled assign → decimal-exact mean → re-assign as
@@ -2457,8 +2538,50 @@ object SimilarityOps {
        |QUALIFY rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** x30's twin: x24's cell-restricted SDC CTEs → top-[[RerankR]]
+    * shortlist → x25's exact-cosine refine tail — every stage restated
+    * from the sibling oracles so none of the trees can drift. */
+  private lazy val sq8IvfRerankSql: String =
+    s"""WITH $sq8CtesSql,
+       |e AS ($corpusSql),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+       |          WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, cent_id
+       |  FROM (SELECT e.vec_id, cents.cent_id,
+       |               ${dotDSql("e.v", "cents.cv")} / (e.nrm * cents.cn) AS cent_cos
+       |        FROM e CROSS JOIN cents)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cent_id) = 1),
+       |q AS (SELECT vec_id AS query_id, cent_id AS qc
+       |      FROM assigned WHERE vec_id < $NumQueries),
+       |cand AS (SELECT q.query_id, a.vec_id, a.cent_id AS cell
+       |         FROM assigned a JOIN q ON a.cent_id = q.qc
+       |         WHERE a.vec_id <> q.query_id),
+       |p AS (SELECT cand.query_id, cand.vec_id, cand.cell,
+       |             CAST(sum(CAST((qc.code - cc.code) * (qc.code - cc.code) AS BIGINT)) AS BIGINT) AS code_d2
+       |      FROM cand
+       |      JOIN c qc ON qc.vec_id = cand.query_id
+       |      JOIN c cc ON cc.vec_id = cand.vec_id AND cc.d = qc.d
+       |      GROUP BY 1, 2, 3),
+       |sl AS (SELECT query_id, vec_id, cell, code_d2 FROM p
+       |       QUALIFY row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY code_d2, vec_id) <= $RerankR),
+       |r AS (SELECT sl.query_id, sl.vec_id AS neighbor_id, sl.cell, sl.code_d2,
+       |             ${dotDSql("qe.v", "e2.v")} / (qe.nrm * e2.nrm) AS cos
+       |      FROM sl JOIN e e2 ON sl.vec_id = e2.vec_id
+       |              JOIN e qe ON sl.query_id = qe.vec_id)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+       |       neighbor_id, cell, cos, code_d2
+       |FROM r
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] =
     oraclesBase + ("x5_ann_recall" -> recallSql) +
+      ("x30_sq8_ivf_rerank" -> sq8IvfRerankSql) +
       // x23 serves x22's exact result from the packed at-rest codes —
       // the oracle is x22's SQL verbatim (the x11 convention: the
       // pack/write/read is Spark plumbing the oracle has no analog for)

@@ -88,6 +88,41 @@ class AuditOpsSpec extends SparkSpec {
       "degenerate verdict distribution — retune LDivL")
   }
 
+  test("dq6: TV numerator == brute-force recount; distance/flag rules exact; both verdicts live") {
+    val cells = AuditOps.tCloseness(spark, Sf).collect()
+    val docs = Tables.documents(spark, Sf)
+      .select(col("lang"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), math.min(9L, r.getLong(2) / 100).toInt,
+        r.getString(1)))
+    val byCell = docs.groupBy(d => (d._1, d._2))
+    val globBySrc = docs.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val nTotal = docs.length.toLong
+    assert(cells.length == byCell.size, "one row per occupied QI cell")
+    cells.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Int]("len_bucket"))
+      val members = byCell(key)
+      val bySrc = members.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val nCell = members.length.toLong
+      // the integer cross-multiplied numerator, over the FULL source
+      // domain (absent sources contribute their whole global mass)
+      val num = globBySrc.map { case (src, nv) =>
+        math.abs(bySrc.getOrElse(src, 0L) * nTotal - nv * nCell) }.sum
+      assert(r.getAs[Long]("n_docs") == nCell, key)
+      assert(r.getAs[Long]("tv_num") == num, key)
+      assert(r.getAs[Double]("tv_dist") ==
+        num.toDouble / ((2.0 * nCell.toDouble) * nTotal.toDouble), key)
+      assert((r.getAs[Int]("is_t_close") == 1) ==
+        (num * AuditOps.TCloseDen <= nCell * nTotal * 2), key)
+      // TV is a probability distance: 0 ≤ tv < 1 strictly (every cell
+      // shares at least its own members' source mass with the global)
+      assert(r.getAs[Double]("tv_dist") >= 0.0 &&
+        r.getAs[Double]("tv_dist") < 1.0, key)
+    }
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(cells.map(_.getAs[Int]("is_t_close")).toSet == Set(0, 1),
+      "degenerate verdict distribution — retune TCloseDen")
+  }
+
   test("dq5: per-column profile == brute-force recount over EVERY profiled column") {
     val rows = AuditOps.profile(spark, Sf).collect()
       .map(r => (r.getAs[String]("table_name"),

@@ -328,6 +328,38 @@ class DedupGuaranteesSpec extends SparkSpec {
     assert(bloomPath === bcastPath)
   }
 
+  test("d21 owner-lookup paths agree (shared dupOwnerLookup): bloom default == exact join, incl. the planted off-grid duplicate") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segs"),
+        r.getAs[Long]("n_dup"), r.getAs[Long]("n_cut"),
+        r.getAs[Long]("orig_tokens"), r.getAs[Long]("clean_tokens"),
+        r.getAs[String]("clean_md5")))
+      .sortBy(_._1).toSeq
+    // the harness corpus — both strategies through d20's shared helper
+    val docs = Tables.documents(spark, Sf)
+    val bloomPath = canon(DedupOps.substringCutCore(docs))
+    spark.sharedState.cacheManager.clearCache()
+    val exactPath = canon(DedupOps.substringCutCore(docs, ownerBloom = false))
+    assert(bloomPath === exactPath)
+    spark.sharedState.cacheManager.clearCache()
+    // and the planted off-grid duplicate: the excision itself must be
+    // strategy-invariant (the bloom path is the one that serves at scale)
+    val span = (1 to 80).map(i => s"sp$i")
+    val docA = ((1 to 7).map(i => s"pa$i") ++ span ++
+      (1 to 9).map(i => s"sa$i")).mkString(" ")
+    val docB = ((1 to 13).map(i => s"pb$i") ++ span ++
+      (1 to 5).map(i => s"sb$i")).mkString(" ")
+    val planted = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val pBloom = canon(DedupOps.substringCutCore(planted))
+    spark.sharedState.cacheManager.clearCache()
+    val pExact = canon(DedupOps.substringCutCore(planted, ownerBloom = false))
+    assert(pBloom === pExact)
+    assert(pBloom.find(_._1 == 2L).exists(_._4 > 0L),
+      "the planted off-grid duplicate must be cut on the bloom path")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("d21 cuts an OFF-GRID duplicated span that the aligned grid (d20) cannot see") {
     import spark.implicits._
     // unique-token prefixes of DIFFERENT lengths push the shared span

@@ -204,6 +204,24 @@ class PlanContractSpec extends SparkSpec {
     }.isEmpty, "float fetch degraded to a corpus-wide shuffle join")
   }
 
+  test("x30: stage 1 partition-prunes the cell codes; stage 2 fetches floats via broadcast, never a shuffle join") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.SimilarityOps.sq8IvfRerank(spark, Sf))
+    val codeScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("sq8ivfrr/codes")))
+    assert(codeScans.nonEmpty, "packed codes-index scan missing from serve plan")
+    assert(codeScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "cell codes scan lost its dynamic partition pruning filter: " +
+        codeScans.map(_.partitionFilters).mkString("; "))
+    assert(p.toString.contains("sq8_sdc_dist"),
+      "quantized stage lost the compiled packed-distance fold")
+    // the exact stage must FETCH floats for the broadcast shortlist
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty, "float fetch degraded to a corpus-wide shuffle join")
+  }
+
   test("x26: the sign-code serve is generator- and shuffle-join-free — scan-bound words + broadcast probe") {
     spark.sharedState.cacheManager.clearCache()
     val p = executed(graft.operators.SimilarityOps.signHamming(spark, Sf))
@@ -265,6 +283,38 @@ class PlanContractSpec extends SparkSpec {
     assert(scans(top.head).forall(!_.relation.location.rootPaths
         .exists(_.toString.contains("documents"))),
       "the serve subtree re-reads the corpus")
+  }
+
+  test("ir17: the phrase serve reads the positional lists pruned to the phrase's buckets; no text scan in the serve") {
+    spark.sharedState.cacheManager.clearCache()
+    val ret = graft.operators.RetrievalOps
+    val p = executed(ret.phraseAtRestServe(spark, Sf))
+    // the probed read is persisted (three consumers), so the parquet
+    // scan lives inside the cached plan — traverse through
+    // InMemoryTableScanExec like d17's cap assertions do
+    val nodes = deepNodes(p)
+    val posScans = nodes.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths
+        .exists(_.toString.contains("irindex17/positional")) => s
+    }
+    assert(posScans.nonEmpty, "at-rest positional scan missing from serve plan")
+    val pf = posScans.head.partitionFilters
+    assert(pf.exists(_.toString.contains("term_bucket")),
+      s"phrase probe lost its static term_bucket partition predicate: $pf")
+    val buckets = Seq(ret.Phrase._1, ret.Phrase._2).map(ret.termBucketOf)
+      .map(b => s"term_bucket=$b/").toSet
+    val listed = posScans.head.relation.location
+      .listFiles(pf, posScans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(listed.nonEmpty && listed.forall(f => buckets.exists(f.contains)),
+      s"scan listed files outside the phrase's buckets: ${listed.take(3)}")
+    // the serve never re-reads documents — the adjacency join and tf
+    // rollup run off the index files alone (every file scan reachable
+    // from the serve plan, cached subtrees included, is the index's)
+    assert(nodes.collect { case s: FileSourceScanExec => s }
+      .forall(!_.relation.location.rootPaths
+        .exists(_.toString.contains("documents"))),
+      "the serve re-reads the corpus")
   }
 
   test("x17: the compaction stage partition-prunes the codes scan to the affected cells") {

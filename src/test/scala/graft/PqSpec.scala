@@ -183,6 +183,56 @@ class PqSpec extends SparkSpec {
     assert(reordered, "fixture regression: refine never changes the ranking")
   }
 
+  test("x30: IVF-restricted shortlist + exact re-rank == plain-Scala full-stack recount") {
+    val (byVec, mn, _, codeOf) = sq8Ref
+    val dims = mn.length
+    val codes = byVec.map { case (id, v) =>
+      id -> Array.tabulate(dims)(d => codeOf(v(d), d).toLong) }
+    def sdc(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(d => (a(d) - b(d)) * (a(d) - b(d))).sum
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val cents = (SimilarityOps.NumQueries.toLong until
+        (SimilarityOps.NumQueries + SimilarityOps.NumCentroids).toLong)
+      .map(id => id -> byVec(id)).toMap
+    val nrm = byVec.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val cellOf = byVec.keys.map { id =>
+      id -> cents.keys.toSeq
+        .map(c => (c, dot(byVec(id), cents(c)) / (nrm(id) * nrm(c))))
+        .minBy { case (c, cos) => (-cos, c) }._1
+    }.toMap
+    val expected = (0L until SimilarityOps.NumQueries).flatMap { q =>
+      val shortlist = codes.keys
+        .filter(n => n != q && cellOf(n) == cellOf(q)).toSeq
+        .map(n => (n, sdc(codes(q), codes(n))))
+        .sortBy { case (n, d2) => (d2, n) }
+        .take(SimilarityOps.RerankR)
+      shortlist
+        .map { case (n, d2) =>
+          (n, d2, dot(byVec(q), byVec(n)) / (nrm(q) * nrm(n))) }
+        .sortBy { case (n, _, cos) => (-cos, n) }
+        .take(SimilarityOps.K).zipWithIndex
+        .map { case ((n, d2, cos), i) =>
+          (q, i + 1, n, cellOf(q), cos, d2) }
+    }.toSet
+    spark.sharedState.cacheManager.clearCache()
+    val got = SimilarityOps.sq8IvfRerank(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("cell"),
+        r.getAs[Double]("cos"), r.getAs[Long]("code_d2"))).toSet
+    assert(got === expected)
+    // the cell restriction bites relative to x25's corpus-wide
+    // shortlist: some query's in-cell candidate pool is smaller than
+    // RerankR, so the tier is genuinely nProbe-bounded on the fixture
+    val pooled = (0L until SimilarityOps.NumQueries).map(q =>
+      codes.keys.count(n => n != q && cellOf(n) == cellOf(q)))
+    assert(pooled.exists(_ < codes.size - 1),
+      "fixture regression: every query's cell spans the whole corpus")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("x26: sign-word Hamming top-k == plain-Scala recount; words reconstruct the signs") {
     val (byVec, _, _, _) = sq8Ref
     val dims = byVec.head._2.length
@@ -326,6 +376,7 @@ class PqSpec extends SparkSpec {
     val ham = keyset(sim.signHamming(spark, Sf))
     val sq8rr = keyset(sim.sq8Rerank(spark, Sf))
     val ivfrr = keyset(sim.ivfPqRerank(spark, Sf))
+    val ivfsq = keyset(sim.sq8IvfRerank(spark, Sf))
     val rows = sim.quantRecall(spark, Sf).collect()
     spark.sharedState.cacheManager.clearCache()
     assert(rows.length == sim.NumQueries)
@@ -341,6 +392,10 @@ class PqSpec extends SparkSpec {
       }
       ck("sdc", sdc); ck("ham", ham)
       val nrr = ck("sq8rr", sq8rr); ck("ivfrr", ivfrr)
+      // x30's recall is NOT ordered against x25's in general (a true
+      // neighbor can make the less-competitive in-cell shortlist while
+      // missing the corpus-wide one) — only the count identity is pinned
+      ck("ivfsq", ivfsq)
       // structural domination: a brute neighbor inside the SDC
       // shortlist is globally cosine-best, so the exact re-rank always
       // keeps it — x25's recall can never fall below x22's

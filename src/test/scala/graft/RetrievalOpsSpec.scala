@@ -183,6 +183,25 @@ class RetrievalOpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ir17: the at-rest positional phrase serve is bit-identical to ir6's scan form") {
+    spark.sharedState.cacheManager.clearCache()
+    val scan = RetrievalOps.phraseSearch(spark, Sf).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val served = RetrievalOps.phraseAtRestServe(spark, Sf).collect().toSeq
+    assert(scan.nonEmpty && served == scan,
+      "the at-rest positional index may only change the PLAN (and the bytes read)")
+  }
+
+  test("ir18: the at-rest champion serve is bit-identical to ir13's in-query form") {
+    spark.sharedState.cacheManager.clearCache()
+    val inQuery = RetrievalOps.championTopK(spark, Sf).collect().toSeq
+    spark.sharedState.cacheManager.clearCache()
+    val served = RetrievalOps.championAtRestServe(spark, Sf).collect().toSeq
+    assert(inQuery.nonEmpty && served == inQuery,
+      "the at-rest champion prefix must reproduce ir13's candidate set, " +
+        "scores and audit column exactly")
+  }
+
   test("ir1 dictionary identities: cf >= df > 0, idf strictly decreasing in df, avgdl consistent") {
     val rows = RetrievalOps.termStats(spark, Sf).collect()
     assert(rows.length == RetrievalOps.QueryTerms.length)
