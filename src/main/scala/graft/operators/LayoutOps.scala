@@ -172,6 +172,72 @@ object LayoutOps {
       .transform(Common.presented(_, col("event_id")))
   }
 
+  /** BUILD/APPEND shared core of the at-rest z-order table: the
+    * clustered rows under `rows/` (partitionBy cell) and the per-cell
+    * file-skipping stats under `stats/` (count/min/max — all
+    * associative, so the append merges them instead of recomputing). */
+  private[graft] def writeZorder(s: SparkSession, root: String,
+      ev: DataFrame): Unit = {
+    zCoords(ev, col("event_id"))
+      .withColumn("cell", col("cell").cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$root/rows")
+    cellAgg(s.read.parquet(s"$root/rows"))
+      .write.mode("overwrite").parquet(s"$root/stats")
+  }
+
+  private[graft] def appendZorder(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val bc = CacheScope.persist(zCoords(batch, col("event_id"))
+      .withColumn("cell", col("cell").cast("int")))
+    bc.write.mode("append").partitionBy("cell").parquet(s"$root/rows")
+    s.read.parquet(s"$root/stats")
+      .unionByName(cellAgg(bc))
+      .groupBy(col("cell"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        min(col("u_min")).as("u_min"), max(col("u_max")).as("u_max"),
+        min(col("day_min")).as("day_min"), max(col("day_max")).as("day_max"))
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$root/stats")
+  }
+
+  /** The rectangle read over a [[writeZorder]] layout — ly2's serve
+    * body, shared so ly2 (fresh build) and ly3 (maintained build)
+    * cannot drift. */
+  private def rectangleRead(s: SparkSession, root: String): DataFrame = {
+    val cells = cellsForRange(RectU0, RectU1, RectD0, RectD1)
+    s.read.parquet(s"$root/rows")
+      .filter(col("cell").isin(cells.map(_.toInt): _*) &&
+        col("u").between(RectU0, RectU1) &&
+        col("day").between(RectD0, RectD1))
+      .select(col("event_id"), col("u"), col("day"),
+        col("cell").cast("long").as("cell"))
+      .transform(Common.presented(_, col("event_id")))
+  }
+
+  /** LY3 — LAYOUT MAINTENANCE UNDER APPEND: the x19/ir16 discipline on
+    * the z-order table. The z cell is a PER-ROW function of the
+    * clustering keys, so an incoming batch routes to its cells as a
+    * plain parquet APPEND — new files inside existing cell
+    * directories, standing files untouched byte-for-byte (LayoutSpec
+    * pins the file sets, x19's check) — and the file-skipping stats
+    * merge associatively (sum/min/max; append == rebuild row-exact,
+    * LayoutSpec pins it). This is what makes z-order clustering
+    * OPERABLE at 100 TB: a daily ingest writes only its own rows and a
+    * KB-scale stats merge, it never re-sorts the standing table
+    * (re-clustering remains a per-cell x17-style rewrite for cells
+    * whose spans regress — compaction, not maintenance). The SERVE is
+    * ly2's rectangle read over the maintained layout — rows identical
+    * to a fresh build, so the oracle is ly2's plain two-predicate
+    * filter verbatim. */
+  def zorderAppend(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/zorder3"
+    val ev = Tables.events(s, dir)
+    val isNew = col("event_id") % DedupOps.IncomingMod === 0
+    writeZorder(s, root, ev.filter(!isNew))
+    appendZorder(s, root, ev.filter(isNew))
+    rectangleRead(s, root)
+  }
+
   /** The SQL-text form of [[spread16]], parameterized by the dialect's
     * shift-left syntax — ONE place holds the four shift-mask steps for
     * the DuckDB oracle (`x << n`) AND sx5's Spark-SQL restatement
@@ -190,7 +256,8 @@ object LayoutOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ly1_zorder_layout" -> (zorderLayout _),
-    "ly2_zorder_read" -> (zorderRangeRead _))
+    "ly2_zorder_read" -> (zorderRangeRead _),
+    "ly3_zorder_append" -> (zorderAppend _))
 
   val oracles: Map[String, String] = Map(
     // identical integer bit arithmetic on both engines; day via the
@@ -215,18 +282,26 @@ object LayoutOps {
     // IN list is a plan-only device (it is implied by the residual:
     // every row in the rectangle lies in an enumerated cell), so the
     // twin is the plain two-predicate filter over the same coordinates
-    "ly2_zorder_read" ->
-      s"""WITH base AS (
-         |  SELECT event_id, user_id & $DimMask AS u,
-         |         (epoch_ns(ts) // ${WindowOps.DayNanos}) & $DimMask AS day
-         |  FROM events),
-         |zt AS (SELECT event_id, u, day,
-         |              (${spreadSql("u")} | (${spreadSql("day")} << 1))
-         |                >> ${2 * CellBits} AS cell
-         |       FROM base)
-         |SELECT event_id, u, day, cell
-         |FROM zt
-         |WHERE u BETWEEN $RectU0 AND $RectU1
-         |  AND day BETWEEN $RectD0 AND $RectD1
-         |ORDER BY event_id""".stripMargin)
+    "ly2_zorder_read" -> rectangleOracleSql,
+    // ly3: build∘append∘read == rebuild∘read — appends route per-row
+    // and the stats merge is associative, so the oracle is ly2's
+    // verbatim (the x19/ir16 maintenance convention)
+    "ly3_zorder_append" -> rectangleOracleSql)
+
+  /** ly2/ly3's twin — ONE definition for the fresh-build read and the
+    * maintained-build read, which are row-identical. */
+  private lazy val rectangleOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT event_id, user_id & $DimMask AS u,
+       |         (epoch_ns(ts) // ${WindowOps.DayNanos}) & $DimMask AS day
+       |  FROM events),
+       |zt AS (SELECT event_id, u, day,
+       |              (${spreadSql("u")} | (${spreadSql("day")} << 1))
+       |                >> ${2 * CellBits} AS cell
+       |       FROM base)
+       |SELECT event_id, u, day, cell
+       |FROM zt
+       |WHERE u BETWEEN $RectU0 AND $RectU1
+       |  AND day BETWEEN $RectD0 AND $RectD1
+       |ORDER BY event_id""".stripMargin
 }

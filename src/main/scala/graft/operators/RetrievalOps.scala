@@ -813,7 +813,9 @@ object RetrievalOps {
     * metadata table (the x15/x17 convention). */
   private[graft] def appendPostingsIndex(s: SparkSession, root: String,
       batch: DataFrame): Unit = {
-    val bp = postingsArtifacts(batch)
+    // three consumers (postings append, blockmeta merge, dict merge) —
+    // without the pin each re-runs the batch explode+groupBy
+    val bp = CacheScope.persist(postingsArtifacts(batch))
     bp.write.mode("append").partitionBy("term_bucket")
       .parquet(s"$root/postings")
     s.read.parquet(s"$root/blockmeta")

@@ -94,6 +94,49 @@ class LayoutSpec extends SparkSpec {
     assert(occupied.subsetOf(enumd))
   }
 
+  test("ly3: append lands ONLY new files (standing files byte-identical); stats append == rebuild; read == fresh build") {
+    import java.io.File
+    val rootA = "target/graft-index/spec-ly3-append"
+    val rootB = "target/graft-index/spec-ly3-rebuild"
+    val ev = Tables.events(spark, Sf)
+    val isNew = col("event_id") % graft.operators.DedupOps.IncomingMod === 0
+    LayoutOps.writeZorder(spark, rootA, ev.filter(!isNew))
+    def snapshot(): Map[String, Set[(String, Long, Long)]] =
+      new File(s"$rootA/rows").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified, f.length)).toSet).toMap
+    val before = snapshot()
+    LayoutOps.appendZorder(spark, rootA, ev.filter(isNew))
+    val after = snapshot()
+    // every standing file survives byte-identical — the append never
+    // re-sorts or rewrites the clustered table (x19's invariant)
+    before.foreach { case (cell, files) =>
+      assert(files.subsetOf(after.getOrElse(cell, Set.empty)),
+        s"$cell: a standing file was rewritten by the append")
+    }
+    assert(after.exists { case (cell, files) =>
+      files.size > before.getOrElse(cell, Set.empty).size },
+      "the append landed no new file")
+    // the maintained stats equal a fresh build's, row-exact
+    LayoutOps.writeZorder(spark, rootB, ev)
+    val sa = spark.read.parquet(s"$rootA/stats")
+    val sb = spark.read.parquet(s"$rootB/stats")
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
+      "stats append != rebuild")
+    // and the maintained layout serves the same rows
+    val a = spark.read.parquet(s"$rootA/rows")
+      .select(col("event_id"), col("u"), col("day"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    val b = spark.read.parquet(s"$rootB/rows")
+      .select(col("event_id"), col("u"), col("day"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._1).toSeq
+    assert(a.nonEmpty && a === b, "appended layout content != rebuilt")
+  }
+
   test("ly1 served from streamed cell-stat state == batch audit, 3 seeds") {
     // count/min/max are associative, so the standing streaming
     // aggregation over cell IS the audit's stats table under any
