@@ -777,19 +777,28 @@ object RetrievalOps {
   private def blockMetaOf(p: DataFrame): DataFrame =
     p.withColumn("blk", expr(s"doc_id div $BlockSize"))
       .groupBy(col("term_bucket"), col("tok"), col("blk"))
-      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
+        count(lit(1)).as("n_postings"))
+
+  /** The dictionary ROLLS UP from the block metadata (df = Σ per-block
+    * postings counts — the same exact long a direct postings count
+    * gives), so neither the build nor the append pays a second
+    * full-postings aggregate for it: one postings pass feeds both
+    * metadata tables, and the dict rebuild after a merge reads ≤
+    * |terms|×|blocks| metadata rows, never postings. */
+  private def dictFromMeta(meta: DataFrame): DataFrame =
+    meta.groupBy(col("term_bucket"), col("tok"))
+      .agg(sum(col("n_postings")).as("df"))
 
   private[graft] def writePostingsIndex(s: SparkSession, root: String,
       docs: DataFrame): Unit = {
     postingsArtifacts(docs)
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/postings")
-    val p = s.read.parquet(s"$root/postings")
-    blockMetaOf(p)
+    blockMetaOf(s.read.parquet(s"$root/postings"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/blockmeta")
-    p.groupBy(col("term_bucket"), col("tok"))
-      .agg(count(lit(1)).as("df"))
+    dictFromMeta(s.read.parquet(s"$root/blockmeta"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/dict")
     constsFull(docs).write.mode("overwrite").parquet(s"$root/consts")
@@ -818,19 +827,18 @@ object RetrievalOps {
     val bp = CacheScope.persist(postingsArtifacts(batch))
     bp.write.mode("append").partitionBy("term_bucket")
       .parquet(s"$root/postings")
+    // disjoint doc sets: a (term, block) key appears on at most one
+    // side unless the block straddles the split, where max/min/sum all
+    // merge exactly; n_postings sums like the dict's df does
     s.read.parquet(s"$root/blockmeta")
       .unionByName(blockMetaOf(bp))
       .groupBy(col("term_bucket"), col("tok"), col("blk"))
-      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"))
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"),
+        sum(col("n_postings")).as("n_postings"))
       .localCheckpoint()
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/blockmeta")
-    s.read.parquet(s"$root/dict")
-      .unionByName(bp.groupBy(col("term_bucket"), col("tok"))
-        .agg(count(lit(1)).as("df")))
-      .groupBy(col("term_bucket"), col("tok"))
-      .agg(sum(col("df")).as("df"))
-      .localCheckpoint()
+    dictFromMeta(s.read.parquet(s"$root/blockmeta"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/dict")
     val merged = s.read.parquet(s"$root/consts")
