@@ -801,15 +801,23 @@ object RetrievalOps {
     dictFromMeta(s.read.parquet(s"$root/blockmeta"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/dict")
-    constsFull(docs).write.mode("overwrite").parquet(s"$root/consts")
+    // the per-doc length table — index metadata in its own right (dl
+    // is what postings denormalize in), and the ONE artifact that
+    // records zero-token documents, which the postings cannot: the
+    // corpus constants derive from it, never from a docs re-scan
+    docLenOf(docs).write.mode("overwrite").parquet(s"$root/doclen")
+    constsOf(s.read.parquet(s"$root/doclen"))
+      .write.mode("overwrite").parquet(s"$root/consts")
   }
 
-  /** One-row (n_docs, total_tokens, avgdl) — [[corpusConsts]]'s exact
-    * trees with the integer total kept (the append merge needs it;
-    * the empty-side coalesce is ir7's null-sum guard). */
-  private def constsFull(docs: DataFrame): DataFrame =
-    docs.select(size(toks).as("dl"))
-      .agg(count(lit(1)).as("n_docs"),
+  private def docLenOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(toks).as("dl"))
+
+  /** One-row (n_docs, total_tokens, avgdl) over a (doc_id, dl) frame —
+    * [[corpusConsts]]'s exact trees with the integer total kept (the
+    * empty-side coalesce is ir7's null-sum guard). */
+  private def constsOf(dlf: DataFrame): DataFrame =
+    dlf.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl").cast("long")), lit(0L)).as("total_tokens"))
       .withColumn("avgdl",
         col("total_tokens").cast("double") / col("n_docs"))
@@ -819,12 +827,34 @@ object RetrievalOps {
     * untouched); blockmeta/dict/consts MERGE associatively and
     * rewrite (they are metadata — KBs beside the postings' bytes).
     * `localCheckpoint` cuts the read-modify-write cycle on each
-    * metadata table (the x15/x17 convention). */
+    * metadata table (the x15/x17 convention).
+    *
+    * IDEMPOTENT under retry (x19's exactly-once discipline): the
+    * batch's rows anti-join the standing postings' slim (tok, doc_id)
+    * key projection, so a rerun — after a crash at ANY point — never
+    * lands a posting twice, and the metadata merge that follows folds
+    * only the rows that actually appended. The anti-join reads two
+    * columns of the standing index; a production deployment replaces
+    * it with a transaction log (Delta/Iceberg), this is the log-free
+    * honest form. A crash BETWEEN the postings append and the
+    * metadata writes leaves metadata stale, not wrong —
+    * [[healPostingsMetadata]] recounts it from the at-rest postings
+    * (x19's heal-a-torn-stats-write recovery, RetrievalOpsSpec pins
+    * both properties). */
   private[graft] def appendPostingsIndex(s: SparkSession, root: String,
       batch: DataFrame): Unit = {
-    // three consumers (postings append, blockmeta merge, dict merge) —
-    // without the pin each re-runs the batch explode+groupBy
-    val bp = CacheScope.persist(postingsArtifacts(batch))
+    // three consumers (postings append, blockmeta merge, dict merge),
+    // and the frame must be pinned as an EAGER localCheckpoint, not a
+    // cache: appending to root/postings triggers refreshByPath, which
+    // invalidates any cached plan referencing that path — a cached
+    // anti-join would lazily recompute against the post-append listing
+    // and filter ITSELF out, silently dropping the batch from the
+    // metadata merge (the checkpoint severs the lineage first)
+    val bp = postingsArtifacts(batch)
+      .join(s.read.parquet(s"$root/postings")
+        .select(col("tok"), col("doc_id")), Seq("tok", "doc_id"),
+        "left_anti")
+      .localCheckpoint()
     bp.write.mode("append").partitionBy("term_bucket")
       .parquet(s"$root/postings")
     // disjoint doc sets: a (term, block) key appears on at most one
@@ -841,16 +871,35 @@ object RetrievalOps {
     dictFromMeta(s.read.parquet(s"$root/blockmeta"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/dict")
-    val merged = s.read.parquet(s"$root/consts")
-      .select(col("n_docs").as("s_n"), col("total_tokens").as("s_tt"))
-      .crossJoin(constsFull(batch)
-        .select(col("n_docs").as("b_n"), col("total_tokens").as("b_tt")))
-      .select((col("s_n") + col("b_n")).as("n_docs"),
-        (col("s_tt") + col("b_tt")).as("total_tokens"))
-      .withColumn("avgdl",
-        col("total_tokens").cast("double") / col("n_docs"))
-      .localCheckpoint()
-    merged.write.mode("overwrite").parquet(s"$root/consts")
+    // doclen gets the same anti-join exactly-once guard, and the
+    // constants RECOUNT from the at-rest table (2 slim columns —
+    // idempotent by construction, where a +=-style merge would
+    // double-count a retried batch)
+    docLenOf(batch)
+      .join(s.read.parquet(s"$root/doclen").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(s"$root/doclen")
+    constsOf(s.read.parquet(s"$root/doclen")).localCheckpoint()
+      .write.mode("overwrite").parquet(s"$root/consts")
+  }
+
+  /** Crash recovery for the postings index: every metadata table
+    * RECOUNTS from the at-rest row artifacts (postings → blockmeta →
+    * dict; doclen → consts) — the x19 heal-by-recount discipline. A
+    * crash between the exactly-once row appends and the metadata
+    * writes leaves metadata stale, never wrong; rerunning the append
+    * (a no-op on rows already landed) and then this heal restores the
+    * exact rebuilt state (RetrievalOpsSpec pins it). */
+  private[graft] def healPostingsMetadata(s: SparkSession,
+      root: String): Unit = {
+    blockMetaOf(s.read.parquet(s"$root/postings"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$root/blockmeta")
+    dictFromMeta(s.read.parquet(s"$root/blockmeta"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$root/dict")
+    constsOf(s.read.parquet(s"$root/doclen"))
+      .write.mode("overwrite").parquet(s"$root/consts")
   }
 
   /** The probe's static bucket list — computed driver-side from the

@@ -161,7 +161,7 @@ class RetrievalOpsSpec extends SparkSpec {
       docs.filter(col("doc_id") % graft.operators.DedupOps.IncomingMod === 0))
     RetrievalOps.writePostingsIndex(spark, rootB, docs)
     // every artifact merges associatively: appended == rebuilt, row-exact
-    for (art <- Seq("postings", "blockmeta", "dict", "consts")) {
+    for (art <- Seq("postings", "blockmeta", "dict", "consts", "doclen")) {
       val a = spark.read.parquet(s"$rootA/$art")
       val b = spark.read.parquet(s"$rootB/$art")
       assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
@@ -180,6 +180,71 @@ class RetrievalOpsSpec extends SparkSpec {
     val full = RetrievalOps.bm25ScoredCore(docs).count()
     assert(survivors >= RetrievalOps.TopK && survivors < full,
       s"stored-metadata prune did not bite: $survivors of $full")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ir16: a retried append is a no-op on every artifact (exactly-once without a transaction log)") {
+    import org.apache.spark.sql.functions.col
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val root = "target/graft-index/spec-ir16-retry"
+    val standing = docs.filter(
+      col("doc_id") % graft.operators.DedupOps.IncomingMod =!= 0)
+    val batch = docs.filter(
+      col("doc_id") % graft.operators.DedupOps.IncomingMod === 0)
+    RetrievalOps.writePostingsIndex(spark, root, standing)
+    RetrievalOps.appendPostingsIndex(spark, root, batch)
+    def canon(art: String) = spark.read.parquet(s"$root/$art")
+      .collect().map(_.toString).sorted.toSeq
+    val once = Seq("postings", "blockmeta", "dict", "consts", "doclen")
+      .map(a => a -> canon(a)).toMap
+    // the retry: an operator rerun after ANY crash replays the same
+    // batch — the anti-join guards must land nothing new
+    RetrievalOps.appendPostingsIndex(spark, root, batch)
+    once.foreach { case (art, rows) =>
+      assert(canon(art) === rows, s"retry changed $art — append not idempotent")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ir16: stale metadata after a torn append heals by recount to the exact rebuilt state") {
+    import org.apache.spark.sql.functions.col
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val rootT = "target/graft-index/spec-ir16-torn"
+    val rootS = "target/graft-index/spec-ir16-stale"
+    val rootF = "target/graft-index/spec-ir16-fullref"
+    val standing = docs.filter(
+      col("doc_id") % graft.operators.DedupOps.IncomingMod =!= 0)
+    val batch = docs.filter(
+      col("doc_id") % graft.operators.DedupOps.IncomingMod === 0)
+    RetrievalOps.writePostingsIndex(spark, rootT, standing)
+    RetrievalOps.writePostingsIndex(spark, rootS, standing)
+    RetrievalOps.writePostingsIndex(spark, rootF, docs)
+    RetrievalOps.appendPostingsIndex(spark, rootT, batch)
+    // simulate the crash: rows landed, metadata writes never ran —
+    // clobber rootT's metadata back to its pre-append (standing) state
+    for (art <- Seq("blockmeta", "dict")) {
+      spark.read.parquet(s"$rootS/$art").localCheckpoint()
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$rootT/$art")
+    }
+    spark.read.parquet(s"$rootS/consts").localCheckpoint()
+      .write.mode("overwrite").parquet(s"$rootT/consts")
+    // recovery: the heal recounts every metadata table from the
+    // at-rest rows — the result is the full rebuild, artifact-exact
+    RetrievalOps.healPostingsMetadata(spark, rootT)
+    for (art <- Seq("postings", "blockmeta", "dict", "consts", "doclen")) {
+      val a = spark.read.parquet(s"$rootT/$art")
+      val b = spark.read.parquet(s"$rootF/$art")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"healed $art != rebuilt")
+    }
+    // and the healed index serves ir2's exact answer
+    val served = RetrievalOps.rankedTopK(
+      RetrievalOps.blockmaxSurvivorsFrom(spark, rootT)).collect().toSeq
+    val exhaustive = RetrievalOps.bm25TopK(spark, Sf).collect().toSeq
+    assert(served.nonEmpty && served == exhaustive)
     spark.sharedState.cacheManager.clearCache()
   }
 
