@@ -176,7 +176,9 @@ object RetrievalOps {
     * `(tok, doc_id, tf, dl)`, dl denormalized in so serving needs no
     * doc-metadata join. The `isin` filter sits below the groupBy
     * shuffle; at rest this frame is written `partitionBy(term_bucket)`
-    * and a probe partition-prunes to the query's terms. */
+    * and a probe partition-prunes to the query's terms —
+    * [[writePostingsIndex]]/[[indexServe]] (ir15) materialize exactly
+    * that layout and serve from the files. */
   private[graft] def postings(docs: DataFrame): DataFrame =
     // one authoritative postings tree: the probe filter sits on the
     // grouping column, so Catalyst pushes it below the aggregation
@@ -653,7 +655,9 @@ object RetrievalOps {
     * directly on the generated rows; at rest the lists are written
     * `partitionBy(term_bucket)` ordered by (doc_id, pos), so a probe
     * partition-prunes to the query's terms and the adjacency join
-    * below is a merge over co-sorted lists. */
+    * below is a merge over co-sorted lists —
+    * [[phraseAtRestServe]] (ir17) materializes exactly that layout
+    * and serves from the files. */
   private[graft] def positionalPostings(docs: DataFrame,
       terms: Seq[String]): DataFrame =
     docs.select(col("doc_id"), size(toks).as("dl"),

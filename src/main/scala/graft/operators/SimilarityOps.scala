@@ -684,9 +684,12 @@ object SimilarityOps {
     * 100 TB plan: stage 1 is x13's shape verbatim — cell-partitioned
     * codes scan (DPP at rest), broadcast ADC tables, 4 lookups per
     * candidate; stage 2 touches the 4-byte/dim float column for
-    * exactly Q×[[RerankR]] ids via the broadcast-shortlist fetch
-    * (id-bucketed at rest). Every stage deterministic (double folds +
-    * id tie-breaks), so the whole composition restates in SQL. */
+    * exactly Q×[[RerankR]] ids via the broadcast-shortlist fetch —
+    * x30 materializes that fetch's id-bucketed at-rest float table
+    * and DPP-prunes it; this form keeps the in-memory corpus so the
+    * two fetch shapes stay contrasted. Every stage deterministic
+    * (double folds + id tie-breaks), so the whole composition
+    * restates in SQL. */
   def ivfPqRerank(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     CacheScope.persist(c) // the probe pipeline + both re-rank sides read it
@@ -1561,7 +1564,8 @@ object SimilarityOps {
     * exactly Q×[[RerankR]] rows: the shortlist BROADCASTS into the
     * float table's scan (a broadcast-semi-join shape; at rest the
     * float table is id-bucketed so the fetch prunes to matching
-    * buckets instead of scanning). Stage 1 is x23's serve: one scan
+    * buckets instead of scanning — x30 materializes exactly that
+    * layout and DPP-prunes the fetch). Stage 1 is x23's serve: one scan
     * of the 1-byte/dim codes at whole-stage-codegen speed. The
     * recall/cost dial is [[RerankR]] alone — no index rebuild. */
   def sq8Rerank(s: SparkSession, dir: String): DataFrame = {
@@ -1671,9 +1675,27 @@ object SimilarityOps {
     * Q·R float rows (not the codes), and the recall/cost dials are
     * (nProbe, R) with no index rebuild; x29's recall table carries
     * this tier's row so the dials are tuned on evidence. */
+  /** id-bucket count of the at-rest float table x30's refine stage
+    * fetches from — the "id-bucketed at rest" layout x25/x27's
+    * docstrings name, materialized: the 4-byte/dim column lives
+    * PARTITIONED BY `vec_id % FloatBuckets`, so a shortlist fetch
+    * dynamic-partition-prunes to the buckets holding its Q·R ids
+    * instead of scanning the float table. */
+  val FloatBuckets = 16
+
   def sq8IvfRerank(s: SparkSession, dir: String): DataFrame = {
     val root = indexRoot(s, dir) + "/sq8ivfrr"
     buildSq8CellIndex(s, dir, root) // x24's layout at x30's own root
+    // the refine stage's at-rest float table, id-bucketed (norms are
+    // NOT stored — they recompute on exactly the fetched rows, the
+    // same `sqrt(dot(v,v))` tree as corpus(), so the values are
+    // bit-identical and the table stays a pure column store)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        pmod(col("vec_id"), lit(FloatBuckets.toLong)).cast("int")
+          .as("id_bucket"))
+      .write.mode("overwrite").partitionBy("id_bucket")
+      .parquet(s"$root/floats")
     val t = s.read.parquet(s"$root/codes")
     val q = sq8IndexQueries(s, root)
     val ws = Window.partitionBy(col("query_id"))
@@ -1687,17 +1709,34 @@ object SimilarityOps {
       .withColumn("srank", row_number().over(ws))
       .filter(col("srank") <= RerankR)
       .select(col("query_id"), col("vec_id"), col("cell_id"), col("code_d2"))
-    val cv = corpus(s, dir).select(col("vec_id"), col("v"), col("nrm"))
-    val qv = cv.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn"))
+    // exact refine: floats fetched for the Q·R shortlist ids ONLY,
+    // through the id-bucketed at-rest table — the broadcast shortlist
+    // joins the bare id_bucket partition attribute, so DPP reads only
+    // the buckets holding shortlist ids (PlanContractSpec pins it)
+    val fl = s.read.parquet(s"$root/floats")
+    val slb = shortlist.select(col("query_id"), col("vec_id").as("n_id"),
+      col("cell_id"), col("code_d2"),
+      pmod(col("vec_id"), lit(FloatBuckets.toLong)).cast("int")
+        .as("sl_bucket"))
+    val fetched = fl.join(broadcast(slb),
+        col("id_bucket") === col("sl_bucket") && // → DPP
+          col("vec_id") === col("n_id"))
+      .select(col("query_id"), col("n_id").as("neighbor_id"),
+        col("cell_id").cast("long").as("cell"), col("code_d2"),
+        col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    // query floats: a STATIC bucket predicate (query ids are known)
+    val qBuckets = (0 until NumQueries).map(_ % FloatBuckets).distinct
+    val qv = s.read.parquet(s"$root/floats")
+      .filter(col("id_bucket").isin(qBuckets: _*) &&
+        col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .withColumn("qn", sqrt(dotD(col("qv"), col("qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cv.join(broadcast(shortlist), Seq("vec_id")) // floats for Q·R ids only
+    fetched
       .join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cell_id").cast("long").as("cell"), col("code_d2"),
-        qCos.as("cos"))
+      .withColumn("cos", qCos)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

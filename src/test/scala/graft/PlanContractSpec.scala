@@ -220,6 +220,16 @@ class PlanContractSpec extends SparkSpec {
     assert(collectAll(p) {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }.isEmpty, "float fetch degraded to a corpus-wide shuffle join")
+    // ... and the fetch reads the id-bucketed AT-REST float table:
+    // the neighbor-side scan carries DPP on id_bucket, the query-side
+    // scan a static bucket predicate — no raw-embeddings scan serves
+    val floatScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("sq8ivfrr/floats")))
+    assert(floatScans.nonEmpty, "at-rest float table scan missing from refine plan")
+    assert(floatScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "float fetch lost its id_bucket dynamic partition pruning: " +
+        floatScans.map(_.partitionFilters).mkString("; "))
   }
 
   test("x26: the sign-code serve is generator- and shuffle-join-free — scan-bound words + broadcast probe") {
