@@ -290,15 +290,27 @@ object AuditOps {
   def tCloseCells(cellSrc: DataFrame): DataFrame = {
     // three consumers: cells, globals, the join
     val sc = CacheScope.persist(cellSrc)
+    // the domain frame's key columns are RENAMED aliases: all three
+    // aggregates descend from `sc`, and joining the cross back onto
+    // `sc` with shared attribute ids is a self-join the analyzer
+    // cannot always deduplicate (it resolves for a parquet source but
+    // throws conflicting-references for a streaming memory relation —
+    // the dq6 streamed-state serve hit exactly that)
     val cells = sc.groupBy(col("lang"), col("len_bucket"))
       .agg(sum(col("n_cv")).as("n_docs"))
+      .select(col("lang").as("c_lang"), col("len_bucket").as("c_bucket"),
+        col("n_docs"))
     val glob = sc.groupBy(col("source")).agg(sum(col("n_cv")).as("n_v"))
+      .select(col("source").as("g_source"), col("n_v"))
     val tot = glob.agg(sum(col("n_v")).as("n_total"))
     cells
       .crossJoin(broadcast(glob))
       .crossJoin(broadcast(tot))
-      .join(sc, Seq("lang", "len_bucket", "source"), "left")
-      .select(col("lang"), col("len_bucket"), col("n_docs"), col("n_total"),
+      .join(sc, col("c_lang") === col("lang") &&
+        col("c_bucket") === col("len_bucket") &&
+        col("g_source") === col("source"), "left")
+      .select(col("c_lang").as("lang"), col("c_bucket").as("len_bucket"),
+        col("n_docs"), col("n_total"),
         abs(coalesce(col("n_cv"), lit(0L)) * col("n_total") -
           col("n_v") * col("n_docs")).as("ad"))
       .groupBy(col("lang"), col("len_bucket"), col("n_docs"), col("n_total"))

@@ -187,4 +187,48 @@ class StreamingAuditSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("dq6 served from streamed (QI, source) count state == batch audit, 3 seeds") {
+    // the same associative standing state dq4 serves from feeds dq6's
+    // rollup + domain completion + integer TV numerator unchanged —
+    // the numerator is a SUM of exact integers, so arrival order and
+    // micro-batch cuts cannot move a single bit of the output
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val keyed = (rows: Array[org.apache.spark.sql.Row]) => rows.map { r =>
+      (r.getAs[String]("lang"), r.getAs[Int]("len_bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("tv_num"),
+        r.getAs[Double]("tv_dist"), r.getAs[Int]("is_t_close"))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val expected = keyed(graft.operators.AuditOps.tCloseness(spark, Sf).collect())
+    val docs = {
+      val d = graft.sources.Tables.documents(spark, Sf)
+      d.select(col("lang"),
+          graft.operators.AuditOps.lenBucket.as("len_bucket"), col("source"))
+        .as[(String, Int, String)].collect().toVector
+    }
+    for (seed <- Seq(7, 17, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[(String, Int, String)]
+      val cells = in.toDF().toDF("lang", "len_bucket", "source")
+        .groupBy(col("lang"), col("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("n_cv"))
+      val name = s"dq6_cells_state_$seed"
+      val q = cells.writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+      try {
+        var rest = rnd.shuffle(docs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(100))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        val served = keyed(graft.operators.AuditOps
+          .tCloseCells(spark.table(name)).collect())
+        assert(served == expected,
+          s"seed $seed: dq6 served from streamed state drifted from batch")
+      } finally q.stop()
+    }
+  }
 }
