@@ -214,6 +214,35 @@ class ScaleSpec extends SparkSpec {
     assert(q.count() === expected)
   }
 
+  test("postings index at rest: the probe's bucket directories hold a strict subset of the index bytes") {
+    // ir15's physical claim at the FILE level (the plan contract pins
+    // the listed files; this measures the byte bound the pruning
+    // buys): the fixed probe's term buckets are a strict subset of
+    // the term_bucket directories, and their bytes a strict subset of
+    // the index's — at 100 TB the difference between a serve reading
+    // |terms| directories and re-scanning the postings table
+    import graft.operators.RetrievalOps
+    val root = Files.createTempDirectory("ir_index").toString
+    RetrievalOps.writePostingsIndex(spark, root, Tables.documents(spark, Sf))
+    val buckets = RetrievalOps.QueryTerms.map(RetrievalOps.termBucketOf).toSet
+    val dirs = new java.io.File(s"$root/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("term_bucket="))
+    def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))).map(_.length).sum
+    val probed = dirs.filter(d =>
+      buckets.exists(b => d.getName == s"term_bucket=$b"))
+    // most buckets are populated (the fixture vocab can leave a
+    // couple empty at sf0.001), and the probe skips a real majority
+    assert(dirs.length > RetrievalOps.TermBuckets / 2,
+      s"fixture regression: only ${dirs.length} of ${RetrievalOps.TermBuckets} buckets populated")
+    assert(probed.nonEmpty && probed.length < dirs.length)
+    val (probeBytes, allBytes) = (bytes(probed), bytes(dirs))
+    assert(probeBytes > 0 && probeBytes < allBytes,
+      s"probe bytes $probeBytes vs index bytes $allBytes")
+    info(f"probe reads $probeBytes of $allBytes index bytes " +
+      f"(${100.0 * probeBytes / allBytes}%.1f%% across ${probed.length} of ${dirs.length} buckets)")
+  }
+
   test("d20 owner lookup: the bloom sketch stays KB-scale while pruning the grid to the dup neighborhood") {
     // the threshold contrast behind defaulting d20 to the bloom path:
     // the dup-OWNER table grows with duplication (no structural bound —
