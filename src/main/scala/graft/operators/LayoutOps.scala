@@ -201,8 +201,9 @@ object LayoutOps {
   }
 
   /** The rectangle read over a [[writeZorder]] layout — ly2's serve
-    * body, shared so ly2 (fresh build) and ly3 (maintained build)
-    * cannot drift. */
+    * shape over the maintained table (ly2 itself keeps its original
+    * single-directory layout without the stats sidecar; the two reads
+    * are pinned row-identical by the shared oracle). */
   private def rectangleRead(s: SparkSession, root: String): DataFrame = {
     val cells = cellsForRange(RectU0, RectU1, RectD0, RectD1)
     s.read.parquet(s"$root/rows")
