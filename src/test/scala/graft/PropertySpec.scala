@@ -88,6 +88,32 @@ class PropertySpec extends SparkSpec {
     }, 5)
   }
 
+  test("termBucketOf == termBucketCol on arbitrary unicode strings (the static-predicate soundness)") {
+    import spark.implicits._
+    // ir15/ir17's partition pruning is only sound if the driver-side
+    // bucket function reproduces the engine's for ANY token the
+    // tokenizer could emit — not just the fixture vocabulary. md5
+    // agreement hinges on identical UTF-8 byte encoding on both
+    // sides, so the generator leans on multibyte and astral chars.
+    // code points stay WHOLE (astral chars as full surrogate pairs):
+    // parquet strings are valid UTF-8, so a lone surrogate is out of
+    // contract — and it would round-trip through UTF8String as '?',
+    // changing the comparison key itself
+    val tokGen = Gen.nonEmptyListOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("ä", "ß", "中", "文", "é", "λ", "ж"),
+      1 -> Gen.oneOf("😀", "🚀", "🐘", "𝄞")) // surrogate pairs intact
+    ).map(_.mkString)
+    check(Prop.forAllNoShrink(Gen.listOfN(50, tokGen)) { toks =>
+      val got = toks.toDF("tok")
+        .select(col("tok"),
+          graft.operators.RetrievalOps.termBucketCol(col("tok")).as("b"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      toks.forall(t =>
+        got(t) == graft.operators.RetrievalOps.termBucketOf(t))
+    }, 5)
+  }
+
   test("tx8 max_run equals the plain-Scala run-length reference on random token lists") {
     import spark.implicits._
     // small alphabet so runs actually form; batch the random docs into
