@@ -266,7 +266,8 @@ object AuditOps {
     * `tv_num = Σ_v |n_cv·N − N_v·n_cell|` — an exact integer sum
     * (associative, so partitioning-order-free where a sum of double
     * shares would not be), with ONE double division at the end and the
-    * flag as pure integer arithmetic `5·tv_num ≤ 2·n_cell·N`. Exact
+    * flag as pure integer arithmetic `[[TCloseDen]]·tv_num ≤
+    * 2·n_cell·N` (i.e. tv_dist ≤ 1/[[TCloseDen]]). Exact
     * while n_cv·N < 2⁶³ (N through ~3·10⁹ docs at worst-case cell
     * concentration); past that, production audits quantized shares —
     * the ir8 cross-product-through-double guard, documented not

@@ -18,6 +18,17 @@ import org.apache.spark.storage.StorageLevel
   * for. Draining an already-cleared frame is a no-op, so the blanket
   * clearCache in the harness stays harmless belt-and-braces.
   *
+  * CONTRACT — one logical query at a time per process: the registry is
+  * a single process-global queue, sized for the harness's (and any
+  * batch caller's) run-query-then-drain loop. A caller that never
+  * drains accumulates strong references unboundedly, and two callers
+  * interleaving queries on a shared session will unpersist each
+  * other's in-flight frames at their own drain points (correctness is
+  * unaffected — an unpersisted frame recomputes — but the cache
+  * benefit is lost). A concurrent-serving deployment would scope
+  * registrations per query (a begin()-token API); the harness's
+  * serial contract keeps the global queue the honest minimal form.
+  *
   * Deliberately NOT drained here: persists with an explicit paired
   * `unpersist()` in their own operator (d6's edge/pair checkpoint
   * dance) and streaming `foreachBatch` persists that unpersist at

@@ -878,10 +878,16 @@ object RetrievalOps {
     // doclen gets the same anti-join exactly-once guard, and the
     // constants RECOUNT from the at-rest table (2 slim columns —
     // idempotent by construction, where a +=-style merge would
-    // double-count a retried batch)
+    // double-count a retried batch). Like `bp`, the anti-joined batch
+    // is pinned EAGERLY before the append: its plan reads the same
+    // path the write appends to, and only the at-write-time file
+    // listing keeps that safe — a retry after refreshByPath (or any
+    // caching of this frame) would re-list post-append and anti-join
+    // the batch against itself
     docLenOf(batch)
       .join(s.read.parquet(s"$root/doclen").select(col("doc_id")),
         Seq("doc_id"), "left_anti")
+      .localCheckpoint()
       .write.mode("append").parquet(s"$root/doclen")
     constsOf(s.read.parquet(s"$root/doclen")).localCheckpoint()
       .write.mode("overwrite").parquet(s"$root/consts")
