@@ -1245,7 +1245,200 @@ object DedupOps {
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
   }
 
+  // ---------------------------------------------------------------
+  // The at-rest shingle index (d22/d23): the physical half of the
+  // decontamination/leakage tier — the layout d12's docstring
+  // promises ("the train shingle index is written once, bucketed by
+  // hash"), made real with the ir15 discipline. d8/d12 prove the
+  // probe ALGEBRA; d22 writes the hashed-shingle postings +
+  // dictionary + per-doc stats to parquet bucketed by shingle hash
+  // and serves the contamination probe partition-pruned from THE
+  // FILES; d23 proves the index MAINTAINS under append (per-doc
+  // postings append; the shingle-set dictionary grows by set union —
+  // associative, so append == rebuild row-exactly) and serves the
+  // split-leakage audit from the maintained dictionary.
+  // ---------------------------------------------------------------
+
+  /** Shingle-hash bucket count of the at-rest layout — 16, the
+    * TermBuckets/FloatBuckets family constant: every bucket populated
+    * at harness SFs; production sizes to target file size (pruning is
+    * correct at any count). */
+  val ShingleBuckets = 16
+
+  /** The partition attribute: shingle hashes are already uniform
+    * 60-bit md5-derived longs ([[graft.functions.TextFunctions]]
+    * contract), so the bucket is a plain modulus — no second hash. */
+  private[graft] def shingleBucketCol(h: Column): Column =
+    pmod(h, lit(ShingleBuckets.toLong)).cast("int")
+
+  /** Per-doc hashed-shingle postings (sh_bucket, h, doc_id) — rows are
+    * distinct per doc by construction (hashedShingleSet returns the
+    * SET), so postings counts ARE distinct-shingle counts. */
+  private[graft] def shinglePostings(docs: DataFrame): DataFrame = {
+    import graft.functions.ShingleExpressions.hashedShingleSet
+    docs.select(col("doc_id"),
+        explode(hashedShingleSet(tokens(col("text")), DecontamK)).as("h"))
+      .withColumn("sh_bucket", shingleBucketCol(col("h")))
+  }
+
+  /** BUILD: write the index artifacts under `root` —
+    *   - `postings/` — (h, doc_id) PARTITIONED BY sh_bucket: the
+    *     per-doc facts a contamination probe partition-prunes into.
+    *   - `shset/`  — the distinct shingle DICTIONARY, same layout:
+    *     what a membership audit (d12's `tr`) joins against without
+    *     re-distincting the postings.
+    *   - `docstats/` — (doc_id, n_shingles): the per-doc totals, so a
+    *     serve never touches text.
+    * Dictionary and stats derive from the WRITTEN postings (one read
+    * of the new files — ir15's no-second-corpus-pass rule). */
+  private[graft] def writeShingleIndex(s: SparkSession, root: String,
+      docs: DataFrame): Unit = {
+    shinglePostings(docs)
+      .write.mode("overwrite").partitionBy("sh_bucket")
+      .parquet(s"$root/postings")
+    val p = s.read.parquet(s"$root/postings")
+    p.select(col("sh_bucket"), col("h")).distinct()
+      .write.mode("overwrite").partitionBy("sh_bucket")
+      .parquet(s"$root/shset")
+    p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .write.mode("overwrite").parquet(s"$root/docstats")
+  }
+
+  /** APPEND: fold a fresh batch into the standing index — exactly-once
+    * under retry (ir16's discipline: every new-row frame anti-joins
+    * the standing artifact it appends to, pinned as an EAGER
+    * localCheckpoint because its plan reads the very path the write
+    * appends to — a cached/re-listed plan would anti-join itself out).
+    * Postings and stats are per-doc facts (standing rows untouched);
+    * the dictionary grows by SET UNION — only hashes new to the index
+    * land, which is exactly why append == rebuild row-for-row on all
+    * three artifacts (DedupAtRestSpec pins it). Per-doc stats recount
+    * from the batch's own complete postings (computed from text), so
+    * a crash that landed partial postings without the stats row heals
+    * on rerun: the missing postings land via the anti-join, and the
+    * stats row lands with the full count. */
+  private[graft] def appendShingleIndex(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val full = shinglePostings(batch)
+    // three consumers: postings anti-join, dictionary delta, stats
+    CacheScope.persist(full)
+    full
+      .join(s.read.parquet(s"$root/postings")
+          .select(col("h"), col("doc_id")),
+        Seq("h", "doc_id"), "left_anti")
+      // the anti-join moved its keys to the front — restore the build
+      // write's column order, or the directory holds files with TWO
+      // field orders and the read-back schema (hence every positional
+      // comparison) becomes which-file-infers-first nondeterministic
+      .select(col("doc_id"), col("h"), col("sh_bucket"))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("sh_bucket")
+      .parquet(s"$root/postings")
+    full.select(col("sh_bucket"), col("h")).distinct()
+      .join(s.read.parquet(s"$root/shset").select(col("h")),
+        Seq("h"), "left_anti")
+      .localCheckpoint()
+      .write.mode("append").partitionBy("sh_bucket")
+      .parquet(s"$root/shset")
+    full.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(s.read.parquet(s"$root/docstats").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+      .write.mode("append").parquet(s"$root/docstats")
+  }
+
+  /** The partition-pruned contamination serve: the (tiny, broadcast)
+    * probe set joins the at-rest postings ON THE BARE sh_bucket
+    * partition attribute + the hash, so dynamic partition pruning
+    * reads only the buckets holding probe hashes (x17's
+    * compactionStage shape — PlanContractSpec pins the dynamicpruning
+    * filter); per-doc totals come from `docstats`, so NO text and no
+    * non-probed bucket is ever touched. */
+  private[graft] def serveDecontamFrom(s: SparkSession, root: String,
+      probe: DataFrame): DataFrame = {
+    val hits = s.read.parquet(s"$root/postings")
+      .join(broadcast(probe),
+        col("sh_bucket") === col("p_bucket") && col("h") === col("p_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hit_cnt"))
+    s.read.parquet(s"$root/docstats")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("hit_cnt"), lit(0L)).as("n_overlap"))
+      .withColumn("is_contaminated",
+        when(col("n_overlap") > 0, 1).otherwise(0))
+  }
+
+  /** D22 — EVAL DECONTAMINATION FROM THE AT-REST INDEX: d8's probe
+    * served from the written shingle index. BUILD writes the non-eval
+    * corpus's postings/dictionary/stats ([[writeShingleIndex]]); the
+    * eval set's distinct hashed shingles form the probe (tiny by
+    * construction — d8's broadcast bound), and the serve reads ONLY
+    * the probe's bucket partitions plus the slim stats table — output
+    * BIT-IDENTICAL to d8's text-side scan (the oracle is d8's SQL
+    * verbatim, the ir15 path-substitution convention).
+    *
+    * 100 TB plan: the corpus's shingle explode is paid ONCE at build
+    * (amortized across every eval release), a probe reads ≤
+    * |probe-hash buckets| of [[ShingleBuckets]] directories via DPP,
+    * and the per-doc verdict join moves (doc_id, count) pairs only. */
+  def decontamAtRest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions.hashedShingleSet
+    val root = SimilarityOps.indexRoot(s, dir) + "/shindex22"
+    val docs = Tables.documents(s, dir)
+    writeShingleIndex(s, root, docs.filter(col("doc_id") % EvalMod =!= 0))
+    val probe = docs.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(hashedShingleSet(tokens(col("text")), DecontamK))
+        .as("p_h"))
+      .distinct()
+      .withColumn("p_bucket", shingleBucketCol(col("p_h")))
+    serveDecontamFrom(s, root, probe)
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
+  /** D23 — SPLIT-LEAKAGE AUDIT FROM THE MAINTAINED INDEX: the train
+    * side of d10's split builds the standing index (doc_id % 5 ≠ 0),
+    * the rest of train FOLDS IN through [[appendShingleIndex]]
+    * (set-union dictionary growth — associative, so append == rebuild
+    * row-exactly on all three artifacts, DedupAtRestSpec pins it),
+    * and d12's audit runs with its train-shingle reference side
+    * replaced by the AT-REST dictionary — the val/test proposal's
+    * shingles join `shset/` instead of re-distincting 80% of the
+    * corpus. Output BIT-IDENTICAL to d12 (oracle verbatim).
+    *
+    * 100 TB plan: the standing train corpus is NEVER re-shingled per
+    * audit — each new split proposal explodes only its own docs and
+    * joins the written dictionary (AQE-splittable equi-join on h; the
+    * full-audit probe touches every bucket, a batch-sized proposal
+    * prunes to its hashes' buckets — d22's serve shape). */
+  def leakageAtRest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions.hashedShingleSet
+    val root = SimilarityOps.indexRoot(s, dir) + "/shindex23"
+    val docs = Tables.documents(s, dir)
+    val tagged = docs.withColumn("split", splitCol)
+    CacheScope.persist(tagged) // three consumers: build, append, probe
+    val train = tagged.filter(col("split") === "train")
+    writeShingleIndex(s, root,
+      train.filter(col("doc_id") % IncomingMod =!= 0))
+    appendShingleIndex(s, root,
+      train.filter(col("doc_id") % IncomingMod === 0))
+    tagged.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"),
+        explode(hashedShingleSet(tokens(col("text")), DecontamK)).as("h"))
+      .join(s.read.parquet(s"$root/shset")
+          .select(col("h"), lit(1).as("in_train")),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("in_train"), lit(0))).as("n_train_overlap"))
+      .withColumn("is_leaky",
+        when(col("n_train_overlap") > 0, 1).otherwise(0))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_decontam_atrest" -> (decontamAtRest _),
+    "d23_leakage_atrest" -> (leakageAtRest _),
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
     "d3_simhash" -> (simhash _),
@@ -1345,6 +1538,46 @@ object DedupOps {
        |                 len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg))
        |            THEN 1 ELSE 0 END AS is_near_dup
        |FROM cand JOIN th ta ON a = ta.doc_id JOIN th tb ON b = tb.doc_id""".stripMargin
+
+  /** d8's oracle — shared VERBATIM by the at-rest serve d22 (sums
+    * cast to BIGINT: DuckDB sum(int) widens to HUGEINT). */
+  private val d8Sql: String =
+    s"""WITH ex AS (SELECT doc_id,
+       |              unnest(list_distinct(list_transform($tgSql,
+       |                s -> ${tokHashSql("s")}))) AS h
+       |            FROM documents WHERE doc_id % $EvalMod <> 0),
+       |ev AS (SELECT DISTINCT unnest(list_distinct(list_transform($tgSql,
+       |         s -> ${tokHashSql("s")}))) AS h
+       |       FROM documents WHERE doc_id % $EvalMod = 0)
+       |SELECT e.doc_id,
+       |       count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN v.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |       CASE WHEN sum(CASE WHEN v.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |            THEN 1 ELSE 0 END AS is_contaminated
+       |FROM ex e LEFT JOIN ev v ON e.h = v.h
+       |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
+  /** d12's oracle — d10's split rule + d8's hashed-trigram contract,
+    * roles reversed (train is the reference side); shared VERBATIM by
+    * the maintained-index serve d23. */
+  private val d12Sql: String =
+    s"""WITH sp AS (SELECT doc_id,
+       |              CASE WHEN ${md5LongSql(s"'split:' || md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' '))")} % 100 < $SplitTrainPct THEN 'train'
+       |                   WHEN ${md5LongSql(s"'split:' || md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' '))")} % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
+       |                   ELSE 'test' END AS split,
+       |              list_distinct(list_transform($tgSql,
+       |                s -> ${tokHashSql("s")})) AS hs
+       |            FROM documents),
+       |ex AS (SELECT doc_id, split, unnest(hs) AS h FROM sp),
+       |tr AS (SELECT DISTINCT h FROM ex WHERE split = 'train')
+       |SELECT e.doc_id, e.split,
+       |       count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_train_overlap,
+       |       CASE WHEN sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |            THEN 1 ELSE 0 END AS is_leaky
+       |FROM ex e LEFT JOIN tr t ON e.h = t.h
+       |WHERE e.split <> 'train'
+       |GROUP BY e.doc_id, e.split ORDER BY e.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -1480,21 +1713,12 @@ object DedupOps {
          |ORDER BY d.doc_id""".stripMargin,
     // same hashed-distinct-shingle contract as tx6/d2, at k=3; sums
     // cast to BIGINT (DuckDB sum(int) widens to HUGEINT)
-    "d8_decontaminate" ->
-      s"""WITH ex AS (SELECT doc_id,
-         |              unnest(list_distinct(list_transform($tgSql,
-         |                s -> ${tokHashSql("s")}))) AS h
-         |            FROM documents WHERE doc_id % $EvalMod <> 0),
-         |ev AS (SELECT DISTINCT unnest(list_distinct(list_transform($tgSql,
-         |         s -> ${tokHashSql("s")}))) AS h
-         |       FROM documents WHERE doc_id % $EvalMod = 0)
-         |SELECT e.doc_id,
-         |       count(*) AS n_shingles,
-         |       CAST(sum(CASE WHEN v.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
-         |       CASE WHEN sum(CASE WHEN v.h IS NOT NULL THEN 1 ELSE 0 END) > 0
-         |            THEN 1 ELSE 0 END AS is_contaminated
-         |FROM ex e LEFT JOIN ev v ON e.h = v.h
-         |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin,
+    // the at-rest serves must be bit-identical to the text-side scans
+    // they replace — oracle VERBATIM (the ir15 convention)
+    "d22_decontam_atrest" -> d8Sql,
+    "d23_leakage_atrest" -> d12Sql,
+    "d8_decontaminate" -> d8Sql,
+    "d12_split_leakage" -> d12Sql,
     // d7's head key + tx5's seeded-md5 bucket contract
     "d10_cluster_split" ->
       s"""WITH h AS (SELECT doc_id,
@@ -1506,26 +1730,6 @@ object DedupOps {
          |            WHEN ${md5LongSql("'split:' || cluster_key")} % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
          |            ELSE 'test' END AS split
          |FROM h ORDER BY doc_id""".stripMargin,
-    // d10's split rule + d8's hashed-trigram contract, roles reversed
-    // (train is the reference side); sums cast to BIGINT
-    "d12_split_leakage" ->
-      s"""WITH sp AS (SELECT doc_id,
-         |              CASE WHEN ${md5LongSql(s"'split:' || md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' '))")} % 100 < $SplitTrainPct THEN 'train'
-         |                   WHEN ${md5LongSql(s"'split:' || md5(array_to_string(${tokensSql("text")}[1:$HeadKeyTokens], ' '))")} % 100 < ${SplitTrainPct + SplitValPct} THEN 'val'
-         |                   ELSE 'test' END AS split,
-         |              list_distinct(list_transform($tgSql,
-         |                s -> ${tokHashSql("s")})) AS hs
-         |            FROM documents),
-         |ex AS (SELECT doc_id, split, unnest(hs) AS h FROM sp),
-         |tr AS (SELECT DISTINCT h FROM ex WHERE split = 'train')
-         |SELECT e.doc_id, e.split,
-         |       count(*) AS n_shingles,
-         |       CAST(sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_train_overlap,
-         |       CASE WHEN sum(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END) > 0
-         |            THEN 1 ELSE 0 END AS is_leaky
-         |FROM ex e LEFT JOIN tr t ON e.h = t.h
-         |WHERE e.split <> 'train'
-         |GROUP BY e.doc_id, e.split ORDER BY e.doc_id""".stripMargin,
     // d7's head key + tx2's diversity numerator; count(*) OVER is
     // BIGINT on both engines, row_number ties broken by doc_id
     "d9_quality_keeper" ->

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.DedupOps
+
+/** The at-rest shingle index (d22/d23): the ir16 guarantees —
+  * append == rebuild row-exact on every artifact, retried appends are
+  * no-ops, and the at-rest serves are bit-identical to the text-side
+  * scans they replace. The DPP plan pin lives in PlanContractSpec. */
+class DedupAtRestSpec extends SparkSpec {
+
+  private val Artifacts = Seq("postings", "shset", "docstats")
+
+  test("d22: the at-rest decontamination serve is bit-identical to d8's text-side scan") {
+    spark.sharedState.cacheManager.clearCache()
+    val served = DedupOps.decontamAtRest(spark, Sf).collect().toSeq
+    graft.operators.CacheScope.drain()
+    val scan = DedupOps.decontaminate(spark, Sf).collect().toSeq
+    assert(scan.nonEmpty && served == scan,
+      "at-rest decontamination serve drifted from the text-side scan")
+  }
+
+  test("d23: shingle-index append == rebuild row-exact on every artifact; serve == d12") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val train = docs.withColumn("split", DedupOps.splitCol)
+      .filter(col("split") === "train").drop("split")
+    val rootA = "target/graft-index/spec-d23-append"
+    val rootB = "target/graft-index/spec-d23-rebuild"
+    DedupOps.writeShingleIndex(spark, rootA,
+      train.filter(col("doc_id") % DedupOps.IncomingMod =!= 0))
+    DedupOps.appendShingleIndex(spark, rootA,
+      train.filter(col("doc_id") % DedupOps.IncomingMod === 0))
+    graft.operators.CacheScope.drain()
+    DedupOps.writeShingleIndex(spark, rootB, train)
+    // set-union dictionary + per-doc facts: appended == rebuilt, row-exact
+    for (art <- Artifacts) {
+      val a = spark.read.parquet(s"$rootA/$art")
+      val b = spark.read.parquet(s"$rootB/$art")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"append != rebuild on $art")
+    }
+    // and the registered query (which appends internally) equals d12's
+    // text-side scan bit-exactly
+    val served = DedupOps.leakageAtRest(spark, Sf).collect().toSeq
+    graft.operators.CacheScope.drain()
+    val scan = DedupOps.splitLeakage(spark, Sf).collect().toSeq
+    assert(scan.nonEmpty && served == scan,
+      "maintained-index leakage serve drifted from the text-side audit")
+  }
+
+  test("d23: a retried shingle append is a no-op on every artifact (exactly-once)") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val train = docs.withColumn("split", DedupOps.splitCol)
+      .filter(col("split") === "train").drop("split")
+    val root = "target/graft-index/spec-d23-retry"
+    val batch = train.filter(col("doc_id") % DedupOps.IncomingMod === 0)
+    DedupOps.writeShingleIndex(spark, root,
+      train.filter(col("doc_id") % DedupOps.IncomingMod =!= 0))
+    DedupOps.appendShingleIndex(spark, root, batch)
+    graft.operators.CacheScope.drain()
+    def canon(art: String) = spark.read.parquet(s"$root/$art")
+      .collect().map(_.toString).sorted.toSeq
+    val once = Artifacts.map(a => a -> canon(a)).toMap
+    // the retry: a rerun after ANY crash replays the same batch — the
+    // anti-join guards must land nothing new on any artifact
+    DedupOps.appendShingleIndex(spark, root, batch)
+    graft.operators.CacheScope.drain()
+    once.foreach { case (art, rows) =>
+      assert(canon(art) === rows, s"retry changed $art — append not idempotent")
+    }
+  }
+
+  test("d22: a partial-postings crash heals on rerun — stats land complete, rows dedupe") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val standing = docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0)
+    val batch = docs.filter(col("doc_id") % DedupOps.IncomingMod === 0)
+    val rootC = "target/graft-index/spec-d22-crash"
+    val rootF = "target/graft-index/spec-d22-crashref"
+    DedupOps.writeShingleIndex(spark, rootC, standing)
+    DedupOps.writeShingleIndex(spark, rootF, docs)
+    // simulate the torn append: HALF the batch's POSTINGS rows landed
+    // (the doc_id parity cut), and the crash hit before the dictionary
+    // delta and the stats rows ever wrote
+    DedupOps.shinglePostings(batch.filter(col("doc_id") % 2 === 0))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("sh_bucket")
+      .parquet(s"$rootC/postings")
+    // the rerun replays the FULL batch: already-landed rows anti-join
+    // out, the missing half lands, stats/dictionary complete
+    DedupOps.appendShingleIndex(spark, rootC, batch)
+    graft.operators.CacheScope.drain()
+    for (art <- Artifacts) {
+      val a = spark.read.parquet(s"$rootC/$art")
+      val b = spark.read.parquet(s"$rootF/$art")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"healed $art != rebuilt")
+    }
+  }
+}

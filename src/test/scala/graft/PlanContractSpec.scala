@@ -232,6 +232,29 @@ class PlanContractSpec extends SparkSpec {
         floatScans.map(_.partitionFilters).mkString("; "))
   }
 
+  test("d22: the contamination probe partition-prunes the at-rest shingle postings; stats come from docstats, never text") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.DedupOps.decontamAtRest(spark, Sf))
+    // the probed postings scan must carry DPP on sh_bucket — only the
+    // buckets holding eval-shingle hashes are listed
+    val postScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("shindex22/postings")))
+    assert(postScans.nonEmpty, "at-rest shingle postings scan missing from serve plan")
+    assert(postScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "shingle postings scan lost its dynamic partition pruning filter: " +
+        postScans.map(_.partitionFilters).mkString("; "))
+    // per-doc totals come from the slim stats artifact — the corpus
+    // side of the serve never recomputes them from text (the only
+    // documents scan left is the probe's own tiny eval side)
+    assert(scans(p).exists(
+      _.relation.location.rootPaths.exists(_.toString.contains("shindex22/docstats"))),
+      "docstats scan missing — serve recomputed totals from text?")
+    assert(scans(p).count(
+      _.relation.location.rootPaths.exists(_.toString.contains("documents.parquet"))) <= 1,
+      "the at-rest serve scanned documents beyond the probe side")
+  }
+
   test("x26: the sign-code serve is generator- and shuffle-join-free — scan-bound words + broadcast probe") {
     spark.sharedState.cacheManager.clearCache()
     val p = executed(graft.operators.SimilarityOps.signHamming(spark, Sf))
