@@ -912,6 +912,91 @@ object RetrievalOps {
       .write.mode("overwrite").parquet(s"$root/consts")
   }
 
+  /** Data files per term_bucket partition of the at-rest postings —
+    * driver-side FS listing, O(#files) layout metadata (the same
+    * bookkeeping a table format's manifest gives for free). */
+  private[graft] def postingsBucketFiles(s: SparkSession,
+      root: String): Map[Int, Seq[org.apache.hadoop.fs.FileStatus]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/postings"))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("term_bucket="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix("term_bucket=").toInt
+        b -> fs.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+  }
+
+  /** IR19's compaction core — complete the postings lifecycle (ir15
+    * builds, ir16 appends + heals; nothing bin-packed): every
+    * [[appendPostingsIndex]] lands ≥1 new file per touched bucket, so
+    * a daily-ingest deployment accretes small files until reads pay
+    * per-file open cost. x17's discipline applied to the postings:
+    * AFFECTED buckets (more data files than `targetFiles`) are read
+    * with a STATIC `term_bucket IN` partition predicate (only their
+    * directories are listed), repartitioned so each bucket lands as
+    * ONE file, staged, and written back with DYNAMIC partition
+    * overwrite — untouched buckets' files are never rewritten
+    * (RetrievalOpsSpec pins their file sets byte-identical), and the
+    * metadata tables need nothing: compaction moves bytes, not rows.
+    *
+    * Restart-safe without a log: a crash between staging and the
+    * overwrite reruns from the top (staging rebuilds from the intact
+    * postings); a crash MID-overwrite leaves some buckets compacted
+    * (1 file — the rerun's listing skips them) and some not (still
+    * >targetFiles — the rerun re-stages exactly those), and every
+    * replaced partition holds the same rows it held before, so no
+    * serve in between reads anything wrong. Returns the compacted
+    * bucket ids (Nil = nothing to do). */
+  private[graft] def compactPostingsIndex(s: SparkSession, root: String,
+      targetFiles: Int = 1): Seq[Int] = {
+    val affected = postingsBucketFiles(s, root)
+      .filter(_._2.size > targetFiles).keys.toSeq.sorted
+    if (affected.nonEmpty) {
+      s.read.parquet(s"$root/postings")
+        .filter(col("term_bucket").isin(affected: _*))
+        .repartition(affected.size, col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$root/staging")
+      s.read.parquet(s"$root/staging")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket")
+        .parquet(s"$root/postings")
+    }
+    affected
+  }
+
+  /** IR19 — COMPACTED-INDEX SERVE: the postings lifecycle closed.
+    * BUILD the standing index, APPEND the incoming batch (ir16 —
+    * which leaves ≥2 files in every touched bucket), COMPACT the
+    * accreted buckets back to one file each
+    * ([[compactPostingsIndex]]), then SERVE ir15's partition-pruned
+    * probe from the compacted files. Compaction is pure layout — row
+    * content, metadata and scores are untouched — so the output is
+    * BIT-IDENTICAL to ir2's exhaustive scan (oracle verbatim, the
+    * ir15/ir16 convention) and RetrievalOpsSpec pins
+    * serve-before == serve-after plus the untouched-bucket file-set
+    * invariant.
+    *
+    * 100 TB plan: the nightly bin-pack reads and rewrites ONLY the
+    * buckets the day's appends touched (static partition predicate in,
+    * dynamic partition overwrite out — the standing cold buckets are
+    * never listed, read, or rewritten), so compaction cost tracks
+    * ingest volume, not index size. */
+  def compactedIndexServe(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/irindex19"
+    val docs = Tables.documents(s, dir)
+    writePostingsIndex(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0))
+    appendPostingsIndex(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod === 0))
+    compactPostingsIndex(s, root)
+    serveFromIndex(s, root)
+  }
+
   /** The probe's static bucket list — computed driver-side from the
     * query terms alone, O(|terms|), corpus-independent. */
   private def probeBuckets: Seq[Int] =
@@ -959,10 +1044,16 @@ object RetrievalOps {
   def indexServe(s: SparkSession, dir: String): DataFrame = {
     val root = SimilarityOps.indexRoot(s, dir) + "/irindex"
     writePostingsIndex(s, root, Tables.documents(s, dir))
+    serveFromIndex(s, root)
+  }
+
+  /** ir15's serve body over any written index root — the one
+    * authoritative at-rest serving tree (ir15/ir19 and the spec's
+    * serve-unchanged pins all call it, so the shapes cannot drift). */
+  private[graft] def serveFromIndex(s: SparkSession, root: String): DataFrame =
     rankedTopK(pivotProbed(probedPostings(s, root))
       .crossJoin(broadcast(storedStats(s, root)))
       .withColumn("score", scoreCol))
-  }
 
   /** IR16 — BLOCK-MAX SERVE FROM THE MAINTAINED INDEX: the standing
     * corpus (doc_id % 5 ≠ 0) builds the at-rest index, the incoming
@@ -1390,6 +1481,7 @@ object RetrievalOps {
     "ir14_phrase_index" -> (phraseIndexServe _),
     "ir15_index_serve" -> (indexServe _),
     "ir16_blockmax_index" -> (blockmaxIndexServe _),
+    "ir19_postings_compact" -> (compactedIndexServe _),
     "ir17_phrase_at_rest" -> (phraseAtRestServe _),
     "ir18_champion_at_rest" -> (championAtRestServe _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
@@ -1606,6 +1698,14 @@ object RetrievalOps {
     // so the oracle states the invariant (ir2's SQL verbatim) and the
     // program takes the maintained at-rest path
     "ir16_blockmax_index" ->
+      s"""WITH d AS ($dSql),
+         |$statsSql,
+         |${rankedSql("d")}""".stripMargin,
+    // ir19: compaction is pure layout — build∘append∘compact∘serve
+    // returns exactly what ir15's serve returns, which is ir2's scan
+    // (oracle verbatim; the file-set invariants live in
+    // RetrievalOpsSpec where SQL cannot state them)
+    "ir19_postings_compact" ->
       s"""WITH d AS ($dSql),
          |$statsSql,
          |${rankedSql("d")}""".stripMargin,

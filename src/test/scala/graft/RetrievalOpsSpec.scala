@@ -207,6 +207,64 @@ class RetrievalOpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ir19: compaction bin-packs ONLY accreted buckets; untouched buckets byte-identical; serve unchanged") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val root = "target/graft-index/spec-ir19"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    RetrievalOps.writePostingsIndex(spark, root, docs)
+    // first compaction: bring every bucket to exactly one file (the
+    // build's shuffle writes one file per contributing task per bucket)
+    RetrievalOps.compactPostingsIndex(spark, root)
+    val before = RetrievalOps.postingsBucketFiles(spark, root)
+    assert(before.nonEmpty && before.values.forall(_.size == 1),
+      "first compaction left a bucket with more than one file")
+    // a second compaction pass finds nothing to do
+    assert(RetrievalOps.compactPostingsIndex(spark, root).isEmpty,
+      "compaction of a compacted index was not a no-op")
+    // the day's ingest: a tiny batch whose tokens hit ONE bucket —
+    // only that bucket accretes a second file
+    val tok = "compactprobe"
+    val hot = RetrievalOps.termBucketOf(tok)
+    val batchDocs = Seq((900001L, s"$tok $tok"), (900002L, tok))
+      .toDF("doc_id", "text")
+    RetrievalOps.appendPostingsIndex(spark, root, batchDocs)
+    spark.sharedState.cacheManager.clearCache()
+    val servedBefore = RetrievalOps.serveFromIndex(spark, root).collect().toSeq
+    val accreted = RetrievalOps.postingsBucketFiles(spark, root)
+      .filter(_._2.size > 1).keys.toSet
+    assert(accreted == Set(hot),
+      s"append accreted buckets $accreted, expected only $hot")
+    val rowsBefore = spark.read.parquet(s"$root/postings")
+      .collect().map(_.toString).sorted.toSeq
+    // the nightly bin-pack: compacts the hot bucket alone; every other
+    // bucket's FILES survive byte-identical (path + size + mtime)
+    def fileSig(m: Map[Int, Seq[org.apache.hadoop.fs.FileStatus]]) =
+      m.map { case (b, fs) => b -> fs.map(f =>
+        (f.getPath.toString, f.getLen, f.getModificationTime)).sortBy(_._1) }
+    val preCompact = fileSig(RetrievalOps.postingsBucketFiles(spark, root))
+    val compacted = RetrievalOps.compactPostingsIndex(spark, root)
+    assert(compacted == Seq(hot), s"compacted $compacted, expected Seq($hot)")
+    val postCompact = fileSig(RetrievalOps.postingsBucketFiles(spark, root))
+    (preCompact.keySet - hot).foreach { b =>
+      assert(postCompact(b) == preCompact(b),
+        s"compaction rewrote untouched bucket $b")
+    }
+    assert(postCompact(hot).size == 1, "hot bucket not packed to one file")
+    // pure layout: row content identical, the probe serve bit-identical
+    val rowsAfter = spark.read.parquet(s"$root/postings")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore, "compaction changed postings rows")
+    spark.sharedState.cacheManager.clearCache()
+    val servedAfter = RetrievalOps.serveFromIndex(spark, root).collect().toSeq
+    assert(servedAfter.nonEmpty && servedAfter == servedBefore,
+      "the serve changed across append+compact of a non-probed bucket")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ir16: stale metadata after a torn append heals by recount to the exact rebuilt state") {
     import org.apache.spark.sql.functions.col
     spark.sharedState.cacheManager.clearCache()
