@@ -449,24 +449,40 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    // containsNull arrays are rejected outright: a null element has no
-    // position in a sorted merge, and silently treating it as 0 (what
-    // getLong would do) is a wrong count, not a degraded one
+    // a null ELEMENT has no position in a sorted merge, and silently
+    // treating it as 0 (what getLong would do) is a wrong count, not a
+    // degraded one. containsNull=true types are still ACCEPTED —
+    // Spark's file sources force every read-back schema nullable
+    // (HadoopFsRelation.asNullable), so the at-rest shingle-set reads
+    // (d24/d25) arrive as array<long> containsNull=true even though
+    // the writer (HashedShingleSet, containsNull=false) guarantees no
+    // nulls — and an actual null element fails LOUDLY at runtime
+    // below instead of miscounting.
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, false) => true
+      case ArrayType(LongType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<long> inputs without null elements, got " +
+      s"$prettyName requires two array<long> inputs, got " +
         s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
 
   override def dataType: DataType = IntegerType
 
+  private def checkNoNulls(x: ArrayData, side: String): Unit = {
+    var i = 0
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"sorted_intersect_count: null element in $side input")
+      i += 1
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    checkNoNulls(x, "left"); checkNoNulls(y, "right")
     var i = 0
     var j = 0
     var c = 0
@@ -489,6 +505,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       s"""
          |int $i = 0, $j = 0, $c = 0;
+         |for ($i = 0; $i < $a.numElements(); $i++) {
+         |  if ($a.isNullAt($i)) throw new IllegalArgumentException(
+         |    "sorted_intersect_count: null element in left input");
+         |}
+         |for ($j = 0; $j < $b.numElements(); $j++) {
+         |  if ($b.isNullAt($j)) throw new IllegalArgumentException(
+         |    "sorted_intersect_count: null element in right input");
+         |}
+         |$i = 0; $j = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
          |  final long $xv = $a.getLong($i);
          |  final long $yv = $b.getLong($j);

@@ -1436,9 +1436,249 @@ object DedupOps {
       .transform(Common.presented(_, col("doc_id")))
   }
 
+  // ---------------------------------------------------------------
+  // The at-rest MinHash band index (d24/d25): the physical half of
+  // the near-dup serving tier. d2 proves the band/verify ALGEBRA and
+  // d15 the incremental probe; d24 writes the band-bucketed signature
+  // index AND the id-bucketed shingle-set table to parquet and serves
+  // d2's full pair audit from THE FILES (signatures computed once at
+  // ingest, never re-derived per audit); d25 maintains the index
+  // under append (per-doc facts — append == rebuild row-exact) and
+  // probes an incoming batch against the FROZEN bands with both reads
+  // dynamic-partition-pruned (the x30 fetch discipline applied to
+  // near-dup): candidates from the probe's band buckets, verify sets
+  // from the candidates' id buckets.
+  // ---------------------------------------------------------------
+
+  /** Band-bucket / id-bucket counts of the at-rest near-dup layout —
+    * 16, the family constant. */
+  val BandBuckets = 16
+  val IdBuckets = 16
+
+  /** The band partition attribute: band signatures are uniform
+    * products of minhashes, so a plain modulus spreads them; the band
+    * ordinal folds in so the 4 band sub-indexes interleave. */
+  private[graft] def bandBucketCol(band: Column, sig: Column): Column =
+    pmod(band + sig, lit(BandBuckets.toLong)).cast("int")
+
+  private def idBucketCol(id: Column): Column =
+    pmod(id, lit(IdBuckets.toLong)).cast("int")
+
+  /** Sorted distinct hashed-shingle sets — d2's verify-side frame. */
+  private def docShingleSets(docs: DataFrame): DataFrame = {
+    import graft.functions.ShingleExpressions.hashedShingleSet
+    docs.select(col("doc_id"), hashedShingleSet(tokens(col("text")), 2).as("bg"))
+  }
+
+  /** (doc_id, band, sig, band_bucket) — d2's band signature rows over
+    * any (doc_id, bg) frame. */
+  private def bandRows(hsets: DataFrame): DataFrame = {
+    import graft.functions.ShingleExpressions.minhashSig
+    hsets.select(col("doc_id"), minhashSig(col("bg"), MinHashAB).as("mh"))
+      .select(col("doc_id"), posexplode(array((0 until Bands).map(bnd =>
+        element_at(col("mh"), 2 * bnd + 1) * HashMod +
+          element_at(col("mh"), 2 * bnd + 2)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      .withColumn("band_bucket", bandBucketCol(col("band"), col("sig")))
+  }
+
+  /** BUILD: write the near-dup index under `root` —
+    *   - `bands/` — (doc_id, band, sig) PARTITIONED BY band_bucket:
+    *     the LSH candidate index a probe partition-prunes into.
+    *   - `docsets/` — (doc_id, bg) PARTITIONED BY id_bucket: the
+    *     sorted shingle sets the exact-Jaccard verify fetches by id
+    *     (x30's id-bucketed float-table layout, applied to sets) —
+    *     candidates verify WITHOUT re-shingling any text. */
+  private[graft] def writeBandIndex(s: SparkSession, root: String,
+      docs: DataFrame): Unit = {
+    val hsets = docShingleSets(docs)
+    CacheScope.persist(hsets) // feeds both artifacts
+    hsets.select(col("doc_id"), col("bg"),
+        idBucketCol(col("doc_id")).as("id_bucket"))
+      .write.mode("overwrite").partitionBy("id_bucket")
+      .parquet(s"$root/docsets")
+    bandRows(hsets)
+      .write.mode("overwrite").partitionBy("band_bucket")
+      .parquet(s"$root/bands")
+  }
+
+  /** APPEND: per-doc facts only — no merge step at all (the band rows
+    * and shingle sets of standing docs never change), so append ==
+    * rebuild row-for-row by construction. Exactly-once via the ir16
+    * anti-join + eager-checkpoint discipline, with the column order
+    * restored after each anti-join (the d23 mixed-file-schema
+    * lesson). */
+  private[graft] def appendBandIndex(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val hsets = docShingleSets(batch)
+    CacheScope.persist(hsets) // feeds both appends
+    hsets.select(col("doc_id"), col("bg"),
+        idBucketCol(col("doc_id")).as("id_bucket"))
+      .join(s.read.parquet(s"$root/docsets").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("bg"), col("id_bucket"))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("id_bucket")
+      .parquet(s"$root/docsets")
+    bandRows(hsets)
+      .join(s.read.parquet(s"$root/bands")
+          .select(col("doc_id"), col("band")),
+        Seq("doc_id", "band"), "left_anti")
+      .select(col("doc_id"), col("band"), col("sig"), col("band_bucket"))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("band_bucket")
+      .parquet(s"$root/bands")
+  }
+
+  /** The docsets read with the layout contract RE-ASSERTED: parquet
+    * read-back defaults every array to nullable elements, but the
+    * written sets come from [[graft.functions.HashedShingleSet]]
+    * (containsNull = false) and the compiled sorted-merge verify
+    * rightly REJECTS nullable elements rather than miscounting them —
+    * so the reader declares the type the writer guaranteed. */
+  private def readDocsets(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("bg", ArrayType(LongType, containsNull = false)),
+        StructField("id_bucket", IntegerType))))
+      .parquet(s"$root/docsets")
+  }
+
+  /** The d2 verify + flag tree over candidate pairs and two
+    * (id → bg) sides — ONE definition for the scan path and both
+    * at-rest serves. */
+  private def verifyPairs(cand: DataFrame, left: DataFrame,
+      right: DataFrame): DataFrame = {
+    import graft.functions.ShingleExpressions.sortedIntersectCount
+    val inter = sortedIntersectCount(col("ba.bg"), col("bb.bg")).cast("long")
+    val uni = (size(col("ba.bg")) + size(col("bb.bg"))).cast("long") - inter
+    cand.join(left.as("ba"), col("a") === col("ba.doc_id"))
+      .join(right.as("bb"), col("b") === col("bb.doc_id"))
+      .select(col("a"), col("b"),
+        inter.as("inter_cnt"), uni.as("union_cnt"),
+        when(inter * JaccardNum >= uni, 1).otherwise(0).as("is_near_dup"))
+  }
+
+  /** D24 — NEAR-DUP PAIR AUDIT FROM THE AT-REST INDEX: d2's full
+    * candidate-pair output served from the written band index. BUILD
+    * writes signatures + shingle sets ONCE ([[writeBandIndex]] — the
+    * ingest-time cost every audit amortizes); the SERVE self-joins the
+    * at-rest band rows on (band, sig), dedups candidate pairs, and
+    * verifies with the exact sorted-merge Jaccard over sets FETCHED
+    * from the id-bucketed docsets table — no text is shingled at
+    * audit time. Output BIT-IDENTICAL to d2 (oracle verbatim, the
+    * ir15 path-substitution convention).
+    *
+    * 100 TB plan: the recurring audit cost drops from
+    * corpus-shingle+minhash (d2's measured hot path) to a slim
+    * (doc_id, band, sig) self-join bounded by band-bucket occupancy
+    * plus a per-candidate set fetch; the band self-join co-partitions
+    * on the written bucket layout. */
+  def bandPairsAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/bandidx24"
+    writeBandIndex(s, root, Tables.documents(s, dir))
+    val bands = s.read.parquet(s"$root/bands")
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val ds = readDocsets(s, root).select(col("doc_id"), col("bg"))
+    verifyPairs(cand, ds, ds)
+      .transform(Common.presented(_, col("a"), col("b")))
+  }
+
+  /** D25 — INCREMENTAL NEAR-DUP PROBE AGAINST THE FROZEN AT-REST
+    * BANDS: d15's re-crawl verdict with the corpus side replaced by
+    * the MAINTAINED index. The standing corpus's index builds in two
+    * steps (build + [[appendBandIndex]] — append == rebuild row-exact,
+    * DedupAtRestSpec pins it); the incoming batch computes its own
+    * signatures (live input) and probes the at-rest bands with the
+    * broadcast probe joined ON THE BARE band_bucket partition
+    * attribute → dynamic partition pruning reads only the probe's
+    * band buckets; the exact-Jaccard verify then fetches ONLY the
+    * candidates' shingle sets from docsets, DPP-pruned by id bucket
+    * (x30's two-stage fetch shape — PlanContractSpec pins both
+    * dynamicpruning filters). Output BIT-IDENTICAL to d15 (oracle
+    * verbatim).
+    *
+    * 100 TB plan: a batch probe reads ≤ |batch × bands| buckets of
+    * the signature index and ≤ |candidates| id buckets of the set
+    * table — corpus-size-independent serve IO, the whole point of
+    * writing the index. */
+  def bandProbeAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/bandidx25"
+    val docs = Tables.documents(s, dir)
+    val standing = docs.filter(col("doc_id") % IncomingMod =!= 0)
+    writeBandIndex(s, root, standing.filter(col("doc_id") % 2 =!= 0))
+    appendBandIndex(s, root, standing.filter(col("doc_id") % 2 === 0))
+    bandProbeAgainst(s, root, docs.filter(col("doc_id") % IncomingMod === 0))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
+  /** d25's probe core over any incoming (doc_id, text) batch and any
+    * written index root — the unit the streamed twin binds per
+    * micro-batch (StreamingBandSpec): every verdict row depends only
+    * on its own document and the FROZEN files, so streamed ==
+    * batched under any arrival order. */
+  private[graft] def bandProbeAgainst(s: SparkSession, root: String,
+      incoming: DataFrame, cacheBatch: Boolean = true): DataFrame = {
+    val ihsets = docShingleSets(incoming)
+    // probe rows + verify side + verdict ids — but a long-running
+    // streaming monitor calls this per micro-batch and must not
+    // accumulate per-batch persists (the winnowing convention)
+    if (cacheBatch) { CacheScope.persist(ihsets); () }
+    val probe = bandRows(ihsets)
+      .select(col("doc_id").as("a"), col("band").as("p_band"),
+        col("sig").as("p_sig"), col("band_bucket").as("p_bucket"))
+      // the p_bucket >= 0 domain constraint is load-bearing (x17's
+      // lesson): the probe descends from a PERSISTED frame, so its
+      // upstream filters sit inside the InMemoryRelation where the
+      // PartitionPruning rule cannot see them — without a visible
+      // selective predicate the bands scan silently reads every bucket
+      .filter(col("p_bucket") >= 0)
+    val cand = s.read.parquet(s"$root/bands")
+      .join(broadcast(probe),
+        col("band_bucket") === col("p_bucket") &&
+          col("band") === col("p_band") && col("sig") === col("p_sig"))
+      .select(col("a"), col("doc_id").as("b"))
+      .distinct()
+    val slb = cand.withColumn("b_bucket", idBucketCol(col("b")))
+      .filter(col("b_bucket") >= 0) // same load-bearing domain constraint
+    val fetched = readDocsets(s, root)
+      .join(broadcast(slb),
+        col("id_bucket") === col("b_bucket") && col("doc_id") === col("b"))
+      .select(col("a"), col("b"), col("bg").as("bgb"))
+    // the fetch already pairs (a, b, corpus set) — only the incoming
+    // side's set attaches here, so no per-candidate fan-out
+    val inter = graft.functions.ShingleExpressions
+      .sortedIntersectCount(col("bga"), col("bgb")).cast("long")
+    val uni = (size(col("bga")) + size(col("bgb"))).cast("long") - inter
+    val verified = fetched
+      .join(ihsets.select(col("doc_id").as("a"), col("bg").as("bga")),
+        Seq("a"))
+      .select(col("a"), col("b"),
+        when(inter * JaccardNum >= uni, 1).otherwise(0).as("is_near_dup"))
+    val agg = verified.groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(col("is_near_dup")).cast("long").as("n_dup"),
+        min(when(col("is_near_dup") === 1, col("b"))).as("dup_of"))
+    ihsets.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("dup_of"),
+        when(coalesce(col("n_dup"), lit(0L)) > 0, lit("near_dup_of_corpus"))
+          .otherwise(lit("new")).as("verdict"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d22_decontam_atrest" -> (decontamAtRest _),
     "d23_leakage_atrest" -> (leakageAtRest _),
+    "d24_bandpairs_atrest" -> (bandPairsAtRest _),
+    "d25_bandprobe_atrest" -> (bandProbeAtRest _),
     "d1_exact_dedup" -> (exact _),
     "d2_minhash_lsh" -> (minhashLsh _),
     "d3_simhash" -> (simhash _),
@@ -1579,14 +1819,52 @@ object DedupOps {
        |WHERE e.split <> 'train'
        |GROUP BY e.doc_id, e.split ORDER BY e.doc_id""".stripMargin
 
+  /** d15's oracle — shared VERBATIM by the at-rest probe d25. */
+  private val d15Sql: String =
+    s"""WITH t AS (SELECT doc_id, $bgSql AS bg FROM documents),
+         |h AS (SELECT doc_id, bg, list_transform(bg, s -> ${tokHashSql("s")}) AS hs FROM t),
+         |m AS (SELECT doc_id,
+         |       $mhSqls
+         |       FROM h),
+         |sigs AS (
+         |  $bandSelects
+         |),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM sigs x JOIN sigs y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |         WHERE x.doc_id % $IncomingMod = 0 AND y.doc_id % $IncomingMod <> 0),
+         |th AS (SELECT doc_id, list_distinct(hs) AS bg FROM h),
+         |ver AS (SELECT a, b,
+         |          CASE WHEN len(list_intersect(ta.bg, tb.bg)) * $JaccardNum >=
+         |                    len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg))
+         |               THEN 1 ELSE 0 END AS nd
+         |        FROM cand JOIN th ta ON cand.a = ta.doc_id
+         |                 JOIN th tb ON cand.b = tb.doc_id),
+         |agg AS (SELECT a AS doc_id, count(*) AS n_cand,
+         |               CAST(sum(nd) AS BIGINT) AS n_dup,
+         |               min(CASE WHEN nd = 1 THEN b END) AS dup_of
+         |        FROM ver GROUP BY a)
+         |SELECT d.doc_id,
+         |       coalesce(n_cand, 0) AS n_cand,
+         |       coalesce(n_dup, 0) AS n_dup,
+         |       dup_of,
+         |       CASE WHEN coalesce(n_dup, 0) > 0 THEN 'near_dup_of_corpus'
+         |            ELSE 'new' END AS verdict
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
+         |LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** d2's oracle — shared VERBATIM by the at-rest pair audit d24. */
+  private val d2Sql: String =
+    s"""$oraclesD2Body
+       |ORDER BY a, b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "d2_minhash_lsh" ->
-      s"""$oraclesD2Body
-         |ORDER BY a, b""".stripMargin,
+    "d2_minhash_lsh" -> d2Sql,
     "d3_simhash" ->
       s"""$simhashCoreSql
          |ORDER BY doc_id""".stripMargin,
@@ -1678,45 +1956,15 @@ object DedupOps {
     // d2's signature/band/verify machinery, restricted to incoming->
     // corpus candidate pairs and collapsed to one verdict per incoming
     // doc; counts cast to BIGINT (DuckDB sum(int) widens to HUGEINT)
-    "d15_minhash_incremental" ->
-      s"""WITH t AS (SELECT doc_id, $bgSql AS bg FROM documents),
-         |h AS (SELECT doc_id, bg, list_transform(bg, s -> ${tokHashSql("s")}) AS hs FROM t),
-         |m AS (SELECT doc_id,
-         |       $mhSqls
-         |       FROM h),
-         |sigs AS (
-         |  $bandSelects
-         |),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |         FROM sigs x JOIN sigs y
-         |           ON x.band = y.band AND x.sig = y.sig
-         |         WHERE x.doc_id % $IncomingMod = 0 AND y.doc_id % $IncomingMod <> 0),
-         |th AS (SELECT doc_id, list_distinct(hs) AS bg FROM h),
-         |ver AS (SELECT a, b,
-         |          CASE WHEN len(list_intersect(ta.bg, tb.bg)) * $JaccardNum >=
-         |                    len(ta.bg) + len(tb.bg) - len(list_intersect(ta.bg, tb.bg))
-         |               THEN 1 ELSE 0 END AS nd
-         |        FROM cand JOIN th ta ON cand.a = ta.doc_id
-         |                 JOIN th tb ON cand.b = tb.doc_id),
-         |agg AS (SELECT a AS doc_id, count(*) AS n_cand,
-         |               CAST(sum(nd) AS BIGINT) AS n_dup,
-         |               min(CASE WHEN nd = 1 THEN b END) AS dup_of
-         |        FROM ver GROUP BY a)
-         |SELECT d.doc_id,
-         |       coalesce(n_cand, 0) AS n_cand,
-         |       coalesce(n_dup, 0) AS n_dup,
-         |       dup_of,
-         |       CASE WHEN coalesce(n_dup, 0) > 0 THEN 'near_dup_of_corpus'
-         |            ELSE 'new' END AS verdict
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
-         |LEFT JOIN agg USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+    "d15_minhash_incremental" -> d15Sql,
     // same hashed-distinct-shingle contract as tx6/d2, at k=3; sums
     // cast to BIGINT (DuckDB sum(int) widens to HUGEINT)
     // the at-rest serves must be bit-identical to the text-side scans
     // they replace — oracle VERBATIM (the ir15 convention)
     "d22_decontam_atrest" -> d8Sql,
     "d23_leakage_atrest" -> d12Sql,
+    "d24_bandpairs_atrest" -> d2Sql,
+    "d25_bandprobe_atrest" -> d15Sql,
     "d8_decontaminate" -> d8Sql,
     "d12_split_leakage" -> d12Sql,
     // d7's head key + tx5's seeded-md5 bucket contract

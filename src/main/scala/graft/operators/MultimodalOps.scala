@@ -194,7 +194,16 @@ object MultimodalOps {
     * swaps the token stream for decoded DCT/chroma features — the
     * representative-collapse, banding and recall guarantee are the
     * production part. */
-  def mediaNearDup(s: SparkSession, dir: String): DataFrame = {
+  def mediaNearDup(s: SparkSession, dir: String): DataFrame =
+    phashPairs(phashChunks(s, dir))
+      .transform(Common.presented(_, col("kind"), col("a"), col("b")))
+
+  /** m6's band-chunk rows (kind, rep_id, n_copies, phash, band,
+    * chunk): byte-identical copies collapse to one representative per
+    * (kind, digest), the 60-bit perceptual signature splits into
+    * d3b's 4×15-bit pigeonhole bands. ONE definition — m6 audits this
+    * frame in memory, m7 WRITES it as the at-rest index. */
+  private[graft] def phashChunks(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import graft.functions.TextFunctions.tokens
     val bandBits = DedupOps.Simhash60BandBits
@@ -208,12 +217,18 @@ object MultimodalOps {
       .agg(min(col("media_id")).as("rep_id"),
         count(lit(1)).as("n_copies"),
         min(col("phash")).as("phash")) // identical payloads → identical phash
-    val chunks = reps.select(col("kind"), col("rep_id"), col("n_copies"),
+    reps.select(col("kind"), col("rep_id"), col("n_copies"),
       col("phash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("phash"), bandBits * i)
           .bitwiseAND((1 << bandBits) - 1)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+  }
+
+  /** The banded-hamming pair audit over any band-chunk frame — shared
+    * by m6 (in-memory) and m7 (at-rest), so the two paths cannot
+    * drift. */
+  private def phashPairs(chunks: DataFrame): DataFrame = {
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.kind") === col("y.kind") && col("x.band") === col("y.band") &&
           col("x.chunk") === col("y.chunk") &&
@@ -230,22 +245,79 @@ object MultimodalOps {
         when(col("hamming") <= DedupOps.SimhashMaxHamming, 1).otherwise(0)
           .as("is_near_dup"),
         col("n_copies_a"), col("n_copies_b"))
+  }
+
+  /** Band-chunk bucket count of the at-rest pHash layout — 16, the
+    * TermBuckets/BandBuckets family constant. */
+  val ChunkBuckets = 16
+
+  /** M7 — MEDIA NEAR-DUP AUDIT FROM THE AT-REST pHASH INDEX: d24's
+    * discipline mirrored onto m6's perceptual bands. The ingest-time
+    * BUILD decodes + signs every payload ONCE and writes the
+    * denormalized band-chunk rows PARTITIONED BY chunk bucket; the
+    * audit then runs ENTIRELY from the files — the kind-scoped banded
+    * self-join and hamming verify never touch a payload again (the
+    * phash and copy counts ride the index rows). Output BIT-IDENTICAL
+    * to m6 (oracle verbatim, the ir15 path-substitution convention).
+    *
+    * 100 TB plan: payloads (the heavy column) are read exactly once
+    * per media item's lifetime; every re-audit and every incoming
+    * batch probe (the d25 shape: broadcast probe on the bare
+    * chunk_bucket attribute → DPP — MultimodalOpsSpec pins the pruned
+    * probe) costs slim signature IO bounded by band-bucket occupancy,
+    * never a decode. */
+  def phashAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/phashidx"
+    phashChunks(s, dir)
+      .withColumn("chunk_bucket",
+        pmod(col("chunk") + col("band"), lit(ChunkBuckets)).cast("int"))
+      .write.mode("overwrite").partitionBy("chunk_bucket")
+      .parquet(s"$root/bands")
+    phashPairs(s.read.parquet(s"$root/bands").drop("chunk_bucket"))
       .transform(Common.presented(_, col("kind"), col("a"), col("b")))
+  }
+
+  /** m7's incremental probe core (the d25 shape for media): an
+    * incoming batch of band-chunk rows probes the FROZEN at-rest
+    * index with the broadcast probe joined on the bare chunk_bucket
+    * partition attribute — DPP reads only the probe's buckets. Spec
+    * surface (MultimodalOpsSpec pins verdicts == the full audit's
+    * pairs restricted to the batch, and the dynamicpruning filter). */
+  private[graft] def phashProbeFrom(s: SparkSession, root: String,
+      probe: DataFrame): DataFrame = {
+    val p = probe
+      .select(col("kind").as("p_kind"), col("rep_id").as("a"),
+        col("phash").as("pa"), col("n_copies").as("n_copies_a"),
+        col("band").as("p_band"), col("chunk").as("p_chunk"))
+      .withColumn("p_bucket",
+        pmod(col("p_chunk") + col("p_band"), lit(ChunkBuckets)).cast("int"))
+    s.read.parquet(s"$root/bands")
+      .join(broadcast(p),
+        col("chunk_bucket") === col("p_bucket") &&
+          col("kind") === col("p_kind") && col("band") === col("p_band") &&
+          col("chunk") === col("p_chunk") && col("rep_id") =!= col("a"))
+      .select(col("kind"), col("a"), col("rep_id").as("b"),
+        col("pa"), col("phash").as("pb"),
+        col("n_copies_a"), col("n_copies").as("n_copies_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .select(col("kind"), col("a"), col("b"), col("hamming"),
+        when(col("hamming") <= DedupOps.SimhashMaxHamming, 1).otherwise(0)
+          .as("is_near_dup"), col("n_copies_a"), col("n_copies_b"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m6_media_neardup" -> (mediaNearDup _),
+    "m7_phash_atrest" -> (phashAtRest _),
     "m1_media_meta" -> (mediaMeta _),
     "m2_frame_sample" -> (frameSample _),
     "m3_decode_stub" -> ((s, d) => decodeStub(s, d)),
     "m4_resize_plan" -> (resizePlan _),
     "m5_media_dedup" -> (mediaDedup _))
 
-  val oracles: Map[String, String] = Map(
-    // d3b's 60-bit bit-vote fold + banded-hamming restatement over the
-    // media stand-in (props IS the decoded payload under the stub
-    // codec); counts stay BIGINT on both engines
-    "m6_media_neardup" -> {
+  /** m6's oracle — shared VERBATIM by the at-rest serve m7. */
+  private val m6Sql: String = {
       val bandBits = DedupOps.Simhash60BandBits
       val mask = (1 << bandBits) - 1
       s"""WITH m AS (SELECT event_id AS media_id,
@@ -276,7 +348,16 @@ object MultimodalOps {
          |            THEN 1 ELSE 0 END AS is_near_dup,
          |       n_copies_a, n_copies_b
          |FROM cand ORDER BY kind, a, b""".stripMargin
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    // d3b's 60-bit bit-vote fold + banded-hamming restatement over the
+    // media stand-in (props IS the decoded payload under the stub
+    // codec); counts stay BIGINT on both engines
+    "m6_media_neardup" -> m6Sql,
+    // the at-rest serve must be bit-identical to the in-memory audit —
+    // oracle VERBATIM (the ir15 convention)
+    "m7_phash_atrest" -> m6Sql,
     "m1_media_meta" ->
       """SELECT event_id AS media_id,
         |       CASE WHEN event_type = 'click' THEN 'image'

@@ -72,6 +72,56 @@ class DedupAtRestSpec extends SparkSpec {
     }
   }
 
+  test("d24: the at-rest band-index pair audit is bit-identical to d2's in-memory pipeline") {
+    spark.sharedState.cacheManager.clearCache()
+    val served = DedupOps.bandPairsAtRest(spark, Sf).collect().toSeq
+    graft.operators.CacheScope.drain()
+    val scan = DedupOps.minhashLsh(spark, Sf).collect().toSeq
+    assert(scan.nonEmpty && served == scan,
+      "at-rest band pair audit drifted from d2")
+  }
+
+  test("d25: the DPP probe against the maintained band index is bit-identical to d15") {
+    spark.sharedState.cacheManager.clearCache()
+    val served = DedupOps.bandProbeAtRest(spark, Sf).collect().toSeq
+    graft.operators.CacheScope.drain()
+    val scan = DedupOps.minhashIncremental(spark, Sf).collect().toSeq
+    assert(scan.nonEmpty && served == scan,
+      "at-rest band probe drifted from d15")
+    assert(served.exists(_.getAs[String]("verdict") == "near_dup_of_corpus") &&
+      served.exists(_.getAs[String]("verdict") == "new"),
+      "fixture regression: both verdicts should occur")
+  }
+
+  test("d25: band-index append == rebuild row-exact on both artifacts; a retried append is a no-op") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val standing = docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0)
+    val rootA = "target/graft-index/spec-d25-append"
+    val rootB = "target/graft-index/spec-d25-rebuild"
+    val batch = standing.filter(col("doc_id") % 2 === 0)
+    DedupOps.writeBandIndex(spark, rootA,
+      standing.filter(col("doc_id") % 2 =!= 0))
+    DedupOps.appendBandIndex(spark, rootA, batch)
+    graft.operators.CacheScope.drain()
+    DedupOps.writeBandIndex(spark, rootB, standing)
+    graft.operators.CacheScope.drain()
+    for (art <- Seq("bands", "docsets")) {
+      val a = spark.read.parquet(s"$rootA/$art")
+      val b = spark.read.parquet(s"$rootB/$art")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"append != rebuild on $art")
+    }
+    def canon(art: String) = spark.read.parquet(s"$rootA/$art")
+      .collect().map(_.toString).sorted.toSeq
+    val once = Seq("bands", "docsets").map(a => a -> canon(a)).toMap
+    DedupOps.appendBandIndex(spark, rootA, batch)
+    graft.operators.CacheScope.drain()
+    once.foreach { case (art, rows) =>
+      assert(canon(art) === rows, s"retry changed $art — append not idempotent")
+    }
+  }
+
   test("d22: a partial-postings crash heals on rerun — stats land complete, rows dedupe") {
     spark.sharedState.cacheManager.clearCache()
     val docs = graft.sources.Tables.documents(spark, Sf)

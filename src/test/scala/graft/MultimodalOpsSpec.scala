@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.MultimodalOps
+import graft.operators.{MultimodalOps, SimilarityOps}
 import graft.operators.MultimodalOps.{MediaCodec, MediaFeature}
 
 /** The multimodal plumbing contracts the oracle can't check: the codec
@@ -70,6 +70,66 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(fs.filter(col("frame_idx") >= col("n_frames")).count() === 0)
     assert(fs.filter(col("sample_seq") === 0 && col("frame_idx") =!= 0).count() === 0)
     fs.unpersist()
+  }
+
+  test("m7: the at-rest pHash audit is bit-identical to m6's in-memory pipeline") {
+    spark.sharedState.cacheManager.clearCache()
+    val served = MultimodalOps.phashAtRest(spark, Sf).collect().toSeq
+    graft.operators.CacheScope.drain()
+    val scan = MultimodalOps.mediaNearDup(spark, Sf).collect().toSeq
+    assert(scan.nonEmpty && served == scan,
+      "at-rest pHash audit drifted from m6")
+  }
+
+  test("m7: the incremental probe DPP-prunes the frozen bands and matches the full audit's cross pairs") {
+    import org.apache.spark.sql.functions._
+    spark.sharedState.cacheManager.clearCache()
+    // build chunks ONCE over all media, split reps by id parity so the
+    // standing/batch rep sets are disjoint by construction
+    val root = SimilarityOps.indexRoot(spark, Sf) + "/phashidx-probe"
+    val chunks = MultimodalOps.phashChunks(spark, Sf)
+      .persist()
+    try {
+      val standing = chunks.filter(col("rep_id") % 4 =!= 0)
+      val batch = chunks.filter(col("rep_id") % 4 === 0)
+      standing
+        .withColumn("chunk_bucket",
+          pmod(col("chunk") + col("band"), lit(MultimodalOps.ChunkBuckets))
+            .cast("int"))
+        .write.mode("overwrite").partitionBy("chunk_bucket")
+        .parquet(s"$root/bands")
+      val probed = MultimodalOps.phashProbeFrom(spark, root,
+        batch.filter(col("rep_id") >= 0))
+      // plan pin: the bands scan carries DPP on chunk_bucket
+      val plan = probed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case other => other
+      }
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s } ++
+          p.subqueries.flatMap(scansOf)
+      val bandScans = scansOf(plan).filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("phashidx-probe/bands")))
+      assert(bandScans.nonEmpty &&
+        bandScans.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        "pHash probe lost its chunk_bucket dynamic partition pruning")
+      // correctness: probe verdicts == the full audit's pairs with
+      // exactly one side in the batch (normalized to a<b)
+      val got = probed.collect().map(r =>
+        (r.getAs[String]("kind"),
+          math.min(r.getAs[Long]("a"), r.getAs[Long]("b")),
+          math.max(r.getAs[Long]("a"), r.getAs[Long]("b")),
+          r.getAs[Int]("hamming"), r.getAs[Int]("is_near_dup"))).toSet
+      val full = MultimodalOps.mediaNearDup(spark, Sf).collect().map(r =>
+        (r.getAs[String]("kind"), r.getAs[Long]("a"), r.getAs[Long]("b"),
+          r.getAs[Int]("hamming"), r.getAs[Int]("is_near_dup")))
+        .filter(t => (t._2 % 4 == 0) != (t._3 % 4 == 0)).toSet
+      assert(full.nonEmpty, "fixture regression: no cross pairs")
+      assert(got == full, "probe pairs diverged from the full audit's cross pairs")
+    } finally { chunks.unpersist(); () }
   }
 
   test("streaming media ingest: stateful digest dedup drops byte-identical assets within and across batches") {

@@ -255,6 +255,25 @@ class PlanContractSpec extends SparkSpec {
       "the at-rest serve scanned documents beyond the probe side")
   }
 
+  test("d25: the band probe partition-prunes the at-rest bands AND the docsets verify fetch (x30's two-stage shape)") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.DedupOps.bandProbeAtRest(spark, Sf))
+    val bandScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("bandidx25/bands")))
+    assert(bandScans.nonEmpty, "at-rest band scan missing from probe plan")
+    assert(bandScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "band scan lost its band_bucket dynamic partition pruning: " +
+        bandScans.map(_.partitionFilters).mkString("; "))
+    val setScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("bandidx25/docsets")))
+    assert(setScans.nonEmpty, "at-rest docsets scan missing from verify plan")
+    assert(setScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "docsets fetch lost its id_bucket dynamic partition pruning: " +
+        setScans.map(_.partitionFilters).mkString("; "))
+  }
+
   test("x26: the sign-code serve is generator- and shuffle-join-free — scan-bound words + broadcast probe") {
     spark.sharedState.cacheManager.clearCache()
     val p = executed(graft.operators.SimilarityOps.signHamming(spark, Sf))

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+import graft.sources.Tables
+
+/** D25's at-rest band probe bound as a STREAMING ingest monitor: each
+  * micro-batch of re-crawled documents signs in-scan and probes the
+  * corpus's FROZEN at-rest band index through the same core the
+  * registered query uses (`DedupOps.bandProbeAgainst` — the DPP-pruned
+  * two-stage fetch), accumulated via `foreachBatch` — the
+  * StreamingWinnowSpec convention with the standing side genuinely ON
+  * DISK. Every verdict row depends only on its own document and the
+  * frozen files, so the accumulated streamed verdicts must equal the
+  * batch d25 over the unioned input REGARDLESS of arrival order or
+  * micro-batch cuts — asserted across 3 fuzz seeds. */
+object StreamingBandSpec {
+  case class Doc(doc_id: Long, text: String)
+}
+
+class StreamingBandSpec extends SparkSpec {
+  import StreamingBandSpec.Doc
+
+  private def keyed(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_cand"),
+        r.getAs[Long]("n_dup"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+        r.getAs[String]("verdict"))
+    }.sortBy(_._1).toSeq
+
+  test("streamed band-probe verdicts == batch d25 over the unioned input, across 3 fuzz seeds") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Tables.documents(spark, Sf)
+    val isNew = col("doc_id") % DedupOps.IncomingMod === 0
+    val root = "target/graft-index/spec-streaming-band"
+    DedupOps.writeBandIndex(spark, root, docs.filter(!isNew))
+    graft.operators.CacheScope.drain()
+    val expected = keyed(
+      DedupOps.bandProbeAgainst(spark, root, docs.filter(isNew),
+        cacheBatch = false).collect())
+    assert(expected.nonEmpty, "fixture regression: empty incoming batch")
+    assert(expected.exists(_._5 == "near_dup_of_corpus") &&
+      expected.exists(_._5 == "new"),
+      "fixture regression: both verdicts should occur")
+    val batchDocs = docs.filter(isNew)
+      .select(col("doc_id"), col("text")).as[Doc].collect().toVector
+
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[Doc]
+      val acc = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+      val q = in.toDF().writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = DedupOps
+            .bandProbeAgainst(spark, root, batch, cacheBatch = false)
+            .collect()
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(batchDocs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(10))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable() // stateless foreachBatch — safe to drain
+        }
+      } finally q.stop()
+      assert(keyed(acc.toArray) === expected,
+        s"seed $seed: streamed verdicts diverged from the batch probe")
+    }
+  }
+}
