@@ -171,7 +171,66 @@ object SqlSurfaceOps {
          |ORDER BY query_id, rank""".stripMargin)
   }
 
+  /** SX7 — the AT-REST postings serve (ir15) as pure SQL text: the
+    * index builds through the library's write path (plumbing SQL has
+    * no analog for), then the SERVE is one `spark.sql` statement over
+    * the written files — `parquet.` path relations with the STATIC
+    * `term_bucket IN` partition predicate inlined as literals (the
+    * same driver-computed bucket list ir15 plants), the conditional-
+    * max pivot, the stored dictionary/constants reads, and ir2's
+    * score tree node-for-node (rational idf × saturated tf, summed
+    * left-associated in term order). Proves the at-rest layout is
+    * SQL-surface-servable — a SQL-first user queries the index files
+    * directly, no DataFrame API — and the oracle is ir2's VERBATIM,
+    * so the SQL-text serve must hash-match the exhaustive scan
+    * bit-for-bit. */
+  def sqlIndexServe(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      SimilarityOps.indexRoot(s, dir) + "/irindexsx7").getAbsolutePath
+    RetrievalOps.writePostingsIndex(s, root, Tables.documents(s, dir))
+    val terms = RetrievalOps.QueryTerms
+    val buckets = terms.map(RetrievalOps.termBucketOf).distinct.mkString(", ")
+    val inTerms = terms.map(t => s"'$t'").mkString(", ")
+    val tfCols = terms.map(t =>
+      s"CAST(coalesce(max(CASE WHEN tok = '$t' THEN tf END), 0) AS INT) AS tf_$t")
+      .mkString(",\n       ")
+    val dfCols = terms.map(t =>
+      s"coalesce(max(CASE WHEN tok = '$t' THEN df END), CAST(0 AS BIGINT)) AS df_$t")
+      .mkString(",\n       ")
+    // ir2's score expression node-for-node: rational idf
+    // ((N-df)*2+1)/(df*2+1) as double/long, saturated tf
+    // 22·tf/(10·tf+3+9·dl/avgdl), summed left-assoc in term order
+    val score = terms.map(t =>
+      s"(CAST((n_docs - df_$t) * 2 + 1 AS DOUBLE) / (df_$t * 2 + 1)) * " +
+        s"(CAST(tf_$t * 22 AS DOUBLE) / (CAST(tf_$t * 10 + 3 AS DOUBLE) + " +
+        s"CAST(9 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl)))")
+      .mkString(" + ")
+    s.sql(
+      s"""WITH probe AS (
+         |  SELECT doc_id, max(dl) AS dl,
+         |       $tfCols
+         |  FROM parquet.`$root/postings`
+         |  WHERE term_bucket IN ($buckets) AND tok IN ($inTerms)
+         |  GROUP BY doc_id),
+         |d AS (SELECT
+         |       $dfCols
+         |      FROM parquet.`$root/dict`
+         |      WHERE term_bucket IN ($buckets) AND tok IN ($inTerms)),
+         |c AS (SELECT n_docs, avgdl FROM parquet.`$root/consts`),
+         |scored AS (SELECT doc_id, dl,
+         |                  ${terms.map(t => s"tf_$t").mkString(", ")},
+         |                  $score AS score
+         |           FROM probe CROSS JOIN d CROSS JOIN c)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+         |         AS rank,
+         |       doc_id, score, dl, ${terms.map(t => s"tf_$t").mkString(", ")}
+         |FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT
+         |      ${RetrievalOps.TopK})
+         |ORDER BY rank""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sx7_sql_index_serve" -> (sqlIndexServe _),
     "sx6_sql_sq8" -> (sqlSq8 _),
     "sx1_sql_signatures" -> (sqlSignatures _),
     "sx2_sql_topk" -> (sqlTopkByNorm _),
@@ -180,6 +239,10 @@ object SqlSurfaceOps {
     "sx5_sql_zorder" -> (sqlZorder _))
 
   val oracles: Map[String, String] = Map(
+    // ir2's oracle verbatim: the SQL-text at-rest serve must match the
+    // exhaustive scan bit-for-bit (the ir15 convention on the SQL
+    // surface)
+    "sx7_sql_index_serve" -> RetrievalOps.oracles("ir2_bm25_topk"),
     // ly1's oracle verbatim: SQL-text path == DataFrame path == DuckDB
     // sx6 restates x22's exact integer ranking (x23's packed path) in
     // SQL text — the oracle is x22's verbatim, the x23 convention

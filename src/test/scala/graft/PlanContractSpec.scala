@@ -308,6 +308,25 @@ class PlanContractSpec extends SparkSpec {
       s"scan listed files outside the rectangle's cells: ${listed.take(3)}")
   }
 
+  test("sx7: the SQL-TEXT index serve partition-prunes too — the literal IN predicate lists only probed buckets") {
+    spark.sharedState.cacheManager.clearCache()
+    val ret = graft.operators.RetrievalOps
+    val p = executed(graft.operators.SqlSurfaceOps.sqlIndexServe(spark, Sf))
+    val postScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("irindexsx7/postings")))
+    assert(postScans.nonEmpty, "at-rest postings scan missing from SQL serve plan")
+    val pf = postScans.head.partitionFilters
+    assert(pf.exists(_.toString.contains("term_bucket")),
+      s"SQL serve lost its term_bucket partition predicate: $pf")
+    val buckets = ret.QueryTerms.map(ret.termBucketOf).distinct
+      .map(b => s"term_bucket=$b/").toSet
+    val listed = postScans.head.relation.location
+      .listFiles(pf, postScans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(listed.nonEmpty && listed.forall(f => buckets.exists(f.contains)),
+      s"SQL serve listed files outside the probed buckets: ${listed.take(3)}")
+  }
+
   test("ir15: the probe reads the postings partition-pruned to the query's term buckets") {
     spark.sharedState.cacheManager.clearCache()
     val ret = graft.operators.RetrievalOps
