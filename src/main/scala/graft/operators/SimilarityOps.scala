@@ -701,17 +701,8 @@ object SimilarityOps {
     val qv = base.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    base.join(broadcast(shortlist), Seq("vec_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("cell"), col("adc"), qCos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cell"), col("cos"), col("adc"))
-      .transform(Common.presented(_, col("query_id"), col("rank")))
+    refineExactTopK(corpusFetch(base, shortlist), qv,
+      Seq("cell", "cos", "adc"))
   }
 
   // one cleanup hook PER application root — a JVM that creates several
@@ -1568,6 +1559,33 @@ object SimilarityOps {
     * layout and DPP-prunes the fetch). Stage 1 is x23's serve: one scan
     * of the 1-byte/dim codes at whole-stage-codegen speed. The
     * recall/cost dial is [[RerankR]] alone — no index rebuild. */
+  /** The exact-refine TAIL shared by x25/x27/x30 (the round-14 review's
+    * near-triplicate): attach the broadcast query floats, rank the
+    * fetched shortlist by exact cosine (id tie-break), keep top-[[K]].
+    * `fetched` carries (query_id, neighbor_id, v, nrm) plus the
+    * stage-1 columns `out` names; the FETCH itself stays
+    * parameterized — [[corpusFetch]] for the in-memory shape
+    * (x25/x27), x30's at-rest DPP join for the id-bucketed table — so
+    * the two fetch shapes stay contrasted while the refine tree
+    * cannot drift. */
+  private def refineExactTopK(fetched: DataFrame, qv: DataFrame,
+      out: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    fetched.join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", qCos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select((Seq("query_id", "rank", "neighbor_id") ++ out).map(col): _*)
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
+  /** The in-memory float fetch (x25/x27): floats touched for exactly
+    * the broadcast shortlist's Q·R ids via the semi-join shape. */
+  private def corpusFetch(base: DataFrame, shortlist: DataFrame): DataFrame =
+    base.join(broadcast(shortlist), Seq("vec_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+
   def sq8Rerank(s: SparkSession, dir: String): DataFrame = {
     // cacheExploded = false (x22's discipline): the persisted packed
     // frame covers both downstream consumers — holding the exploded
@@ -1592,17 +1610,7 @@ object SimilarityOps {
     val qv = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(shortlist), Seq("vec_id")) // floats fetched for Q·R ids only
-      .join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("code_d2"), qCos.as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cos"), col("code_d2"))
-      .transform(Common.presented(_, col("query_id"), col("rank")))
+    refineExactTopK(corpusFetch(c, shortlist), qv, Seq("cos", "code_d2"))
   }
 
   /** One 32-bit word of the sign signature: bit `i−lo` set iff
@@ -1732,16 +1740,7 @@ object SimilarityOps {
         col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .withColumn("qn", sqrt(dotD(col("qv"), col("qv"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    fetched
-      .join(broadcast(qv), Seq("query_id"))
-      .withColumn("cos", qCos)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("cell"), col("cos"), col("code_d2"))
-      .transform(Common.presented(_, col("query_id"), col("rank")))
+    refineExactTopK(fetched, qv, Seq("cell", "cos", "code_d2"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
