@@ -325,6 +325,67 @@ object AuditOps {
           .as("is_t_close"))
   }
 
+  /** dq7's presence bounds as RATIONALS: a release is δ-present when
+    * every QI cell's membership probability sits in
+    * [[[DPresMinNum]]/[[DPresDen]], [[DPresMaxNum]]/[[DPresDen]]] =
+    * [3/4, 17/20] — below the floor the release under-covers the cell
+    * (its members' ABSENCE from the corpus is inferable), above the
+    * ceiling membership itself is near-certain from the cell
+    * coordinates alone. The window keeps both verdicts live at every
+    * harness SF (measured per-cell δ spans 0.667–1.0 at
+    * sf0.001/sf0.01 and 0.748–0.895 at sf0.1); production picks the
+    * bounds per threat model (Nergiz et al. use domain-specific
+    * δmin/δmax pairs). */
+  val DPresDen = 20L
+  val DPresMinNum = 15L
+  val DPresMaxNum = 17L
+
+  /** DQ7 — δ-PRESENCE audit (Nergiz, Atzori & Clifton 2007, "Hiding
+    * the Presence of Individuals from Shared Databases"): the fourth
+    * rung of the governance ladder. dq3/dq4/dq6 audit what a cell
+    * discloses about members KNOWN to be in the release; δ-presence
+    * bounds MEMBERSHIP itself — given the public WORLD table (here:
+    * the full corpus) and the released subset (d10's train split, the
+    * published training slice), an attacker who knows an individual's
+    * QI coordinates infers presence in the release with probability
+    * δ(cell) = n_released/n_world. Per QI (lang, length-bucket) cell:
+    * both counts, the exact δ, and the pass flag — stated as pure
+    * integer cross-multiplication (`DPresDen·n_released` against
+    * `DPresMinNum/DPresMaxNum·n_world` — the dq2/dq6 discipline), with
+    * the ONE double division only in the reported δ column.
+    *
+    * Plan: one narrow projection (the split rule is d10's seeded-md5
+    * column — ONE shared definition, so the audited release and the
+    * actual split cannot desynchronize) into a doc-volume collapse on
+    * (QI, in_release) — map-side partials, cells bounded by
+    * langs × buckets × 2 — then an attribute-bounded rollup. The
+    * (QI, in_release) counts are associative standing state, so the
+    * audit serves from a streaming aggregation unchanged
+    * (StreamingAuditSpec pins streamed == batch across seeds). */
+  def deltaPresence(s: SparkSession, dir: String): DataFrame =
+    deltaPresCells(Tables.documents(s, dir)
+        .select(col("lang"), lenBucket.as("len_bucket"),
+          when(DedupOps.splitCol === "train", 1L).otherwise(0L)
+            .as("in_release"))
+        .groupBy(col("lang"), col("len_bucket"), col("in_release"))
+        .agg(count(lit(1)).as("n")))
+      .transform(Common.presented(_, col("lang"), col("len_bucket")))
+
+  /** dq7's rollup + verdict over any (lang, len_bucket, in_release, n)
+    * counts frame — the dq3/dq4/dq6 serve-from-state unit. */
+  def deltaPresCells(cells: DataFrame): DataFrame =
+    cells.groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("n")).as("n_world"),
+        sum(when(col("in_release") === 1, col("n")).otherwise(0L))
+          .as("n_released"))
+      .select(col("lang"), col("len_bucket"),
+        col("n_world"), col("n_released"),
+        (col("n_released").cast("double") / col("n_world").cast("double"))
+          .as("delta"),
+        when(col("n_released") * DPresDen >= col("n_world") * DPresMinNum &&
+          col("n_released") * DPresDen <= col("n_world") * DPresMaxNum, 1)
+          .otherwise(0).as("is_delta_present"))
+
   /** dq5's profiled columns — ONE structure drives the Spark aggregate
     * AND the oracle SQL, so the two cannot drift. Numeric columns
     * profile min/max of the value; string columns profile min/max of
@@ -386,9 +447,30 @@ object AuditOps {
     "dq3_k_anonymity" -> (kAnonymity _),
     "dq4_l_diversity" -> (lDiversity _),
     "dq5_profile" -> (profile _),
-    "dq6_t_closeness" -> (tCloseness _))
+    "dq6_t_closeness" -> (tCloseness _),
+    "dq7_delta_presence" -> (deltaPresence _))
 
   val oracles: Map[String, String] = Map(
+    // dq7: d10's split rule restated (the d12 oracle's CASE), counts
+    // as BIGINT, the flag as pure integer cross-multiplication, one
+    // double division for the reported delta
+    "dq7_delta_presence" ->
+      s"""WITH c AS (SELECT lang,
+         |             CAST(least(9, n_chars // 100) AS INT) AS len_bucket,
+         |             CASE WHEN ${graft.functions.TextFunctions.md5LongSql(
+                s"'split:' || md5(array_to_string((string_split(text, ' '))[1:${DedupOps.HeadKeyTokens}], ' '))")} % 100 < ${DedupOps.SplitTrainPct}
+         |                  THEN 1 ELSE 0 END AS in_release
+         |           FROM documents),
+         |cells AS (SELECT lang, len_bucket,
+         |                 CAST(count(*) AS BIGINT) AS n_world,
+         |                 CAST(sum(in_release) AS BIGINT) AS n_released
+         |          FROM c GROUP BY 1, 2)
+         |SELECT lang, len_bucket, n_world, n_released,
+         |       CAST(n_released AS DOUBLE) / CAST(n_world AS DOUBLE) AS delta,
+         |       CASE WHEN n_released * $DPresDen >= n_world * $DPresMinNum
+         |             AND n_released * $DPresDen <= n_world * $DPresMaxNum
+         |            THEN 1 ELSE 0 END AS is_delta_present
+         |FROM cells ORDER BY lang, len_bucket""".stripMargin,
     // dq6: the TV numerator is an exact integer sum (sums widen to
     // HUGEINT in DuckDB -> CAST back); one double division at the end
     // with the same association; the flag is integer cross-multiplication

@@ -123,6 +123,36 @@ class AuditOpsSpec extends SparkSpec {
       "degenerate verdict distribution — retune TCloseDen")
   }
 
+  test("dq7: cells == brute-force recount; delta/flag rules exact; both verdicts live") {
+    val cells = AuditOps.deltaPresence(spark, Sf).collect()
+    // the release membership recounts through d10's oracle-gated
+    // output, not dq7's own split column
+    val split = graft.operators.DedupOps.clusterSplit(spark, Sf)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(1), math.min(9L, r.getLong(2) / 100).toInt,
+        split(r.getLong(0)) == "train"))
+    val byCell = docs.groupBy(d => (d._1, d._2))
+    assert(cells.length == byCell.size, "one row per occupied QI cell")
+    cells.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Int]("len_bucket"))
+      val members = byCell(key)
+      val nWorld = members.length.toLong
+      val nRel = members.count(_._3).toLong
+      assert(r.getAs[Long]("n_world") == nWorld, key)
+      assert(r.getAs[Long]("n_released") == nRel, key)
+      assert(r.getAs[Double]("delta") == nRel.toDouble / nWorld.toDouble, key)
+      assert((r.getAs[Int]("is_delta_present") == 1) ==
+        (nRel * AuditOps.DPresDen >= nWorld * AuditOps.DPresMinNum &&
+          nRel * AuditOps.DPresDen <= nWorld * AuditOps.DPresMaxNum), key)
+    }
+    assert(cells.map(_.getAs[Long]("n_world")).sum == docs.length)
+    assert(cells.map(_.getAs[Int]("is_delta_present")).toSet == Set(0, 1),
+      "degenerate verdict distribution — retune the presence window")
+  }
+
   test("dq5: per-column profile == brute-force recount over EVERY profiled column") {
     val rows = AuditOps.profile(spark, Sf).collect()
       .map(r => (r.getAs[String]("table_name"),

@@ -231,4 +231,50 @@ class StreamingAuditSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("dq7 served from streamed (QI, in_release) count state == batch audit, 3 seeds") {
+    // dq7's standing state is the (QI, in_release) doc counts — an
+    // associative streaming aggregation; the rollup + integer
+    // cross-multiplied presence window ride it unchanged, so arrival
+    // order and batch cuts cannot move a bit
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val keyed = (rows: Array[org.apache.spark.sql.Row]) => rows.map { r =>
+      (r.getAs[String]("lang"), r.getAs[Int]("len_bucket"),
+        r.getAs[Long]("n_world"), r.getAs[Long]("n_released"),
+        r.getAs[Double]("delta"), r.getAs[Int]("is_delta_present"))
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val expected = keyed(graft.operators.AuditOps.deltaPresence(spark, Sf).collect())
+    val docs = {
+      val d = graft.sources.Tables.documents(spark, Sf)
+      d.select(col("lang"),
+          graft.operators.AuditOps.lenBucket.as("len_bucket"),
+          when(graft.operators.DedupOps.splitCol === "train", 1L)
+            .otherwise(0L).as("in_release"))
+        .as[(String, Int, Long)].collect().toVector
+    }
+    for (seed <- Seq(5, 23, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[(String, Int, Long)]
+      val cells = in.toDF().toDF("lang", "len_bucket", "in_release")
+        .groupBy(col("lang"), col("len_bucket"), col("in_release"))
+        .agg(count(lit(1)).as("n"))
+      val name = s"dq7_cells_state_$seed"
+      val q = cells.writeStream.format("memory")
+        .queryName(name).outputMode("complete").start()
+      try {
+        var rest = rnd.shuffle(docs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(100))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+        val served = keyed(graft.operators.AuditOps
+          .deltaPresCells(spark.table(name)).collect())
+        assert(served == expected,
+          s"seed $seed: dq7 served from streamed state drifted from batch")
+      } finally q.stop()
+    }
+  }
 }
