@@ -243,6 +243,121 @@ class ScaleSpec extends SparkSpec {
       f"(${100.0 * probeBytes / allBytes}%.1f%% across ${probed.length} of ${dirs.length} buckets)")
   }
 
+  test("positional index at rest: the phrase's two bucket directories hold a strict subset of the list bytes") {
+    // ir17's byte bound, measured (the plan contract pins the listed
+    // files; this measures what the pruning buys): a phrase serve
+    // reads its two terms' bucket directories, never the full
+    // positional table — at 100 TB the difference between df-bounded
+    // list IO and re-reading every token of every document
+    import graft.operators.{RetrievalOps, SimilarityOps}
+    spark.sharedState.cacheManager.clearCache()
+    RetrievalOps.phraseAtRestServe(spark, Sf).collect()
+    val root = SimilarityOps.indexRoot(spark, Sf) + "/irindex17"
+    val buckets = Seq(RetrievalOps.Phrase._1, RetrievalOps.Phrase._2)
+      .map(RetrievalOps.termBucketOf).toSet
+    val dirs = new java.io.File(s"$root/positional").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("term_bucket="))
+    def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))).map(_.length).sum
+    val probed = dirs.filter(d =>
+      buckets.exists(b => d.getName == s"term_bucket=$b"))
+    assert(dirs.length > RetrievalOps.TermBuckets / 2,
+      s"fixture regression: only ${dirs.length} buckets populated")
+    assert(probed.nonEmpty && probed.length <= 2 && probed.length < dirs.length)
+    val (probeBytes, allBytes) = (bytes(probed), bytes(dirs))
+    assert(probeBytes > 0 && probeBytes < allBytes,
+      s"phrase bytes $probeBytes vs positional bytes $allBytes")
+    info(f"phrase serve reads $probeBytes of $allBytes positional bytes " +
+      f"(${100.0 * probeBytes / allBytes}%.1f%% across ${probed.length} of ${dirs.length} buckets)")
+  }
+
+  test("champion serve at rest: champions, pivot AND audit arm all read only the probe's bucket bytes") {
+    // ir18's byte bound: every arm of the champion serve (prefix
+    // selection, candidate pivot, exhaustive audit ranks) descends
+    // from the ONE probedPostings read, so the whole query's postings
+    // IO is the probe buckets' bytes — measured here against the full
+    // index
+    import graft.operators.{RetrievalOps, SimilarityOps}
+    spark.sharedState.cacheManager.clearCache()
+    RetrievalOps.championAtRestServe(spark, Sf).collect()
+    graft.operators.CacheScope.drain()
+    val root = SimilarityOps.indexRoot(spark, Sf) + "/irindex18"
+    val buckets = RetrievalOps.QueryTerms.map(RetrievalOps.termBucketOf).toSet
+    val dirs = new java.io.File(s"$root/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("term_bucket="))
+    def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))).map(_.length).sum
+    val probed = dirs.filter(d =>
+      buckets.exists(b => d.getName == s"term_bucket=$b"))
+    assert(probed.nonEmpty && probed.length < dirs.length)
+    val (probeBytes, allBytes) = (bytes(probed), bytes(dirs))
+    assert(probeBytes > 0 && probeBytes < allBytes,
+      s"champion-serve bytes $probeBytes vs index bytes $allBytes")
+    info(f"champion serve reads $probeBytes of $allBytes index bytes " +
+      f"(${100.0 * probeBytes / allBytes}%.1f%% across ${probed.length} of ${dirs.length} buckets)")
+  }
+
+  test("x30 at rest: the query-float fetch reads only the static id buckets; DPP scans report pruned IO") {
+    // x30's two-fetch byte story, measured. The QUERY floats carry a
+    // STATIC bucket predicate (query ids are known at plan time) —
+    // ids 0..NumQueries-1 touch NumQueries of FloatBuckets id-bucket
+    // directories, a strict byte subset of the float table. The two
+    // DPP fetches (cell codes, shortlist floats) are pinned as
+    // dynamicpruning in PlanContractSpec; here the executed scans'
+    // OWN metrics must show post-pruning file counts no larger than
+    // the static totals.
+    import graft.operators.{SimilarityOps => Sim}
+    spark.sharedState.cacheManager.clearCache()
+    val df = Sim.sq8IvfRerank(spark, Sf)
+    df.collect()
+    val root = Sim.indexRoot(spark, Sf) + "/sq8ivfrr"
+    val qBuckets = (0 until Sim.NumQueries).map(_ % Sim.FloatBuckets).toSet
+    val dirs = new java.io.File(s"$root/floats").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("id_bucket="))
+    def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))).map(_.length).sum
+    val staticProbed = dirs.filter(d =>
+      qBuckets.exists(b => d.getName == s"id_bucket=$b"))
+    assert(dirs.length == Sim.FloatBuckets,
+      s"fixture regression: ${dirs.length} float buckets")
+    assert(staticProbed.length == qBuckets.size && qBuckets.size < dirs.length)
+    val (qBytes, allBytes) = (bytes(staticProbed), bytes(dirs))
+    assert(qBytes > 0 && qBytes < allBytes,
+      s"query-float bytes $qBytes vs float-table bytes $allBytes")
+    info(f"query-float fetch bounded by $qBytes of $allBytes float bytes " +
+      f"(${100.0 * qBytes / allBytes}%.1f%% across ${staticProbed.length} of ${dirs.length} buckets)")
+    // runtime evidence from the executed plan: every at-rest scan in
+    // the serve read at most the table's total file count (and the
+    // DPP'd codes scan strictly fewer files than the codes table
+    // holds when the probe skips a cell)
+    def deepScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val through: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(m.relation.cachedPlan)
+        case _ => Nil
+      }
+      (p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case _ => Nil
+      }) ++ (p.children ++ p.subqueries ++ through).flatMap(deepScans)
+    }
+    val scans = deepScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("sq8ivfrr")))
+    assert(scans.nonEmpty, "no at-rest scans found in the executed serve")
+    scans.foreach { sc =>
+      val read = sc.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+      val total = sc.relation.location.inputFiles.length.toLong
+      assert(read >= 0 && read <= total,
+        s"scan read $read files of $total in ${sc.relation.location.rootPaths}")
+    }
+  }
+
   test("d20 owner lookup: the bloom sketch stays KB-scale while pruning the grid to the dup neighborhood") {
     // the threshold contrast behind defaulting d20 to the bloom path:
     // the dup-OWNER table grows with duplication (no structural bound —
