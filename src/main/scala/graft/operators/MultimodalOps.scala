@@ -217,6 +217,16 @@ object MultimodalOps {
       .agg(min(col("media_id")).as("rep_id"),
         count(lit(1)).as("n_copies"),
         min(col("phash")).as("phash")) // identical payloads → identical phash
+    repChunks(reps)
+  }
+
+  /** A representative's 4 pigeonhole band-chunk rows — split from
+    * [[phashChunks]] so a STREAMED probe can expand already-collapsed
+    * rep rows per micro-batch (StreamingBandSpec: a rep's verdict
+    * depends only on its own phash and the frozen index, so streamed
+    * == batched under any batch cut of REP rows). */
+  private[graft] def repChunks(reps: DataFrame): DataFrame = {
+    val bandBits = DedupOps.Simhash60BandBits
     reps.select(col("kind"), col("rep_id"), col("n_copies"),
       col("phash"),
       posexplode(array((0 until 4).map(i =>
