@@ -820,7 +820,7 @@ object DedupOps {
 
   /** The winnowed-fingerprint explode shared by d17 and d18: one row
     * per (doc, surviving fingerprint), selection entirely in-scan. */
-  private[operators] def winnowedFingerprints(docs: DataFrame): DataFrame = {
+  private[graft] def winnowedFingerprints(docs: DataFrame): DataFrame = {
     import graft.functions.ShingleExpressions._
     docs.select(col("doc_id"),
       explode(winnowedFingerprintSet(tokens(col("text")), WinnowK, WinnowW))
@@ -944,11 +944,20 @@ object DedupOps {
     // streaming monitor calls this per micro-batch and must not
     // accumulate per-batch persists (the appendManifest convention)
     if (cacheBatch) { CacheScope.persist(bfp); () }
-    val nfp = bfp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     val hits = bfp
       .join(index.select(col("doc_id").as("match_doc"), col("h")), Seq("h"))
       .groupBy(col("doc_id"), col("match_doc"))
       .agg(count(lit(1)).as("n_shared"))
+    winnowVerdictCore(incoming, bfp, hits)
+  }
+
+  /** d18's verdict tail over (incoming ids, the batch's fingerprints,
+    * the per-(doc, match) shared counts) — ONE tree shared by the
+    * in-memory probe and the at-rest DPP probe (d26), so the two
+    * serving paths cannot drift. */
+  private def winnowVerdictCore(incoming: DataFrame, bfp: DataFrame,
+      hits: DataFrame): DataFrame = {
+    val nfp = bfp.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
     // both windows key on doc_id — one exchange serves the pair
     val best = hits
       .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
@@ -1437,6 +1446,229 @@ object DedupOps {
   }
 
   // ---------------------------------------------------------------
+  // The at-rest winnowing index (d26/d27): the physical half of the
+  // local-overlap tier — the persisted-table layout d18's docstring
+  // names ("at 100 TB this is a persisted table bucketed on h") and
+  // d19's maintenance notes assume, made real. Three artifacts, all
+  // PARTITIONED BY the fingerprint-hash bucket:
+  //   - wfp/  — the FULL (uncapped) winnowed fingerprints: per-doc
+  //     facts, the base of record every heal recounts from.
+  //   - wdf/  — (h, nd) document frequency INCLUDING over-cap hashes
+  //     (d19's rule: without the true running DF an evicted hash's
+  //     count restarts at zero and boilerplate sneaks back in).
+  //   - kept/ — the capped SERVING table d18's probe reads.
+  // The append is the d19 algebra at the file level: per-doc facts
+  // append (exactly-once anti-join), DF merges by addition, and a
+  // hash CROSSING the cap evicts by rewriting ONLY the buckets
+  // holding crossing hashes (pruned read + dynamic partition
+  // overwrite — x17's discipline; every other bucket's files survive
+  // byte-identical, DedupAtRestSpec pins paths+sizes+mtimes).
+  // ---------------------------------------------------------------
+
+  /** Fingerprint-bucket count of the at-rest winnowing layout — 16,
+    * the family constant. */
+  val WinnowBuckets = 16
+
+  private[graft] def winnowBucketCol(h: Column): Column =
+    pmod(h, lit(WinnowBuckets.toLong)).cast("int")
+
+  private def bucketedWfp(docs: DataFrame): DataFrame =
+    winnowedFingerprints(docs)
+      .withColumn("h_bucket", winnowBucketCol(col("h")))
+
+  /** BUILD: write all three artifacts; stats and the capped serving
+    * table derive from the WRITTEN base (one read of the new files —
+    * ir15's no-second-corpus-pass rule). */
+  private[graft] def writeWinnowIndex(s: SparkSession, root: String,
+      docs: DataFrame): Unit = {
+    bucketedWfp(docs)
+      .write.mode("overwrite").partitionBy("h_bucket")
+      .parquet(s"$root/wfp")
+    val w = s.read.parquet(s"$root/wfp")
+    w.groupBy(col("h_bucket"), col("h")).agg(count(lit(1)).as("nd"))
+      .write.mode("overwrite").partitionBy("h_bucket")
+      .parquet(s"$root/wdf")
+    val over = s.read.parquet(s"$root/wdf")
+      .filter(col("nd") > WinnowCap).select(col("h"))
+    w.join(broadcast(over), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"), col("h_bucket"))
+      .write.mode("overwrite").partitionBy("h_bucket")
+      .parquet(s"$root/kept")
+  }
+
+  /** APPEND: d19's merge made physical —
+    *   1. the batch's fingerprints land in `wfp` behind the (h,
+    *      doc_id) anti-join exactly-once guard (eager localCheckpoint
+    *      — the refreshByPath trap — and canonical column order, the
+    *      d23 mixed-schema lesson);
+    *   2. `wdf` merges by integer addition from the LANDED delta
+    *      (ir16's convention: a torn append leaves stats stale, never
+    *      wrong — [[healWinnowIndex]] recounts from the base);
+    *   3. hashes whose merged DF crossed [[WinnowCap]] EVICT: only
+    *      the over-cap hashes' buckets are read (static bucket list —
+    *      the over-cap set is ≤ |fp|/Cap, its bucket list is O(16)
+    *      driver metadata), anti-joined, staged and written back with
+    *      dynamic partition overwrite — buckets without a crossing
+    *      hash are never rewritten;
+    *   4. the batch's under-cap rows append to `kept`.
+    * Append == rebuild row-exactly on all three artifacts (the d19
+    * bit-equality at the file level; a retried append is a no-op on
+    * every artifact — DedupAtRestSpec pins both). */
+  private[graft] def appendWinnowIndex(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val bfp = bucketedWfp(batch)
+    CacheScope.persist(bfp) // anti-join + stats delta consumers
+    val newRows = bfp
+      .join(s.read.parquet(s"$root/wfp").select(col("h"), col("doc_id")),
+        Seq("h", "doc_id"), "left_anti")
+      .select(col("doc_id"), col("h"), col("h_bucket"))
+      .localCheckpoint()
+    newRows.write.mode("append").partitionBy("h_bucket")
+      .parquet(s"$root/wfp")
+    s.read.parquet(s"$root/wdf")
+      .unionByName(newRows.groupBy(col("h_bucket"), col("h"))
+        .agg(count(lit(1)).as("nd")))
+      .groupBy(col("h_bucket"), col("h")).agg(sum(col("nd")).as("nd"))
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("h_bucket")
+      .parquet(s"$root/wdf")
+    // the merged over-cap set: tiny by the |fp|/Cap bound — its rows
+    // broadcast into the eviction anti-join and the append filter,
+    // and ONLY its buckets' directories are rewritten
+    val over = s.read.parquet(s"$root/wdf")
+      .filter(col("nd") > WinnowCap).select(col("h"), col("h_bucket"))
+      .localCheckpoint()
+    val evictBuckets = over.select(col("h_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (evictBuckets.nonEmpty) {
+      s.read.parquet(s"$root/kept")
+        .filter(col("h_bucket").isin(evictBuckets: _*))
+        .join(broadcast(over.select(col("h"))), Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h"), col("h_bucket"))
+        .write.mode("overwrite").partitionBy("h_bucket")
+        .parquet(s"$root/kstaging")
+      s.read.parquet(s"$root/kstaging")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("h_bucket")
+        .parquet(s"$root/kept")
+      // x17's partition-drop edge, made REAL by boilerplate eviction:
+      // a bucket whose every kept row was a crossing hash stages ZERO
+      // survivors, and dynamic overwrite writes nothing for an empty
+      // partition — the stale files (still holding the evicted hash)
+      // would survive. Drop exactly those buckets' directories.
+      val stagedBuckets = s.read.parquet(s"$root/kstaging")
+        .select(col("h_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      (evictBuckets.toSet -- stagedBuckets).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/kept/h_bucket=$b"), true)
+        ()
+      }
+    }
+    newRows
+      .join(broadcast(over.select(col("h"))), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"), col("h_bucket"))
+      .write.mode("append").partitionBy("h_bucket")
+      .parquet(s"$root/kept")
+  }
+
+  /** Crash recovery: stats and the serving table RECOUNT from the
+    * at-rest base (wfp → wdf → kept) — the ir16/x19 heal-by-recount
+    * discipline. A crash between the base append and the downstream
+    * writes leaves them stale, never wrong; rerunning the append (a
+    * row-level no-op) then this heal restores the exact rebuilt
+    * state. */
+  private[graft] def healWinnowIndex(s: SparkSession, root: String): Unit = {
+    val w = s.read.parquet(s"$root/wfp")
+    w.groupBy(col("h_bucket"), col("h")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("h_bucket")
+      .parquet(s"$root/wdf")
+    val over = s.read.parquet(s"$root/wdf")
+      .filter(col("nd") > WinnowCap).select(col("h"))
+    w.join(broadcast(over), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"), col("h_bucket"))
+      .localCheckpoint()
+      .write.mode("overwrite").partitionBy("h_bucket")
+      .parquet(s"$root/kept")
+  }
+
+  /** d26's probe core: d18's verdict with the index side replaced by
+    * the DPP-pruned at-rest serving table — the batch's fingerprint
+    * hashes broadcast onto the BARE h_bucket partition attribute, so
+    * only the probe's buckets are read (PlanContractSpec pins the
+    * dynamicpruning filter); the verdict tail is
+    * [[winnowVerdictCore]], the same tree as the in-memory probe. */
+  private[graft] def winnowProbeAgainst(s: SparkSession, root: String,
+      incoming: DataFrame, cacheBatch: Boolean = true): DataFrame = {
+    val bfp = winnowedFingerprints(incoming)
+    if (cacheBatch) { CacheScope.persist(bfp); () }
+    val probe = bfp
+      .select(col("doc_id").as("p_doc"), col("h").as("p_h"))
+      .withColumn("p_bucket", winnowBucketCol(col("p_h")))
+      // load-bearing selective predicate (x17's lesson): the probe
+      // descends from a persisted frame, so without a visible filter
+      // the PartitionPruning rule never inserts the pruning subquery
+      .filter(col("p_bucket") >= 0)
+    val hits = s.read.parquet(s"$root/kept")
+      .join(broadcast(probe),
+        col("h_bucket") === col("p_bucket") && col("h") === col("p_h"))
+      .select(col("p_doc").as("doc_id"), col("doc_id").as("match_doc"))
+      .groupBy(col("doc_id"), col("match_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+    winnowVerdictCore(incoming, bfp, hits)
+  }
+
+  /** D26 — WINNOWING PROBE FROM THE AT-REST INDEX: d18's re-crawl
+    * verdict served from the written serving table. BUILD writes the
+    * corpus's three artifacts ([[writeWinnowIndex]] — fingerprinting
+    * paid once at ingest); the incoming batch winnows in-scan and
+    * probes the capped table partition-pruned to its own hashes'
+    * buckets. Output BIT-IDENTICAL to d18 (oracle verbatim, the ir15
+    * path-substitution convention).
+    *
+    * 100 TB plan: a batch probe reads ≤ |batch-hash buckets| of
+    * [[WinnowBuckets]] directories of the slim (doc_id, h) table —
+    * corpus-size-independent serve IO; the corpus is never
+    * re-fingerprinted per probe. */
+  def winnowProbeAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/winidx26"
+    val docs = Tables.documents(s, dir)
+    writeWinnowIndex(s, root,
+      docs.filter(col("doc_id") % IncomingMod =!= 0))
+    winnowProbeAgainst(s, root, docs.filter(col("doc_id") % IncomingMod === 0))
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
+  /** D27 — WINNOWING INDEX APPEND AT REST: d19's maintenance made
+    * physical. The standing corpus builds the three artifacts, the
+    * incoming batch folds in through [[appendWinnowIndex]] — base
+    * rows append exactly-once, DF merges by addition, cap-crossing
+    * hashes evict by rewriting ONLY their buckets — and the
+    * registered output is the maintained serving table itself, which
+    * must equal the full-rebuild kept set bit-exactly (d19's
+    * append == rebuild invariant; the oracle is d19's SQL verbatim).
+    *
+    * 100 TB plan: nightly maintenance touches the batch's buckets
+    * plus the (tiny, |fp|/Cap-bounded) crossing hashes' buckets;
+    * standing cold buckets are never listed, read, or rewritten —
+    * the eviction cost tracks boilerplate churn, not index size. */
+  def winnowAppendAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/winidx27"
+    val docs = Tables.documents(s, dir)
+    writeWinnowIndex(s, root,
+      docs.filter(col("doc_id") % IncomingMod =!= 0))
+    appendWinnowIndex(s, root,
+      docs.filter(col("doc_id") % IncomingMod === 0))
+    s.read.parquet(s"$root/kept")
+      .select(col("doc_id"), col("h"))
+      .transform(Common.presented(_, col("doc_id"), col("h")))
+  }
+
+  // ---------------------------------------------------------------
   // The at-rest MinHash band index (d24/d25): the physical half of
   // the near-dup serving tier. d2 proves the band/verify ALGEBRA and
   // d15 the incremental probe; d24 writes the band-bucketed signature
@@ -1700,6 +1932,8 @@ object DedupOps {
     "d17_winnowing" -> (winnowing _),
     "d18_winnowing_incremental" -> (winnowingIncremental _),
     "d19_winnowing_append" -> (winnowingAppend _),
+    "d26_winnow_probe_atrest" -> (winnowProbeAtRest _),
+    "d27_winnow_append_atrest" -> (winnowAppendAtRest _),
     "d20_substring_dedup" -> (substringDedup _),
     "d21_substring_cut" -> (substringCut _))
 
@@ -1859,6 +2093,50 @@ object DedupOps {
     s"""$oraclesD2Body
        |ORDER BY a, b""".stripMargin
 
+  /** d18's oracle — shared VERBATIM by the at-rest probe d26. */
+  private val d18Sql: String =
+    s"""WITH $d17FpCtesSql,
+         |corpus AS (SELECT doc_id, h FROM fp WHERE doc_id % $IncomingMod <> 0),
+         |overcap AS (SELECT h FROM corpus GROUP BY h
+         |            HAVING count(*) > $WinnowCap),
+         |idx AS (SELECT c.doc_id, c.h FROM corpus c
+         |        LEFT JOIN overcap o ON c.h = o.h WHERE o.h IS NULL),
+         |batch AS (SELECT doc_id, h FROM fp WHERE doc_id % $IncomingMod = 0),
+         |nf AS (SELECT doc_id, count(*) AS nfp FROM batch GROUP BY doc_id),
+         |hits AS (SELECT b.doc_id, i.doc_id AS match_doc,
+         |                count(*) AS n_shared
+         |         FROM batch b JOIN idx i ON b.h = i.h GROUP BY 1, 2),
+         |best AS (SELECT doc_id, match_doc, n_shared,
+         |                count(*) OVER (PARTITION BY doc_id) AS n_cand
+         |         FROM hits
+         |         QUALIFY row_number() OVER (PARTITION BY doc_id
+         |                   ORDER BY n_shared DESC, match_doc) = 1)
+         |SELECT d.doc_id,
+         |       coalesce(n.nfp, 0) AS nfp,
+         |       coalesce(b.n_cand, 0) AS n_cand,
+         |       b.match_doc,
+         |       coalesce(b.n_shared, 0) AS n_shared,
+         |       CASE WHEN coalesce(b.n_shared, 0) > 0
+         |            THEN CAST(b.n_shared AS DOUBLE) / n.nfp END AS overlap,
+         |       CASE WHEN coalesce(b.n_shared, 0) > 0
+         |            THEN 'overlaps_corpus' ELSE 'new' END AS verdict
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
+         |LEFT JOIN nf n ON n.doc_id = d.doc_id
+         |LEFT JOIN best b ON b.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** d19's oracle (the append==rebuild invariant IS the oracle: the
+    * appended index must equal the capped fingerprint table of the
+    * FULL corpus) — shared VERBATIM by the at-rest append d27. */
+  private val d19Sql: String =
+    s"""WITH $d17FpCtesSql,
+         |overcap AS (SELECT h FROM fp GROUP BY h
+         |            HAVING count(*) > $WinnowCap)
+         |SELECT f.doc_id, f.h
+         |FROM fp f LEFT JOIN overcap o ON f.h = o.h
+         |WHERE o.h IS NULL
+         |ORDER BY f.doc_id, f.h""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
@@ -2014,46 +2292,10 @@ object DedupOps {
     // d17's shared fp CTEs split on the d7/d15 snapshot modulus; the
     // cap is computed from CORPUS document frequency only (the frozen
     // index), and the batch carries no cap of its own
-    "d18_winnowing_incremental" ->
-      s"""WITH $d17FpCtesSql,
-         |corpus AS (SELECT doc_id, h FROM fp WHERE doc_id % $IncomingMod <> 0),
-         |overcap AS (SELECT h FROM corpus GROUP BY h
-         |            HAVING count(*) > $WinnowCap),
-         |idx AS (SELECT c.doc_id, c.h FROM corpus c
-         |        LEFT JOIN overcap o ON c.h = o.h WHERE o.h IS NULL),
-         |batch AS (SELECT doc_id, h FROM fp WHERE doc_id % $IncomingMod = 0),
-         |nf AS (SELECT doc_id, count(*) AS nfp FROM batch GROUP BY doc_id),
-         |hits AS (SELECT b.doc_id, i.doc_id AS match_doc,
-         |                count(*) AS n_shared
-         |         FROM batch b JOIN idx i ON b.h = i.h GROUP BY 1, 2),
-         |best AS (SELECT doc_id, match_doc, n_shared,
-         |                count(*) OVER (PARTITION BY doc_id) AS n_cand
-         |         FROM hits
-         |         QUALIFY row_number() OVER (PARTITION BY doc_id
-         |                   ORDER BY n_shared DESC, match_doc) = 1)
-         |SELECT d.doc_id,
-         |       coalesce(n.nfp, 0) AS nfp,
-         |       coalesce(b.n_cand, 0) AS n_cand,
-         |       b.match_doc,
-         |       coalesce(b.n_shared, 0) AS n_shared,
-         |       CASE WHEN coalesce(b.n_shared, 0) > 0
-         |            THEN CAST(b.n_shared AS DOUBLE) / n.nfp END AS overlap,
-         |       CASE WHEN coalesce(b.n_shared, 0) > 0
-         |            THEN 'overlaps_corpus' ELSE 'new' END AS verdict
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % $IncomingMod = 0) d
-         |LEFT JOIN nf n ON n.doc_id = d.doc_id
-         |LEFT JOIN best b ON b.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-    // the append==rebuild invariant IS the oracle: the appended index
-    // must equal the capped fingerprint table of the FULL corpus
-    "d19_winnowing_append" ->
-      s"""WITH $d17FpCtesSql,
-         |overcap AS (SELECT h FROM fp GROUP BY h
-         |            HAVING count(*) > $WinnowCap)
-         |SELECT f.doc_id, f.h
-         |FROM fp f LEFT JOIN overcap o ON f.h = o.h
-         |WHERE o.h IS NULL
-         |ORDER BY f.doc_id, f.h""".stripMargin,
+    "d18_winnowing_incremental" -> d18Sql,
+    "d26_winnow_probe_atrest" -> d18Sql,
+    "d19_winnowing_append" -> d19Sql,
+    "d27_winnow_append_atrest" -> d19Sql,
     // the non-overlapping grid (stride == size, unlike tx14's);
     // first-occurrence = row_number over (doc_id, chunk_start), the
     // window twin of the Spark side's min(struct) owner; string_agg

@@ -274,6 +274,18 @@ class PlanContractSpec extends SparkSpec {
         setScans.map(_.partitionFilters).mkString("; "))
   }
 
+  test("d26: the winnowing probe partition-prunes the at-rest serving table") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.DedupOps.winnowProbeAtRest(spark, Sf))
+    val keptScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("winidx26/kept")))
+    assert(keptScans.nonEmpty, "at-rest kept scan missing from probe plan")
+    assert(keptScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "winnowing probe lost its h_bucket dynamic partition pruning: " +
+        keptScans.map(_.partitionFilters).mkString("; "))
+  }
+
   test("x26: the sign-code serve is generator- and shuffle-join-free — scan-bound words + broadcast probe") {
     spark.sharedState.cacheManager.clearCache()
     val p = executed(graft.operators.SimilarityOps.signHamming(spark, Sf))
