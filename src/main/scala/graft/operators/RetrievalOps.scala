@@ -997,6 +997,53 @@ object RetrievalOps {
     serveFromIndex(s, root)
   }
 
+  /** IR20 — TERM-AS-DATA SERVE FROM THE AT-REST INDEX: ir5's
+    * multi-query workload (term triples arrive as ROWS, not
+    * compile-time literals) served from ir15's written artifacts —
+    * the DYNAMIC twin of ir15's static pruning. When terms are data,
+    * no driver-side `term_bucket IN` literal exists at plan time; the
+    * workload's distinct terms instead bucket ENGINE-SIDE
+    * ([[termBucketCol]], the same tree the writer used) and broadcast
+    * onto the BARE term_bucket partition attribute of both the
+    * postings and the dictionary reads → dynamic partition pruning
+    * lists only the workload's buckets (PlanContractSpec pins both
+    * dynamicpruning filters). Scoring is [[serveQueryBatch]]
+    * unchanged — the streaming twin's engine — against the probed
+    * lists and stored stats, so the output is BIT-IDENTICAL to ir5's
+    * in-memory form (oracle verbatim).
+    *
+    * 100 TB plan: a query workload of any size reads only its own
+    * terms' bucket directories plus KB-scale metadata; absent terms
+    * (df 0) simply miss the pruned dictionary. The write amortizes
+    * across every workload until the next append — and the SAME
+    * serve binds per micro-batch when queries stream. */
+  def indexBatchServe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = SimilarityOps.indexRoot(s, dir) + "/irindex20"
+    writePostingsIndex(s, root, Tables.documents(s, dir))
+    val queries = ServeQueries.toDF("query_id", "t1", "t2", "t3")
+    val probeTerms = queries
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("p_tok"))
+      .distinct()
+      .withColumn("p_bucket", termBucketCol(col("p_tok")))
+      // load-bearing selective predicate (x17's lesson): without a
+      // visible comparison the PartitionPruning rule never inserts
+      // the pruning subquery on either read
+      .filter(col("p_bucket") >= 0)
+    val probed = s.read.parquet(s"$root/postings")
+      .join(broadcast(probeTerms),
+        col("term_bucket") === col("p_bucket") && col("tok") === col("p_tok"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    val dict = s.read.parquet(s"$root/dict")
+      .join(broadcast(probeTerms),
+        col("term_bucket") === col("p_bucket") && col("tok") === col("p_tok"))
+      .select(col("tok"), col("df"))
+    val consts = s.read.parquet(s"$root/consts")
+      .select(col("n_docs"), col("avgdl"))
+    serveQueryBatch(queries, probed, dict, consts)
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
   /** The probe's static bucket list — computed driver-side from the
     * query terms alone, O(|terms|), corpus-independent. */
   private def probeBuckets: Seq[Int] =
@@ -1487,6 +1534,7 @@ object RetrievalOps {
     "ir3_hybrid_rrf" -> (hybridRrf _),
     "ir4_inverted_serve" -> (invertedServe _),
     "ir5_batch_serve" -> (batchServe _),
+    "ir20_index_batch_serve" -> (indexBatchServe _),
     "ir6_phrase" -> (phraseSearch _),
     "ir7_postings_append" -> (postingsAppend _))
 
@@ -1585,7 +1633,7 @@ object RetrievalOps {
        |FROM top ORDER BY rank""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "ir10_term_centrality" ->
       s"""WITH pres AS (SELECT DISTINCT doc_id, tok
          |              FROM (SELECT doc_id, unnest($toksSql) AS tok
@@ -1821,4 +1869,9 @@ object RetrievalOps {
          |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
          |       doc_id, r_text, r_vec, score, cos, rrf
          |FROM f ORDER BY rank""".stripMargin)
+
+  /** ir20 serves ir5's workload from the at-rest index — oracle
+    * VERBATIM (the ir15 path-substitution convention). */
+  val oracles: Map[String, String] =
+    oraclesBase + ("ir20_index_batch_serve" -> oraclesBase("ir5_batch_serve"))
 }

@@ -339,6 +339,20 @@ class PlanContractSpec extends SparkSpec {
       s"SQL serve listed files outside the probed buckets: ${listed.take(3)}")
   }
 
+  test("ir20: term-as-data serve DPP-prunes BOTH the postings and the dictionary reads") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.RetrievalOps.indexBatchServe(spark, Sf))
+    for (art <- Seq("postings", "dict")) {
+      val artScans = scans(p).filter(
+        _.relation.location.rootPaths.exists(_.toString.contains(s"irindex20/$art")))
+      assert(artScans.nonEmpty, s"at-rest $art scan missing from serve plan")
+      assert(artScans.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        s"$art scan lost its term_bucket dynamic partition pruning: " +
+          artScans.map(_.partitionFilters).mkString("; "))
+    }
+  }
+
   test("ir15: the probe reads the postings partition-pruned to the query's term buckets") {
     spark.sharedState.cacheManager.clearCache()
     val ret = graft.operators.RetrievalOps

@@ -265,6 +265,15 @@ class RetrievalOpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ir20: the at-rest term-as-data serve is bit-identical to ir5's in-memory batch serve") {
+    spark.sharedState.cacheManager.clearCache()
+    val served = RetrievalOps.indexBatchServe(spark, Sf).collect().toSeq
+    graft.operators.CacheScope.drain()
+    val mem = RetrievalOps.batchServe(spark, Sf).collect().toSeq
+    assert(mem.nonEmpty && served == mem,
+      "at-rest term-as-data serve drifted from ir5")
+  }
+
   test("ir16: stale metadata after a torn append heals by recount to the exact rebuilt state") {
     import org.apache.spark.sql.functions.col
     spark.sharedState.cacheManager.clearCache()
