@@ -127,4 +127,61 @@ class StreamingWinnowSpec extends SparkSpec {
         s"seed $seed: streamed index folds diverged from the full rebuild")
     }
   }
+
+  test("streamed at-rest probes == batch d26 against the frozen written index, across 3 fuzz seeds") {
+    // d26's DPP probe as the per-micro-batch monitor: the standing
+    // index is genuinely ON DISK (not a persisted frame), each batch
+    // winnows in-scan and probes the written serving table through
+    // the same partition-pruned core the registered query uses.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Tables.documents(spark, Sf)
+    val isNew = col("doc_id") % DedupOps.IncomingMod === 0
+    val root = "target/graft-index/spec-streaming-winnow26"
+    DedupOps.writeWinnowIndex(spark, root, docs.filter(!isNew))
+    graft.operators.CacheScope.drain()
+    def keyed26(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("nfp"),
+        r.getAs[Long]("n_cand"),
+        Option(r.getAs[java.lang.Long]("match_doc")).map(_.toLong),
+        r.getAs[Long]("n_shared"),
+        Option(r.getAs[java.lang.Double]("overlap")).map(_.toDouble),
+        r.getAs[String]("verdict"))
+    }.sortBy(_._1).toSeq
+    val expected = keyed26(
+      DedupOps.winnowProbeAgainst(spark, root, docs.filter(isNew),
+        cacheBatch = false).collect())
+    assert(expected.nonEmpty &&
+      expected.exists(_._7 == "overlaps_corpus") &&
+      expected.exists(_._7 == "new"),
+      "fixture regression: both verdicts should occur")
+    val batchDocs = docs.filter(isNew)
+      .select(col("doc_id"), col("text")).as[Doc].collect().toVector
+    for (seed <- Seq(2, 13, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[Doc]
+      val acc = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+      val q = in.toDF().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = DedupOps
+            .winnowProbeAgainst(spark, root, batch, cacheBatch = false)
+            .collect()
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(batchDocs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(10))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable() // stateless foreachBatch — safe to drain
+        }
+      } finally q.stop()
+      assert(keyed26(acc.toArray) === expected,
+        s"seed $seed: streamed at-rest probes diverged from the batch probe")
+    }
+  }
 }
