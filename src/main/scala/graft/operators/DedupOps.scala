@@ -554,7 +554,10 @@ object DedupOps {
     * shingle set BROADCASTS and the corpus side never shuffles: explode
     * → broadcast-hash left join → per-doc count, with the groupBy the
     * only exchange. At 100 TB the corpus explode streams scan-bound;
-    * the eval shingle set stays a few MB regardless of corpus size. */
+    * the eval shingle set stays a few MB regardless of corpus size —
+    * and d22/[[decontamAtRest]] inverts the cost entirely: the corpus
+    * shingles once into a written index and every eval release probes
+    * it partition-pruned. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ShingleExpressions._
     val docs = Tables.documents(s, dir)
@@ -659,7 +662,10 @@ object DedupOps {
     * shingle hash — AQE-splittable, no broadcast assumption — and the
     * distinct train-shingle set collapses map-side before it. At
     * 100 TB the train shingle index is written once, bucketed by hash,
-    * and every new split proposal joins against it exchange-free. */
+    * and every new split proposal joins against it exchange-free —
+    * d23/[[leakageAtRest]] WRITES that index (with append
+    * maintenance) and serves this audit from the files; this form
+    * proves the algebra. */
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ShingleExpressions.hashedShingleSet
     val docs = Tables.documents(s, dir)
@@ -848,7 +854,9 @@ object DedupOps {
     * so `overlaps_corpus` vs `new`.
     *
     * 100 TB plan: only the batch's fingerprints shuffle (the index is
-    * at rest, bucketed on `h`); the cap inherited from the index bounds
+    * at rest, bucketed on `h` — d26/[[winnowProbeAtRest]] WRITES that
+    * layout and serves this probe partition-pruned from the files;
+    * this form proves the algebra); the cap inherited from the index bounds
     * any hash bucket's probe fan-out at [[WinnowCap]] corpus rows; the
     * per-doc windows share one `doc_id` exchange. Verdicts are per-row
     * independent given the frozen index, so the streaming binding
@@ -898,7 +906,9 @@ object DedupOps {
     * one pass. At rest only the hashes that CROSSED cap in this batch
     * — a tiny subset — require rewriting standing buckets (the table
     * is bucketed on h, so the rewrite touches affected buckets only,
-    * x17's discipline); the rest of the standing table is untouched. */
+    * x17's discipline); the rest of the standing table is untouched —
+    * d27/[[appendWinnowIndex]] is exactly that maintenance made
+    * physical, bucket-scoped eviction and all. */
   def winnowingAppend(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isNew = col("doc_id") % IncomingMod === 0
