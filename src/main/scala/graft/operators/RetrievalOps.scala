@@ -1205,10 +1205,22 @@ object RetrievalOps {
     * touching standing files. */
   def phraseAtRestServe(s: SparkSession, dir: String): DataFrame = {
     val root = SimilarityOps.indexRoot(s, dir) + "/irindex17"
-    Tables.documents(s, dir)
+    writePositionalIndex(s, root, Tables.documents(s, dir))
+    positionalServe(s, root)
+  }
+
+  /** The bucketed, file-ordered positional rows of a document frame —
+    * build and append write the SAME shape, so the directory never
+    * mixes field orders (the d23 lesson). */
+  private def positionalRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), size(toks).as("dl"),
         posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("term_bucket", termBucketCol(col("tok")))
+
+  private[graft] def writePositionalIndex(s: SparkSession, root: String,
+      docs: DataFrame): Unit =
+    positionalRows(docs)
       // term_bucket leads the sort so the write's required ordering
       // (the partition column) is already satisfied — otherwise
       // FileFormatWriter inserts its own partition-column sort and
@@ -1217,6 +1229,36 @@ object RetrievalOps {
         col("term_bucket"), col("tok"), col("doc_id"), col("pos"))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/positional")
+
+  /** IR21's append core — ir17's promised maintenance ("positions are
+    * per-doc facts, so ir7's append discipline maintains the lists
+    * without touching standing files") made physical: the batch's
+    * positional rows anti-join the standing lists' slim
+    * (tok, doc_id, pos) key projection (exactly-once under retry),
+    * pin EAGERLY (the refreshByPath self-anti-join trap), restore the
+    * build's column order and per-file (tok, doc_id, pos) sort, and
+    * APPEND — standing files are never rewritten, there is no
+    * metadata to merge (positions carry no corpus-level stats), and
+    * append == rebuild row-exactly by construction
+    * (RetrievalOpsSpec pins it plus the untouched-file and
+    * retried-append invariants). */
+  private[graft] def appendPositionalIndex(s: SparkSession, root: String,
+      batch: DataFrame): Unit =
+    positionalRows(batch)
+      .join(s.read.parquet(s"$root/positional")
+          .select(col("tok"), col("doc_id"), col("pos")),
+        Seq("tok", "doc_id", "pos"), "left_anti")
+      .select(col("doc_id"), col("dl"), col("pos"), col("tok"),
+        col("term_bucket"))
+      .localCheckpoint()
+      .sortWithinPartitions(
+        col("term_bucket"), col("tok"), col("doc_id"), col("pos"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$root/positional")
+
+  /** ir17's serve half over any written positional root — shared by
+    * ir17/ir21 and the spec pins. */
+  private[graft] def positionalServe(s: SparkSession, root: String): DataFrame = {
     val (w1, w2) = Phrase
     val buckets = Seq(w1, w2).map(termBucketOf).distinct
     phraseFromPositional(
@@ -1224,6 +1266,30 @@ object RetrievalOps {
         .filter(col("term_bucket").isin(buckets: _*) &&
           col("tok").isin(w1, w2))
         .select(col("doc_id"), col("dl"), col("pos"), col("tok")))
+  }
+
+  /** IR21 — MAINTAINED POSITIONAL SERVE: the standing corpus builds
+    * the at-rest positional lists, the incoming batch FOLDS IN
+    * through [[appendPositionalIndex]], and ir17's partition-pruned
+    * phrase serve runs from the maintained files — output
+    * BIT-IDENTICAL to ir6's scan form (oracle verbatim), proving the
+    * positional tier's build/append lifecycle the way ir16 proves the
+    * postings tier's.
+    *
+    * 100 TB plan: a daily ingest appends only its own token volume
+    * into the touched buckets (standing lists never rewritten — the
+    * per-doc-fact property), each appended file is internally
+    * (tok, doc_id, pos)-sorted so the adjacency merge stays
+    * per-file streaming, and ir19's bucket-scoped compaction
+    * bin-packs the accretion on the same layout. */
+  def phraseMaintainedServe(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/irindex21"
+    val docs = Tables.documents(s, dir)
+    writePositionalIndex(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0))
+    appendPositionalIndex(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod === 0))
+    positionalServe(s, root)
   }
 
   /** IR18 — CHAMPION SERVE FROM THE AT-REST INDEX: ir13's
@@ -1530,6 +1596,7 @@ object RetrievalOps {
     "ir16_blockmax_index" -> (blockmaxIndexServe _),
     "ir19_postings_compact" -> (compactedIndexServe _),
     "ir17_phrase_at_rest" -> (phraseAtRestServe _),
+    "ir21_phrase_maintained" -> (phraseMaintainedServe _),
     "ir18_champion_at_rest" -> (championAtRestServe _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
     "ir4_inverted_serve" -> (invertedServe _),
@@ -1766,6 +1833,9 @@ object RetrievalOps {
     // oracles are the scan forms' SQL verbatim (the ir4/x11/ir15
     // path-substitution convention)
     "ir17_phrase_at_rest" -> phraseOracleSql,
+    // ir21: build∘append∘serve == ir6's scan (positions are per-doc
+    // facts — the append adds rows, never changes one), oracle verbatim
+    "ir21_phrase_maintained" -> phraseOracleSql,
     "ir18_champion_at_rest" -> championOracleSql,
     // ir7's oracle IS ir2's: append∘serve == build-over-union∘serve
     // (the x19 associativity convention — the oracle states the

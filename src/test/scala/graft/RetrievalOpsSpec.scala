@@ -274,6 +274,51 @@ class RetrievalOpsSpec extends SparkSpec {
       "at-rest term-as-data serve drifted from ir5")
   }
 
+  test("ir21: positional append == rebuild row-exact; standing files untouched; retry is a no-op; serve == ir6") {
+    import org.apache.spark.sql.functions.col
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val standing = docs.filter(
+      col("doc_id") % graft.operators.DedupOps.IncomingMod =!= 0)
+    val batch = docs.filter(
+      col("doc_id") % graft.operators.DedupOps.IncomingMod === 0)
+    val rootA = "target/graft-index/spec-ir21-append"
+    val rootB = "target/graft-index/spec-ir21-rebuild"
+    RetrievalOps.writePositionalIndex(spark, rootA, standing)
+    def fileSig() = new java.io.File(s"$rootA/positional").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("term_bucket="))
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+      }.toMap
+    val standingFiles = fileSig()
+    RetrievalOps.appendPositionalIndex(spark, rootA, batch)
+    // per-doc facts: every standing file survives byte-identical
+    val after = fileSig()
+    standingFiles.foreach { case (b, fs) =>
+      assert(after(b).take(fs.size) == fs ||
+        fs.forall(after(b).contains),
+        s"append rewrote standing files in $b")
+    }
+    RetrievalOps.writePositionalIndex(spark, rootB, docs)
+    val a = spark.read.parquet(s"$rootA/positional")
+    val b = spark.read.parquet(s"$rootB/positional")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "append != rebuild on the positional lists")
+    // retry: nothing lands twice
+    val once = a.collect().map(_.toString).sorted.toSeq
+    RetrievalOps.appendPositionalIndex(spark, rootA, batch)
+    assert(spark.read.parquet(s"$rootA/positional")
+      .collect().map(_.toString).sorted.toSeq === once,
+      "retried positional append landed rows twice")
+    // the maintained serve is ir6's scan form bit-exactly
+    spark.sharedState.cacheManager.clearCache()
+    val served = RetrievalOps.positionalServe(spark, rootA).collect().toSeq
+    val scan = RetrievalOps.phraseSearch(spark, Sf).collect().toSeq
+    assert(scan.nonEmpty && served == scan,
+      "maintained positional serve drifted from ir6")
+  }
+
   test("ir16: stale metadata after a torn append heals by recount to the exact rebuilt state") {
     import org.apache.spark.sql.functions.col
     spark.sharedState.cacheManager.clearCache()
