@@ -1636,7 +1636,8 @@ object SimilarityOps {
     *
     * 100 TB plan: the signature build is scan-bound column arithmetic
     * (no explode, no shuffle — two long words per row); at rest two
-    * BIGINTs replace 256 float bytes. The serve is ONE scan of the
+    * BIGINTs replace 256 float bytes — x31/[[signHammingAtRest]]
+    * WRITES that table id-bucketed and serves from the files. The serve is ONE scan of the
     * signature table with the Q query words broadcast; xor+popcount
     * sits inside whole-stage codegen. Dims beyond 64 add words, not
     * plan shape; production composes this as stage 1 of x25's refine
@@ -1743,7 +1744,57 @@ object SimilarityOps {
     refineExactTopK(fetched, qv, Seq("cell", "cos", "code_d2"))
   }
 
+  /** X31 — BINARY SIGN-CODE SERVE FROM THE AT-REST SIGNATURE TABLE:
+    * x26's "two BIGINTs replace 256 float bytes at rest" claim made
+    * physical. BUILD packs every vector's 64 sign bits into two long
+    * words (one scan-bound pass) and WRITES the signature table
+    * PARTITIONED BY `vec_id % FloatBuckets` — the same id-bucketed
+    * layout x30's float table uses, so the binary tier composes as
+    * stage 1 of a refine whose exact fetch prunes by id. SERVE reads
+    * the table back: the query words come from the static id-bucket
+    * predicate (query ids are known — x30's qv discipline), the
+    * corpus side is ONE scan of the written signatures with
+    * `bit_count(xor)` inside codegen, and the floats are never
+    * touched. Output BIT-IDENTICAL to x26 (oracle verbatim).
+    *
+    * 100 TB plan: the recurring serve cost drops to a scan of
+    * 16 bytes/vector (ScaleSpec measures the at-rest parquet ratio
+    * against the float column); signature rows are per-vector facts,
+    * so the ir21/x19 append discipline maintains the table without
+    * touching standing files. */
+  def signHammingAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(s, dir) + "/signidx"
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        signWord(col("embedding"), 0).as("w0"),
+        signWord(col("embedding"), 32).as("w1"),
+        pmod(col("vec_id"), lit(FloatBuckets.toLong)).cast("int")
+          .as("id_bucket"))
+      .write.mode("overwrite").partitionBy("id_bucket")
+      .parquet(s"$root/signatures")
+    val sig = s.read.parquet(s"$root/signatures")
+    val qBuckets = (0 until NumQueries).map(_ % FloatBuckets).distinct
+    val q = sig
+      .filter(col("id_bucket").isin(qBuckets: _*) &&
+        col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    sig.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).cast("int")
+          .as("hamming"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("hamming"))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_sign_atrest" -> (signHammingAtRest _),
     "x30_sq8_ivf_rerank" -> (sq8IvfRerank _),
     "x25_sq8_rerank" -> (sq8Rerank _),
     "x27_ivfpq_rerank" -> (ivfPqRerank _),
@@ -2627,6 +2678,9 @@ object SimilarityOps {
       ("x24_sq8_ivf" -> sq8IvfSql) +
       ("x25_sq8_rerank" -> sq8RerankSql) +
       ("x26_sign_hamming" -> signHammingSql) +
+      // x31 serves x26's exact result from the written signature
+      // table — oracle verbatim (the x23 convention)
+      ("x31_sign_atrest" -> signHammingSql) +
       ("x27_ivfpq_rerank" -> ivfPqRerankSql) +
       ("x28_pq_balanced" -> pqBalancedSql) +
       ("x29_quant_recall" -> quantRecallSql) +

@@ -424,6 +424,29 @@ class ScaleSpec extends SparkSpec {
       f"packed SQ8 is not compressing at rest: $pb%d B packed vs $fb%d B float (${pb.toDouble / fb}%.2f)")
   }
 
+  test("binary signatures at rest: the written table stores a small fraction of the float column's bytes") {
+    // x31's compression claim as a measured artifact: 2 BIGINT words
+    // per vector vs 64 near-incompressible floats — the at-rest ratio
+    // should sit far below SQ8's 1-byte/dim tier even with per-file
+    // overhead on this small fixture
+    def dirBytes(d: java.io.File): Long =
+      (if (d.isDirectory) d.listFiles().map(dirBytes).sum
+       else if (d.getName.endsWith(".parquet")) d.length else 0L)
+    val root = "target/graft-index/spec-sign-bytes"
+    Tables.embeddings(spark, Sf).select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$root/floats")
+    spark.sharedState.cacheManager.clearCache()
+    graft.operators.SimilarityOps.signHammingAtRest(spark, Sf).collect()
+    spark.sharedState.cacheManager.clearCache()
+    val sigRoot = graft.operators.SimilarityOps.indexRoot(spark, Sf) +
+      "/signidx/signatures"
+    val (fb, sb) = (dirBytes(new java.io.File(s"$root/floats")),
+      dirBytes(new java.io.File(sigRoot)))
+    assert(fb > 0 && sb > 0)
+    assert(sb.toDouble / fb < 0.25,
+      f"binary signatures are not compressing at rest: $sb%d B vs $fb%d B float (${sb.toDouble / fb}%.2f)")
+  }
+
   test("size-targeted compaction: range-clustered files with bounded rows and disjoint key ranges") {
     import org.apache.spark.sql.functions._
     // the small-files compaction pass every lakehouse table needs:
