@@ -447,6 +447,52 @@ class ScaleSpec extends SparkSpec {
       f"binary signatures are not compressing at rest: $sb%d B vs $fb%d B float (${sb.toDouble / fb}%.2f)")
   }
 
+  test("band index at rest: a single re-crawled document probes at most its 4 band buckets' bytes") {
+    // d25's byte bound for the production batch-of-one shape (the
+    // re-crawl monitor): one document carries exactly Bands=4 band
+    // signatures, so its probe descends into at most 4 of the 16
+    // band_bucket directories — measured here at the file level (the
+    // plan contract pins the DPP filter; this measures what it buys).
+    // The probe doc is a STANDING doc re-crawled: same text → the
+    // same band signatures, so the probed bucket set is readable
+    // from the written index itself rather than re-deriving the
+    // MinHash pipeline in the test.
+    import graft.operators.DedupOps
+    val root = Files.createTempDirectory("band_idx").toString
+    val docs = Tables.documents(spark, Sf)
+    DedupOps.writeBandIndex(spark, root, docs)
+    graft.operators.CacheScope.drain()
+    val probeId = docs.agg(min(col("doc_id"))).head.getLong(0)
+    val probedBuckets = spark.read.parquet(s"$root/bands")
+      .filter(col("doc_id") === probeId)
+      .select(col("band_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(probedBuckets.nonEmpty && probedBuckets.size <= DedupOps.Bands)
+    // the serve still answers correctly from those buckets alone: the
+    // re-crawled doc is found as a near-dup of its own standing row
+    val v = DedupOps.bandProbeAgainst(spark, root,
+        docs.filter(col("doc_id") === probeId))
+      .filter(col("verdict") === "near_dup_of_corpus")
+      .select(col("doc_id"), col("dup_of")).collect()
+    graft.operators.CacheScope.drain()
+    assert(v.length == 1 && v(0).getLong(0) == probeId &&
+      v(0).getLong(1) == probeId)
+    val dirs = new java.io.File(s"$root/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("band_bucket="))
+    def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))).map(_.length).sum
+    val probed = dirs.filter(d =>
+      probedBuckets.exists(b => d.getName == s"band_bucket=$b"))
+    assert(dirs.length > DedupOps.Bands,
+      s"fixture regression: only ${dirs.length} band buckets populated")
+    assert(probed.length == probedBuckets.size && probed.length < dirs.length)
+    val (probeBytes, allBytes) = (bytes(probed), bytes(dirs))
+    assert(probeBytes > 0 && probeBytes < allBytes,
+      s"probe bytes $probeBytes vs band-index bytes $allBytes")
+    info(f"one-doc probe reads $probeBytes of $allBytes band-index bytes " +
+      f"(${100.0 * probeBytes / allBytes}%.1f%% across ${probed.length} of ${dirs.length} buckets)")
+  }
+
   test("size-targeted compaction: range-clustered files with bounded rows and disjoint key ranges") {
     import org.apache.spark.sql.functions._
     // the small-files compaction pass every lakehouse table needs:
