@@ -470,23 +470,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
-  private def checkNoNulls(x: ArrayData, side: String): Unit = {
-    var i = 0
-    while (i < x.numElements()) {
-      if (x.isNullAt(i)) throw new IllegalArgumentException(
-        s"sorted_intersect_count: null element in $side input")
-      i += 1
-    }
-  }
+  // null elements are checked ONLY on positions the merge actually
+  // reads (before each getLong): a never-visited null cannot alter
+  // the count, so fail-loud is preserved without the full O(n+m)
+  // prescan that would double array traversal in the verify loops
+  private def nullElement(side: String): Nothing =
+    throw new IllegalArgumentException(
+      s"sorted_intersect_count: null element in $side input")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    checkNoNulls(x, "left"); checkNoNulls(y, "right")
     var i = 0
     var j = 0
     var c = 0
     while (i < x.numElements() && j < y.numElements()) {
+      if (x.isNullAt(i)) nullElement("left")
+      if (y.isNullAt(j)) nullElement("right")
       val xv = x.getLong(i)
       val yv = y.getLong(j)
       if (xv < yv) i += 1
@@ -505,16 +505,11 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       s"""
          |int $i = 0, $j = 0, $c = 0;
-         |for ($i = 0; $i < $a.numElements(); $i++) {
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
          |  if ($a.isNullAt($i)) throw new IllegalArgumentException(
          |    "sorted_intersect_count: null element in left input");
-         |}
-         |for ($j = 0; $j < $b.numElements(); $j++) {
          |  if ($b.isNullAt($j)) throw new IllegalArgumentException(
          |    "sorted_intersect_count: null element in right input");
-         |}
-         |$i = 0; $j = 0;
-         |while ($i < $a.numElements() && $j < $b.numElements()) {
          |  final long $xv = $a.getLong($i);
          |  final long $yv = $b.getLong($j);
          |  if ($xv < $yv) $i++;

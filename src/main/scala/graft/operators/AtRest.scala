@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/** Shared maintenance for the bucket-partitioned at-rest index
+  * layouts. Every maintained family (postings, positional, shingle,
+  * bands, winnow, SAX, z-order, vector cells) appends ≥1 new data
+  * file per touched bucket per batch, so a daily-ingest deployment
+  * accretes small files until reads pay per-file open cost — the
+  * bin-pack here is ir19's compaction (RetrievalOps) extracted so the
+  * identical pass applies to EVERY family instead of being
+  * re-implemented per layout (SCALE.md's admitted gap, closed):
+  * AFFECTED buckets (more data files than `targetFiles`) are read
+  * with a STATIC partition predicate (only their directories are
+  * listed), repartitioned so each bucket lands as ONE file, staged
+  * beside the table, and written back with DYNAMIC partition
+  * overwrite — untouched buckets' files are never rewritten
+  * (CompactionSpec pins their file sets byte-identical per family).
+  *
+  * Restart-safe without a log (the crash points are spec-exercised,
+  * not just argued): a crash BEFORE the staging write changes
+  * nothing; a crash BETWEEN staging and the overwrite reruns from the
+  * top (staging rebuilds from the intact table); a crash MID-
+  * overwrite leaves some buckets compacted (1 file — the rerun's
+  * listing skips them) and some not (still >targetFiles — the rerun
+  * re-stages exactly those), and every replaced partition holds the
+  * same rows it held before, so a serve at ANY intermediate state
+  * answers exactly what it answered before compaction began.
+  */
+object AtRest {
+
+  /** The filesystem of `path` — resolved from the path, NOT the
+    * default FS (they differ when the index lives on an object
+    * store). */
+  private[graft] def fsOf(s: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Data files per bucket partition of a partitioned table —
+    * driver-side FS listing, O(#files) layout metadata (the same
+    * bookkeeping a table format's manifest gives for free). */
+  private[graft] def bucketFiles(s: SparkSession, table: String,
+      partitionCol: String): Map[Int, Seq[FileStatus]] = {
+    val fs = fsOf(s, table)
+    fs.listStatus(new Path(table))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$partitionCol="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix(s"$partitionCol=").toInt
+        b -> fs.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+      }.toMap
+  }
+
+  /** The buckets whose directories have accreted past `targetFiles`
+    * data files — the rerun-safe work list (a bucket already
+    * compacted to ≤ targetFiles files never re-lists as affected). */
+  private[graft] def accretedBuckets(s: SparkSession, table: String,
+      partitionCol: String, targetFiles: Int): Seq[Int] =
+    bucketFiles(s, table, partitionCol)
+      .filter(_._2.size > targetFiles).keys.toSeq.sorted
+
+  /** Stage the affected buckets, bin-packed to one file each, beside
+    * the table (`<table>_staging`). Pure layout: the staged rows ARE
+    * the buckets' rows. Families that promise a PER-FILE row order
+    * (the positional lists' (tok, doc_id, pos)) pass it as
+    * `sortCols` — the partition column leads the sort so
+    * FileFormatWriter's own required ordering is already satisfied
+    * and cannot destroy the promised order (the ir21 lesson). */
+  private[graft] def stageCompaction(s: SparkSession, table: String,
+      partitionCol: String, buckets: Seq[Int],
+      sortCols: Seq[Column] = Nil): Unit = {
+    val packed = s.read.parquet(table)
+      .filter(col(partitionCol).isin(buckets: _*))
+      .repartition(buckets.size, col(partitionCol))
+    val ordered =
+      if (sortCols.isEmpty) packed
+      else packed.sortWithinPartitions(col(partitionCol) +: sortCols: _*)
+    ordered.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(s"${table}_staging")
+  }
+
+  /** Replace exactly the staged buckets via dynamic partition
+    * overwrite; the staging dir is dropped after a completed apply
+    * (a crash before the drop leaves it — the next compaction's
+    * staging write overwrites it wholesale). */
+  private[graft] def applyCompaction(s: SparkSession, table: String,
+      partitionCol: String): Unit = {
+    s.read.parquet(s"${table}_staging")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(table)
+    fsOf(s, table).delete(new Path(s"${table}_staging"), true)
+    ()
+  }
+
+  /** Bin-pack a bucket-partitioned table back to ≤ `targetFiles` data
+    * files per bucket directory. Row content is untouched — serves
+    * before, during and after compaction answer identically; only
+    * accreted buckets are listed, read, staged or rewritten. Returns
+    * the compacted bucket ids (Nil = nothing to do, and the call did
+    * no IO beyond the directory listing). */
+  def compactBucketedTable(s: SparkSession, table: String,
+      partitionCol: String, targetFiles: Int = 1,
+      sortCols: Seq[Column] = Nil): Seq[Int] = {
+    val affected = accretedBuckets(s, table, partitionCol, targetFiles)
+    if (affected.nonEmpty) {
+      stageCompaction(s, table, partitionCol, affected, sortCols)
+      applyCompaction(s, table, partitionCol)
+    }
+    affected
+  }
+}

@@ -1511,15 +1511,26 @@ object DedupOps {
     *      doc_id) anti-join exactly-once guard (eager localCheckpoint
     *      — the refreshByPath trap — and canonical column order, the
     *      d23 mixed-schema lesson);
-    *   2. `wdf` merges by integer addition from the LANDED delta
-    *      (ir16's convention: a torn append leaves stats stale, never
-    *      wrong — [[healWinnowIndex]] recounts from the base);
-    *   3. hashes whose merged DF crossed [[WinnowCap]] EVICT: only
-    *      the over-cap hashes' buckets are read (static bucket list —
-    *      the over-cap set is ≤ |fp|/Cap, its bucket list is O(16)
-    *      driver metadata), anti-joined, staged and written back with
+    *   2. `wdf` merges by integer addition from the LANDED delta,
+    *      BUCKET-SCOPED — only the delta's hash buckets are read and
+    *      replaced, because wdf grows with the corpus while the delta
+    *      is batch-sized (ir16's convention otherwise: a torn append
+    *      leaves stats stale, never wrong — [[healWinnowIndex]]
+    *      recounts from the base);
+    *   3. hashes whose merged DF CROSSED [[WinnowCap]] in THIS batch
+    *      (over-cap in the merged stats, anti-joined against the
+    *      pre-merge over-cap set — hashes an earlier append already
+    *      evicted drive no rewrite, so byte churn tracks the batch's
+    *      boilerplate, not the accumulated total) EVICT: only the
+    *      crossing hashes' buckets are read (static bucket list — the
+    *      crossing set is ≤ |fp|/Cap, its bucket list is O(16) driver
+    *      metadata), anti-joined against the FULL over-cap set (so a
+    *      rewritten bucket also sheds any stragglers a torn earlier
+    *      eviction left behind), pinned eagerly and written back with
     *      dynamic partition overwrite — buckets without a crossing
-    *      hash are never rewritten;
+    *      hash are never rewritten, and a bucket whose every kept row
+    *      crossed (dynamic overwrite writes NOTHING for an empty
+    *      partition) has its stale directory dropped explicitly;
     *   4. the batch's under-cap rows append to `kept`.
     * Append == rebuild row-exactly on all three artifacts (the d19
     * bit-equality at the file level; a retried append is a no-op on
@@ -1535,43 +1546,71 @@ object DedupOps {
       .localCheckpoint()
     newRows.write.mode("append").partitionBy("h_bucket")
       .parquet(s"$root/wfp")
-    s.read.parquet(s"$root/wdf")
-      .unionByName(newRows.groupBy(col("h_bucket"), col("h"))
-        .agg(count(lit(1)).as("nd")))
-      .groupBy(col("h_bucket"), col("h")).agg(sum(col("nd")).as("nd"))
+    // the PRE-merge over-cap set, pinned before the stats overwrite:
+    // hashes an earlier append already evicted — this batch's
+    // eviction rewrite must be driven by the CROSSING delta, not by
+    // every bucket that ever held boilerplate
+    val preOver = s.read.parquet(s"$root/wdf")
+      .filter(col("nd") > WinnowCap).select(col("h"))
       .localCheckpoint()
-      .write.mode("overwrite").partitionBy("h_bucket")
-      .parquet(s"$root/wdf")
-    // the merged over-cap set: tiny by the |fp|/Cap bound — its rows
-    // broadcast into the eviction anti-join and the append filter,
-    // and ONLY its buckets' directories are rewritten
-    val over = s.read.parquet(s"$root/wdf")
-      .filter(col("nd") > WinnowCap).select(col("h"), col("h_bucket"))
-      .localCheckpoint()
-    val evictBuckets = over.select(col("h_bucket")).distinct()
+    // the DF merge is BUCKET-SCOPED (round 16): wdf holds one row per
+    // distinct fingerprint hash — corpus-sized — while the delta only
+    // touches the batch's hash buckets, so only THOSE buckets are
+    // read, merged by addition and replaced via dynamic partition
+    // overwrite (a merged bucket is never empty: the delta
+    // contributed to it — no directory-drop guard needed)
+    val deltaDf = newRows.groupBy(col("h_bucket"), col("h"))
+      .agg(count(lit(1)).as("nd")).localCheckpoint()
+    val dfBuckets = deltaDf.select(col("h_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (evictBuckets.nonEmpty) {
-      s.read.parquet(s"$root/kept")
-        .filter(col("h_bucket").isin(evictBuckets: _*))
-        .join(broadcast(over.select(col("h"))), Seq("h"), "left_anti")
-        .select(col("doc_id"), col("h"), col("h_bucket"))
-        .write.mode("overwrite").partitionBy("h_bucket")
-        .parquet(s"$root/kstaging")
-      s.read.parquet(s"$root/kstaging")
+    if (dfBuckets.nonEmpty) {
+      s.read.parquet(s"$root/wdf")
+        .filter(col("h_bucket").isin(dfBuckets: _*))
+        .unionByName(deltaDf)
+        .groupBy(col("h_bucket"), col("h")).agg(sum(col("nd")).as("nd"))
+        .localCheckpoint()
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("h_bucket")
-        .parquet(s"$root/kept")
+        .parquet(s"$root/wdf")
+    }
+    // the merged over-cap set: tiny by the |fp|/Cap bound — its rows
+    // broadcast into the eviction anti-join and the append filter
+    val over = s.read.parquet(s"$root/wdf")
+      .filter(col("nd") > WinnowCap).select(col("h"), col("h_bucket"))
+      .localCheckpoint()
+    val evictBuckets = over.join(preOver, Seq("h"), "left_anti")
+      .select(col("h_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (evictBuckets.nonEmpty) {
+      // pinned EAGERLY: the survivors' plan reads the very files the
+      // dynamic overwrite below replaces — the checkpoint severs the
+      // lineage first (the wdf merge's own convention), and doubles as
+      // the source of the staged-bucket list WITHOUT re-reading any
+      // written staging dir (an all-evicted staging is legal — it
+      // simply stages zero rows)
+      val survivors = s.read.parquet(s"$root/kept")
+        .filter(col("h_bucket").isin(evictBuckets: _*))
+        .join(broadcast(over.select(col("h"))), Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h"), col("h_bucket"))
+        .localCheckpoint()
+      val stagedBuckets = survivors.select(col("h_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (stagedBuckets.nonEmpty) {
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("h_bucket")
+          .parquet(s"$root/kept")
+      }
       // x17's partition-drop edge, made REAL by boilerplate eviction:
       // a bucket whose every kept row was a crossing hash stages ZERO
       // survivors, and dynamic overwrite writes nothing for an empty
       // partition — the stale files (still holding the evicted hash)
-      // would survive. Drop exactly those buckets' directories.
-      val stagedBuckets = s.read.parquet(s"$root/kstaging")
-        .select(col("h_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
+      // would survive. Drop exactly those buckets' directories,
+      // resolving the FS from the index ROOT (the default FS is wrong
+      // when the index lives on an object store).
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
       (evictBuckets.toSet -- stagedBuckets).foreach { b =>
         fs.delete(new org.apache.hadoop.fs.Path(
           s"$root/kept/h_bucket=$b"), true)
@@ -1916,7 +1955,150 @@ object DedupOps {
           .otherwise(lit("new")).as("verdict"))
   }
 
+  // ---------------------------------------------------------------
+  // The at-rest SimHash index (d28): the signature half of the text
+  // near-dup tier made physical — d3/d3b compute 60-bit simhashes per
+  // audit; x31 proved the pattern for embedding sign codes. ONE
+  // denormalized artifact (the m7 shape):
+  //   - chunks/ — (doc_id, simhash, band, chunk) PARTITIONED BY the
+  //     chunk bucket: each doc's 4 pigeonhole band chunks, with the
+  //     full signature carried on every row so the Hamming verify is
+  //     per-row bit arithmetic on the joined pair — no second fetch,
+  //     no text re-hashed at audit time.
+  // ---------------------------------------------------------------
+
+  /** Chunk-bucket count of the at-rest simhash layout — 16, the
+    * family constant. */
+  val SimChunkBuckets = 16
+
+  /** The chunk partition attribute: chunks are md5-derived bit slices
+    * (uniform), so d24's plain band+value modulus spreads here too. */
+  private[graft] def simChunkBucketCol(band: Column, chunk: Column): Column =
+    pmod(band + chunk, lit(SimChunkBuckets.toLong)).cast("int")
+
+  /** (doc_id, simhash, band, chunk, chunk_bucket) — d3b's pigeonhole
+    * band rows over any (doc_id, simhash) frame, ONE tree for the
+    * build, the append and the probe side. */
+  private def simChunkRows(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftright(col("simhash"), Simhash60BandBits * i)
+            .bitwiseAND((1 << Simhash60BandBits) - 1)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .withColumn("chunk_bucket",
+        simChunkBucketCol(col("band"), col("chunk")))
+      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"),
+        col("chunk_bucket"))
+
+  private def simhash60Of(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), simhashSig(Simhash60Bits).as("simhash"))
+
+  /** BUILD: signatures computed ONCE at ingest, chunk rows written
+    * bucket-partitioned. */
+  private[graft] def writeSimhashIndex(s: SparkSession, root: String,
+      docs: DataFrame): Unit =
+    simChunkRows(simhash60Of(docs))
+      .write.mode("overwrite").partitionBy("chunk_bucket")
+      .parquet(s"$root/chunks")
+
+  /** APPEND: per-doc facts only (standing signatures never change) —
+    * append == rebuild row-exact by construction, exactly-once via
+    * the ir16 anti-join + eager-checkpoint discipline with the
+    * canonical column order restored (the d23 lesson). */
+  private[graft] def appendSimhashIndex(s: SparkSession, root: String,
+      batch: DataFrame): Unit =
+    simChunkRows(simhash60Of(batch))
+      .join(s.read.parquet(s"$root/chunks")
+          .select(col("doc_id"), col("band")),
+        Seq("doc_id", "band"), "left_anti")
+      .select(col("doc_id"), col("simhash"), col("band"), col("chunk"),
+        col("chunk_bucket"))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("chunk_bucket")
+      .parquet(s"$root/chunks")
+
+  /** D28 — SIMHASH NEAR-DUP AUDIT FROM THE AT-REST INDEX: d3b's full
+    * pair audit served from the written chunk rows. BUILD + APPEND
+    * pay the signature derivation once at ingest; the SERVE
+    * self-joins the slim chunk rows on (band, chunk) — co-partitioned
+    * on the written bucket layout — and the exact Hamming verify is
+    * `bit_count(xor)` on the signatures the rows already carry.
+    * Output BIT-IDENTICAL to d3b (oracle verbatim, the ir15
+    * convention).
+    *
+    * 100 TB plan: the recurring audit cost drops from
+    * corpus-tokenize+hash (d3b's hot path) to a ~30-byte-per-row
+    * self-join bounded by chunk-bucket occupancy; the text column is
+    * never re-read. */
+  def simhashAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/simidx28"
+    val docs = Tables.documents(s, dir)
+    writeSimhashIndex(s, root,
+      docs.filter(col("doc_id") % IncomingMod =!= 0))
+    appendSimhashIndex(s, root,
+      docs.filter(col("doc_id") % IncomingMod === 0))
+    val chunks = s.read.parquet(s"$root/chunks")
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .select(col("a"), col("b"), col("hamming"),
+        when(col("hamming") <= SimhashMaxHamming, 1).otherwise(0)
+          .as("is_near_dup"))
+      .transform(Common.presented(_, col("a"), col("b")))
+  }
+
+  /** d28's incremental probe core (the d25 shape on signatures): an
+    * incoming batch signs itself, broadcasts its chunk rows onto the
+    * BARE chunk_bucket partition attribute (DPP — PlanContractSpec
+    * pins it) and verdicts per incoming doc against the FROZEN
+    * index; every verdict depends only on its own document and the
+    * written files, so streamed == batched under any arrival order
+    * (StreamingBandSpec binds it per micro-batch). */
+  private[graft] def simhashProbeAgainst(s: SparkSession, root: String,
+      incoming: DataFrame, cacheBatch: Boolean = true): DataFrame = {
+    val isigs = simhash60Of(incoming)
+    if (cacheBatch) { CacheScope.persist(isigs); () }
+    val probe = simChunkRows(isigs)
+      .select(col("doc_id").as("a"), col("simhash").as("sa"),
+        col("band").as("p_band"), col("chunk").as("p_chunk"),
+        col("chunk_bucket").as("p_bucket"))
+      // load-bearing selective predicate (x17's lesson): the probe
+      // descends from a persisted frame, so without a visible filter
+      // the PartitionPruning rule never inserts the pruning subquery
+      .filter(col("p_bucket") >= 0)
+    val verdicts = s.read.parquet(s"$root/chunks")
+      .join(broadcast(probe),
+        col("chunk_bucket") === col("p_bucket") &&
+          col("band") === col("p_band") && col("chunk") === col("p_chunk"))
+      .select(col("a"), col("doc_id").as("b"), col("sa"),
+        col("simhash").as("sb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+      .withColumn("is_near_dup",
+        when(col("hamming") <= SimhashMaxHamming, 1).otherwise(0))
+    val agg = verdicts.groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(col("is_near_dup")).cast("long").as("n_dup"),
+        min(when(col("is_near_dup") === 1, col("b"))).as("dup_of"))
+    isigs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("dup_of"),
+        when(coalesce(col("n_dup"), lit(0L)) > 0, lit("near_dup_of_corpus"))
+          .otherwise(lit("new")).as("verdict"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d28_simhash_atrest" -> (simhashAtRest _),
     "d22_decontam_atrest" -> (decontamAtRest _),
     "d23_leakage_atrest" -> (leakageAtRest _),
     "d24_bandpairs_atrest" -> (bandPairsAtRest _),
@@ -2001,6 +2183,24 @@ object DedupOps {
 
   private[operators] val simhashCoreSql: String = simhashSql(16)
   private val simhash60Sql: String = simhashSql(Simhash60Bits)
+
+  /** d3b's oracle — and verbatim d28's (the at-rest serve is
+    * bit-identical by the ir15 path-substitution convention). */
+  private val D3bOracle =
+    s"""WITH sigs AS ($simhash60Sql),
+       |chunks AS (SELECT doc_id, simhash, u.band,
+       |                  (simhash >> ($Simhash60BandBits * u.band)) & ${(1 << Simhash60BandBits) - 1} AS chunk
+       |           FROM sigs, unnest([0, 1, 2, 3]) AS u(band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |                x.simhash AS sa, y.simhash AS sb
+       |         FROM chunks x JOIN chunks y
+       |           ON x.band = y.band AND x.chunk = y.chunk
+       |              AND x.doc_id < y.doc_id)
+       |SELECT a, b,
+       |       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
+       |       CASE WHEN bit_count(xor(sa, sb)) <= $SimhashMaxHamming
+       |            THEN 1 ELSE 0 END AS is_near_dup
+       |FROM cand ORDER BY a, b""".stripMargin
 
   private val oraclesD2Body: String =
     s"""WITH t AS (SELECT doc_id, $bgSql AS bg FROM documents),
@@ -2156,21 +2356,8 @@ object DedupOps {
     "d3_simhash" ->
       s"""$simhashCoreSql
          |ORDER BY doc_id""".stripMargin,
-    "d3b_simhash_neardup" ->
-      s"""WITH sigs AS ($simhash60Sql),
-         |chunks AS (SELECT doc_id, simhash, u.band,
-         |                  (simhash >> ($Simhash60BandBits * u.band)) & ${(1 << Simhash60BandBits) - 1} AS chunk
-         |           FROM sigs, unnest([0, 1, 2, 3]) AS u(band)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |                x.simhash AS sa, y.simhash AS sb
-         |         FROM chunks x JOIN chunks y
-         |           ON x.band = y.band AND x.chunk = y.chunk
-         |              AND x.doc_id < y.doc_id)
-         |SELECT a, b,
-         |       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
-         |       CASE WHEN bit_count(xor(sa, sb)) <= $SimhashMaxHamming
-         |            THEN 1 ELSE 0 END AS is_near_dup
-         |FROM cand ORDER BY a, b""".stripMargin,
+    "d3b_simhash_neardup" -> D3bOracle,
+    "d28_simhash_atrest" -> D3bOracle,
     "d4_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang, source,
          |             list_distinct(list_transform($bgSql, s -> ${tokHashSql("s")})) AS hs

@@ -828,8 +828,15 @@ object RetrievalOps {
 
   /** Fold an incoming batch into the standing index — the ir7 merge
     * made physical. Postings APPEND (per-doc facts; standing files
-    * untouched); blockmeta/dict/consts MERGE associatively and
-    * rewrite (they are metadata — KBs beside the postings' bytes).
+    * untouched); blockmeta/dict MERGE associatively BUCKET-SCOPED
+    * (round 16): blockmeta is ~postings/64 rows and grows with the
+    * corpus, so a full-table rewrite per append would fold a
+    * batch-sized delta into a corpus-sized write — instead only the
+    * delta's term buckets are read, merged and written back via
+    * dynamic partition overwrite (ir19's write path; untouched
+    * metadata buckets' files survive byte-identical,
+    * RetrievalOpsSpec pins it). consts RECOUNTS from doclen (one row
+    * out — idempotent where a += merge would double-count a retry).
     * `localCheckpoint` cuts the read-modify-write cycle on each
     * metadata table (the x15/x17 convention).
     *
@@ -863,18 +870,35 @@ object RetrievalOps {
       .parquet(s"$root/postings")
     // disjoint doc sets: a (term, block) key appears on at most one
     // side unless the block straddles the split, where max/min/sum all
-    // merge exactly; n_postings sums like the dict's df does
-    s.read.parquet(s"$root/blockmeta")
-      .unionByName(blockMetaOf(bp))
-      .groupBy(col("term_bucket"), col("tok"), col("blk"))
-      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"),
-        sum(col("n_postings")).as("n_postings"))
-      .localCheckpoint()
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$root/blockmeta")
-    dictFromMeta(s.read.parquet(s"$root/blockmeta"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$root/dict")
+    // merge exactly; n_postings sums like the dict's df does. The
+    // merge is BUCKET-SCOPED: the delta only holds the batch's term
+    // buckets, so only those buckets of the standing metadata are
+    // read, merged and replaced — the touched-bucket list is O(16)
+    // driver metadata (the d27 bookkeeping class), and a merged
+    // bucket is never empty (the delta contributed to it), so the
+    // dynamic overwrite needs no directory-drop guard
+    val deltaMeta = blockMetaOf(bp).localCheckpoint()
+    val mBuckets = deltaMeta.select(col("term_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (mBuckets.nonEmpty) {
+      s.read.parquet(s"$root/blockmeta")
+        .filter(col("term_bucket").isin(mBuckets: _*))
+        .unionByName(deltaMeta)
+        .groupBy(col("term_bucket"), col("tok"), col("blk"))
+        .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"),
+          sum(col("n_postings")).as("n_postings"))
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket")
+        .parquet(s"$root/blockmeta")
+      dictFromMeta(s.read.parquet(s"$root/blockmeta")
+          .filter(col("term_bucket").isin(mBuckets: _*)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("term_bucket")
+        .parquet(s"$root/dict")
+    }
     // doclen gets the same anti-join exactly-once guard, and the
     // constants RECOUNT from the at-rest table (2 slim columns —
     // idempotent by construction, where a +=-style merge would
@@ -913,21 +937,10 @@ object RetrievalOps {
   }
 
   /** Data files per term_bucket partition of the at-rest postings —
-    * driver-side FS listing, O(#files) layout metadata (the same
-    * bookkeeping a table format's manifest gives for free). */
+    * [[AtRest.bucketFiles]] on the postings layout. */
   private[graft] def postingsBucketFiles(s: SparkSession,
-      root: String): Map[Int, Seq[org.apache.hadoop.fs.FileStatus]] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      s.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/postings"))
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("term_bucket="))
-      .map { d =>
-        val b = d.getPath.getName.stripPrefix("term_bucket=").toInt
-        b -> fs.listStatus(d.getPath).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-      }.toMap
-  }
+      root: String): Map[Int, Seq[org.apache.hadoop.fs.FileStatus]] =
+    AtRest.bucketFiles(s, s"$root/postings", "term_bucket")
 
   /** IR19's compaction core — complete the postings lifecycle (ir15
     * builds, ir16 appends + heals; nothing bin-packed): every
@@ -948,26 +961,16 @@ object RetrievalOps {
     * (1 file — the rerun's listing skips them) and some not (still
     * >targetFiles — the rerun re-stages exactly those), and every
     * replaced partition holds the same rows it held before, so no
-    * serve in between reads anything wrong. Returns the compacted
-    * bucket ids (Nil = nothing to do). */
+    * serve in between reads anything wrong (CompactionSpec exercises
+    * each crash point). Returns the compacted bucket ids (Nil =
+    * nothing to do). Round 16: the pass is [[AtRest
+    * .compactBucketedTable]], extracted so every maintained family
+    * (bands, winnow, positional, SAX counts, …) runs the identical
+    * bin-pack instead of re-implementing it per layout. */
   private[graft] def compactPostingsIndex(s: SparkSession, root: String,
-      targetFiles: Int = 1): Seq[Int] = {
-    val affected = postingsBucketFiles(s, root)
-      .filter(_._2.size > targetFiles).keys.toSeq.sorted
-    if (affected.nonEmpty) {
-      s.read.parquet(s"$root/postings")
-        .filter(col("term_bucket").isin(affected: _*))
-        .repartition(affected.size, col("term_bucket"))
-        .write.mode("overwrite").partitionBy("term_bucket")
-        .parquet(s"$root/staging")
-      s.read.parquet(s"$root/staging")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("term_bucket")
-        .parquet(s"$root/postings")
-    }
-    affected
-  }
+      targetFiles: Int = 1): Seq[Int] =
+    AtRest.compactBucketedTable(s, s"$root/postings", "term_bucket",
+      targetFiles)
 
   /** IR19 — COMPACTED-INDEX SERVE: the postings lifecycle closed.
     * BUILD the standing index, APPEND the incoming batch (ir16 —

@@ -229,7 +229,82 @@ object SqlSurfaceOps {
          |ORDER BY rank""".stripMargin)
   }
 
+  /** SX8 — the at-rest NEAR-DUP PROBE as ONE SQL statement: d25's
+    * two-stage pruned probe (candidates from the probe's band buckets,
+    * exact-Jaccard verify sets from the candidates' id buckets)
+    * restated as pure SQL text over `parquet.` path relations — the
+    * sx convention extended to the second index family. The incoming
+    * batch signs itself with the SQL-REGISTERED compiled expressions
+    * (`hashed_shingle_set` / `minhash_sig` /
+    * `sorted_intersect_count`), the probe and candidate sides carry
+    * the writer's own bucket arithmetic as visible predicates on the
+    * BARE partition attributes, and BOTH dynamic-pruning subqueries
+    * fire inside the one statement exactly as on the DataFrame path
+    * (PlanContractSpec pins both) — no driver-side bucket collection,
+    * no DataFrame API. Oracle = d15's SQL VERBATIM, so the SQL-text
+    * serve must hash-match the in-memory incremental probe
+    * bit-for-bit. */
+  def sqlBandProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val root = new java.io.File(
+      SimilarityOps.indexRoot(s, dir) + "/bandidxsx8").getAbsolutePath
+    val docs = Tables.documents(s, dir)
+    DedupOps.writeBandIndex(s, root,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id")
+        % DedupOps.IncomingMod =!= 0))
+    docs.createOrReplaceTempView("documents_sx8")
+    val hashMod = graft.functions.TextFunctions.HashMod
+    val bandSigs = (0 until DedupOps.Bands).map(b =>
+      s"element_at(mh, ${2 * b + 1}) * $hashMod + element_at(mh, ${2 * b + 2})")
+      .mkString(",\n                 ")
+    s.sql(
+      s"""WITH inc AS (SELECT doc_id,
+         |               hashed_shingle_set(split(text, ' '), 2) AS bg
+         |             FROM documents_sx8
+         |             WHERE doc_id % ${DedupOps.IncomingMod} = 0),
+         |m AS (SELECT doc_id, bg, minhash_sig(bg) AS mh FROM inc),
+         |probe AS (SELECT doc_id AS a, p.pos AS band, p.col AS sig,
+         |                 CAST(pmod(p.pos + p.col, ${DedupOps.BandBuckets})
+         |                      AS INT) AS p_bucket
+         |          FROM m
+         |          LATERAL VIEW posexplode(array(
+         |                 $bandSigs)) p AS pos, col),
+         |cand AS (SELECT /*+ BROADCAST(pr) */ DISTINCT pr.a, bx.doc_id AS b
+         |         FROM parquet.`$root/bands` bx
+         |         JOIN (SELECT * FROM probe WHERE p_bucket >= 0) pr
+         |           ON bx.band_bucket = pr.p_bucket AND bx.band = pr.band
+         |              AND bx.sig = pr.sig),
+         |slb AS (SELECT a, b,
+         |               CAST(pmod(b, ${DedupOps.IdBuckets}) AS INT) AS b_bucket
+         |        FROM cand),
+         |fetched AS (SELECT /*+ BROADCAST(sl) */ sl.a, sl.b, ds.bg AS bgb
+         |            FROM parquet.`$root/docsets` ds
+         |            JOIN (SELECT * FROM slb WHERE b_bucket >= 0) sl
+         |              ON ds.id_bucket = sl.b_bucket AND ds.doc_id = sl.b),
+         |ver AS (SELECT f.a, f.b,
+         |               CASE WHEN CAST(sorted_intersect_count(i.bg, f.bgb)
+         |                          AS BIGINT) * ${DedupOps.JaccardNum}
+         |                         >= CAST(size(i.bg) + size(f.bgb) AS BIGINT)
+         |                            - CAST(sorted_intersect_count(i.bg, f.bgb)
+         |                                   AS BIGINT)
+         |                    THEN 1 ELSE 0 END AS nd
+         |        FROM fetched f JOIN inc i ON f.a = i.doc_id),
+         |agg AS (SELECT a AS doc_id, count(*) AS n_cand,
+         |               CAST(sum(nd) AS BIGINT) AS n_dup,
+         |               min(CASE WHEN nd = 1 THEN b END) AS dup_of
+         |        FROM ver GROUP BY a)
+         |SELECT i.doc_id,
+         |       coalesce(n_cand, CAST(0 AS BIGINT)) AS n_cand,
+         |       coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup,
+         |       dup_of,
+         |       CASE WHEN coalesce(n_dup, 0) > 0 THEN 'near_dup_of_corpus'
+         |            ELSE 'new' END AS verdict
+         |FROM inc i LEFT JOIN agg USING (doc_id)
+         |ORDER BY i.doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sx8_sql_band_probe" -> (sqlBandProbe _),
     "sx7_sql_index_serve" -> (sqlIndexServe _),
     "sx6_sql_sq8" -> (sqlSq8 _),
     "sx1_sql_signatures" -> (sqlSignatures _),
@@ -243,6 +318,9 @@ object SqlSurfaceOps {
     // exhaustive scan bit-for-bit (the ir15 convention on the SQL
     // surface)
     "sx7_sql_index_serve" -> RetrievalOps.oracles("ir2_bm25_topk"),
+    // d15's oracle verbatim: the SQL-text at-rest band probe must
+    // match the in-memory incremental probe bit-for-bit
+    "sx8_sql_band_probe" -> DedupOps.oracles("d15_minhash_incremental"),
     // ly1's oracle verbatim: SQL-text path == DataFrame path == DuckDB
     // sx6 restates x22's exact integer ranking (x23's packed path) in
     // SQL text — the oracle is x22's verbatim, the x23 convention

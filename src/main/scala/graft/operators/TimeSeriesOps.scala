@@ -269,8 +269,13 @@ object TimeSeriesOps {
     * aggregates over the counts collapse (nothing wider than ts1's
     * first shuffle), and the words table it emits is ~16 bytes/user —
     * the standing index ts5 probes. */
-  def saxIndex(s: SparkSession, dir: String): DataFrame = {
-    val words = saxWords(cachedCounts(s, dir))
+  def saxIndex(s: SparkSession, dir: String): DataFrame =
+    saxIndexTail(saxWords(cachedCounts(s, dir)))
+
+  /** ts4's presentation tail over ANY (user_id, word, n_active_segs)
+    * words frame — ONE tree for the in-memory build (ts4) and the
+    * maintained at-rest serve (ts10), so the two cannot drift. */
+  private[graft] def saxIndexTail(words: DataFrame): DataFrame = {
     val probe = words.filter(col("user_id") === ProbeUser)
       .select(col("word").as("pw"))
     // bucket occupancy as a window count over the word partition — one
@@ -291,7 +296,7 @@ object TimeSeriesOps {
     * for b = 0..[[NumSegs]]-1 — two users share a band key iff their
     * words agree on every OTHER position, i.e. symbol-Hamming ≤ 1
     * (d3b's pigeonhole argument on the SAX alphabet). */
-  private def bandKeys(words: DataFrame): DataFrame =
+  private[graft] def bandKeys(words: DataFrame): DataFrame =
     words.select(col("user_id"),
         explode(sequence(lit(0), lit(NumSegs - 1))).as("b"), col("word"))
       .select(col("user_id"), col("b"),
@@ -428,7 +433,9 @@ object TimeSeriesOps {
     "ts5_sax_knn" -> (saxKnn _),
     "ts6_lead_lag" -> (leadLag _),
     "ts7_changepoint" -> (changepoint _),
-    "ts8_sax_discord" -> (saxDiscord _))
+    "ts8_sax_discord" -> (saxDiscord _),
+    "ts9_sax_atrest" -> (saxKnnAtRest _),
+    "ts10_sax_maintained" -> (saxIndexMaintained _))
 
   /** ts8's window geometry and DAY-level breakpoints (the segment
     * breakpoints [[BpMid]]/[[BpHigh]] quantize 8-day sums; discord
@@ -501,6 +508,343 @@ object TimeSeriesOps {
       .transform(Common.presented(_, col("rank")))
   }
 
+  // ---------------------------------------------------------------
+  // The at-rest SAX index (ts9/ts10): the physical half of the
+  // time-series serving tier — the LAST index family computed in
+  // memory per query gets its written form. Four artifacts:
+  //   - counts/ — the (user_id, day, cnt) collapse, PARTITIONED BY
+  //     u_bucket: the base of record every heal recounts from, and
+  //     the verify-side series ts5's exact SSE fetches by id (x30's
+  //     id-bucketed fetch discipline on time series).
+  //   - consts/ — ONE row: the day-grid origin d0. Words are defined
+  //     relative to it, so it is an index-level constant, not a
+  //     per-query aggregate.
+  //   - words/  — the DERIVED (user_id, word, n_active_segs) SAX
+  //     words, PARTITIONED BY u_bucket.
+  //   - bands/  — the Hamming-1 band keys of every word, PARTITIONED
+  //     BY the band bucket: the LSH candidate index a probe
+  //     partition-prunes into (d24's banded layout on the SAX
+  //     alphabet).
+  // What makes this family NEW: words are derived PER-USER FACTS that
+  // CHANGE when a user's series extends — every other at-rest family
+  // appends immutable facts. Maintenance is therefore an UPDATE:
+  // recompute ONLY the touched users' words and dynamic-overwrite
+  // ONLY their buckets (the d27 eviction shape applied to updates),
+  // with one documented wholesale path — a batch older than the grid
+  // origin shifts d0 and every user's segment mapping with it.
+  // ---------------------------------------------------------------
+
+  /** User-bucket / band-bucket counts of the at-rest SAX layout — 16,
+    * the family constant. */
+  val SaxUserBuckets = 16
+  val SaxBandBuckets = 16
+
+  private[graft] def userBucketCol(u: Column): Column =
+    pmod(u, lit(SaxUserBuckets.toLong)).cast("int")
+
+  /** The band partition attribute: packed words are SMALL integers
+    * (2 bits × [[NumSegs]]), so a plain modulus of any linear mix
+    * would key the bucket off a couple of symbol bits and skew the
+    * layout (d24's `band + sig` trick works there because minhash
+    * sigs are already uniform) — Murmur3 over (band, key) spreads the
+    * sub-indexes evenly. Engine-internal layout only: the bucket
+    * never reaches an output or an oracle. */
+  private[graft] def saxBandBucketCol(b: Column, bk: Column): Column =
+    pmod(hash(b, bk), lit(SaxBandBuckets)).cast("int")
+
+  /** Rebuild the DERIVED artifacts (words + bands) from the WRITTEN
+    * counts base and the stored grid origin — the build's second half,
+    * the origin-shift wholesale path, and the heal, all one tree. */
+  private def rebuildSaxDerived(s: SparkSession, root: String): Unit = {
+    val words = saxWordsWith(
+        s.read.parquet(s"$root/counts")
+          .select(col("user_id"), col("day"), col("cnt")),
+        s.read.parquet(s"$root/consts"))
+      .withColumn("u_bucket", userBucketCol(col("user_id")))
+    words.write.mode("overwrite").partitionBy("u_bucket")
+      .parquet(s"$root/words")
+    bandKeys(s.read.parquet(s"$root/words"))
+      .withColumn("bb_bucket", saxBandBucketCol(col("b"), col("bk")))
+      .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
+      .write.mode("overwrite").partitionBy("bb_bucket")
+      .parquet(s"$root/bands")
+  }
+
+  /** BUILD: write all four artifacts; the origin and the derived
+    * tables come from the WRITTEN base (one read of the new files —
+    * ir15's no-second-corpus-pass rule). */
+  private[graft] def writeSaxIndex(s: SparkSession, root: String,
+      c: DataFrame): Unit = {
+    c.select(col("user_id"), col("day"), col("cnt"),
+        userBucketCol(col("user_id")).as("u_bucket"))
+      .write.mode("overwrite").partitionBy("u_bucket")
+      .parquet(s"$root/counts")
+    s.read.parquet(s"$root/counts").agg(min(col("day")).as("d0"))
+      .write.mode("overwrite").parquet(s"$root/consts")
+    rebuildSaxDerived(s, root)
+  }
+
+  /** UPDATE: fold a (user_id, day, cnt) batch into the standing index
+    * — the first MAINTAINED-UPDATE at-rest family:
+    *   1. the batch's count rows land in `counts` behind a
+    *      (user_id, day) anti-join exactly-once guard (eager
+    *      localCheckpoint — the refreshByPath trap). The supported
+    *      ingest grain is WHOLE DAYS (a day closes before it ships —
+    *      the daily-ingest contract), so a (user, day) key never
+    *      straddles batches and landed rows are pure appends; a
+    *      retried batch is a row-level no-op.
+    *   2. if the landed batch reaches behind the grid origin, d0
+    *      shifts and EVERY user's segment mapping moves: consts
+    *      rewrites and the derived tables rebuild wholesale — the
+    *      documented rare path (ingesting history older than
+    *      everything indexed).
+    *   3. otherwise only users whose landed days fall INSIDE the
+    *      indexed window are TOUCHED (a day beyond seg [[NumSegs]]
+    *      changes no word — daily ingest past the window touches
+    *      nobody): their words recompute from the written base, and
+    *      their user buckets rewrite via dynamic partition overwrite
+    *      (untouched buckets' files survive byte-identical —
+    *      SaxAtRestSpec pins paths+sizes+mtimes);
+    *   4. `bands` rewrites the buckets holding the touched users' OLD
+    *      band keys (pinned from the pre-update words BEFORE the
+    *      overwrite) plus their NEW ones — both lists O(16) driver
+    *      metadata, the d27 eviction-bookkeeping class.
+    * Update == rebuild row-exactly on all four artifacts; a crash
+    * between the base append and the derived rewrites leaves words
+    * stale, never wrong — [[healSaxIndex]] recounts from the base. */
+  private[graft] def updateSaxIndex(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val landed = batch
+      .select(col("user_id"), col("day"), col("cnt"),
+        userBucketCol(col("user_id")).as("u_bucket"))
+      .join(s.read.parquet(s"$root/counts")
+          .select(col("user_id"), col("day")),
+        Seq("user_id", "day"), "left_anti")
+      .select(col("user_id"), col("day"), col("cnt"), col("u_bucket"))
+      .localCheckpoint()
+    landed.write.mode("append").partitionBy("u_bucket")
+      .parquet(s"$root/counts")
+    // maintenance bookkeeping (the d27 sanctioned-collect class): the
+    // stored origin and the landed batch's reach — two O(1) scalars
+    val d0 = s.read.parquet(s"$root/consts").collect()(0).getLong(0)
+    val lminRow = landed.agg(min(col("day"))).collect()(0)
+    if (!lminRow.isNullAt(0) && lminRow.getLong(0) < d0) {
+      // the grid origin SHIFTED: every word is relative to d0, so the
+      // derived tables rebuild wholesale from the (intact) base
+      s.read.parquet(s"$root/counts").agg(min(col("day")).as("d0"))
+        .localCheckpoint()
+        .write.mode("overwrite").parquet(s"$root/consts")
+      rebuildSaxDerived(s, root)
+    } else {
+      // touched = users with landed activity INSIDE the indexed window
+      val touched = landed
+        .filter(expr(s"(day - ${d0}L) div $SegDays") < NumSegs)
+        .select(col("user_id")).distinct()
+        .localCheckpoint()
+      val tBuckets = touched
+        .select(userBucketCol(col("user_id")).as("u_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      if (tBuckets.nonEmpty) {
+        // the touched users' OLD band keys, pinned BEFORE the words
+        // overwrite below replaces the files they derive from
+        val oldWords = s.read.parquet(s"$root/words")
+          .filter(col("u_bucket").isin(tBuckets: _*))
+          .join(broadcast(touched), Seq("user_id"))
+          .select(col("user_id"), col("word"))
+          .localCheckpoint()
+        val newWords = saxWordsWith(
+            s.read.parquet(s"$root/counts")
+              .filter(col("u_bucket").isin(tBuckets: _*))
+              .join(broadcast(touched), Seq("user_id"))
+              .select(col("user_id"), col("day"), col("cnt")),
+            s.read.parquet(s"$root/consts"))
+          .withColumn("u_bucket", userBucketCol(col("user_id")))
+          .localCheckpoint() // feeds the words staging AND the bands delta
+        // stage the touched buckets: every untouched user's row
+        // survives, every touched user's row is REPLACED (canonical
+        // column order — the d23 mixed-schema lesson); pinned eagerly
+        // because the plan reads the very files the overwrite replaces
+        val stagedW = s.read.parquet(s"$root/words")
+          .filter(col("u_bucket").isin(tBuckets: _*))
+          .join(broadcast(touched), Seq("user_id"), "left_anti")
+          .unionByName(newWords)
+          .select(col("user_id"), col("word"), col("n_active_segs"),
+            col("u_bucket"))
+          .localCheckpoint()
+        val stagedWBuckets = stagedW.select(col("u_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (stagedWBuckets.nonEmpty) {
+          stagedW.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("u_bucket")
+            .parquet(s"$root/words")
+        }
+        // the x17/d27 partition-drop edge: a touched bucket staging
+        // ZERO survivors gets nothing from dynamic overwrite — drop
+        // its stale directory explicitly (FS resolved from the root)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        (tBuckets.toSet -- stagedWBuckets).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$root/words/u_bucket=$b"), true)
+          ()
+        }
+        // bands: affected buckets = the touched users' old ∪ new band
+        // keys' buckets (≤ 2·NumSegs·|touched|, listed driver-side)
+        val newBands = bandKeys(newWords)
+          .withColumn("bb_bucket", saxBandBucketCol(col("b"), col("bk")))
+          .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
+          .localCheckpoint()
+        val bBuckets = bandKeys(oldWords)
+          .select(saxBandBucketCol(col("b"), col("bk")).as("bb_bucket"))
+          .unionByName(newBands.select(col("bb_bucket")))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        val stagedB = s.read.parquet(s"$root/bands")
+          .filter(col("bb_bucket").isin(bBuckets: _*))
+          .join(broadcast(touched), Seq("user_id"), "left_anti")
+          .unionByName(newBands)
+          .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
+          .localCheckpoint()
+        val stagedBBuckets = stagedB.select(col("bb_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (stagedBBuckets.nonEmpty) {
+          stagedB.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bb_bucket")
+            .parquet(s"$root/bands")
+        }
+        (bBuckets.toSet -- stagedBBuckets).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$root/bands/bb_bucket=$b"), true)
+          ()
+        }
+      }
+    }
+  }
+
+  /** Crash recovery: origin and derived tables RECOUNT from the
+    * at-rest base (counts → consts → words → bands) — the heal-by-
+    * recount discipline. A crash between the base append and the
+    * derived rewrites leaves them stale, never wrong; rerunning the
+    * update (a row-level no-op) then this heal restores the exact
+    * rebuilt state. */
+  private[graft] def healSaxIndex(s: SparkSession, root: String): Unit = {
+    s.read.parquet(s"$root/counts").agg(min(col("day")).as("d0"))
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$root/consts")
+    rebuildSaxDerived(s, root)
+  }
+
+  /** ts9's serve core: ts5's Hamming-1 k-NN with BOTH index reads
+    * replaced by the written files —
+    *   - the probe's band keys derive from its OWN words row, read
+    *     with a STATIC u_bucket literal (driver-computable from
+    *     [[ProbeUser]] alone);
+    *   - candidates come from the at-rest `bands` with the broadcast
+    *     probe joined on the BARE bb_bucket partition attribute →
+    *     dynamic partition pruning reads only the probe's band
+    *     buckets;
+    *   - the exact-SSE verify fetches ONLY the candidates' (plus the
+    *     probe's) series from `counts`, DPP-pruned by user bucket
+    *     (x30's two-stage fetch shape — PlanContractSpec pins both
+    *     dynamicpruning filters).
+    * The verify tail is [[seriesKnnCore]] unchanged, so the output is
+    * BIT-IDENTICAL to ts5 (oracle verbatim). */
+  private[graft] def saxServeFrom(s: SparkSession, root: String): DataFrame = {
+    val probeBucket = (ProbeUser % SaxUserBuckets).toInt
+    val probeBands = bandKeys(
+        s.read.parquet(s"$root/words")
+          .filter(col("u_bucket") === probeBucket)
+          .filter(col("user_id") === ProbeUser))
+      .select(col("b").as("p_b"), col("bk").as("p_bk"))
+      .withColumn("p_bucket", saxBandBucketCol(col("p_b"), col("p_bk")))
+      // load-bearing selective predicate (x17's lesson): without a
+      // visible comparison the PartitionPruning rule never inserts
+      // the pruning subquery
+      .filter(col("p_bucket") >= 0)
+    val cand = s.read.parquet(s"$root/bands")
+      .join(broadcast(probeBands),
+        col("bb_bucket") === col("p_bucket") && col("b") === col("p_b") &&
+          col("bk") === col("p_bk"))
+      .filter(col("user_id") =!= ProbeUser)
+      .select(col("user_id")).distinct()
+    // two fetch arms, because a Union on the BUILD side would block
+    // the PartitionPruning rule: the candidates DPP-prune the counts
+    // read, the probe's own series reads its one bucket STATICALLY
+    // (both literals driver-computable)
+    val want = cand
+      .select(col("user_id").as("w_user"),
+        userBucketCol(col("user_id")).as("w_bucket"))
+      .filter(col("w_bucket") >= 0) // same load-bearing domain constraint
+    val cc = s.read.parquet(s"$root/counts")
+      .join(broadcast(want),
+        col("u_bucket") === col("w_bucket") && col("user_id") === col("w_user"))
+      .select(col("user_id"), col("day"), col("cnt"))
+      .unionByName(s.read.parquet(s"$root/counts")
+        .filter(col("u_bucket") === probeBucket &&
+          col("user_id") === ProbeUser)
+        .select(col("user_id"), col("day"), col("cnt")))
+    // the verify core reads its counts frame three times (energies,
+    // probe slice, cross term) — persist the tiny candidate-restricted
+    // fetch so the band probe runs once (the ts5 convention)
+    CacheScope.persist(cc)
+    seriesKnnCore(cc)
+  }
+
+  /** TS9 — SAX k-NN SERVED FROM THE AT-REST INDEX: ts5's banded probe
+    * + exact-integer verify with the index side replaced by the
+    * WRITTEN files. BUILD pays the words/bands derivation once at
+    * ingest ([[writeSaxIndex]]); the serve reads the probe's word
+    * statically pruned, the candidate bands and the verify series
+    * dynamically pruned. Output BIT-IDENTICAL to ts5 (oracle
+    * verbatim, the ir15 path-substitution convention).
+    *
+    * 100 TB plan: a probe reads ≤ [[NumSegs]] of [[SaxBandBuckets]]
+    * band directories plus ≤ |candidates| of [[SaxUserBuckets]] count
+    * buckets — corpus-size-independent serve IO; the population is
+    * never re-worded per query. */
+  def saxKnnAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/saxidx9"
+    writeSaxIndex(s, root, dayCounts(s, dir))
+    saxServeFrom(s, root)
+  }
+
+  /** TS10 — MAINTAINED SAX INDEX: the first at-rest family whose
+    * maintenance must UPDATE derived facts rather than append. The
+    * standing index builds from the days outside the re-ingest slice;
+    * the batch (a scattered set of whole days — the adversarial case
+    * for derived-fact maintenance, touching many users at once) folds
+    * in through [[updateSaxIndex]]: counts append exactly-once, the
+    * touched users' words RECOMPUTE and their buckets alone rewrite,
+    * the bands follow. The registered output is ts4's index dump
+    * served from the MAINTAINED words table, which must equal the
+    * full-rebuild words bit-exactly (update == rebuild; the oracle is
+    * ts4's SQL verbatim).
+    *
+    * 100 TB plan: daily maintenance cost tracks the batch's TOUCHED
+    * users (days beyond the indexed window touch nobody), never the
+    * population; the wholesale path exists only for a batch that
+    * reaches behind the grid origin. */
+  def saxIndexMaintained(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/saxidx10"
+    val c = cachedCounts(s, dir)
+    // whole-day split with the origin pinned to the standing side (a
+    // batch behind the origin is the wholesale path, spec'd separately)
+    val dmin = c.agg(min(col("day")).as("dmin0"))
+    val standing = c.crossJoin(broadcast(dmin))
+      .filter(col("day") === col("dmin0") ||
+        pmod(col("day"), lit(5L)) =!= 0)
+      .select(col("user_id"), col("day"), col("cnt"))
+    val batch = c.crossJoin(broadcast(dmin))
+      .filter(col("day") =!= col("dmin0") &&
+        pmod(col("day"), lit(5L)) === 0)
+      .select(col("user_id"), col("day"), col("cnt"))
+    writeSaxIndex(s, root, standing)
+    updateSaxIndex(s, root, batch)
+    saxIndexTail(s.read.parquet(s"$root/words")
+      .select(col("user_id"), col("word"), col("n_active_segs")))
+  }
+
   private def daySql = s"epoch_ns(ts) // ${WindowOps.DayNanos}"
 
   /** Shared ts4/ts5 oracle prefix: counts → segments → symbols → packed
@@ -522,7 +866,57 @@ object TimeSeriesOps {
        |                 count(*) AS n_active_segs
        |          FROM sym GROUP BY user_id)""".stripMargin
 
+  /** ts4's oracle — and verbatim ts10's (the maintained at-rest serve
+    * is bit-identical by the update == rebuild contract). */
+  private val TsIndexOracle =
+    s"""WITH $saxWordSql,
+       |b AS (SELECT word, count(*) AS n_bucket FROM words GROUP BY word),
+       |p AS (SELECT word AS pw FROM words WHERE user_id = $ProbeUser)
+       |SELECT user_id, word, n_active_segs, n_bucket,
+       |       CASE WHEN word = pw THEN 1 ELSE 0 END AS is_probe_bucket
+       |FROM words JOIN b USING (word), p
+       |ORDER BY user_id""".stripMargin
+
+  /** ts5's oracle — and verbatim ts9's (the at-rest serve is
+    * bit-identical by the ir15 path-substitution convention). */
+  private val TsKnnOracle =
+    s"""WITH $saxWordSql,
+       |bands AS (SELECT user_id, b,
+       |                 word - (((word >> CAST(2 * b AS INT)) & 3)
+       |                         << CAST(2 * b AS INT)) AS bk
+       |          FROM words,
+       |               (SELECT CAST(unnest(range($NumSegs)) AS BIGINT) AS b) bb),
+       |cand AS (SELECT DISTINCT x.user_id FROM bands x
+       |         JOIN bands pb ON pb.user_id = $ProbeUser
+       |                      AND x.b = pb.b AND x.bk = pb.bk
+       |         WHERE x.user_id <> $ProbeUser),
+       |cc AS (SELECT * FROM c
+       |       WHERE user_id IN (SELECT user_id FROM cand)
+       |          OR user_id = $ProbeUser),
+       |pu AS (SELECT user_id, CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+       |              count(*) AS n_days
+       |       FROM cc GROUP BY user_id),
+       |probe AS (SELECT day, cnt AS cp FROM cc WHERE user_id = $ProbeUser),
+       |pe AS (SELECT CAST(sum(cp * cp) AS BIGINT) AS sum_sq_p FROM probe),
+       |dots AS (SELECT user_id, CAST(sum(cnt * cp) AS BIGINT) AS dot
+       |         FROM cc JOIN probe USING (day)
+       |         WHERE user_id <> $ProbeUser GROUP BY user_id),
+       |f AS (SELECT pu.user_id, coalesce(dot, 0) AS dot, sum_sq, n_days,
+       |             sum_sq + sum_sq_p - 2 * coalesce(dot, 0) AS sse
+       |      FROM pu LEFT JOIN dots ON dots.user_id = pu.user_id, pe
+       |      WHERE pu.user_id <> $ProbeUser),
+       |top AS (SELECT * FROM f ORDER BY sse ASC, user_id LIMIT $TopK)
+       |SELECT CAST(row_number() OVER (ORDER BY sse ASC, user_id) AS INT) AS rank,
+       |       user_id, sse, dot, sum_sq, n_days
+       |FROM top ORDER BY rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // ts9 serves ts5 from the written index and ts10 serves ts4 from
+    // the maintained words table — BIT-IDENTICAL by contract, so the
+    // oracles are ts5's/ts4's SQL verbatim (the ir15 convention: the
+    // index is a layout, not a semantics)
+    "ts9_sax_atrest" -> TsKnnOracle,
+    "ts10_sax_maintained" -> TsIndexOracle,
     // ts8: sparse window generation restated via the offset unnest;
     // every compared value is integer (words, counts, occupancies)
     "ts8_sax_discord" -> {
@@ -597,44 +991,8 @@ object TimeSeriesOps {
          |QUALIFY row_number() OVER (PARTITION BY user_id
          |                           ORDER BY dot DESC, abs(lag), lag) = 1
          |ORDER BY user_id""".stripMargin,
-    "ts4_sax_index" ->
-      s"""WITH $saxWordSql,
-         |b AS (SELECT word, count(*) AS n_bucket FROM words GROUP BY word),
-         |p AS (SELECT word AS pw FROM words WHERE user_id = $ProbeUser)
-         |SELECT user_id, word, n_active_segs, n_bucket,
-         |       CASE WHEN word = pw THEN 1 ELSE 0 END AS is_probe_bucket
-         |FROM words JOIN b USING (word), p
-         |ORDER BY user_id""".stripMargin,
-    "ts5_sax_knn" ->
-      s"""WITH $saxWordSql,
-         |bands AS (SELECT user_id, b,
-         |                 word - (((word >> CAST(2 * b AS INT)) & 3)
-         |                         << CAST(2 * b AS INT)) AS bk
-         |          FROM words,
-         |               (SELECT CAST(unnest(range($NumSegs)) AS BIGINT) AS b) bb),
-         |cand AS (SELECT DISTINCT x.user_id FROM bands x
-         |         JOIN bands pb ON pb.user_id = $ProbeUser
-         |                      AND x.b = pb.b AND x.bk = pb.bk
-         |         WHERE x.user_id <> $ProbeUser),
-         |cc AS (SELECT * FROM c
-         |       WHERE user_id IN (SELECT user_id FROM cand)
-         |          OR user_id = $ProbeUser),
-         |pu AS (SELECT user_id, CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
-         |              count(*) AS n_days
-         |       FROM cc GROUP BY user_id),
-         |probe AS (SELECT day, cnt AS cp FROM cc WHERE user_id = $ProbeUser),
-         |pe AS (SELECT CAST(sum(cp * cp) AS BIGINT) AS sum_sq_p FROM probe),
-         |dots AS (SELECT user_id, CAST(sum(cnt * cp) AS BIGINT) AS dot
-         |         FROM cc JOIN probe USING (day)
-         |         WHERE user_id <> $ProbeUser GROUP BY user_id),
-         |f AS (SELECT pu.user_id, coalesce(dot, 0) AS dot, sum_sq, n_days,
-         |             sum_sq + sum_sq_p - 2 * coalesce(dot, 0) AS sse
-         |      FROM pu LEFT JOIN dots ON dots.user_id = pu.user_id, pe
-         |      WHERE pu.user_id <> $ProbeUser),
-         |top AS (SELECT * FROM f ORDER BY sse ASC, user_id LIMIT $TopK)
-         |SELECT CAST(row_number() OVER (ORDER BY sse ASC, user_id) AS INT) AS rank,
-         |       user_id, sse, dot, sum_sq, n_days
-         |FROM top ORDER BY rank""".stripMargin,
+    "ts4_sax_index" -> TsIndexOracle,
+    "ts5_sax_knn" -> TsKnnOracle,
     "ts1_series_knn" ->
       s"""WITH c AS (SELECT user_id, $daySql AS day, count(*) AS cnt
          |           FROM events GROUP BY user_id, ($daySql)),

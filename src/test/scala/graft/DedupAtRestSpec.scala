@@ -281,4 +281,25 @@ class DedupAtRestSpec extends SparkSpec {
         s"healed $art != rebuilt")
     }
   }
+
+  test("d28: simhash-index append == rebuild row-exact; a retried append is a no-op") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val standing = docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0)
+    val batch = docs.filter(col("doc_id") % DedupOps.IncomingMod === 0)
+    val rootA = "target/graft-index/spec-d28-append"
+    val rootB = "target/graft-index/spec-d28-rebuild"
+    DedupOps.writeSimhashIndex(spark, rootA, standing)
+    DedupOps.appendSimhashIndex(spark, rootA, batch)
+    DedupOps.writeSimhashIndex(spark, rootB, docs)
+    val a = spark.read.parquet(s"$rootA/chunks")
+    val b = spark.read.parquet(s"$rootB/chunks")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "append != rebuild on chunks")
+    def canon() = spark.read.parquet(s"$rootA/chunks")
+      .collect().map(_.toString).sorted.toSeq
+    val once = canon()
+    DedupOps.appendSimhashIndex(spark, rootA, batch)
+    assert(canon() === once, "retry changed chunks — append not idempotent")
+  }
 }

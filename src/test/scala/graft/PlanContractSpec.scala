@@ -274,6 +274,46 @@ class PlanContractSpec extends SparkSpec {
         setScans.map(_.partitionFilters).mkString("; "))
   }
 
+  test("d28: the simhash probe partition-prunes the at-rest chunk rows") {
+    spark.sharedState.cacheManager.clearCache()
+    val root = "target/graft-index/spec-plan-d28"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val isNew = org.apache.spark.sql.functions.col("doc_id") %
+      graft.operators.DedupOps.IncomingMod === 0
+    graft.operators.DedupOps.writeSimhashIndex(spark, root, docs.filter(!isNew))
+    val p = executed(graft.operators.DedupOps.simhashProbeAgainst(
+      spark, root, docs.filter(isNew)))
+    graft.operators.CacheScope.drain()
+    val chunkScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("spec-plan-d28/chunks")))
+    assert(chunkScans.nonEmpty, "at-rest chunks scan missing from probe plan")
+    assert(chunkScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "simhash probe lost its chunk_bucket dynamic partition pruning: " +
+        chunkScans.map(_.partitionFilters).mkString("; "))
+  }
+
+  test("sx8: the SQL-text band probe carries BOTH dynamic-pruning filters, same as the DataFrame path") {
+    spark.sharedState.cacheManager.clearCache()
+    val p = executed(graft.operators.SqlSurfaceOps.sqlBandProbe(spark, Sf))
+    val bandScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("bandidxsx8/bands")))
+    assert(bandScans.nonEmpty, "at-rest bands scan missing from SQL probe plan")
+    assert(bandScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "SQL band probe lost its band_bucket dynamic partition pruning: " +
+        bandScans.map(_.partitionFilters).mkString("; "))
+    val setScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("bandidxsx8/docsets")))
+    assert(setScans.nonEmpty, "at-rest docsets scan missing from SQL verify plan")
+    assert(setScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "SQL verify fetch lost its id_bucket dynamic partition pruning: " +
+        setScans.map(_.partitionFilters).mkString("; "))
+  }
+
   test("d26: the winnowing probe partition-prunes the at-rest serving table") {
     spark.sharedState.cacheManager.clearCache()
     val p = executed(graft.operators.DedupOps.winnowProbeAtRest(spark, Sf))
@@ -284,6 +324,48 @@ class PlanContractSpec extends SparkSpec {
         _.toString.toLowerCase.contains("dynamicpruning"))),
       "winnowing probe lost its h_bucket dynamic partition pruning: " +
         keptScans.map(_.partitionFilters).mkString("; "))
+  }
+
+  test("ts9: the SAX serve partition-prunes the at-rest bands AND the counts verify fetch") {
+    spark.sharedState.cacheManager.clearCache()
+    val p0 = executed(graft.operators.TimeSeriesOps.saxKnnAtRest(spark, Sf))
+    // the serve persists its candidate-restricted fetch (the ts5
+    // convention), so the probe pipeline lives INSIDE the cached
+    // relation (itself AQE-wrapped) — unwrap and recurse before
+    // collecting scans
+    def unwrap(sp: SparkPlan): SparkPlan = sp match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def deepScans(sp: SparkPlan): Seq[FileSourceScanExec] = {
+      val u = unwrap(sp)
+      scans(u) ++ collectAll(u) {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m.relation.cachedPlan
+      }.flatMap(deepScans)
+    }
+    val allScans = deepScans(p0)
+    graft.operators.CacheScope.drain()
+    val bandScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("saxidx9/bands")))
+    assert(bandScans.nonEmpty, "at-rest bands scan missing from serve plan")
+    assert(bandScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "SAX probe lost its bb_bucket dynamic partition pruning: " +
+        bandScans.map(_.partitionFilters).mkString("; "))
+    val countScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("saxidx9/counts")))
+    assert(countScans.nonEmpty, "at-rest counts scan missing from verify plan")
+    assert(countScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "SAX verify fetch lost its u_bucket dynamic partition pruning: " +
+        countScans.map(_.partitionFilters).mkString("; "))
+    // the probe's own word row reads its ONE user bucket statically
+    val wordScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("saxidx9/words")))
+    assert(wordScans.nonEmpty && wordScans.forall(
+        _.partitionFilters.exists(_.toString.contains("u_bucket"))),
+      "probe word read lost its static u_bucket pruning")
   }
 
   test("x26: the sign-code serve is generator- and shuffle-join-free — scan-bound words + broadcast probe") {

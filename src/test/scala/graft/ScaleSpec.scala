@@ -493,6 +493,100 @@ class ScaleSpec extends SparkSpec {
       f"(${100.0 * probeBytes / allBytes}%.1f%% across ${probed.length} of ${dirs.length} buckets)")
   }
 
+  test("simhash index at rest: a one-doc probe reads at most its 4 chunk buckets' bytes") {
+    // d28's byte bound (the d25 one-doc shape): one document carries
+    // exactly 4 pigeonhole chunks, so its probe descends into ≤ 4 of
+    // the 16 chunk_bucket directories — and the serve still answers
+    // correctly from those buckets alone (the re-crawled doc is found
+    // as a near-dup of its own standing row, Hamming 0).
+    import graft.operators.DedupOps
+    spark.sharedState.cacheManager.clearCache()
+    val root = Files.createTempDirectory("simhash_idx").toString
+    val docs = Tables.documents(spark, Sf)
+    DedupOps.writeSimhashIndex(spark, root, docs)
+    val probeId = docs.agg(min(col("doc_id"))).head.getLong(0)
+    val probedBuckets = spark.read.parquet(s"$root/chunks")
+      .filter(col("doc_id") === probeId)
+      .select(col("chunk_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(probedBuckets.nonEmpty && probedBuckets.size <= 4)
+    val v = DedupOps.simhashProbeAgainst(spark, root,
+        docs.filter(col("doc_id") === probeId))
+      .filter(col("verdict") === "near_dup_of_corpus")
+      .select(col("doc_id"), col("dup_of")).collect()
+    graft.operators.CacheScope.drain()
+    assert(v.length == 1 && v(0).getLong(0) == probeId &&
+      v(0).getLong(1) == probeId)
+    val dirs = new java.io.File(s"$root/chunks").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk_bucket="))
+    def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))).map(_.length).sum
+    val probed = dirs.filter(d =>
+      probedBuckets.exists(b => d.getName == s"chunk_bucket=$b"))
+    assert(dirs.length > 4,
+      s"fixture regression: only ${dirs.length} chunk buckets populated")
+    assert(probed.length == probedBuckets.size && probed.length < dirs.length)
+    val (probeBytes, allBytes) = (bytes(probed), bytes(dirs))
+    assert(probeBytes > 0 && probeBytes < allBytes,
+      s"probe bytes $probeBytes vs chunk-index bytes $allBytes")
+    info(f"one-doc simhash probe reads $probeBytes of $allBytes index bytes " +
+      f"(${100.0 * probeBytes / allBytes}%.1f%% across ${probed.length} of ${dirs.length} buckets)")
+  }
+
+  test("SAX index at rest: the probe reads ≤ NumSegs band buckets and only the candidates' count buckets") {
+    // ts9's byte bound (the plan contract pins the two DPP filters;
+    // this measures what they buy). Planted population: 64 users, one
+    // active segment each (segment = user % NumSegs), so exactly the
+    // users sharing the probe's segment are Hamming-1 candidates —
+    // their user buckets {0,4,8,12} are the ONLY count directories
+    // the verify fetch may read.
+    import graft.operators.{TimeSeriesOps => TS}
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val root = Files.createTempDirectory("sax_idx").toString
+    val pop = (0L until 64L)
+      .map(u => (u, 1000L + TS.SegDays * (u % TS.NumSegs), 1L))
+      .toDF("user_id", "day", "cnt")
+    TS.writeSaxIndex(spark, root, pop)
+    val served = TS.saxServeFrom(spark, root).collect()
+    graft.operators.CacheScope.drain()
+    // every candidate's one-day series equals the probe's → sse 0,
+    // and the candidate set is exactly the same-segment users
+    assert(served.length == TS.TopK &&
+      served.forall(_.getAs[Long]("sse") == 0L) &&
+      served.map(_.getAs[Long]("user_id")).toSeq ==
+        (1 to TS.TopK).map(_ * 4L),
+      s"planted serve wrong: ${served.mkString(", ")}")
+    def bucketDirs(art: String, pcol: String) =
+      new java.io.File(s"$root/$art").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$pcol="))
+    def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>
+      d.listFiles().filter(_.getName.endsWith(".parquet"))).map(_.length).sum
+    // the probe's band buckets, read from the written index itself
+    val probeBandBuckets = spark.read.parquet(s"$root/bands")
+      .filter(col("user_id") === TS.ProbeUser)
+      .select(col("bb_bucket")).distinct().collect().map(_.getInt(0)).toSet
+    val bandDirs = bucketDirs("bands", "bb_bucket")
+    assert(bandDirs.length > TS.NumSegs,
+      s"fixture regression: only ${bandDirs.length} band buckets populated")
+    assert(probeBandBuckets.size <= TS.NumSegs)
+    val probedBand = bandDirs.filter(d =>
+      probeBandBuckets.exists(b => d.getName == s"bb_bucket=$b"))
+    assert(bytes(probedBand) > 0 && bytes(probedBand) < bytes(bandDirs))
+    // the verify fetch's user buckets: candidates ∪ probe = {0,4,8,12}
+    val countDirs = bucketDirs("counts", "u_bucket")
+    val fetchBuckets = Set(0, 4, 8, 12)
+    val probedCounts = countDirs.filter(d =>
+      fetchBuckets.exists(b => d.getName == s"u_bucket=$b"))
+    assert(countDirs.length == TS.SaxUserBuckets,
+      s"fixture regression: only ${countDirs.length} user buckets populated")
+    assert(bytes(probedCounts) > 0 && bytes(probedCounts) < bytes(countDirs))
+    info(f"SAX probe reads ${bytes(probedBand)} of ${bytes(bandDirs)} band bytes " +
+      f"(${probedBand.length} of ${bandDirs.length} buckets) and " +
+      f"${bytes(probedCounts)} of ${bytes(countDirs)} count bytes " +
+      f"(${probedCounts.length} of ${countDirs.length} buckets)")
+  }
+
   test("size-targeted compaction: range-clustered files with bounded rows and disjoint key ranges") {
     import org.apache.spark.sql.functions._
     // the small-files compaction pass every lakehouse table needs:

@@ -78,6 +78,55 @@ class StreamingBandSpec extends SparkSpec {
     }
   }
 
+  test("streamed simhash probes == batch d28 probe against the frozen index, across 3 fuzz seeds") {
+    // d28's incremental probe as a STREAM: each micro-batch signs
+    // itself (the compiled SimHashLong in-scan) and probes the FROZEN
+    // at-rest chunk rows through the same DPP core; every verdict
+    // depends only on its own document + the files → batch-cut
+    // independent.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Tables.documents(spark, Sf)
+    val isNew = col("doc_id") % DedupOps.IncomingMod === 0
+    val root = "target/graft-index/spec-streaming-simhash"
+    DedupOps.writeSimhashIndex(spark, root, docs.filter(!isNew))
+    val expected = keyed(
+      DedupOps.simhashProbeAgainst(spark, root, docs.filter(isNew),
+        cacheBatch = false).collect())
+    assert(expected.nonEmpty, "fixture regression: empty incoming batch")
+    assert(expected.exists(_._5 == "near_dup_of_corpus") &&
+      expected.exists(_._5 == "new"),
+      "fixture regression: both verdicts should occur")
+    val batchDocs = docs.filter(isNew)
+      .select(col("doc_id"), col("text")).as[Doc].collect().toVector
+    for (seed <- Seq(2, 13, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val in = MemoryStream[Doc]
+      val acc = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]
+      val q = in.toDF().writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = DedupOps
+            .simhashProbeAgainst(spark, root, batch, cacheBatch = false)
+            .collect()
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(batchDocs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(10))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable() // stateless foreachBatch — safe to drain
+        }
+      } finally q.stop()
+      assert(keyed(acc.toArray) === expected,
+        s"seed $seed: streamed simhash verdicts diverged from the batch probe")
+    }
+  }
+
   test("streamed pHash probes == the one-shot probe against the frozen media index, across 3 fuzz seeds") {
     // m7's incremental probe as a STREAM: representative rows (already
     // digest-collapsed — the collapse is ingest-side state, m5's
