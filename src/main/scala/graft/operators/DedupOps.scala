@@ -1859,6 +1859,15 @@ object DedupOps {
   def bandPairsAtRest(s: SparkSession, dir: String): DataFrame = {
     val root = SimilarityOps.indexRoot(s, dir) + "/bandidx24"
     writeBandIndex(s, root, Tables.documents(s, dir))
+    bandPairsFrom(s, root)
+      .transform(Common.presented(_, col("a"), col("b")))
+  }
+
+  /** d24's serve core over any written band-index root — the full
+    * verified pair audit from the files, shared by d24 and d29's
+    * cluster build (ONE pair rule, so the maintained clusters cannot
+    * drift from the audit's edges). */
+  private[graft] def bandPairsFrom(s: SparkSession, root: String): DataFrame = {
     val bands = s.read.parquet(s"$root/bands")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -1867,7 +1876,6 @@ object DedupOps {
       .distinct()
     val ds = readDocsets(s, root).select(col("doc_id"), col("bg"))
     verifyPairs(cand, ds, ds)
-      .transform(Common.presented(_, col("a"), col("b")))
   }
 
   /** D25 — INCREMENTAL NEAR-DUP PROBE AGAINST THE FROZEN AT-REST
@@ -2097,7 +2105,241 @@ object DedupOps {
           .otherwise(lit("new")).as("verdict"))
   }
 
+  // ---------------------------------------------------------------
+  // The at-rest cluster assignment (d29): d13 proves the incremental
+  // merge ALGEBRA (star contraction preserves connectivity, so a
+  // daily merge equals a full re-cluster); d29 makes the assignment
+  // PHYSICAL — the first maintained GRAPH family. Two projections of
+  // the same (doc_id, cluster_id) facts, the postings+dict shape:
+  //   - clusters/ — PARTITIONED BY the CLUSTER bucket: relabeling a
+  //     merged cluster rewrites only its buckets (dynamic overwrite).
+  //   - members/  — PARTITIONED BY the DOC bucket: "which cluster is
+  //     doc X in" reads only the probe's doc buckets (DPP).
+  // Only docs that appear in the near-dup pair graph have rows —
+  // singletons (the vast majority at 100 TB) are implicit, so the
+  // tables are bounded by clustered members, not corpus size.
+  // ---------------------------------------------------------------
+
+  /** Cluster-bucket count of the at-rest assignment — 16, the family
+    * constant (doc buckets reuse [[IdBuckets]]). */
+  val ClusterBuckets = 16
+
+  private[graft] def clusterBucketCol(c: Column): Column =
+    pmod(c, lit(ClusterBuckets.toLong)).cast("int")
+
+  /** Write both projections of a (doc_id, cluster_id) assignment. */
+  private def writeAssignment(s: SparkSession, root: String,
+      labels: DataFrame): Unit = {
+    val l = labels.select(col("doc_id"), col("cluster_id"))
+      .localCheckpoint()
+    l.withColumn("c_bucket", clusterBucketCol(col("cluster_id")))
+      .write.mode("overwrite").partitionBy("c_bucket")
+      .parquet(s"$root/clusters")
+    l.withColumn("d_bucket", idBucketCol(col("doc_id")))
+      .write.mode("overwrite").partitionBy("d_bucket")
+      .parquet(s"$root/members")
+  }
+
+  /** BUILD (and the wholesale HEAL): components over the written
+    * index's verified pairs — the band index is the base of record,
+    * so a torn update recovers by this recount (the pair edges
+    * themselves are never stored; they re-derive from the slim
+    * signature files, ir16's heal-by-recount discipline one level
+    * up). */
+  private[graft] def buildClusterTables(s: SparkSession,
+      root: String): Unit = {
+    val pairs = bandPairsFrom(s, root)
+      .filter(col("is_near_dup") === 1).select(col("a"), col("b"))
+    val (labels, _) = StarComponents.components(pairs)
+    writeAssignment(s, root,
+      labels.select(col("doc_id"), col("label").as("cluster_id")))
+  }
+
+  /** Verified near-dup pairs TOUCHING a batch, from the maintained
+    * index: the batch's band rows (computed in-scan) broadcast onto
+    * the BARE band_bucket attribute (DPP), and BOTH endpoints' sets
+    * fetch from docsets id-bucket-pruned (the batch's own sets landed
+    * with the append). Canonical (a < b) distinct pairs. */
+  private[graft] def batchPairsAgainst(s: SparkSession, root: String,
+      batch: DataFrame): DataFrame = {
+    // one consumer: the verify fetches BOTH sides from the written
+    // docsets (the batch landed with the append), so unlike d25 the
+    // in-scan sets need no persist
+    val probe = bandRows(docShingleSets(batch))
+      .select(col("doc_id").as("p_doc"), col("band").as("p_band"),
+        col("sig").as("p_sig"), col("band_bucket").as("p_bucket"))
+      // load-bearing selective predicate (x17's lesson)
+      .filter(col("p_bucket") >= 0)
+    val cand = s.read.parquet(s"$root/bands")
+      .join(broadcast(probe),
+        col("band_bucket") === col("p_bucket") &&
+          col("band") === col("p_band") && col("sig") === col("p_sig"))
+      .filter(col("doc_id") =!= col("p_doc"))
+      .select(least(col("p_doc"), col("doc_id")).as("a"),
+        greatest(col("p_doc"), col("doc_id")).as("b"))
+      .distinct()
+      .withColumn("a_bucket", idBucketCol(col("a")))
+      .filter(col("a_bucket") >= 0)
+    val fa = readDocsets(s, root)
+      .join(broadcast(cand),
+        col("id_bucket") === col("a_bucket") && col("doc_id") === col("a"))
+      .select(col("a"), col("b"), col("bg").as("bga"))
+      .withColumn("b_bucket", idBucketCol(col("b")))
+      .filter(col("b_bucket") >= 0)
+    val inter = graft.functions.ShingleExpressions
+      .sortedIntersectCount(col("bga"), col("bgb")).cast("long")
+    val uni = (size(col("bga")) + size(col("bgb"))).cast("long") - inter
+    readDocsets(s, root)
+      .join(broadcast(fa),
+        col("id_bucket") === col("b_bucket") && col("doc_id") === col("b"))
+      .select(col("a"), col("b"), col("bga"), col("bg").as("bgb"))
+      .filter(inter * JaccardNum >= uni)
+      .select(col("a"), col("b"))
+  }
+
+  /** "Which cluster is doc X in" — the point lookup the merge (and
+    * any consumer) runs against the doc-bucketed projection, DPP-
+    * pruned to the probed ids' buckets (PlanContractSpec pins it).
+    * Ids absent from the table are singletons: no row. */
+  private[graft] def memberLookup(s: SparkSession, root: String,
+      ids: DataFrame): DataFrame = {
+    val e = ids.select(col(ids.columns.head).as("d")).distinct()
+      .withColumn("e_bucket", idBucketCol(col("d")))
+      // load-bearing selective predicate (x17's lesson)
+      .filter(col("e_bucket") >= 0)
+    s.read.parquet(s"$root/members")
+      .join(broadcast(e),
+        col("d_bucket") === col("e_bucket") && col("doc_id") === col("d"))
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
+  /** UPDATE: d13's star-contraction merge made physical —
+    *   1. the batch's verified pairs come off the maintained index
+    *      ([[batchPairsAgainst]] — batch-bounded IO);
+    *   2. the endpoints' standing assignments look up in `members`
+    *      DPP-pruned by doc bucket; the TOUCHED clusters' member rows
+    *      read from `clusters` with a static bucket list (both O(16)
+    *      driver metadata, pinned eagerly before the overwrites
+    *      below);
+    *   3. components run over the SMALL graph — the touched clusters'
+    *      star edges ∪ the new pairs — never the historical edge set
+    *      (d13's invariant: star contraction preserves connectivity
+    *      exactly, so update == rebuild bit-exactly);
+    *   4. both projections rewrite ONLY the affected buckets via
+    *      dynamic partition overwrite, with the x17 directory-drop
+    *      guard on the clusters side (a bucket can lose every row to
+    *      a merge that relabels away from it).
+    * A retried update recomputes the same pairs against the already-
+    * merged state and re-emits identical rows — a row-level no-op. A
+    * crash between the two projection writes leaves them inconsistent,
+    * never wrong-as-a-pair-rule: [[buildClusterTables]] IS the heal
+    * (wholesale recount from the index — ClustersAtRestSpec pins
+    * it). */
+  private[graft] def updateClusters(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val newPairs = batchPairsAgainst(s, root, batch).localCheckpoint()
+    if (newPairs.isEmpty) return
+    val touched = memberLookup(s, root,
+        newPairs.select(col("a").as("d"))
+          .unionByName(newPairs.select(col("b").as("d"))))
+      .select(col("cluster_id")).distinct()
+      .localCheckpoint()
+    val tBuckets = touched
+      .select(clusterBucketCol(col("cluster_id")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val stars =
+      if (tBuckets.isEmpty) newPairs.limit(0)
+      else s.read.parquet(s"$root/clusters")
+        .filter(col("c_bucket").isin(tBuckets: _*))
+        .join(broadcast(touched), Seq("cluster_id"))
+        .filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as("a"), col("cluster_id").as("b"))
+        .localCheckpoint()
+    val (merged0, _) = StarComponents.components(
+      stars.unionByName(newPairs))
+    val merged = merged0
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    // clusters/: affected = old touched clusters' buckets ∪ the merged
+    // labels' buckets (a merge can relabel into a new bucket)
+    val affectedC = touched
+      .select(clusterBucketCol(col("cluster_id")).as("b"))
+      .unionByName(merged.select(clusterBucketCol(col("cluster_id")).as("b")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val stagedC = s.read.parquet(s"$root/clusters")
+      .filter(col("c_bucket").isin(affectedC: _*))
+      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(merged)
+      .withColumn("c_bucket", clusterBucketCol(col("cluster_id")))
+      .localCheckpoint()
+    val stagedCBuckets = stagedC.select(col("c_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (stagedCBuckets.nonEmpty) {
+      stagedC.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("c_bucket")
+        .parquet(s"$root/clusters")
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    (affectedC.toSet -- stagedCBuckets).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/clusters/c_bucket=$b"), true)
+      ()
+    }
+    // members/: affected = the relabeled nodes' doc buckets; every
+    // affected bucket receives ≥1 merged row by construction, so no
+    // drop guard is needed
+    val affectedD = merged.select(idBucketCol(col("doc_id")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (affectedD.nonEmpty) {
+      s.read.parquet(s"$root/members")
+        .filter(col("d_bucket").isin(affectedD: _*))
+        .join(broadcast(merged.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+        .unionByName(merged)
+        .withColumn("d_bucket", idBucketCol(col("doc_id")))
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("d_bucket")
+        .parquet(s"$root/members")
+    }
+  }
+
+  /** D29 — MAINTAINED CLUSTER ASSIGNMENT AT REST: the dedup decision
+    * itself as a written, maintained table. BUILD runs components
+    * over the standing index's verified pairs and writes both
+    * projections; the incoming batch folds in through the index
+    * append + [[updateClusters]] (the small-graph merge); the
+    * registered output is d6's cluster dump served from the
+    * MAINTAINED table (singletons rejoin implicitly), which must
+    * equal the full re-cluster bit-exactly — the oracle is d6's
+    * recursive-closure SQL VERBATIM.
+    *
+    * 100 TB plan: daily dedup never reruns components over the
+    * historical edge set — update cost is bounded by the batch's
+    * pairs plus the touched clusters' members, and the rewrites touch
+    * only their buckets. The assignment tables are bounded by
+    * clustered members (singletons are implicit rows-that-aren't). */
+  def clustersAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/clusidx29"
+    val docs = Tables.documents(s, dir)
+    val standing = docs.filter(col("doc_id") % IncomingMod =!= 0)
+    val batch = docs.filter(col("doc_id") % IncomingMod === 0)
+    writeBandIndex(s, root, standing)
+    buildClusterTables(s, root)
+    appendBandIndex(s, root, batch)
+    updateClusters(s, root, batch)
+    shapeClusters(s, dir,
+      s.read.parquet(s"$root/clusters")
+        .select(col("doc_id"), col("cluster_id").as("label")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d29_clusters_atrest" -> (clustersAtRest _),
     "d28_simhash_atrest" -> (simhashAtRest _),
     "d22_decontam_atrest" -> (decontamAtRest _),
     "d23_leakage_atrest" -> (leakageAtRest _),
@@ -2389,6 +2631,9 @@ object DedupOps {
       s"""$d5CoreSql
          |ORDER BY vec_id""".stripMargin,
     "d6_dedup_clusters" -> d6OracleSql,
+    // d6's oracle verbatim: the maintained at-rest assignment must equal
+    // the full re-cluster bit-exactly (d13's star-contraction argument)
+    "d29_clusters_atrest" -> d6OracleSql,
     // d11 reuses the full d5 oracle verbatim as a CTE (drift-proof,
     // like d6 reuses d2) and states the components as the same
     // recursive transitive closure, seeded from embeddings vec_ids

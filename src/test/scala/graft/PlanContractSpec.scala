@@ -314,6 +314,39 @@ class PlanContractSpec extends SparkSpec {
         setScans.map(_.partitionFilters).mkString("; "))
   }
 
+  test("d29: the batch pair probe and the member lookup are both partition-pruned") {
+    spark.sharedState.cacheManager.clearCache()
+    val root = "target/graft-index/spec-plan-d29"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val isNew = org.apache.spark.sql.functions.col("doc_id") %
+      graft.operators.DedupOps.IncomingMod === 0
+    graft.operators.DedupOps.writeBandIndex(spark, root, docs.filter(!isNew))
+    graft.operators.DedupOps.buildClusterTables(spark, root)
+    graft.operators.DedupOps.appendBandIndex(spark, root, docs.filter(isNew))
+    val pp = executed(graft.operators.DedupOps.batchPairsAgainst(
+      spark, root, docs.filter(isNew)))
+    for ((art, what) <- Seq("bands" -> "band probe", "docsets" -> "set fetch")) {
+      val ss = scans(pp).filter(_.relation.location.rootPaths
+        .exists(_.toString.contains(s"spec-plan-d29/$art")))
+      assert(ss.nonEmpty, s"$art scan missing from pair-probe plan")
+      assert(ss.exists(_.partitionFilters.exists(
+          _.toString.toLowerCase.contains("dynamicpruning"))),
+        s"d29 $what lost its dynamic partition pruning: " +
+          ss.map(_.partitionFilters).mkString("; "))
+    }
+    val lp = executed(graft.operators.DedupOps.memberLookup(spark, root,
+      docs.filter(isNew).select(org.apache.spark.sql.functions.col("doc_id"))))
+    val ms = scans(lp).filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("spec-plan-d29/members")))
+    assert(ms.nonEmpty, "members scan missing from lookup plan")
+    assert(ms.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "d29 member lookup lost its d_bucket dynamic partition pruning: " +
+        ms.map(_.partitionFilters).mkString("; "))
+  }
+
   test("d26: the winnowing probe partition-prunes the at-rest serving table") {
     spark.sharedState.cacheManager.clearCache()
     val p = executed(graft.operators.DedupOps.winnowProbeAtRest(spark, Sf))
