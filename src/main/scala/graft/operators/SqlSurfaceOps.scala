@@ -303,7 +303,33 @@ object SqlSurfaceOps {
          |ORDER BY i.doc_id""".stripMargin)
   }
 
+  /** SX9 — the at-rest SHARD MANIFEST as ONE SQL statement: c5's
+    * recount over the written export restated as pure SQL text over a
+    * `parquet.` path relation — the sx convention extended to the
+    * curation store (third index family with a SQL-surface serve).
+    * The statement reads exactly the (shard_id, n_tok, h) columns the
+    * DataFrame path column-prunes to — text bytes untouched — and the
+    * oracle is c3's manifest SQL VERBATIM, so the SQL-text serve must
+    * hash-match the logical recount bit-for-bit. */
+  def sqlShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      SimilarityOps.indexRoot(s, dir) + "/shardstoresx9").getAbsolutePath
+    TextOps.writeShardStore(s, root, Tables.documents(s, dir))
+    s.sql(
+      s"""WITH sh AS (SELECT shard_id, count(*) AS n_docs,
+         |                   sum(n_tok) AS total_tokens,
+         |                   bit_xor(h) AS digest
+         |            FROM parquet.`$root/shards`
+         |            GROUP BY shard_id)
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs,
+         |       total_tokens, digest,
+         |       total_tokens * ${TextOps.NumShards}
+         |         - sum(total_tokens) OVER () AS dev
+         |FROM sh ORDER BY shard_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sx9_sql_shard_manifest" -> (sqlShardManifest _),
     "sx8_sql_band_probe" -> (sqlBandProbe _),
     "sx7_sql_index_serve" -> (sqlIndexServe _),
     "sx6_sql_sq8" -> (sqlSq8 _),
@@ -314,6 +340,9 @@ object SqlSurfaceOps {
     "sx5_sql_zorder" -> (sqlZorder _))
 
   val oracles: Map[String, String] = Map(
+    // c3's manifest oracle verbatim: the SQL-text serve of the written
+    // export must match the logical recount bit-for-bit
+    "sx9_sql_shard_manifest" -> TextOps.oracles("c3_shard_export"),
     // ir2's oracle verbatim: the SQL-text at-rest serve must match the
     // exhaustive scan bit-for-bit (the ir15 convention on the SQL
     // surface)

@@ -867,6 +867,182 @@ object TextOps {
       .transform(Common.presented(_, col("store")))
   }
 
+  // ---------------------------------------------------------------
+  // The at-rest training-shard store (c5/c6): the curation flow's
+  // physical half. c3's docstring promises "the survivors must land
+  // in N balanced, verifiable shard files" but writes none, and c4
+  // AUDITS a forget request without executing one — this store closes
+  // both. ONE artifact:
+  //   - shards/ — one row per exported doc (doc_id, n_tok, h, text)
+  //     PARTITIONED BY shard_id. Hash assignment is CONTENT-FREE
+  //     (shard = md5("shard:"+doc_id) % N, c3's rule), which is what
+  //     makes the whole lifecycle partition-scoped: writers know their
+  //     partition from the row alone, appends never move a standing
+  //     row, and a delete request's target shards are computable from
+  //     the REQUEST itself — no tombstone scan, no membership read
+  //     (contrast x17, where a vector's cell lives only in the index).
+  // The manifest serve is a RECOUNT of whatever rows the files hold
+  // (heal is structural: the bit_xor digest commutes and re-derives
+  // from any surviving state), and it column-prunes to
+  // (shard_id, n_tok, h) — the text payload is written once and its
+  // bytes never read again by any maintenance or manifest pass
+  // (PlanContractSpec pins the ReadSchema).
+  // ---------------------------------------------------------------
+
+  /** c3's shard-assignment rule as a column — shared verbatim by the
+    * manifest (c3), the store writes and the forget targeting, so the
+    * four can never disagree on where a document lives. */
+  private[graft] def shardIdCol: Column =
+    (md5Long(concat(lit("shard:"), col("doc_id").cast("string")))
+      % NumShards).cast("int")
+
+  /** Per-doc store rows — ONE derivation tree for the build, the
+    * append and the forget rewrite's survivors. Token count and the
+    * 60-bit content hash are computed at INGEST so the recurring
+    * manifest recount never re-tokenizes or re-hashes text. */
+  private def shardStoreRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tok"),
+      md5Long(col("text")).as("h"), col("text"),
+      shardIdCol.as("shard_id"))
+
+  /** BUILD: the export c3 only describes — survivors land
+    * `partitionBy(shard_id)`, one balanced verifiable store. */
+  private[graft] def writeShardStore(s: SparkSession, root: String,
+      docs: DataFrame): Unit =
+    shardStoreRows(docs).write.mode("overwrite").partitionBy("shard_id")
+      .parquet(s"$root/shards")
+
+  /** APPEND: exactly-once via the anti-join + eager-checkpoint
+    * discipline (x19's idempotence on the export layer). New files
+    * land INSIDE existing partition dirs; standing files are never
+    * rewritten (hash assignment never reassigns — ShardAtRestSpec pins
+    * the file sets), and the membership read column-prunes to the
+    * doc_id column, a sliver of the store's payload bytes. */
+  private[graft] def appendShardStore(s: SparkSession, root: String,
+      batch: DataFrame): Unit =
+    shardStoreRows(batch)
+      .join(s.read.parquet(s"$root/shards").select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tok"), col("h"), col("text"),
+        col("shard_id"))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("shard_id")
+      .parquet(s"$root/shards")
+
+  /** FORGET EXECUTION — the reference's transactional delete
+    * discipline (`/root/reference/src/main/java/com/thaihoc/sink/
+    * TransactionalLogAndDeleteSink.java:65-115`) applied to the at-rest
+    * export, the half c4 only audits. Because assignment is a pure
+    * function of doc_id, the TARGET shards come from the bounded
+    * request itself (an O(≤NumShards) driver fold, the ir19/d27
+    * metadata class); the store is read with a STATIC partition
+    * predicate — non-target partitions are never listed, read or
+    * rewritten — survivors anti-join the broadcast request and replace
+    * exactly their partitions via dynamic overwrite. A partition whose
+    * every row is deleted stages nothing and must DROP explicitly
+    * (dynamic overwrite writes no empty partition — the d27 edge).
+    *
+    * Restart-safe without a log: staging re-derives from the intact
+    * store; after a mid-overwrite crash each replaced partition holds
+    * exactly its survivors and each unreplaced one its originals, so a
+    * rerun's anti-join re-stages both to the same end state, and a
+    * manifest at ANY intermediate point reads a well-formed store. */
+  /** The forget rewrite's survivor frame — exposed so PlanContractSpec
+    * can pin the STATIC partition predicate on the store scan (only
+    * the request's target directories are listed or read). */
+  private[graft] def shardForgetSurvivors(s: SparkSession, root: String,
+      reqKeys: DataFrame, targets: Seq[Int]): DataFrame =
+    s.read.parquet(s"$root/shards")
+      .filter(col("shard_id").isin(targets: _*))
+      .join(broadcast(reqKeys), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tok"), col("h"), col("text"),
+        col("shard_id"))
+
+  private[graft] def forgetShardStore(s: SparkSession, root: String,
+      request: DataFrame): Unit = {
+    // pinned eagerly: the survivors' plan below reads the very files
+    // the dynamic overwrite replaces (the d27 lineage convention)
+    val req = request.select(col("doc_id"), shardIdCol.as("shard_id"))
+      .localCheckpoint()
+    val targets = req.select(col("shard_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (targets.nonEmpty) {
+      val survivors =
+        shardForgetSurvivors(s, root, req.select(col("doc_id")), targets)
+          .localCheckpoint()
+      val staged = survivors.select(col("shard_id")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (staged.nonEmpty) {
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard_id")
+          .parquet(s"$root/shards")
+      }
+      // all-deleted partitions (and request shards the store never
+      // held) — drop their directories, FS resolved from the ROOT
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      (targets.toSet -- staged).foreach { b =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$root/shards/shard_id=$b"), true)
+        ()
+      }
+    }
+  }
+
+  /** The manifest recount over the written store — BIT-IDENTICAL to
+    * c3 (oracle verbatim, the ir15 convention): counts, token mass,
+    * XOR digest and the integer balance deviation re-derive from
+    * whatever rows the files hold, which is why the store needs no
+    * separate stats table to heal. */
+  private[graft] def shardManifestFrom(s: SparkSession,
+      root: String): DataFrame = {
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+    s.read.parquet(s"$root/shards")
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        expr("bit_xor(h)").as("digest"))
+      .withColumn("dev",
+        col("total_tokens") * NumShards - sum(col("total_tokens")).over(whole))
+      .select(col("shard_id").cast("long").as("shard_id"), col("n_docs"),
+        col("total_tokens"), col("digest"), col("dev"))
+      .transform(Common.presented(_, col("shard_id")))
+  }
+
+  /** C5 — AT-REST SHARD STORE LIFECYCLE: build the standing export,
+    * fold an incoming batch in exactly-once, and serve c3's manifest
+    * from the files. 100 TB plan: the recurring manifest/verification
+    * pass drops from corpus-tokenize+hash (c3's hot path) to a
+    * 3-column scan of the store — text is written once, never re-read
+    * — and a daily append's IO is the batch plus a doc_id-column
+    * membership scan, never a rewrite of standing shards. */
+  def shardStoreAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/shardstore5"
+    val docs = Tables.documents(s, dir)
+    writeShardStore(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0))
+    appendShardStore(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod === 0))
+    shardManifestFrom(s, root)
+  }
+
+  /** C6 — FORGET EXECUTED AGAINST THE AT-REST STORE: build the full
+    * export, EXECUTE the c4 delete request (the `% 13` cohort) with a
+    * partition-scoped rewrite, and serve the post-delete manifest —
+    * the oracle restates c3's manifest over `documents` minus the
+    * request, so the files must physically hold exactly the
+    * survivors. At 100 TB the sweep's IO is the request's target
+    * partitions, not the store: non-target shards are never listed. */
+  def forgetExec(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/shardstore6"
+    val docs = Tables.documents(s, dir)
+    writeShardStore(s, root, docs)
+    forgetShardStore(s, root,
+      docs.filter(col("doc_id") % ForgetMod === ForgetRem)
+        .select(col("doc_id")))
+    shardManifestFrom(s, root)
+  }
+
   /** TX20 — Gopher-style top-n-gram repetition signals (Rae et al.
     * 2021, Table A1): for n ∈ {2,3,4}, the most frequent word n-gram,
     * its occurrence count, and the fraction of the document's
@@ -916,6 +1092,8 @@ object TextOps {
     "tx20_topgram" -> (topGram _),
     "c4_forget_audit" -> (forgetAudit _),
     "c3_shard_export" -> (shardExport _),
+    "c5_shard_atrest" -> (shardStoreAtRest _),
+    "c6_forget_exec" -> (forgetExec _),
     "c1_training_manifest" -> (trainingManifest _),
     "c2_semantic_manifest" -> (semanticManifest _),
     "tx18_novelty" -> (ngramNovelty _),
@@ -954,6 +1132,24 @@ object TextOps {
     * other; with semantic off, `0 AS is_pruned` makes every semantic
     * predicate vacuous, mirroring the Spark side's folded-out
     * `lit(0)`. */
+  /** c3's manifest SQL, parameterized ONLY by the source predicate —
+    * c3/c5 run it over all of `documents` (empty `where`), c6 over the
+    * forget request's survivors. One text, three consumers: the
+    * logical manifest, the at-rest serve and the post-forget serve
+    * cannot drift apart. */
+  private def shardManifestOracleSql(where: String): String =
+    s"""WITH per AS (SELECT ${md5LongSql("'shard:' || CAST(doc_id AS VARCHAR)")} % $NumShards AS shard_id,
+       |                    CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |                    ${md5LongSql("text")} AS h
+       |             FROM documents $where),
+       |sh AS (SELECT shard_id, count(*) AS n_docs,
+       |              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |              bit_xor(h) AS digest
+       |       FROM per GROUP BY shard_id)
+       |SELECT shard_id, n_docs, total_tokens, digest,
+       |       total_tokens * $NumShards - CAST(sum(total_tokens) OVER () AS BIGINT) AS dev
+       |FROM sh ORDER BY shard_id""".stripMargin
+
   private def manifestOracleSql(semantic: Boolean): String = {
     val head =
       if (semantic) s"WITH sem AS (\n${graft.operators.DedupOps.d16CoreSql}\n),\nraw AS"
@@ -1029,18 +1225,15 @@ object TextOps {
          |${storeSql("postings", "postings")}
          |ORDER BY store""".stripMargin
     },
-    "c3_shard_export" ->
-      s"""WITH per AS (SELECT ${md5LongSql("'shard:' || CAST(doc_id AS VARCHAR)")} % $NumShards AS shard_id,
-         |                    CAST(len($toksSql) AS BIGINT) AS n_tok,
-         |                    ${md5LongSql("text")} AS h
-         |             FROM documents),
-         |sh AS (SELECT shard_id, count(*) AS n_docs,
-         |              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-         |              bit_xor(h) AS digest
-         |       FROM per GROUP BY shard_id)
-         |SELECT shard_id, n_docs, total_tokens, digest,
-         |       total_tokens * $NumShards - CAST(sum(total_tokens) OVER () AS BIGINT) AS dev
-         |FROM sh ORDER BY shard_id""".stripMargin,
+    "c3_shard_export" -> shardManifestOracleSql(""),
+    // the at-rest store serves c3's manifest from files — same oracle
+    // VERBATIM (the ir15 convention: the physical serve must
+    // hash-match the logical recount bit-for-bit)
+    "c5_shard_atrest" -> shardManifestOracleSql(""),
+    // post-forget manifest == c3's manifest over documents minus the
+    // request — the files must hold exactly the survivors
+    "c6_forget_exec" ->
+      shardManifestOracleSql(s"WHERE doc_id % $ForgetMod <> $ForgetRem"),
     "c1_training_manifest" -> manifestOracleSql(semantic = false),
     "c2_semantic_manifest" -> manifestOracleSql(semantic = true),
     // d8's hashed-distinct-trigram contract (DedupOps.tgSql);

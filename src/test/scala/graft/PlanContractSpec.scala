@@ -665,4 +665,39 @@ class PlanContractSpec extends SparkSpec {
     assert(scans(p).isEmpty,
       "a consumer bypassed the cached distinct set and re-scanned parquet")
   }
+
+  test("c6: the forget's survivor read carries a STATIC shard predicate and lists only target dirs") {
+    val tx = graft.operators.TextOps
+    val root = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/shardpin6"
+    tx.writeShardStore(spark, root, graft.sources.Tables.documents(spark, Sf))
+    import spark.implicits._
+    val targets = Seq(3, 7)
+    val p = executed(tx.shardForgetSurvivors(spark, root,
+      Seq(30L, 70L).toDF("doc_id"), targets))
+    val storeScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("shardpin6")))
+    assert(storeScans.nonEmpty, "store scan missing from the survivor plan")
+    val pf = storeScans.head.partitionFilters
+    assert(pf.exists(_.toString.contains("shard_id")),
+      s"survivor read lost its shard_id partition predicate: $pf")
+    val dirs = targets.map(b => s"shard_id=$b/").toSet
+    val listed = storeScans.head.relation.location
+      .listFiles(pf, storeScans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(listed.nonEmpty && listed.forall(f => dirs.exists(f.contains)),
+      s"survivor read listed files outside the target shards: ${listed.take(3)}")
+  }
+
+  test("c5: the manifest recount column-prunes the payload — text bytes are never read") {
+    val tx = graft.operators.TextOps
+    val root = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/shardpin5"
+    tx.writeShardStore(spark, root, graft.sources.Tables.documents(spark, Sf))
+    val p = executed(tx.shardManifestFrom(spark, root))
+    val storeScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("shardpin5")))
+    assert(storeScans.nonEmpty, "store scan missing from the manifest plan")
+    val read = storeScans.head.requiredSchema.fieldNames.toSet
+    assert(read == Set("n_tok", "h"),
+      s"manifest must read exactly (n_tok, h) beside the partition column, got $read")
+  }
 }
