@@ -624,4 +624,49 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == rows.min(
       graft.sources.Tables.events(spark, Sf).count()))
   }
+
+  test("c5 shard store: the manifest's required columns are a small fraction of the store's data bytes") {
+    // c5's byte story, measured at the parquet-footer level:
+    // PlanContractSpec pins that the manifest scan REQUESTS only
+    // (n_tok, h); here the footers of the written store measure what
+    // that pruning buys — the two stat columns' chunk bytes vs the
+    // text payload's. (Runtime FS counters can't show it: harness
+    // files are smaller than the FS read buffer, which swallows whole
+    // files either way.) At 100 TB this is the difference between
+    // KB-scale stats IO and re-reading the corpus to verify an
+    // export.
+    import graft.operators.{SimilarityOps, TextOps}
+    import graft.sources.Tables
+    spark.sharedState.cacheManager.clearCache()
+    val root = SimilarityOps.indexRoot(spark, Sf) + "/shardscale5"
+    TextOps.writeShardStore(spark, root, Tables.documents(spark, Sf))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(s"$root/shards").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= TextOps.NumShards, "store under-partitioned")
+    var manifestCols = 0L
+    var textCol = 0L
+    files.foreach { f =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try rdr.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          c.getPath.toDotString match {
+            case "n_tok" | "h" => manifestCols += c.getTotalSize
+            case "text" => textCol += c.getTotalSize
+            case _ => ()
+          }
+        }
+      } finally rdr.close()
+    }
+    assert(manifestCols > 0 && textCol > 0, "footer audit found no chunks")
+    assert(manifestCols * 2 < textCol,
+      s"manifest columns $manifestCols B should be well under the " +
+        s"text payload's $textCol B")
+    info(f"manifest recount touches $manifestCols B of column chunks; " +
+      f"the unread text payload holds $textCol B " +
+      f"(${100.0 * manifestCols / (manifestCols + textCol)}%.1f%% of data bytes)")
+  }
 }
