@@ -435,7 +435,8 @@ object TimeSeriesOps {
     "ts7_changepoint" -> (changepoint _),
     "ts8_sax_discord" -> (saxDiscord _),
     "ts9_sax_atrest" -> (saxKnnAtRest _),
-    "ts10_sax_maintained" -> (saxIndexMaintained _))
+    "ts10_sax_maintained" -> (saxIndexMaintained _),
+    "ts11_sax_multiprobe" -> (saxMultiProbe _))
 
   /** ts8's window geometry and DAY-level breakpoints (the segment
     * breakpoints [[BpMid]]/[[BpHigh]] quantize 8-day sums; discord
@@ -809,6 +810,91 @@ object TimeSeriesOps {
     saxServeFrom(s, root)
   }
 
+  /** The multi-probe serve's cohort: users 0..NumProbes-1 — the
+    * serving-frontend batch (probes are DATA, ir20's convention). */
+  val NumProbes = 3
+
+  /** TS11 — MULTI-PROBE SAX k-NN: a BATCH of probe users served from
+    * the at-rest index in ONE plan — ir20's term-as-data discipline
+    * transplanted to time series (ts9 serves one hard-wired probe; a
+    * serving frontend gets a workload). The probes' own words read
+    * with a STATIC user-bucket list (the cohort is known at plan
+    * time), their ≤ NumProbes × [[NumSegs]] band keys broadcast onto
+    * the at-rest bands (DPP), the candidates' series fetch
+    * DPP-pruned by user bucket, and every (probe, candidate) pair
+    * verifies by ts1's exact integer SSE — energies + one
+    * day-equi-join dot per pair, never a dense grid. Per-probe top-k
+    * is a rank window PARTITIONED by probe (WindowGroupLimit prunes
+    * map-side).
+    *
+    * 100 TB plan: per-workload serve IO = the probes' count/word
+    * buckets (static) plus the candidates' count buckets (dynamic) —
+    * corpus-fraction bounded by band occupancy × probes; the
+    * population is never re-worded, and adding probes grows only the
+    * broadcast side. Oracle: the banded candidate rule is EXACT for
+    * symbol-Hamming ≤ 1 (pigeonhole), so the SQL twin restates it
+    * relationally per probe. */
+  def saxMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/saxidx11"
+    writeSaxIndex(s, root, dayCounts(s, dir))
+    val pBuckets = (0 until NumProbes).map(_ % SaxUserBuckets).distinct
+    val pBands = bandKeys(
+        s.read.parquet(s"$root/words")
+          .filter(col("u_bucket").isin(pBuckets: _*))
+          .filter(col("user_id") < NumProbes))
+      .select(col("user_id").as("p_user"), col("b").as("p_b"),
+        col("bk").as("p_bk"))
+      .withColumn("p_bucket", saxBandBucketCol(col("p_b"), col("p_bk")))
+      // load-bearing selective predicate (x17's lesson)
+      .filter(col("p_bucket") >= 0)
+    val cand = s.read.parquet(s"$root/bands")
+      .join(broadcast(pBands),
+        col("bb_bucket") === col("p_bucket") && col("b") === col("p_b") &&
+          col("bk") === col("p_bk"))
+      .filter(col("user_id") =!= col("p_user"))
+      .select(col("p_user"), col("user_id")).distinct()
+    // pair list and both count fetches feed multiple verify arms —
+    // persist the broadcast-sized frames (the ts5 convention)
+    CacheScope.persist(cand)
+    val want = cand.select(col("user_id").as("w_user")).distinct()
+      .withColumn("w_bucket", userBucketCol(col("w_user")))
+      .filter(col("w_bucket") >= 0) // same load-bearing domain constraint
+    val candCounts = s.read.parquet(s"$root/counts")
+      .join(broadcast(want),
+        col("u_bucket") === col("w_bucket") && col("user_id") === col("w_user"))
+      .select(col("user_id"), col("day"), col("cnt"))
+    CacheScope.persist(candCounts)
+    val probeCounts = s.read.parquet(s"$root/counts")
+      .filter(col("u_bucket").isin(pBuckets: _*) &&
+        col("user_id") < NumProbes)
+      .select(col("user_id").as("p_user"), col("day"), col("cnt").as("cp"))
+    CacheScope.persist(probeCounts)
+    val pu = candCounts.groupBy(col("user_id"))
+      .agg(sum(col("cnt") * col("cnt")).as("sum_sq"),
+        count(lit(1)).as("n_days"))
+    val pe = probeCounts.groupBy(col("p_user"))
+      .agg(sum(col("cp") * col("cp")).as("sum_sq_p"))
+    val dots = cand
+      .join(candCounts, Seq("user_id"))
+      .join(broadcast(probeCounts), Seq("p_user", "day"))
+      .groupBy(col("p_user"), col("user_id"))
+      .agg(sum(col("cnt") * col("cp")).as("dot"))
+    val f = cand
+      .join(pu, Seq("user_id"))
+      .join(broadcast(pe), Seq("p_user"))
+      .join(dots, Seq("p_user", "user_id"), "left")
+      .withColumn("dot", coalesce(col("dot"), lit(0L)))
+      .withColumn("sse",
+        col("sum_sq") + col("sum_sq_p") - lit(2L) * col("dot"))
+    f.withColumn("rank", row_number().over(
+        Window.partitionBy(col("p_user"))
+          .orderBy(col("sse").asc, col("user_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("p_user"), col("rank"), col("user_id"), col("sse"),
+        col("dot"), col("sum_sq"), col("n_days"))
+      .transform(Common.presented(_, col("p_user"), col("rank")))
+  }
+
   /** TS10 — MAINTAINED SAX INDEX: the first at-rest family whose
     * maintenance must UPDATE derived facts rather than append. The
     * standing index builds from the days outside the re-ingest slice;
@@ -917,6 +1003,48 @@ object TimeSeriesOps {
     // index is a layout, not a semantics)
     "ts9_sax_atrest" -> TsKnnOracle,
     "ts10_sax_maintained" -> TsIndexOracle,
+    // ts11: the per-probe banded candidate rule (exact for
+    // symbol-Hamming <= 1 by pigeonhole) + ts1's integer SSE verify,
+    // generalized over the probe cohort with per-probe top-k
+    "ts11_sax_multiprobe" ->
+      s"""WITH $saxWordSql,
+         |bands AS (SELECT user_id, b,
+         |                 word - (((word >> CAST(2 * b AS INT)) & 3)
+         |                         << CAST(2 * b AS INT)) AS bk
+         |          FROM words,
+         |               (SELECT CAST(unnest(range($NumSegs)) AS BIGINT) AS b) bb),
+         |cand AS (SELECT DISTINCT pb.user_id AS p_user, x.user_id
+         |         FROM bands x
+         |         JOIN bands pb ON pb.user_id < $NumProbes
+         |                      AND x.b = pb.b AND x.bk = pb.bk
+         |         WHERE x.user_id <> pb.user_id),
+         |pu AS (SELECT user_id, CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+         |              count(*) AS n_days
+         |       FROM c GROUP BY user_id),
+         |pc AS (SELECT user_id AS p_user, day, cnt AS cp FROM c
+         |       WHERE user_id < $NumProbes),
+         |pe AS (SELECT p_user, CAST(sum(cp * cp) AS BIGINT) AS sum_sq_p
+         |       FROM pc GROUP BY p_user),
+         |dots AS (SELECT cd.p_user, cd.user_id,
+         |                CAST(sum(c.cnt * pc.cp) AS BIGINT) AS dot
+         |         FROM cand cd
+         |         JOIN c ON c.user_id = cd.user_id
+         |         JOIN pc ON pc.p_user = cd.p_user AND pc.day = c.day
+         |         GROUP BY cd.p_user, cd.user_id),
+         |f AS (SELECT cd.p_user, cd.user_id, coalesce(dot, 0) AS dot,
+         |             sum_sq, n_days,
+         |             sum_sq + sum_sq_p - 2 * coalesce(dot, 0) AS sse
+         |      FROM cand cd
+         |      JOIN pu ON pu.user_id = cd.user_id
+         |      JOIN pe ON pe.p_user = cd.p_user
+         |      LEFT JOIN dots ON dots.p_user = cd.p_user
+         |                    AND dots.user_id = cd.user_id),
+         |rk AS (SELECT p_user, user_id, sse, dot, sum_sq, n_days,
+         |              CAST(row_number() OVER (PARTITION BY p_user
+         |                     ORDER BY sse ASC, user_id) AS INT) AS rank
+         |       FROM f)
+         |SELECT p_user, rank, user_id, sse, dot, sum_sq, n_days
+         |FROM rk WHERE rank <= $TopK ORDER BY p_user, rank""".stripMargin,
     // ts8: sparse window generation restated via the offset unnest;
     // every compared value is integer (words, counts, occupancies)
     "ts8_sax_discord" -> {

@@ -401,6 +401,48 @@ class PlanContractSpec extends SparkSpec {
       "probe word read lost its static u_bucket pruning")
   }
 
+  test("ts11: the multi-probe serve keeps every pruning arm — static probe reads, DPP bands and counts") {
+    spark.sharedState.cacheManager.clearCache()
+    val p0 = executed(graft.operators.TimeSeriesOps.saxMultiProbe(spark, Sf))
+    def unwrap(sp: SparkPlan): SparkPlan = sp match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def deepScans(sp: SparkPlan): Seq[FileSourceScanExec] = {
+      val u = unwrap(sp)
+      scans(u) ++ collectAll(u) {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m.relation.cachedPlan
+      }.flatMap(deepScans)
+    }
+    val allScans = deepScans(p0)
+    graft.operators.CacheScope.drain()
+    val bandScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("saxidx11/bands")))
+    assert(bandScans.nonEmpty, "at-rest bands scan missing from serve plan")
+    assert(bandScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "multi-probe band join lost its bb_bucket dynamic pruning: " +
+        bandScans.map(_.partitionFilters).mkString("; "))
+    // counts feed TWO arms: the candidates' fetch must be DPP'd, the
+    // probes' fetch statically bucket-listed
+    val countScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("saxidx11/counts")))
+    assert(countScans.size >= 2, "expected candidate + probe count reads")
+    assert(countScans.exists(_.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning"))),
+      "candidate series fetch lost its u_bucket dynamic pruning: " +
+        countScans.map(_.partitionFilters).mkString("; "))
+    assert(countScans.forall(_.partitionFilters.exists(
+        _.toString.contains("u_bucket"))),
+      "a counts read lost its u_bucket partition predicate entirely")
+    val wordScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("saxidx11/words")))
+    assert(wordScans.nonEmpty && wordScans.forall(
+        _.partitionFilters.exists(_.toString.contains("u_bucket"))),
+      "probe word read lost its static u_bucket pruning")
+  }
+
   test("x26: the sign-code serve is generator- and shuffle-join-free — scan-bound words + broadcast probe") {
     spark.sharedState.cacheManager.clearCache()
     val p = executed(graft.operators.SimilarityOps.signHamming(spark, Sf))

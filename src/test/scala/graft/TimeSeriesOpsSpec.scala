@@ -294,4 +294,27 @@ class TimeSeriesOpsSpec extends SparkSpec {
         s"seed $seed: served ${got.size} of ${wantCand.size} candidates")
     }
   }
+
+  test("ts11: the probe-0 slice of the multi-probe serve == ts5's single-probe answer row-for-row") {
+    // ProbeUser (0) is a member of the ts11 cohort, so the workload
+    // serve must contain ts5's entire answer verbatim — rank order,
+    // distances, energies — and per-probe row counts stay within
+    // top-k
+    val single = TimeSeriesOps.saxKnn(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val multi = TimeSeriesOps.saxMultiProbe(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val slice0 = multi.filter(_._1 == TimeSeriesOps.ProbeUser)
+      .map { case (_, rank, u, sse, dot, ss, nd) =>
+        (rank, u, sse, dot, ss, nd) }
+    assert(slice0 == single,
+      s"probe-0 slice diverged from ts5: $slice0 vs $single")
+    val perProbe = multi.groupBy(_._1).view.mapValues(_.size)
+    assert(perProbe.values.forall(_ <= TimeSeriesOps.TopK))
+    assert(perProbe.keySet.subsetOf(
+      (0L until TimeSeriesOps.NumProbes.toLong).toSet),
+      s"unexpected probe ids: ${perProbe.keySet}")
+  }
 }
