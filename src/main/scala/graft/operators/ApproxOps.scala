@@ -361,7 +361,133 @@ object ApproxOps {
     def sketches: Map[String, Seq[Long]] = synchronized(standing)
   }
 
+  // ---------------------------------------------------------------
+  // ap6 — the KMV sketch store AT REST: the first maintained family
+  // whose artifact is AGGREGATE STATE, not rows of an index. ap5
+  // computes the sketch per query; KmvVocabMonitor holds it in driver
+  // memory and dies with the process; ap6 writes the mergeable
+  // partials to files (the ClickHouse AggregatingMergeTree /
+  // DataSketches-on-Hive pattern): per (lang, hash-bucket) the
+  // bucket's k smallest distinct token hashes, partitionBy(h_bucket).
+  // Because buckets partition the HASH SPACE, each global k-minimum
+  // lives in some bucket and is among that bucket's k smallest — so
+  // the global bottom-k (and therefore the ap5 estimator) re-derives
+  // EXACTLY from the stored partials without ever touching a
+  // document. Maintenance is pure set algebra: union ∘ bottom-k is
+  // associative, commutative AND idempotent, so the append needs no
+  // anti-join exactly-once guard — a retried batch merges the same
+  // hashes into the same k-min sets, bit-for-bit (the one lifecycle
+  // whose exactly-once comes free from the algebra).
+  // ---------------------------------------------------------------
+
+  /** Hash-space bucket count of the at-rest sketch layout. The store
+    * is langs × [[SketchBuckets]] × [[KmvK]] longs — KB-scale however
+    * large the corpus; 16 matches the other families' harness sizing. */
+  val SketchBuckets = 16
+
+  /** Distinct (lang, h, h_bucket) rows of a documents frame — the
+    * delta a batch contributes. h is nonnegative ([[graft.functions
+    * .TextFunctions.tokHash]] is md5 mod a positive prime), so `% `
+    * needs no pmod. */
+  private def sketchRows(docs: DataFrame): DataFrame =
+    vocabToks(docs)
+      .withColumn("h_bucket", (col("h") % SketchBuckets).cast("int"))
+
+  /** Keep the k smallest hashes per (lang, bucket). Hashes are
+    * DISTINCT within a group, so the rank filter is tie-free and the
+    * kept set is unique regardless of partitioning. */
+  private def bottomKPerBucket(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("h_bucket"))
+      .orderBy(col("h"))
+    rows.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .select(col("lang"), col("h"), col("h_bucket"))
+  }
+
+  private[graft] def writeSketchStore(s: SparkSession, root: String,
+      docs: DataFrame): Unit =
+    bottomKPerBucket(sketchRows(docs))
+      .write.mode("overwrite").partitionBy("h_bucket")
+      .parquet(s"$root/kmv")
+
+  /** Fold a batch into the standing sketch store: the batch's own
+    * per-bucket bottom-k is the delta (anything ranked below k in the
+    * batch can never enter a merged k-min set), ONLY the delta's
+    * buckets are read back, and union ∘ distinct ∘ bottom-k replaces
+    * exactly those partitions. A merged bucket is never empty (the
+    * delta contributed to it) — no directory-drop guard. Idempotent
+    * by set algebra: rerunning any crashed point re-merges the same
+    * hashes to the same sets. */
+  private[graft] def appendSketchStore(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val delta = bottomKPerBucket(sketchRows(batch)).localCheckpoint()
+    val targets = delta.select(col("h_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (targets.nonEmpty) {
+      bottomKPerBucket(
+          s.read.parquet(s"$root/kmv")
+            .filter(col("h_bucket").isin(targets: _*))
+            .unionByName(delta).distinct())
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("h_bucket")
+        .parquet(s"$root/kmv")
+    }
+  }
+
+  /** Serve per-lang distinct-vocabulary estimates from the store
+    * alone: global bottom-k per lang over the union of the bucket
+    * partials (exact — see the family comment), then ap5's estimator
+    * expression verbatim. No document, token or text byte is touched;
+    * the scan is langs × buckets × k longs. */
+  private[graft] def sketchServe(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.HashMod
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+    val sk = s.read.parquet(s"$root/kmv")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("h"))).as("s"))
+    sk.select(col("lang"), size(col("s")).cast("long").as("n_kept"),
+        when(size(col("s")) < KmvK, size(col("s")).cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            ((element_at(col("s"), KmvK) + lit(1L)).cast("double") /
+              lit(HashMod.toDouble))).as("est_distinct"))
+      .transform(Common.presented(_, col("lang")))
+  }
+
+  /** AP6 — THE SKETCH STORE LIFECYCLE: build the standing per-lang
+    * vocabulary sketch at rest, fold the incoming cohort in
+    * ([[appendSketchStore]]), and serve the distinct estimates from
+    * the files. The oracle replays the ENTIRE pipeline over the full
+    * corpus in SQL — distinct hashes, global bottom-k, ap5's
+    * estimator — so the files must hold partials that reconstruct the
+    * exact global k-min sets (append == rebuild is part of what the
+    * hash compare proves; ApproxOpsSpec pins it artifact-level plus
+    * the retry/crash algebra).
+    *
+    * 100 TB plan: the recurring "how big is each lang's vocabulary"
+    * question drops from a corpus tokenize+distinct to a KB-scale
+    * read; a daily batch's merge IO is its own delta + the touched
+    * buckets of a KB-scale table. The same partials answer the ap5
+    * set-algebra questions (union/intersection between stores) by
+    * merging k-min sets — the cross-snapshot contamination measure
+    * without re-reading either snapshot. */
+  def sketchAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/kmvstore6"
+    val docs = Tables.documents(s, dir)
+    writeSketchStore(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0))
+    appendSketchStore(s, root,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod === 0))
+    sketchServe(s, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ap6_sketch_atrest" -> (sketchAtRest _),
     "ap1_hll_distinct" -> (hllDistinctChecked _),
     "ap2_quantiles" -> (quantilesChecked _),
     "ap3_bloom_semi" -> (bloomSemi _),
@@ -423,6 +549,26 @@ object ApproxOps {
     // deterministic arithmetic on the shared md5 hash space, so DuckDB
     // replays the identical sketch (k smallest distinct hashes) and the
     // identical estimator expressions, parenthesized to match
+    // ap6: the at-rest partials must reconstruct the exact global
+    // k-min sets, so the oracle replays the whole pipeline over the
+    // full corpus — distinct (lang, hash), global bottom-k per lang,
+    // ap5's estimator expression verbatim (same division order)
+    "ap6_sketch_atrest" -> {
+      import graft.functions.TextFunctions.{tokensSql, tokHashSql, HashMod}
+      s"""WITH toks AS (SELECT DISTINCT lang, ${tokHashSql("t")} AS h
+         |              FROM (SELECT lang, unnest(${tokensSql("text")}) AS t
+         |                    FROM documents)),
+         |sk AS (SELECT lang, h FROM toks
+         |       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= $KmvK),
+         |ska AS (SELECT lang, list(h ORDER BY h) AS s FROM sk GROUP BY lang)
+         |SELECT lang, CAST(len(s) AS BIGINT) AS n_kept,
+         |       CASE WHEN len(s) < $KmvK THEN CAST(len(s) AS DOUBLE)
+         |            ELSE ${(KmvK - 1).toDouble} /
+         |                 (CAST(s[$KmvK] + 1 AS DOUBLE) / ${HashMod.toDouble}) END
+         |         AS est_distinct
+         |FROM ska
+         |ORDER BY lang""".stripMargin
+    },
     "ap5_kmv_overlap" -> {
       import graft.functions.TextFunctions.{tokensSql, tokHashSql, HashMod}
       def estSql(c: String): String =

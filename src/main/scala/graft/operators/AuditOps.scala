@@ -192,6 +192,132 @@ object AuditOps {
       when(col("n_docs") >= KAnonK, 1).otherwise(0).as("is_k_anon"),
       (lit(1.0) / col("n_docs").cast("double")).as("reident_risk"))
 
+  // ---------------------------------------------------------------
+  // dq8 — k-anonymity ENFORCED against an at-rest release table.
+  // dq3 audits; dq8 executes the suppression the audit calls for
+  // (Sweeney 2002 §4's suppression operator, the release-side twin of
+  // c6's forget): the published table is WRITTEN partitionBy(QI
+  // bucket) — the partition a row lives in is a pure function of its
+  // QI tuple, so the violating cells' buckets come from the audit's
+  // own attribute-bounded cell frame and the rewrite touches ONLY
+  // them. Post-enforcement, every surviving cell satisfies k >= K by
+  // construction (removing a cell never changes another cell's
+  // count — which is also why re-enforcing is a natural no-op: the
+  // second audit finds nothing to suppress).
+  // ---------------------------------------------------------------
+
+  /** QI-bucket count of the at-rest release layout — harness sizing,
+    * the targeting is correct at any count (the ir22/c6 note). */
+  val QiBuckets = 16
+
+  /** The release table's partition attribute: md5 of the QI tuple mod
+    * [[QiBuckets]] — engine-stable (the termBucketCol rationale), and
+    * a pure function of the row's own QI columns, so writers,
+    * auditors and the enforcement sweep can never disagree on where a
+    * cell lives. */
+  private[graft] def qiBucketCol: org.apache.spark.sql.Column =
+    (conv(substring(md5(concat_ws("|", col("lang"), col("source"),
+      col("len_bucket").cast("string"))), 1, 4), 16, 10).cast("int")
+      % QiBuckets).cast("int")
+
+  /** The release projection: the QI tuple plus the row key — the
+    * shape a microdata release publishes (content stays home; tx9
+    * scrubs it separately). ONE derivation tree for the build and the
+    * enforcement's survivors. */
+  private def releaseRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        lenBucket.as("len_bucket"))
+      .withColumn("qi_bucket", qiBucketCol)
+
+  private[graft] def writeRelease(s: SparkSession, root: String,
+      docs: DataFrame): Unit =
+    releaseRows(docs).write.mode("overwrite").partitionBy("qi_bucket")
+      .parquet(s"$root/release")
+
+  /** The enforcement sweep's survivor frame — exposed so
+    * PlanContractSpec can pin the STATIC `qi_bucket IN` partition
+    * predicate on the release scan (only the violating cells'
+    * directories are listed or read). */
+  private[graft] def releaseEnforceSurvivors(s: SparkSession,
+      root: String, bad: DataFrame, targets: Seq[Int]): DataFrame =
+    s.read.parquet(s"$root/release")
+      .filter(col("qi_bucket").isin(targets: _*))
+      .join(broadcast(bad), Seq("lang", "source", "len_bucket"),
+        "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("len_bucket"), col("qi_bucket"))
+
+  /** EXECUTE the suppression dq3's audit calls for: recount the cells
+    * from the files, take the under-K ones (attribute-bounded — langs
+    * × sources × 10 rows, the d27/ir19 driver-metadata class), read
+    * ONLY their buckets under a static partition predicate, anti-join
+    * the broadcast violating-cell keys, and replace exactly those
+    * partitions via dynamic overwrite (an all-violating bucket's
+    * directory DROPS — the c6 edge). Idempotent and restart-safe: a
+    * rerun's audit sees either the original cells (nothing replaced
+    * yet — same sweep) or the survivors (done — empty target list,
+    * zero IO beyond the cell recount), and every replaced partition
+    * holds a subset of what it held, so no intermediate state ever
+    * publishes a row the completed enforcement would not. */
+  private[graft] def enforceKAnonymity(s: SparkSession,
+      root: String): Unit = {
+    val bad = s.read.parquet(s"$root/release")
+      .groupBy(col("lang"), col("source"), col("len_bucket"),
+        col("qi_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") < KAnonK)
+      .localCheckpoint()
+    val targets = bad.select(col("qi_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (targets.nonEmpty) {
+      val surv = releaseEnforceSurvivors(s, root,
+        bad.select(col("lang"), col("source"), col("len_bucket")),
+        targets).localCheckpoint()
+      val staged = surv.select(col("qi_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (staged.nonEmpty) {
+        surv.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("qi_bucket")
+          .parquet(s"$root/release")
+      }
+      val fs = AtRest.fsOf(s, root)
+      (targets.toSet -- staged).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/release/qi_bucket=$b"), true)
+        ()
+      }
+    }
+  }
+
+  /** DQ8 — K-ANONYMITY ENFORCED AT REST: write the release table
+    * (QI-bucketed), EXECUTE the suppression ([[enforceKAnonymity]]),
+    * and serve dq3's audit from what the files now hold — every
+    * surviving cell carries is_k_anon = 1 by construction, and the
+    * oracle restates dq3's cell SQL with the under-K cells subtracted,
+    * so the files must physically hold exactly the compliant rows.
+    * This closes the governance ladder's executed verb: dq3–dq7 DETECT
+    * (k, ℓ, t, δ); dq8 is the suppression step a release pipeline runs
+    * between the audit and the publish.
+    *
+    * 100 TB plan: the audit half is the same attribute-bounded
+    * aggregate dq3 serves from streamed count state; the sweep's IO is
+    * the violating cells' buckets only — a compliant release
+    * re-enforces with zero rewrite IO. Generalization (widening
+    * buckets instead of dropping rows) is the other standard
+    * enforcement arm; it composes as a re-write of the same layout
+    * with a coarser [[lenBucket]] and the identical sweep. */
+  def kAnonymityEnforced(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/release8"
+    writeRelease(s, root, Tables.documents(s, dir))
+    enforceKAnonymity(s, root)
+    kAnonCells(s.read.parquet(s"$root/release")
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs")))
+      .transform(Common.presented(_,
+        col("lang"), col("source"), col("len_bucket")))
+  }
+
   /** dq4's diversity threshold: a QI cell whose documents come from
     * fewer than L distinct sources lets the cell's published
     * coordinates infer provenance (distinct ℓ-diversity, Machanavajjhala
@@ -448,7 +574,8 @@ object AuditOps {
     "dq4_l_diversity" -> (lDiversity _),
     "dq5_profile" -> (profile _),
     "dq6_t_closeness" -> (tCloseness _),
-    "dq7_delta_presence" -> (deltaPresence _))
+    "dq7_delta_presence" -> (deltaPresence _),
+    "dq8_kanon_enforce" -> (kAnonymityEnforced _))
 
   val oracles: Map[String, String] = Map(
     // dq7: d10's split rule restated (the d12 oracle's CASE), counts
@@ -547,6 +674,21 @@ object AuditOps {
          |ORDER BY lang, len_bucket""".stripMargin,
     // count(*) widens to BIGINT on both engines; the risk bound is one
     // double division of identical operands
+    // dq8: write∘enforce∘audit == dq3's cells MINUS the under-K ones
+    // (suppressing a cell never changes another cell's count) — the
+    // oracle subtracts them at the cell level, so the at-rest files
+    // must hold exactly the compliant rows; is_k_anon keeps dq3's
+    // CASE tree (all 1 by construction, same expression both sides)
+    "dq8_kanon_enforce" ->
+      s"""WITH cells AS (SELECT lang, source,
+         |                      CAST(least(9, n_chars // 100) AS INT) AS len_bucket,
+         |                      count(*) AS n_docs
+         |               FROM documents GROUP BY 1, 2, 3)
+         |SELECT lang, source, len_bucket, n_docs,
+         |       CASE WHEN n_docs >= $KAnonK THEN 1 ELSE 0 END AS is_k_anon,
+         |       CAST(1 AS DOUBLE) / n_docs AS reident_risk
+         |FROM cells WHERE n_docs >= $KAnonK
+         |ORDER BY lang, source, len_bucket""".stripMargin,
     "dq3_k_anonymity" ->
       s"""WITH cells AS (SELECT lang, source,
          |                      CAST(least(9, n_chars // 100) AS INT) AS len_bucket,

@@ -299,8 +299,15 @@ object DedupOps {
     * the vast majority at scale) rejoin as their own cluster; keeper =
     * the component's min doc. */
   private def shapeClusters(s: SparkSession, dir: String,
+      labels: DataFrame): DataFrame =
+    shapeClustersOver(Tables.documents(s, dir), labels)
+
+  /** The d6 output shape over an explicit doc universe — singletons
+    * (docs without a label row) rejoin implicitly; d30 passes the
+    * SURVIVOR universe. */
+  private def shapeClustersOver(universe: DataFrame,
       labels: DataFrame): DataFrame = {
-    val singletons = Tables.documents(s, dir).select(col("doc_id"))
+    val singletons = universe.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
     labels.unionByName(singletons)
@@ -2338,7 +2345,240 @@ object DedupOps {
         .select(col("doc_id"), col("cluster_id").as("label")))
   }
 
+  // ---------------------------------------------------------------
+  // d30 — FORGET executed against the maintained cluster assignment:
+  // the first forget that can SPLIT a component. d29's update only
+  // ever MERGES (new pairs add edges); deleting a document REMOVES
+  // its edges, and if it was the bridge, its cluster falls apart —
+  // the one maintenance direction star contraction cannot express
+  // incrementally, so the touched clusters' survivor subgraphs
+  // recompute from the index (bounded by cluster size, never the
+  // corpus). The index forget itself is ir22's shape inverted: the
+  // deleted docs' band rows live in buckets derived from their OWN
+  // signatures — which the id-bucketed docsets table still holds, so
+  // the targets come from a DPP point-fetch of the index, no text
+  // re-shingled.
+  // ---------------------------------------------------------------
+
+  /** The deleted ids' shingle sets, fetched from the id-bucketed
+    * docsets — the index answers its own forget targeting. */
+  private def docsetFetch(s: SparkSession, root: String,
+      ids: DataFrame): DataFrame = {
+    val e = ids.select(col("doc_id").as("d")).distinct()
+      .withColumn("e_bucket", idBucketCol(col("d")))
+      // load-bearing selective predicate (x17's lesson)
+      .filter(col("e_bucket") >= 0)
+    readDocsets(s, root)
+      .join(broadcast(e),
+        col("id_bucket") === col("e_bucket") && col("doc_id") === col("d"))
+      .select(col("doc_id"), col("bg"))
+  }
+
+  /** FORGET from the band index: the deleted docs' sets fetch from
+    * docsets (DPP by id bucket), their band rows RECOMPUTE from the
+    * stored sets through the build's own tree (bit-identical to what
+    * the build wrote — no text touched), and exactly those band
+    * buckets sweep; then the ids' docset buckets sweep. All-deleted
+    * bucket directories drop. Idempotent: a rerun fetches no sets
+    * (already gone) and the docset sweep re-stages survivors to the
+    * same rows. */
+  private[graft] def forgetBandIndex(s: SparkSession, root: String,
+      delIds: DataFrame): Unit = {
+    val ids = delIds.select(col("doc_id")).distinct().localCheckpoint()
+    val sets = docsetFetch(s, root, ids).localCheckpoint()
+    val fs = AtRest.fsOf(s, root)
+    val bBuckets = bandRows(sets).select(col("band_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (bBuckets.nonEmpty) {
+      val surv = s.read.parquet(s"$root/bands")
+        .filter(col("band_bucket").isin(bBuckets: _*))
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("band"), col("sig"), col("band_bucket"))
+        .localCheckpoint()
+      val staged = surv.select(col("band_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (staged.nonEmpty) {
+        surv.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("band_bucket")
+          .parquet(s"$root/bands")
+      }
+      (bBuckets.toSet -- staged).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/bands/band_bucket=$b"), true)
+        ()
+      }
+    }
+    val dBuckets = ids.select(idBucketCol(col("doc_id")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (dBuckets.nonEmpty) {
+      val surv = readDocsets(s, root)
+        .filter(col("id_bucket").isin(dBuckets: _*))
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("bg"), col("id_bucket"))
+        .localCheckpoint()
+      val staged = surv.select(col("id_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (staged.nonEmpty) {
+        surv.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("id_bucket")
+          .parquet(s"$root/docsets")
+      }
+      (dBuckets.toSet -- staged).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/docsets/id_bucket=$b"), true)
+        ()
+      }
+    }
+  }
+
+  /** FORGET from the maintained assignment. Stages:
+    *  1. the deleted ids' clusters look up in `members` (DPP) — the
+    *     TOUCHED clusters, O(batch) driver metadata;
+    *  2. the band index sweeps ([[forgetBandIndex]]) — the base of
+    *     record holds only survivors from here on;
+    *  3. the touched clusters' SURVIVOR SUBGRAPHS recompute from the
+    *     swept index: survivors' sets fetch by id (DPP), band rows
+    *     recompute in-memory, candidates self-join on (band, sig),
+    *     the exact Jaccard verifies — all bounded by the touched
+    *     clusters' member counts. Components over the survivor pairs
+    *     relabel; splits fall out naturally (a severed half gets its
+    *     own min-id label; a stranded single gets NO row — singletons
+    *     stay implicit);
+    *  4. both projections rewrite only their affected buckets. The
+    *     members sweep's removal key includes the DELETED ids
+    *     unconditionally, so a rerun after a crash between the two
+    *     projection writes still scrubs the deleted rows (the
+    *     compliance half); full projection consistency after such a
+    *     crash restores via [[buildClusterTables]] — the wholesale
+    *     recount from the index is the heal, d29's own contract
+    *     (ClusterForgetSpec pins both). */
+  private[graft] def forgetClusters(s: SparkSession, root: String,
+      delIds0: DataFrame): Unit = {
+    val delIds = delIds0.select(col("doc_id")).distinct().localCheckpoint()
+    val touched = memberLookup(s, root, delIds.select(col("doc_id").as("d")))
+      .select(col("cluster_id")).distinct().localCheckpoint()
+    forgetBandIndex(s, root, delIds)
+    val fs = AtRest.fsOf(s, root)
+    val tBuckets = touched
+      .select(clusterBucketCol(col("cluster_id")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val oldRows =
+      if (tBuckets.isEmpty) delIds.limit(0)
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      else s.read.parquet(s"$root/clusters")
+        .filter(col("c_bucket").isin(tBuckets: _*))
+        .join(broadcast(touched), Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"))
+        .localCheckpoint()
+    // survivor subgraph off the swept index
+    val sets = docsetFetch(s, root,
+      oldRows.join(broadcast(delIds), Seq("doc_id"), "left_anti")
+        .select(col("doc_id")))
+    CacheScope.persist(sets) // feeds the band recompute + both verify sides
+    val sb = bandRows(sets)
+    val cand = sb.as("x").join(sb.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val pairs = verifyPairs(cand, sets, sets)
+      .filter(col("is_near_dup") === 1).select(col("a"), col("b"))
+    val (lab, _) = StarComponents.components(pairs)
+    val newRows = lab.select(col("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    // clusters/: drop the touched clusters' rows, land the relabeled
+    // components (split halves, shrunk clusters); vanished clusters
+    // simply have no new rows
+    val affectedC = touched
+      .select(clusterBucketCol(col("cluster_id")).as("b"))
+      .unionByName(newRows.select(clusterBucketCol(col("cluster_id")).as("b")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (affectedC.nonEmpty) {
+      val stagedC = s.read.parquet(s"$root/clusters")
+        .filter(col("c_bucket").isin(affectedC: _*))
+        .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+        .unionByName(newRows)
+        .withColumn("c_bucket", clusterBucketCol(col("cluster_id")))
+        .localCheckpoint()
+      val stagedCB = stagedC.select(col("c_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (stagedCB.nonEmpty) {
+        stagedC.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("c_bucket")
+          .parquet(s"$root/clusters")
+      }
+      (affectedC.toSet -- stagedCB).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/clusters/c_bucket=$b"), true)
+        ()
+      }
+    }
+    // members/: removal key = deleted ids ∪ the touched clusters' old
+    // members (the delIds arm is load-bearing — it is what lets a
+    // rerun after a mid-crash still scrub the deleted rows when the
+    // clusters projection no longer names their old cluster)
+    val removal = delIds
+      .unionByName(oldRows.select(col("doc_id"))).distinct()
+      .localCheckpoint()
+    val affectedD = removal.select(idBucketCol(col("doc_id")).as("b"))
+      .unionByName(newRows.select(idBucketCol(col("doc_id")).as("b")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (affectedD.nonEmpty) {
+      val stagedM = s.read.parquet(s"$root/members")
+        .filter(col("d_bucket").isin(affectedD: _*))
+        .join(broadcast(removal), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+        .unionByName(newRows)
+        .withColumn("d_bucket", idBucketCol(col("doc_id")))
+        .localCheckpoint()
+      val stagedMB = stagedM.select(col("d_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (stagedMB.nonEmpty) {
+        stagedM.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("d_bucket")
+          .parquet(s"$root/members")
+      }
+      (affectedD.toSet -- stagedMB).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/members/d_bucket=$b"), true)
+        ()
+      }
+    }
+  }
+
+  /** D30 — FORGET AGAINST THE MAINTAINED CLUSTERS: build the index +
+    * assignment over the full corpus, EXECUTE the c4/c6 delete cohort
+    * ([[forgetClusters]] — index sweep + touched-subgraph relabel),
+    * and serve d6's cluster dump over the SURVIVORS from the
+    * maintained table. The oracle is d6's recursive-closure SQL with
+    * the cohort subtracted at the source — re-deriving every
+    * component over the survivor graph — so the maintained table must
+    * hold exactly the split/shrunk/relabeled clusters a full
+    * re-cluster of the survivors produces.
+    *
+    * 100 TB plan: a takedown's cost is its docs' band/docset buckets
+    * plus the TOUCHED clusters' members (cluster-sized subgraphs,
+    * never the corpus edge set) — the historical pair graph is never
+    * re-run, and untouched clusters' buckets are never listed. */
+  def clustersForget(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/clusidx30"
+    val docs = Tables.documents(s, dir)
+    writeBandIndex(s, root, docs)
+    buildClusterTables(s, root)
+    val isDel = col("doc_id") % TextOps.ForgetMod === TextOps.ForgetRem
+    forgetClusters(s, root, docs.filter(isDel).select(col("doc_id")))
+    shapeClustersOver(docs.filter(!isDel),
+      s.read.parquet(s"$root/clusters")
+        .select(col("doc_id"), col("cluster_id").as("label")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d30_clusters_forget" -> (clustersForget _),
     "d29_clusters_atrest" -> (clustersAtRest _),
     "d28_simhash_atrest" -> (simhashAtRest _),
     "d22_decontam_atrest" -> (decontamAtRest _),
@@ -2634,6 +2874,13 @@ object DedupOps {
     // d6's oracle verbatim: the maintained at-rest assignment must equal
     // the full re-cluster bit-exactly (d13's star-contraction argument)
     "d29_clusters_atrest" -> d6OracleSql,
+    // d30: build∘forget∘serve == d6's recursive closure over the
+    // SURVIVORS — both FROM documents sites (the pair graph's docs
+    // and the reach seed's singleton universe) subtract the cohort,
+    // so the maintained table must hold exactly the split/shrunk/
+    // relabeled components a survivor re-cluster produces
+    "d30_clusters_forget" -> d6OracleSqlOver(
+      s" WHERE doc_id % ${TextOps.ForgetMod} <> ${TextOps.ForgetRem}"),
     // d11 reuses the full d5 oracle verbatim as a CTE (drift-proof,
     // like d6 reuses d2) and states the components as the same
     // recursive transitive closure, seeded from embeddings vec_ids
@@ -2886,4 +3133,10 @@ object DedupOps {
        |       min(node) AS cluster_id,
        |       CASE WHEN min(node) = src THEN 1 ELSE 0 END AS is_keeper
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
+  /** d6's closure over a filtered doc universe — BOTH `FROM documents`
+    * sites (the d2 pair body's and the reach seed's) take the same
+    * predicate, which is exactly the survivor semantics d30 serves. */
+  private def d6OracleSqlOver(where: String): String =
+    d6OracleSql.replace("FROM documents", s"FROM documents$where")
 }

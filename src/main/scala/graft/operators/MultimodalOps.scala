@@ -203,22 +203,30 @@ object MultimodalOps {
     * (kind, digest), the 60-bit perceptual signature splits into
     * d3b's 4×15-bit pigeonhole bands. ONE definition — m6 audits this
     * frame in memory, m7 WRITES it as the at-rest index. */
-  private[graft] def phashChunks(s: SparkSession, dir: String): DataFrame = {
+  /** The 60-bit perceptual signature of a `payload` column — ONE
+    * definition for the build, the probe and the takedown's
+    * request-side facts. */
+  private[graft] def phashCol: Column = {
     import org.apache.spark.sql.GraftSqlBridge
     import graft.functions.TextFunctions.tokens
-    val bandBits = DedupOps.Simhash60BandBits
-    val phash = GraftSqlBridge.column(graft.functions.SimHashLong(
+    GraftSqlBridge.column(graft.functions.SimHashLong(
       GraftSqlBridge.expression(tokens(decode(col("payload"), "UTF-8"))),
       DedupOps.Simhash60Bits))
-    val reps = media(s, dir)
-      .select(col("media_id"), col("kind"),
-        md5(col("payload")).as("digest"), phash.as("phash"))
+  }
+
+  /** The collapsed representative rows (kind, digest, rep_id,
+    * n_copies, phash) of any media frame — byte-identical copies
+    * collapse to min-id reps; the group key is (kind, digest). */
+  private[graft] def mediaReps(med: DataFrame): DataFrame =
+    med.select(col("media_id"), col("kind"),
+        md5(col("payload")).as("digest"), phashCol.as("phash"))
       .groupBy(col("kind"), col("digest"))
       .agg(min(col("media_id")).as("rep_id"),
         count(lit(1)).as("n_copies"),
         min(col("phash")).as("phash")) // identical payloads → identical phash
-    repChunks(reps)
-  }
+
+  private[graft] def phashChunks(s: SparkSession, dir: String): DataFrame =
+    repChunks(mediaReps(media(s, dir)).drop("digest"))
 
   /** A representative's 4 pigeonhole band-chunk rows — split from
     * [[phashChunks]] so a STREAMED probe can expand already-collapsed
@@ -317,7 +325,190 @@ object MultimodalOps {
           .as("is_near_dup"), col("n_copies_a"), col("n_copies_b"))
   }
 
+  // ---------------------------------------------------------------
+  // m8 — TAKEDOWN executed against the at-rest pHash index. The
+  // interesting half: the index rows are DERIVED GROUP FACTS
+  // (rep_id = min media_id of a (kind, digest) copy group; n_copies =
+  // its size), so a takedown is an UPDATE, not a delete — removing a
+  // copy decrements its group, removing the min-id copy RELABELS the
+  // group's representative, and only removing the last copy deletes
+  // the group's band rows (content with surviving copies keeps
+  // matching, which is the correct takedown semantics: the BYTES are
+  // still published). ts10 pioneered maintained-update for per-user
+  // facts; m8 is the group-fact form, and it needs a second artifact:
+  // members/ (kind, digest, media_id) partitioned by digest bucket —
+  // the reverse map from a takedown id to its group that the
+  // chunk-bucketed bands cannot answer without a full scan.
+  // ---------------------------------------------------------------
+
+  /** Digest-bucket count of the members artifact. */
+  val DigestBuckets = 16
+
+  /** The members table's partition attribute — first 4 hex chars of
+    * the (already-md5) digest, mod [[DigestBuckets]]: a pure function
+    * of the row's own group key, so takedown targets come from the
+    * request's decoded digests alone. */
+  private[graft] def digestBucketCol: Column =
+    (conv(substring(col("digest"), 1, 4), 16, 10).cast("int")
+      % DigestBuckets).cast("int")
+
+  private def chunkBucketCol: Column =
+    pmod(col("chunk") + col("band"), lit(ChunkBuckets)).cast("int")
+
+  /** BUILD the takedown-capable store: m7's band-chunk index plus the
+    * members reverse map. Payloads decode ONCE here; nothing below
+    * ever reads one again. */
+  private[graft] def writePhashStore(s: SparkSession, root: String,
+      med: DataFrame): Unit = {
+    med.select(col("kind"), md5(col("payload")).as("digest"),
+        col("media_id"))
+      .withColumn("dg_bucket", digestBucketCol)
+      .write.mode("overwrite").partitionBy("dg_bucket")
+      .parquet(s"$root/members")
+    repChunks(mediaReps(med).drop("digest"))
+      .withColumn("chunk_bucket", chunkBucketCol)
+      .write.mode("overwrite").partitionBy("chunk_bucket")
+      .parquet(s"$root/bands")
+  }
+
+  /** The bands sweep's pruned scan — exposed so PlanContractSpec can
+    * pin the STATIC chunk_bucket predicate (only the affected groups'
+    * band directories are listed or read). */
+  private[graft] def bandsTakedownScan(s: SparkSession, root: String,
+      targets: Seq[Int]): DataFrame =
+    s.read.parquet(s"$root/bands")
+      .filter(col("chunk_bucket").isin(targets: _*))
+
+  /** EXECUTE a takedown request against the store. Stages (the order
+    * is the compliance order — bands first, so the serve is correct
+    * the moment the visible artifact lands):
+    *
+    *  1. REQUEST FACTS: the requested media rows decode to (kind,
+    *     digest, phash) — batch-bounded, the build path's per-row
+    *     cost. Digest buckets target the members read; the groups'
+    *     phash keys target the bands read. Both STATIC predicates.
+    *  2. GROUP RECOMPUTE: the affected groups' old reps (min over
+    *     current members) and new reps (min/count over members minus
+    *     the request) — attribute-bounded frames.
+    *  3. BANDS REWRITE: affected buckets drop every row keyed by an
+    *     affected group's OLD OR NEW rep (the both-keys anti-join is
+    *     what makes a rerun from ANY crash point converge instead of
+    *     duplicating relabeled rows), then the recomputed groups'
+    *     fresh chunk rows land — same phash, so fresh rows fall in
+    *     exactly the swept buckets. Emptied buckets drop their dirs.
+    *  4. MEMBERS REWRITE: the request's digest buckets minus the
+    *     requested ids (c6's sweep on the reverse map).
+    *
+    * Idempotent under rerun at every crash point: stage 2's facts are
+    * a fixed point of (members, request) whether members were already
+    * rewritten or not, and stage 3 removes both key generations
+    * before inserting the canonical rows (MultimodalOpsSpec pins the
+    * bands-done/members-stale state converging by rerun). */
+  private[graft] def takedownPhash(s: SparkSession, root: String,
+      req: DataFrame): Unit = {
+    val reqFacts = req.select(col("media_id"), col("kind"),
+        md5(col("payload")).as("digest"), phashCol.as("phash"))
+      .withColumn("dg_bucket", digestBucketCol)
+      .localCheckpoint()
+    val dBuckets = reqFacts.select(col("dg_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (dBuckets.isEmpty) return
+    val groups = reqFacts
+      .select(col("kind"), col("digest"), col("phash")).distinct()
+      .localCheckpoint()
+    val memb = s.read.parquet(s"$root/members")
+      .filter(col("dg_bucket").isin(dBuckets: _*))
+    val affected = memb.join(broadcast(groups.select(col("kind"),
+      col("digest"))), Seq("kind", "digest"), "left_semi")
+    val oldReps = affected.groupBy(col("kind"), col("digest"))
+      .agg(min(col("media_id")).as("rep_id"))
+      .localCheckpoint()
+    val newReps = affected
+      .join(broadcast(reqFacts.select(col("media_id"))),
+        Seq("media_id"), "left_anti")
+      .groupBy(col("kind"), col("digest"))
+      .agg(min(col("media_id")).as("rep_id"),
+        count(lit(1)).as("n_copies"))
+      .join(broadcast(groups), Seq("kind", "digest"))
+      .localCheckpoint()
+    // stage 3 — bands: target buckets from the groups' own band keys
+    val gChunks = repChunks(groups
+        .withColumn("rep_id", lit(0L)).withColumn("n_copies", lit(0L)))
+      .withColumn("chunk_bucket", chunkBucketCol)
+    val cBuckets = gChunks.select(col("chunk_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val dropKeys = oldReps.select(col("kind"), col("rep_id"))
+      .unionByName(newReps.select(col("kind"), col("rep_id"))).distinct()
+    val freshRows = repChunks(newReps
+        .select(col("kind"), col("rep_id"), col("n_copies"), col("phash")))
+      .withColumn("chunk_bucket", chunkBucketCol)
+    val newBands = bandsTakedownScan(s, root, cBuckets)
+      .join(broadcast(dropKeys), Seq("kind", "rep_id"), "left_anti")
+      .unionByName(freshRows)
+      .localCheckpoint()
+    val fs = AtRest.fsOf(s, root)
+    val bStaged = newBands.select(col("chunk_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (bStaged.nonEmpty) {
+      newBands.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("chunk_bucket")
+        .parquet(s"$root/bands")
+    }
+    (cBuckets.toSet -- bStaged).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/bands/chunk_bucket=$b"), true)
+      ()
+    }
+    // stage 4 — members
+    val memSurv = memb
+      .join(broadcast(reqFacts.select(col("media_id"))),
+        Seq("media_id"), "left_anti")
+      .select(col("kind"), col("digest"), col("media_id"),
+        col("dg_bucket"))
+      .localCheckpoint()
+    val mStaged = memSurv.select(col("dg_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (mStaged.nonEmpty) {
+      memSurv.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dg_bucket")
+        .parquet(s"$root/members")
+    }
+    (dBuckets.toSet -- mStaged).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/members/dg_bucket=$b"), true)
+      ()
+    }
+  }
+
+  /** M8 — TAKEDOWN EXECUTED AGAINST THE AT-REST pHASH INDEX: build
+    * the store, EXECUTE the c4/c6 request cohort against it
+    * ([[takedownPhash]]), and serve m6's banded near-dup audit from
+    * what remains. The oracle restates m6 over the surviving media —
+    * reps, counts and representative ids RE-DERIVE from survivors —
+    * so the files must hold exactly the survivor groups' rows:
+    * decremented counts, relabeled min-id reps, vanished last-copy
+    * groups and all.
+    *
+    * 100 TB plan: a takedown of B items touches their digest buckets
+    * of the slim members map and their groups' ≤4·B band buckets —
+    * payloads are never re-read (the request's own rows re-sign at
+    * batch cost), cold buckets never listed. Copy groups whose OTHER
+    * copies survive keep matching — the honest semantics when the
+    * bytes are still published under other ids. */
+  def phashTakedown(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/phashidx8"
+    val med = media(s, dir)
+    writePhashStore(s, root, med)
+    takedownPhash(s, root,
+      med.filter(col("media_id") % TextOps.ForgetMod === TextOps.ForgetRem))
+    phashPairs(s.read.parquet(s"$root/bands").drop("chunk_bucket"))
+      .transform(Common.presented(_, col("kind"), col("a"), col("b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_phash_takedown" -> (phashTakedown _),
     "m6_media_neardup" -> (mediaNearDup _),
     "m7_phash_atrest" -> (phashAtRest _),
     "m1_media_meta" -> (mediaMeta _),
@@ -326,8 +517,10 @@ object MultimodalOps {
     "m4_resize_plan" -> (resizePlan _),
     "m5_media_dedup" -> (mediaDedup _))
 
-  /** m6's oracle — shared VERBATIM by the at-rest serve m7. */
-  private val m6Sql: String = {
+  /** m6's oracle — shared VERBATIM by the at-rest serve m7, and over
+    * the survivor cohort by the takedown m8 (reps/counts/ids
+    * re-derive from whatever media the `where` keeps). */
+  private def m6SqlOver(where: String): String = {
       val bandBits = DedupOps.Simhash60BandBits
       val mask = (1 << bandBits) - 1
       s"""WITH m AS (SELECT event_id AS media_id,
@@ -335,7 +528,7 @@ object MultimodalOps {
          |                       WHEN event_type = 'view' THEN 'video'
          |                       ELSE 'audio' END AS kind,
          |                  props, md5(props) AS digest
-         |           FROM events),
+         |           FROM events$where),
          |sig AS (${DedupOps.simhashSqlOver(DedupOps.Simhash60Bits,
                       "media_id", "props", "m")}),
          |reps AS (SELECT kind, digest, min(m.media_id) AS rep_id,
@@ -360,7 +553,16 @@ object MultimodalOps {
          |FROM cand ORDER BY kind, a, b""".stripMargin
   }
 
+  private val m6Sql: String = m6SqlOver("")
+
   val oracles: Map[String, String] = Map(
+    // m8: build∘takedown∘serve == m6 over the SURVIVING media — the
+    // oracle re-derives every rep, count and representative id from
+    // the survivors, so the at-rest files must hold exactly the
+    // updated group facts (decremented counts, relabeled min-id reps,
+    // vanished last-copy groups)
+    "m8_phash_takedown" -> m6SqlOver(
+      s" WHERE event_id % ${TextOps.ForgetMod} <> ${TextOps.ForgetRem}"),
     // d3b's 60-bit bit-vote fold + banded-hamming restatement over the
     // media stand-in (props IS the decoded payload under the stub
     // codec); counts stay BIGINT on both engines

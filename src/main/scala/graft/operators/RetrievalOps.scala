@@ -795,7 +795,7 @@ object RetrievalOps {
       .agg(sum(col("n_postings")).as("df"))
 
   private[graft] def writePostingsIndex(s: SparkSession, root: String,
-      docs: DataFrame): Unit = {
+      docs: DataFrame, bucketDoclen: Boolean = false): Unit = {
     postingsArtifacts(docs)
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/postings")
@@ -808,14 +808,35 @@ object RetrievalOps {
     // the per-doc length table — index metadata in its own right (dl
     // is what postings denormalize in), and the ONE artifact that
     // records zero-token documents, which the postings cannot: the
-    // corpus constants derive from it, never from a docs re-scan
-    docLenOf(docs).write.mode("overwrite").parquet(s"$root/doclen")
+    // corpus constants derive from it, never from a docs re-scan.
+    // The FORGETTABLE layout (ir22) partitions it by doc bucket so a
+    // delete request rewrites only its own doc partitions; the
+    // append-only layouts keep the flat form (their doclen is only
+    // ever appended to, never rewritten)
+    val dlf = docLenOf(docs)
+    if (bucketDoclen)
+      dlf.withColumn("doc_bucket", docBucketCol)
+        .write.mode("overwrite").partitionBy("doc_bucket")
+        .parquet(s"$root/doclen")
+    else dlf.write.mode("overwrite").parquet(s"$root/doclen")
     constsOf(s.read.parquet(s"$root/doclen"))
       .write.mode("overwrite").parquet(s"$root/consts")
   }
 
   private def docLenOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), size(toks).as("dl"))
+
+  /** Doc-bucket count of the forgettable doclen layout (ir22). Like
+    * [[TermBuckets]], 16 is harness sizing — the targeting is correct
+    * at any count. */
+  val DocLenBuckets = 16
+
+  /** The doclen table's partition attribute for the FORGETTABLE
+    * layout: a pure function of doc_id, so a delete request's target
+    * doclen partitions come from the request itself (the c6 shard
+    * rule applied to index metadata). */
+  private[graft] def docBucketCol: Column =
+    (col("doc_id") % DocLenBuckets).cast("int")
 
   /** One-row (n_docs, total_tokens, avgdl) over a (doc_id, dl) frame —
     * [[corpusConsts]]'s exact trees with the integer total kept (the
@@ -997,6 +1018,177 @@ object RetrievalOps {
     appendPostingsIndex(s, root,
       docs.filter(col("doc_id") % DedupOps.IncomingMod === 0))
     compactPostingsIndex(s, root)
+    serveFromIndex(s, root)
+  }
+
+  /** The forget sweep's survivor frame — exposed so PlanContractSpec
+    * can pin the STATIC `term_bucket IN` partition predicate on the
+    * postings scan (only the deleted docs' terms' directories are
+    * listed or read). */
+  private[graft] def postingsForgetSurvivors(s: SparkSession,
+      root: String, delIds: DataFrame, targets: Seq[Int]): DataFrame =
+    s.read.parquet(s"$root/postings")
+      .filter(col("term_bucket").isin(targets: _*))
+      .join(broadcast(delIds), Seq("doc_id"), "left_anti")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        col("term_bucket"))
+
+  /** FORGET EXECUTED AGAINST THE AT-REST POSTINGS INDEX — the c6
+    * delete discipline on the one layout where a row's partition is
+    * NOT a function of its document: postings live in TERM buckets, so
+    * a doc_id probe of the files would scan the whole index. The
+    * targets instead derive from the REQUEST'S OWN ROWS — the deleted
+    * docs re-tokenize through [[postingsArtifacts]] (batch-bounded,
+    * exactly the append path's cost for the same rows) and their
+    * distinct term buckets are the ONLY postings/metadata partitions
+    * the sweep lists, reads or rewrites. Survivors anti-join the
+    * broadcast request and replace exactly their partitions via
+    * dynamic overwrite; a bucket whose every posting belonged to
+    * deleted docs stages nothing and must DROP explicitly (the
+    * d27/c6 empty-partition edge).
+    *
+    * The metadata is the genuinely new half: the first SUBTRACTIVE
+    * merge in the repo. max_tf/min_dl cannot be decremented
+    * incrementally (removing the max row needs the runner-up), so
+    * blockmeta RECOUNTS from the post-delete postings — but
+    * BUCKET-SCOPED: only the touched term buckets are re-aggregated
+    * and dynamically overwritten, the heal-by-recount discipline at
+    * append-sized cost. The dict rolls up from the recounted buckets
+    * as always; a term whose last posting died simply has no recount
+    * row, and the partition replacement erases it. doclen is the
+    * c6 case (doc-bucketed, targets from the request's ids); consts
+    * recount from it.
+    *
+    * Crash safety (ForgetIndexSpec exercises the points): after the
+    * postings rewrite the deleted docs are PHYSICALLY GONE — no serve
+    * at any later point can return them, which is the compliance
+    * property; a crash before the metadata recount leaves df/avgdl
+    * stale-not-wrong (scores drift, candidates don't — the ir16
+    * convention), and rerunning the forget (idempotent: the rerun
+    * re-stages survivors to the same end state) or
+    * [[healPostingsMetadata]] restores exactness. */
+  private[graft] def forgetPostingsIndex(s: SparkSession, root: String,
+      deleted: DataFrame): Unit = {
+    // the request's postings-key projection, pinned eagerly (the
+    // survivor plans below read the very files the overwrites replace)
+    val delKeys = postingsArtifacts(deleted)
+      .select(col("doc_id"), col("term_bucket")).distinct()
+      .localCheckpoint()
+    val delIds = deleted.select(col("doc_id")).localCheckpoint()
+    val tBuckets = delKeys.select(col("term_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val fs = AtRest.fsOf(s, root)
+    if (tBuckets.nonEmpty) {
+      val survivors = postingsForgetSurvivors(s, root, delIds, tBuckets)
+        .localCheckpoint()
+      val staged = survivors.select(col("term_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (staged.nonEmpty) {
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("term_bucket")
+          .parquet(s"$root/postings")
+      }
+      (tBuckets.toSet -- staged).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/postings/term_bucket=$b"), true)
+        ()
+      }
+      // subtractive metadata: recount ONLY the touched buckets from
+      // the post-delete postings, replace their partitions
+      val recount = blockMetaOf(s.read.parquet(s"$root/postings")
+          .filter(col("term_bucket").isin(tBuckets: _*)))
+        .localCheckpoint()
+      val mStaged = recount.select(col("term_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (mStaged.nonEmpty) {
+        recount.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("term_bucket")
+          .parquet(s"$root/blockmeta")
+        dictFromMeta(s.read.parquet(s"$root/blockmeta")
+            .filter(col("term_bucket").isin(mStaged.toSeq: _*)))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("term_bucket")
+          .parquet(s"$root/dict")
+      }
+      (tBuckets.toSet -- mStaged).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/blockmeta/term_bucket=$b"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/dict/term_bucket=$b"), true)
+        ()
+      }
+    }
+    // doclen is request-targetable directly (doc-bucketed layout) —
+    // and it runs even when the deleted docs had zero tokens (they
+    // have no postings, but they do have a doclen row and they do
+    // count in n_docs/avgdl)
+    forgetDoclen(s, root, delIds)
+  }
+
+  /** The doclen half of the forget: the request's doc buckets are the
+    * only partitions touched; survivors replace them via dynamic
+    * overwrite (all-deleted buckets drop), then the corpus constants
+    * recount from the table — idempotent at every crash point. */
+  private def forgetDoclen(s: SparkSession, root: String,
+      delIds: DataFrame): Unit = {
+    val req = delIds.withColumn("doc_bucket", docBucketCol)
+      .localCheckpoint()
+    val dBuckets = req.select(col("doc_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val fs = AtRest.fsOf(s, root)
+    if (dBuckets.nonEmpty) {
+      val surv = s.read.parquet(s"$root/doclen")
+        .filter(col("doc_bucket").isin(dBuckets: _*))
+        .join(broadcast(req.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")
+        .select(col("doc_id"), col("dl"), col("doc_bucket"))
+        .localCheckpoint()
+      val staged = surv.select(col("doc_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (staged.nonEmpty) {
+        surv.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("doc_bucket")
+          .parquet(s"$root/doclen")
+      }
+      (dBuckets.toSet -- staged).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/doclen/doc_bucket=$b"), true)
+        ()
+      }
+    }
+    constsOf(s.read.parquet(s"$root/doclen")).localCheckpoint()
+      .write.mode("overwrite").parquet(s"$root/consts")
+  }
+
+  /** IR22 — FORGET EXECUTED AGAINST THE AT-REST POSTINGS INDEX: build
+    * the full index (the forgettable layout — doclen doc-bucketed),
+    * EXECUTE the c4/c6 delete request (the `% ${TextOps.ForgetMod}`
+    * cohort) with the term-targeted sweep ([[forgetPostingsIndex]]),
+    * and SERVE ir15's partition-pruned probe from what remains. The
+    * oracle restates ir2's exhaustive scan over `documents` MINUS the
+    * request — so the files must physically hold exactly the
+    * survivors' postings, and the recounted df/avgdl must reproduce
+    * the survivor corpus's score doubles bit-for-bit.
+    *
+    * 100 TB plan: the sweep's IO is the request's term buckets (reads)
+    * + their survivors (writes) + the request's doc buckets of the
+    * slim doclen table — never the standing index. A takedown batch
+    * of B docs with V distinct terms touches ≤ min(V, TermBuckets)
+    * postings partitions; cold buckets are never listed. This closes
+    * the postings lifecycle's fifth verb (build / serve / append /
+    * compact / FORGET) — the x17 tombstone path resolves deletes at
+    * compaction time, this one at request time, the GDPR-shaped
+    * variant where "gone" must mean gone from the files now. */
+  def postingsForgetServe(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/irindex22"
+    val docs = Tables.documents(s, dir)
+    writePostingsIndex(s, root, docs, bucketDoclen = true)
+    forgetPostingsIndex(s, root,
+      docs.filter(col("doc_id") % TextOps.ForgetMod === TextOps.ForgetRem))
     serveFromIndex(s, root)
   }
 
@@ -1598,6 +1790,7 @@ object RetrievalOps {
     "ir15_index_serve" -> (indexServe _),
     "ir16_blockmax_index" -> (blockmaxIndexServe _),
     "ir19_postings_compact" -> (compactedIndexServe _),
+    "ir22_postings_forget" -> (postingsForgetServe _),
     "ir17_phrase_at_rest" -> (phraseAtRestServe _),
     "ir21_phrase_maintained" -> (phraseMaintainedServe _),
     "ir18_champion_at_rest" -> (championAtRestServe _),
@@ -1619,10 +1812,15 @@ object RetrievalOps {
     s"CAST(len(list_filter($toksSql, t -> t = '$t')) AS INT)"
 
   /** The per-doc projection CTE — dl + tf per query term. */
-  private def dSql =
+  /** The per-doc projection over any document relation — `rel` is
+    * `documents` for the scan-path oracles and the survivor subquery
+    * for ir22's post-forget oracle. */
+  private def dSqlFrom(rel: String) =
     s"""SELECT doc_id, CAST(len($toksSql) AS INT) AS dl,
        |${QueryTerms.map(t => s"       ${tfSql(t)} AS tf_$t").mkString(",\n")}
-       |FROM documents""".stripMargin
+       |FROM $rel""".stripMargin
+
+  private def dSql = dSqlFrom("documents")
 
   /** The one-row stats CTE pair (s → s2 adds avgdl — DuckDB can't
     * reference a same-SELECT alias). */
@@ -1825,6 +2023,16 @@ object RetrievalOps {
     // RetrievalOpsSpec where SQL cannot state them)
     "ir19_postings_compact" ->
       s"""WITH d AS ($dSql),
+         |$statsSql,
+         |${rankedSql("d")}""".stripMargin,
+    // ir22: build∘forget∘serve == ir2's scan over the SURVIVORS — the
+    // oracle is ir2's SQL with the request's cohort subtracted at the
+    // source, so the at-rest files must hold exactly the survivor
+    // postings AND the recounted stats must reproduce the survivor
+    // corpus's score doubles (the c6 executed-delete convention on
+    // the term-bucketed layout)
+    "ir22_postings_forget" ->
+      s"""WITH d AS (${dSqlFrom(s"(SELECT * FROM documents WHERE doc_id % ${TextOps.ForgetMod} <> ${TextOps.ForgetRem})")}),
          |$statsSql,
          |${rankedSql("d")}""".stripMargin,
     // ir13: champion selection is integer tf ranking per term (UNION

@@ -328,7 +328,38 @@ object SqlSurfaceOps {
          |FROM sh ORDER BY shard_id""".stripMargin)
   }
 
+  /** SX10 — the at-rest SKETCH STORE served as ONE SQL statement:
+    * ap6's global bottom-k + estimator restated as pure SQL text over
+    * the `parquet.` path relation — the sx convention extended to the
+    * AGGREGATE-STATE family (fourth at-rest family with a SQL-surface
+    * serve, and the first whose artifact is a sketch, not rows of an
+    * index). Every float node matches ap6's column tree: the CASTs
+    * produce the same doubles as `lit(255.0)` / `HashMod.toDouble`,
+    * and the division order is identical — the oracle is ap6's SQL
+    * VERBATIM, so the SQL-text serve must hash-match the DataFrame
+    * serve bit-for-bit. */
+  def sqlSketchServe(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      SimilarityOps.indexRoot(s, dir) + "/kmvstoresx10").getAbsolutePath
+    ApproxOps.writeSketchStore(s, root, Tables.documents(s, dir))
+    val k = ApproxOps.KmvK
+    val m = graft.functions.TextFunctions.HashMod
+    s.sql(
+      s"""WITH r AS (SELECT lang, h,
+         |                  row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+         |           FROM parquet.`$root/kmv`),
+         |k AS (SELECT lang, sort_array(collect_list(h)) AS s
+         |      FROM r WHERE rn <= $k GROUP BY lang)
+         |SELECT lang, CAST(size(s) AS BIGINT) AS n_kept,
+         |       CASE WHEN size(s) < $k THEN CAST(size(s) AS DOUBLE)
+         |            ELSE CAST(${k - 1} AS DOUBLE) /
+         |                 (CAST(element_at(s, $k) + 1 AS DOUBLE) / CAST($m AS DOUBLE))
+         |       END AS est_distinct
+         |FROM k ORDER BY lang""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sx10_sql_sketch_serve" -> (sqlSketchServe _),
     "sx9_sql_shard_manifest" -> (sqlShardManifest _),
     "sx8_sql_band_probe" -> (sqlBandProbe _),
     "sx7_sql_index_serve" -> (sqlIndexServe _),
@@ -340,6 +371,9 @@ object SqlSurfaceOps {
     "sx5_sql_zorder" -> (sqlZorder _))
 
   val oracles: Map[String, String] = Map(
+    // ap6's oracle verbatim: the SQL-text serve of the written sketch
+    // partials must match the DataFrame serve bit-for-bit
+    "sx10_sql_sketch_serve" -> ApproxOps.oracles("ap6_sketch_atrest"),
     // c3's manifest oracle verbatim: the SQL-text serve of the written
     // export must match the logical recount bit-for-bit
     "sx9_sql_shard_manifest" -> TextOps.oracles("c3_shard_export"),

@@ -108,4 +108,85 @@ class ApproxOpsSpec extends SparkSpec {
     val q2 = ApproxOps.quantiles(spark, Sf).collect().toSeq
     assert(q1 === q2)
   }
+
+  private def rmRoot(root: String): Unit = {
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    ()
+  }
+
+  private def storeRows(root: String): Set[(String, Long, Int)] =
+    spark.read.parquet(s"$root/kmv")
+      .select(col("lang"), col("h"), col("h_bucket").cast("int"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("AP6: append == rebuild row-exact on the partials; retried append bit-stable; serve == driver estimator") {
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val isNew = col("doc_id") % graft.operators.DedupOps.IncomingMod === 0
+    val rootA = "target/graft-index/spec-ap6-append"
+    val rootB = "target/graft-index/spec-ap6-rebuild"
+    rmRoot(rootA); rmRoot(rootB)
+    ApproxOps.writeSketchStore(spark, rootA, docs.filter(!isNew))
+    ApproxOps.appendSketchStore(spark, rootA, docs.filter(isNew))
+    ApproxOps.writeSketchStore(spark, rootB, docs)
+    val expect = storeRows(rootB)
+    assert(storeRows(rootA) == expect,
+      "append-maintained partials != one-shot rebuild")
+    // union ∘ bottom-k is idempotent — a RETRIED batch (the crash-
+    // rerun case) merges the same hashes to the same sets, no
+    // anti-join guard needed, and the rows prove it
+    ApproxOps.appendSketchStore(spark, rootA, docs.filter(isNew))
+    assert(storeRows(rootA) == expect, "retried append moved a partial")
+    // the serve's estimate equals the driver-side estimator over the
+    // GLOBAL bottom-k of the corpus vocabulary (per-bucket partials
+    // reconstruct the global k-min set exactly)
+    val served = ApproxOps.sketchServe(spark, rootA).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val toks = docs
+      .select(col("lang"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("lang"),
+        graft.functions.TextFunctions.tokHash(col("tok")).as("h"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1)))
+    val byLang = toks.groupBy(_._1)
+    assert(served.keySet == byLang.keySet)
+    byLang.foreach { case (lang, hs) =>
+      val sk = hs.map(_._2).distinct.sorted.take(ApproxOps.KmvK)
+      assert(served(lang)._1 == sk.length.toLong, s"$lang n_kept")
+      assert(served(lang)._2 == ApproxOps.kmvEstimate(sk), s"$lang estimate")
+    }
+    rmRoot(rootA); rmRoot(rootB)
+  }
+
+  test("AP6: a one-token delta rewrites only its own hash bucket; the other 15 stay byte-identical") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val root = "target/graft-index/spec-ap6-delta"
+    rmRoot(root)
+    ApproxOps.writeSketchStore(spark, root, docs)
+    def sig(): Map[Int, Seq[(String, Long, Long)]] =
+      new java.io.File(s"$root/kmv").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("h_bucket="))
+        .map { d =>
+          d.getName.stripPrefix("h_bucket=").toInt ->
+            d.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+        }.toMap
+    val before = sig()
+    // one planted doc, one token — its hash bucket is the ONLY
+    // partition the merge may touch (derived from the operator's own
+    // hash, not restated by hand)
+    val batch = Seq((900001L, "zxqjvw")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val b = batch.select((graft.functions.TextFunctions.tokHash(lit("zxqjvw"))
+      % ApproxOps.SketchBuckets).cast("int")).collect().head.getInt(0)
+    ApproxOps.appendSketchStore(spark, root, batch)
+    val after = sig()
+    (0 until ApproxOps.SketchBuckets).filter(_ != b).foreach { k =>
+      assert(after.get(k) == before.get(k),
+        s"bucket $k rewritten by a delta that never touched it")
+    }
+    assert(after(b) != before(b), "the delta's own bucket did not change")
+    rmRoot(root)
+  }
 }

@@ -186,4 +186,69 @@ class AuditOpsSpec extends SparkSpec {
     assert(ok.getAs[Long]("n_distinct") == ok.getAs[Long]("n_rows"))
     assert(rows(("documents", "lang")).getAs[Long]("n_distinct") < 10L)
   }
+
+  test("dq8: enforcement drops exactly the under-K cells' rows; rerun a zero-IO no-op; all-violating bucket dir drops") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf)
+    val root = "target/graft-index/spec-dq8"
+    def rm(): Unit = {
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      ()
+    }
+    rm()
+    AuditOps.writeRelease(spark, root, docs)
+    // brute-force expectation: rows whose QI cell has >= K members
+    val raw = docs.select(col("doc_id"), col("lang"), col("source"),
+        least(lit(9), expr("n_chars div 100")).cast("int").as("lb"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    val cellN = raw.groupBy(t => (t._2, t._3, t._4)).map { case (k, v) => k -> v.size }
+    val expectIds = raw.filter(t => cellN((t._2, t._3, t._4)) >= AuditOps.KAnonK)
+      .map(_._1).toSet
+    assert(expectIds.size < raw.length, "fixture has no violating cell — enforcement untestable")
+    AuditOps.enforceKAnonymity(spark, root)
+    val kept = spark.read.parquet(s"$root/release")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == expectIds, "enforced release != brute-force survivor set")
+    // the audit over the enforced files passes everywhere
+    val served = AuditOps.kAnonymityEnforced(spark, Sf).collect()
+    assert(served.nonEmpty && served.forall(_.getAs[Int]("is_k_anon") == 1),
+      "a surviving cell still violates k-anonymity")
+    // rerun: a compliant release re-enforces with zero rewrite IO —
+    // every data file survives byte-identical (name+len+mtime)
+    def sig(): Seq[(String, Long, Long)] =
+      new java.io.File(s"$root/release").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val before = sig()
+    AuditOps.enforceKAnonymity(spark, root)
+    assert(sig() == before, "re-enforcing a compliant release rewrote files")
+    rm()
+    // planted corpus: one bucket holds ONLY violating cells — its
+    // directory must drop entirely (the c6/d27 empty-partition edge)
+    import spark.implicits._
+    val planted = (1 to 20).map(i => (i.toLong, "en", "web", 150L)) ++    // one big cell
+      Seq((100L, "fr", "web", 950L), (101L, "de", "arxiv", 50L))          // two singletons
+    val pdocs = planted.toDF("doc_id", "lang", "source", "n_chars")
+      .withColumn("text", lit(""))
+    AuditOps.writeRelease(spark, root, pdocs)
+    // (derive each planted cell's bucket from the operator's own rule)
+    val bucketOf = pdocs
+      .select(col("lang"), col("source"),
+        least(lit(9), expr("n_chars div 100")).cast("int").as("len_bucket"))
+      .withColumn("b", AuditOps.qiBucketCol).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getInt(3)).toMap
+    val bigB = bucketOf(("en", "web", 1))
+    val loneBs = Seq(bucketOf(("fr", "web", 9)), bucketOf(("de", "arxiv", 0)))
+    assume(loneBs.forall(_ != bigB), "planted cells collide in one bucket — re-plant")
+    AuditOps.enforceKAnonymity(spark, root)
+    loneBs.foreach { b =>
+      assert(!new java.io.File(s"$root/release/qi_bucket=$b").exists(),
+        s"all-violating bucket $b kept its directory")
+    }
+    assert(spark.read.parquet(s"$root/release").count() == 20L,
+      "planted enforcement kept the wrong rows")
+    rm()
+  }
 }

@@ -164,4 +164,148 @@ class MultimodalOpsSpec extends SparkSpec {
         s"expected first-copy-per-(kind, digest) survivors, got $kept")
     } finally q.stop()
   }
+
+  private def rmRoot(root: String): Unit = {
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    ()
+  }
+
+  private def bandRows(root: String): Set[(String, Long, Long, Long, Int, Long, Int)] =
+    spark.read.parquet(s"$root/bands")
+      .select(col("kind"), col("rep_id"), col("n_copies"), col("phash"),
+        col("band"), col("chunk"), col("chunk_bucket").cast("int"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getLong(5), r.getInt(6))).toSet
+
+  private def memberRows(root: String): Set[(String, String, Long)] =
+    spark.read.parquet(s"$root/members")
+      .select(col("kind"), col("digest"), col("media_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+  /** Planted copy groups exercising every takedown outcome: group A
+    * loses its MIN-ID copy (relabel + decrement), group B vanishes
+    * (last copies removed), group C is untouched, group D loses a
+    * non-rep copy (decrement only). */
+  private def plantedMedia = {
+    import spark.implicits._
+    Seq(
+      (1L, "aaa quick brown fox body"), (2L, "aaa quick brown fox body"),
+      (3L, "aaa quick brown fox body"),                       // A: 3 copies
+      (10L, "bbb lazy dog jumps over"), (11L, "bbb lazy dog jumps over"), // B: 2
+      (20L, "ccc entirely different words here"),             // C: single
+      (30L, "ddd yet another payload text"),
+      (31L, "ddd yet another payload text"))                  // D: 2
+      .toDF("media_id", "text")
+      .withColumn("kind", lit("image"))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .drop("text")
+  }
+
+  test("m8: takedown relabels reps, decrements counts, vanishes last-copy groups — == rebuild over survivors; rerun a no-op") {
+    val mm = graft.operators.MultimodalOps
+    val med = plantedMedia
+    val delIds = Set(1L, 10L, 11L, 31L) // A's rep, all of B, D's non-rep
+    val isDel = col("media_id").isin(delIds.toSeq: _*)
+    val root = "target/graft-index/spec-m8-takedown"
+    val rootB = "target/graft-index/spec-m8-rebuild"
+    rmRoot(root); rmRoot(rootB)
+    mm.writePhashStore(spark, root, med)
+    mm.takedownPhash(spark, root, med.filter(isDel))
+    mm.writePhashStore(spark, rootB, med.filter(!isDel))
+    assert(bandRows(root) == bandRows(rootB),
+      "takedown-maintained bands != rebuild over survivors")
+    assert(memberRows(root) == memberRows(rootB),
+      "takedown-maintained members != rebuild over survivors")
+    // the semantics visibly happened: A relabeled to rep 2 with 2
+    // copies, B gone, D decremented with rep 30 kept
+    val reps = spark.read.parquet(s"$root/bands")
+      .select(col("rep_id"), col("n_copies")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(2L -> 2L, 20L -> 1L, 30L -> 1L),
+      s"unexpected surviving groups: $reps")
+    // retried request: facts recompute to the same fixed point
+    mm.takedownPhash(spark, root, med.filter(isDel))
+    assert(bandRows(root) == bandRows(rootB) &&
+      memberRows(root) == memberRows(rootB),
+      "retried takedown moved the store")
+    rmRoot(root); rmRoot(rootB)
+  }
+
+  test("m8: the bands-done/members-stale crash point serves correctly and converges by rerun") {
+    val mm = graft.operators.MultimodalOps
+    val med = plantedMedia
+    val isDel = col("media_id").isin(1L, 10L, 11L, 31L)
+    val root = "target/graft-index/spec-m8-crash"
+    val rootB = "target/graft-index/spec-m8-crash-rebuild"
+    rmRoot(root); rmRoot(rootB)
+    mm.writePhashStore(spark, root, med)
+    val staleMembers = spark.read.parquet(s"$root/members").collect()
+    val schema = spark.read.parquet(s"$root/members").schema
+    mm.takedownPhash(spark, root, med.filter(isDel))
+    mm.writePhashStore(spark, rootB, med.filter(!isDel))
+    val doneBands = bandRows(root)
+    assert(doneBands == bandRows(rootB))
+    // simulate the crash between stage 3 and stage 4: bands already
+    // rewritten, members reverted to their pre-takedown rows
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(staleMembers: _*)),
+        schema)
+      .write.mode("overwrite").partitionBy("dg_bucket")
+      .parquet(s"$root/members")
+    // the VISIBLE artifact is already correct at this crash point
+    assert(bandRows(root) == doneBands)
+    // and the rerun converges both artifacts (the both-keys anti-join:
+    // stale members yield the ORIGINAL old reps while bands hold the
+    // relabeled ones — without dropping both generations this would
+    // duplicate group A's rows)
+    mm.takedownPhash(spark, root, med.filter(isDel))
+    assert(bandRows(root) == bandRows(rootB),
+      "crash-rerun duplicated or lost band rows")
+    assert(memberRows(root) == memberRows(rootB),
+      "crash-rerun left members stale")
+    rmRoot(root); rmRoot(rootB)
+  }
+
+  test("m8: untouched chunk and digest buckets keep their files byte-identical") {
+    val mm = graft.operators.MultimodalOps
+    val med = mm.media(spark, Sf)
+    val isDel = col("media_id") % graft.operators.TextOps.ForgetMod ===
+      graft.operators.TextOps.ForgetRem
+    val root = "target/graft-index/spec-m8-buckets"
+    rmRoot(root)
+    mm.writePhashStore(spark, root, med)
+    def sig(table: String, pcol: String): Map[Int, Seq[(String, Long, Long)]] =
+      new java.io.File(s"$root/$table").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$pcol="))
+        .map { d =>
+          d.getName.stripPrefix(s"$pcol=").toInt ->
+            d.listFiles().filter(_.getName.endsWith(".parquet"))
+              .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+        }.toMap
+    val (bb, mb) = (sig("bands", "chunk_bucket"), sig("members", "dg_bucket"))
+    // the sweep's own target lists, derived the operator's way
+    val req = med.filter(isDel)
+    val dB = req.select(md5(col("payload")).as("digest"))
+      .select(mm.digestBucketCol.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    mm.takedownPhash(spark, root, req)
+    val (ba, ma) = (sig("bands", "chunk_bucket"), sig("members", "dg_bucket"))
+    mb.keySet.filterNot(dB).foreach { b =>
+      assert(ma.get(b) == mb.get(b), s"untouched digest bucket $b rewritten")
+    }
+    // band buckets: anything outside the swept set must be untouched
+    val swept = bb.keySet.filter(b => ba.get(b) != bb.get(b))
+    val expected = req
+      .select(col("media_id"), col("kind"), col("payload")).distinct()
+      .select(mm.phashCol.as("phash")).distinct()
+      .collect().map(_.getLong(0)).toSet
+      .flatMap { ph: Long =>
+        (0 until 4).map(i => (((ph >> (15 * i)) & 0x7fff) + i) % 16)
+          .map(_.toInt)
+      }
+    assert(swept.subsetOf(expected),
+      s"bands buckets outside the request's key space were rewritten: ${swept -- expected}")
+    rmRoot(root)
+  }
 }

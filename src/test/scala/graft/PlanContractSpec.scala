@@ -730,6 +730,71 @@ class PlanContractSpec extends SparkSpec {
       s"survivor read listed files outside the target shards: ${listed.take(3)}")
   }
 
+  test("ir22: the forget sweep's survivor read carries a STATIC term_bucket predicate and lists only target dirs") {
+    val ro = graft.operators.RetrievalOps
+    val root = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/irpin22"
+    ro.writePostingsIndex(spark, root,
+      graft.sources.Tables.documents(spark, Sf), bucketDoclen = true)
+    import spark.implicits._
+    val targets = Seq(2, 9)
+    val p = executed(ro.postingsForgetSurvivors(spark, root,
+      Seq(30L, 70L).toDF("doc_id"), targets))
+    val idxScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("irpin22")))
+    assert(idxScans.nonEmpty, "postings scan missing from the survivor plan")
+    val pf = idxScans.head.partitionFilters
+    assert(pf.exists(_.toString.contains("term_bucket")),
+      s"survivor read lost its term_bucket partition predicate: $pf")
+    val dirs = targets.map(b => s"term_bucket=$b/").toSet
+    val listed = idxScans.head.relation.location
+      .listFiles(pf, idxScans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(listed.nonEmpty && listed.forall(f => dirs.exists(f.contains)),
+      s"survivor read listed files outside the target buckets: ${listed.take(3)}")
+  }
+
+  test("dq8: the enforcement's survivor read carries a STATIC qi_bucket predicate and lists only violating dirs") {
+    val ao = graft.operators.AuditOps
+    val root = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/dqpin8"
+    ao.writeRelease(spark, root, graft.sources.Tables.documents(spark, Sf))
+    import spark.implicits._
+    val targets = Seq(1, 6)
+    val bad = Seq(("xx", "web", 3)).toDF("lang", "source", "len_bucket")
+    val p = executed(ao.releaseEnforceSurvivors(spark, root, bad, targets))
+    val relScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("dqpin8")))
+    assert(relScans.nonEmpty, "release scan missing from the survivor plan")
+    val pf = relScans.head.partitionFilters
+    assert(pf.exists(_.toString.contains("qi_bucket")),
+      s"survivor read lost its qi_bucket partition predicate: $pf")
+    val dirs = targets.map(b => s"qi_bucket=$b/").toSet
+    val listed = relScans.head.relation.location
+      .listFiles(pf, relScans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(listed.nonEmpty && listed.forall(f => dirs.exists(f.contains)),
+      s"survivor read listed files outside the violating buckets: ${listed.take(3)}")
+  }
+
+  test("m8: the takedown's bands scan carries a STATIC chunk_bucket predicate and lists only target dirs") {
+    val mm = graft.operators.MultimodalOps
+    val root = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/m8pin"
+    mm.writePhashStore(spark, root, mm.media(spark, Sf))
+    val targets = Seq(4, 11)
+    val p = executed(mm.bandsTakedownScan(spark, root, targets))
+    val idxScans = scans(p).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("m8pin")))
+    assert(idxScans.nonEmpty, "bands scan missing from the sweep plan")
+    val pf = idxScans.head.partitionFilters
+    assert(pf.exists(_.toString.contains("chunk_bucket")),
+      s"sweep read lost its chunk_bucket partition predicate: $pf")
+    val dirs = targets.map(b => s"chunk_bucket=$b/").toSet
+    val listed = idxScans.head.relation.location
+      .listFiles(pf, idxScans.head.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(listed.nonEmpty && listed.forall(f => dirs.exists(f.contains)),
+      s"sweep read listed files outside the target buckets: ${listed.take(3)}")
+  }
+
   test("c5: the manifest recount column-prunes the payload — text bytes are never read") {
     val tx = graft.operators.TextOps
     val root = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/shardpin5"

@@ -669,4 +669,59 @@ class ScaleSpec extends SparkSpec {
       f"the unread text payload holds $textCol B " +
       f"(${100.0 * manifestCols / (manifestCols + textCol)}%.1f%% of data bytes)")
   }
+
+  test("ap6 sketch store: the serve's whole input is a small fraction of the corpus it answers for") {
+    // the aggregate-state family's byte story: ap5 answers "how big is
+    // each lang's vocabulary" by tokenizing the corpus; ap6's serve
+    // reads ONLY the written k-min partials — bounded by langs ×
+    // SketchBuckets × KmvK longs regardless of corpus size. The bound
+    // here is total store bytes vs the documents parquet it stands in
+    // for; at 100 TB the ratio is ~10 orders of magnitude, at sf0.001
+    // it must already be well under 10%.
+    import graft.operators.{ApproxOps, SimilarityOps}
+    import graft.sources.Tables
+    spark.sharedState.cacheManager.clearCache()
+    // measured at sf0.01: the store is BOUNDED (langs × buckets × k
+    // rows) while the corpus grows — at sf0.001 the 16 files' parquet
+    // footers alone outweigh the 64 KB corpus, hiding the asymptote
+    val sf = "/root/testdata/sf0.01"
+    val root = SimilarityOps.indexRoot(spark, sf) + "/kmvscale6"
+    ApproxOps.writeSketchStore(spark, root, Tables.documents(spark, sf))
+    // data bytes at the parquet-footer level (the c5 technique): the
+    // store is 16 small files whose FOOTERS outweigh their data at
+    // harness scale — the scale-relevant quantity is the column-chunk
+    // bytes a serve actually decodes
+    val conf = spark.sparkContext.hadoopConfiguration
+    def chunkBytes(dir: java.io.File): Long = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory) walk(f)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+      walk(dir).map { f =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try {
+          var t = 0L
+          rdr.getFooter.getBlocks.forEach(b =>
+            b.getColumns.forEach(c => t += c.getTotalSize))
+          t
+        } finally rdr.close()
+      }.sum
+    }
+    val storeBytes = chunkBytes(new java.io.File(s"$root/kmv"))
+    val corpusBytes = new java.io.File(s"$sf/documents.parquet").length
+    assert(storeBytes > 0, "sketch store missing")
+    // row bound: the partials can never exceed langs × buckets × k —
+    // the invariant that holds at ANY corpus size
+    val rows = spark.read.parquet(s"$root/kmv").count()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(rows <= langs * ApproxOps.SketchBuckets * ApproxOps.KmvK,
+      s"partials hold $rows rows — more than the k-min bound")
+    assert(storeBytes * 10 < corpusBytes,
+      s"sketch store $storeBytes B should be well under a tenth of the " +
+        s"$corpusBytes B corpus it answers for")
+    info(f"serve input $storeBytes B vs corpus $corpusBytes B " +
+      f"(${100.0 * storeBytes / corpusBytes}%.2f%%), $rows partial rows")
+  }
 }

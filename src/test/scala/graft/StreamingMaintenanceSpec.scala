@@ -149,4 +149,110 @@ class StreamingMaintenanceSpec extends SparkSpec {
       CacheScope.drain()
     }
   }
+
+  test("streamed sketch-store maintenance == one-shot build, random doc micro-batches, 2 fuzz seeds") {
+    // ap6's merge is associative, commutative AND idempotent, so ANY
+    // micro-batch cut or arrival order must land the identical k-min
+    // partials — the aggregate-state family's streamed twin
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ap = graft.operators.ApproxOps
+    val docs = Tables.documents(spark, Sf)
+    val isNew = col("doc_id") % DedupOps.IncomingMod === 0
+    val incoming = docs.filter(isNew)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toVector
+    val rootR = "target/graft-index/spec-stream-ap6-rebuild"
+    rmRoot(rootR)
+    ap.writeSketchStore(spark, rootR, docs)
+    val expect = rows(rootR, "kmv", Seq("lang", "h", "h_bucket"))
+
+    for (seed <- Seq(11, 37)) {
+      val rnd = new scala.util.Random(seed)
+      val rootS = s"target/graft-index/spec-stream-ap6-$seed"
+      rmRoot(rootS)
+      ap.writeSketchStore(spark, rootS, docs.filter(!isNew))
+      val in = MemoryStream[(Long, String, String)]
+      val q = in.toDF().toDF("doc_id", "lang", "text").writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          ap.appendSketchStore(spark, rootS, b.localCheckpoint())
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(incoming)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(8))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(rows(rootS, "kmv", Seq("lang", "h", "h_bucket")) == expect,
+        s"seed $seed: streamed partials diverged from the one-shot build")
+      CacheScope.drain()
+    }
+  }
+
+  test("streamed forget requests == one-shot forget of the union, 2 fuzz seeds") {
+    // ir22 bound as a takedown-request STREAM: each micro-batch
+    // executes its own bucket-scoped sweep + metadata recount, so any
+    // cut of the request set must land the index a single all-at-once
+    // forget lands (deletion commutes; the recount is a fixed point of
+    // whatever postings survive)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ro = graft.operators.RetrievalOps
+    val docs = Tables.documents(spark, Sf)
+    val isDel = col("doc_id") % graft.operators.TextOps.ForgetMod ===
+      graft.operators.TextOps.ForgetRem
+    val requests = docs.filter(isDel)
+      .select(col("doc_id"), col("text")).as[Doc].collect().toVector
+    assert(requests.size >= 5, "fixture regression: thin request cohort")
+    val rootR = "target/graft-index/spec-stream-ir22-oneshot"
+    rmRoot(rootR)
+    ro.writePostingsIndex(spark, rootR, docs, bucketDoclen = true)
+    ro.forgetPostingsIndex(spark, rootR, docs.filter(isDel))
+    val expect = Seq(
+      "postings" -> Seq("tok", "doc_id", "tf", "dl", "term_bucket"),
+      "dict" -> Seq("tok", "df", "term_bucket"),
+      "doclen" -> Seq("doc_id", "dl"),
+      "consts" -> Seq("n_docs", "total_tokens", "avgdl"))
+      .map { case (a, cs) => a -> rows(rootR, a, cs) }.toMap
+
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val rootS = s"target/graft-index/spec-stream-ir22-$seed"
+      rmRoot(rootS)
+      ro.writePostingsIndex(spark, rootS, docs, bucketDoclen = true)
+      val in = MemoryStream[Doc]
+      val q = in.toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          ro.forgetPostingsIndex(spark, rootS,
+            b.select(col("doc_id"), col("text")).localCheckpoint())
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(requests)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(4))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      Seq(
+        "postings" -> Seq("tok", "doc_id", "tf", "dl", "term_bucket"),
+        "dict" -> Seq("tok", "df", "term_bucket"),
+        "doclen" -> Seq("doc_id", "dl"),
+        "consts" -> Seq("n_docs", "total_tokens", "avgdl"))
+        .foreach { case (a, cs) =>
+          assert(rows(rootS, a, cs) == expect(a),
+            s"seed $seed: streamed forget diverged on $a")
+        }
+      CacheScope.drain()
+    }
+  }
 }
