@@ -1762,16 +1762,73 @@ object SimilarityOps {
     * against the float column); signature rows are per-vector facts,
     * so the ir21/x19 append discipline maintains the table without
     * touching standing files. */
-  def signHammingAtRest(s: SparkSession, dir: String): DataFrame = {
-    val root = indexRoot(s, dir) + "/signidx"
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        signWord(col("embedding"), 0).as("w0"),
-        signWord(col("embedding"), 32).as("w1"),
-        pmod(col("vec_id"), lit(FloatBuckets.toLong)).cast("int")
-          .as("id_bucket"))
-      .write.mode("overwrite").partitionBy("id_bucket")
+  /** The sign-signature rows of any embeddings frame — ONE derivation
+    * tree for the x31 build, the x32 append and the forget's rebuild
+    * comparison. */
+  private def signRows(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      signWord(col("embedding"), 0).as("w0"),
+      signWord(col("embedding"), 32).as("w1"),
+      pmod(col("vec_id"), lit(FloatBuckets.toLong)).cast("int")
+        .as("id_bucket"))
+
+  private[graft] def writeSignIndex(s: SparkSession, root: String,
+      vecs: DataFrame): Unit =
+    signRows(vecs).write.mode("overwrite").partitionBy("id_bucket")
       .parquet(s"$root/signatures")
+
+  /** x32's APPEND: per-vector facts (a standing vector's signature
+    * never changes), exactly-once behind the ir16 anti-join +
+    * eager-checkpoint guard — standing files untouched. */
+  private[graft] def appendSignIndex(s: SparkSession, root: String,
+      batch: DataFrame): Unit =
+    signRows(batch)
+      .join(s.read.parquet(s"$root/signatures").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("w0"), col("w1"), col("id_bucket"))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("id_bucket")
+      .parquet(s"$root/signatures")
+
+  /** x32's FORGET: the simplest sweep in the forget family — the
+    * layout is id-bucketed, so a delete request's target partitions
+    * are a pure function of its ids (c6's rule on the vector tier):
+    * survivors anti-join the broadcast request and replace exactly
+    * their buckets; an all-deleted bucket's directory drops.
+    * Idempotent — a rerun re-stages the same survivors. */
+  private[graft] def forgetSignIndex(s: SparkSession, root: String,
+      delIds: DataFrame): Unit = {
+    val ids = delIds.select(col("vec_id")).distinct().localCheckpoint()
+    val dBuckets = ids
+      .select(pmod(col("vec_id"), lit(FloatBuckets.toLong)).cast("int")
+        .as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (dBuckets.isEmpty) return
+    val surv = s.read.parquet(s"$root/signatures")
+      .filter(col("id_bucket").isin(dBuckets: _*))
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("w0"), col("w1"), col("id_bucket"))
+      .localCheckpoint()
+    val staged = surv.select(col("id_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (staged.nonEmpty) {
+      surv.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("id_bucket")
+        .parquet(s"$root/signatures")
+    }
+    val fs = graft.operators.AtRest.fsOf(s, root)
+    (dBuckets.toSet -- staged).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/signatures/id_bucket=$b"), true)
+      ()
+    }
+  }
+
+  /** x31's serve body over any written signature root — shared by the
+    * build-only serve (x31) and the maintained lifecycle (x32), so
+    * the two paths cannot drift. */
+  private[graft] def signServeFrom(s: SparkSession, root: String): DataFrame = {
     val sig = s.read.parquet(s"$root/signatures")
     val qBuckets = (0 until NumQueries).map(_ % FloatBuckets).distinct
     val q = sig
@@ -1793,7 +1850,43 @@ object SimilarityOps {
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
+  def signHammingAtRest(s: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(s, dir) + "/signidx"
+    writeSignIndex(s, root, Tables.embeddings(s, dir))
+    signServeFrom(s, root)
+  }
+
+  /** X32 — THE SIGN INDEX'S MAINTAINED LIFECYCLE: build the standing
+    * signatures, fold the incoming cohort in exactly-once
+    * ([[appendSignIndex]]), EXECUTE the x17 delete cohort
+    * ([[forgetSignIndex]] — the id-bucketed sweep, targets from the
+    * request alone), and serve x26's Hamming top-k from what remains.
+    * One query proves build∘append∘forget∘serve == a fresh build over
+    * the survivors (the x20 convergence invariant on the binary
+    * tier): the oracle is x26's SQL over embeddings MINUS the delete
+    * cohort — note query id 3 is IN the cohort, so its query rows
+    * vanish too, which the serve reproduces because queries read from
+    * the maintained table itself.
+    *
+    * 100 TB plan: signatures are per-vector facts — append IO is the
+    * batch plus an id-column membership read, forget IO is the
+    * request's buckets of a 17-bytes/vector table, and the serve
+    * scan shrinks with deletions immediately (no tombstone debt). */
+  def signMaintained(s: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(s, dir) + "/signidx32"
+    val vecs = Tables.embeddings(s, dir)
+    writeSignIndex(s, root,
+      vecs.filter(col("vec_id") % DedupOps.IncomingMod =!= 0))
+    appendSignIndex(s, root,
+      vecs.filter(col("vec_id") % DedupOps.IncomingMod === 0))
+    forgetSignIndex(s, root,
+      vecs.filter(col("vec_id") % DeleteMod === DeleteRem)
+        .select(col("vec_id")))
+    signServeFrom(s, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x32_sign_maintained" -> (signMaintained _),
     "x31_sign_atrest" -> (signHammingAtRest _),
     "x30_sq8_ivf_rerank" -> (sq8IvfRerank _),
     "x25_sq8_rerank" -> (sq8Rerank _),
@@ -1886,11 +1979,16 @@ object SimilarityOps {
       .map(i => s"CASE WHEN $v[${i + 1}] > 0 THEN CAST(${1L << (i - lo)} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
       .mkString("(", " + ", ")")
 
-  private lazy val signHammingSql: String =
+  private lazy val signHammingSql: String = signHammingSqlOver("")
+
+  /** x26's twin over a filtered vector universe — x32 passes the
+    * delete cohort's complement; query rows in the cohort vanish on
+    * both sides (the serve reads queries from the maintained table). */
+  private def signHammingSqlOver(where: String): String =
     s"""WITH sig AS (SELECT vec_id,
        |                    ${signWordSql("embedding", 0)} AS w0,
        |                    ${signWordSql("embedding", 32)} AS w1
-       |             FROM embeddings),
+       |             FROM embeddings$where),
        |q AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
        |      FROM sig WHERE vec_id < $NumQueries),
        |p AS (SELECT query_id, s.vec_id,
@@ -2681,6 +2779,11 @@ object SimilarityOps {
       // x31 serves x26's exact result from the written signature
       // table — oracle verbatim (the x23 convention)
       ("x31_sign_atrest" -> signHammingSql) +
+      // x32: build∘append∘forget∘serve == x26 over the survivors —
+      // the x20 convergence invariant on the binary tier (query id 3
+      // is in the delete cohort, so its rows vanish on both sides)
+      ("x32_sign_maintained" -> signHammingSqlOver(
+        s" WHERE vec_id % $DeleteMod <> $DeleteRem")) +
       ("x27_ivfpq_rerank" -> ivfPqRerankSql) +
       ("x28_pq_balanced" -> pqBalancedSql) +
       ("x29_quant_recall" -> quantRecallSql) +

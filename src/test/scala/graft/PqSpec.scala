@@ -740,4 +740,45 @@ class PqSpec extends SparkSpec {
     assert(codes() === codesPost, "heal rerun disturbed the codes")
     assert(occ() === occPost, "torn stats write was not healed")
   }
+
+  test("x32: sign-index append lands exactly-once with standing files untouched; forget == rebuild over survivors; both rerun as no-ops") {
+    val so = SimilarityOps
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+    val isNew = col("vec_id") % graft.operators.DedupOps.IncomingMod === 0
+    val isDel = col("vec_id") % so.DeleteMod === so.DeleteRem
+    val root = "target/graft-index/spec-x32"
+    val rootB = "target/graft-index/spec-x32-rebuild"
+    def rm(r: String): Unit = {
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(r), true)
+      ()
+    }
+    def rows(r: String): Set[(Long, Long, Long)] =
+      spark.read.parquet(s"$r/signatures")
+        .select(col("vec_id"), col("w0"), col("w1"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    def files(r: String): Set[(String, Long, Long)] =
+      new java.io.File(s"$r/signatures").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.stripPrefix(r), f.length, f.lastModified)).toSet
+    rm(root); rm(rootB)
+    so.writeSignIndex(spark, root, vecs.filter(!isNew))
+    val standing = files(root)
+    so.appendSignIndex(spark, root, vecs.filter(isNew))
+    assert(standing.subsetOf(files(root)),
+      "append rewrote a standing signature file")
+    so.writeSignIndex(spark, rootB, vecs)
+    assert(rows(root) == rows(rootB), "append != rebuild over the union")
+    so.appendSignIndex(spark, root, vecs.filter(isNew))
+    assert(rows(root) == rows(rootB), "retried append landed rows twice")
+    // forget the delete cohort — id-bucketed sweep
+    so.forgetSignIndex(spark, root, vecs.filter(isDel).select(col("vec_id")))
+    rm(rootB)
+    so.writeSignIndex(spark, rootB, vecs.filter(!isDel))
+    assert(rows(root) == rows(rootB), "forget != rebuild over survivors")
+    so.forgetSignIndex(spark, root, vecs.filter(isDel).select(col("vec_id")))
+    assert(rows(root) == rows(rootB), "retried forget moved the table")
+    rm(root); rm(rootB)
+  }
 }
