@@ -159,6 +159,43 @@ class CompactionSpec extends SparkSpec {
     assert(after == before, "compaction changed the SAX at-rest serve")
   }
 
+  test("sign signatures: the appended table compacts with the ir19 invariants; the Hamming serve unchanged") {
+    val so = graft.operators.SimilarityOps
+    spark.sharedState.cacheManager.clearCache()
+    val root = "target/graft-index/spec-compact-sign"
+    rmRoot(root)
+    val vecs = graft.sources.Tables.embeddings(spark, Sf)
+    so.writeSignIndex(spark, root, vecs.filter(col("vec_id") % 5 =!= 0))
+    so.appendSignIndex(spark, root, vecs.filter(col("vec_id") % 5 === 0))
+    val before = so.signServeFrom(spark, root)
+      .collect().map(_.toString).toSeq
+    CacheScope.drain()
+    assertCompactionInvariants(root, "signatures", "id_bucket")
+    val after = so.signServeFrom(spark, root)
+      .collect().map(_.toString).toSeq
+    CacheScope.drain()
+    assert(after == before, "compaction changed the sign serve")
+  }
+
+  test("pHash members: the appended reverse map compacts with the ir19 invariants") {
+    import spark.implicits._
+    val mm = graft.operators.MultimodalOps
+    spark.sharedState.cacheManager.clearCache()
+    val root = "target/graft-index/spec-compact-m8"
+    rmRoot(root)
+    val med = mm.media(spark, Sf)
+    mm.writePhashStore(spark, root, med.filter(col("media_id") % 5 =!= 0))
+    // a second generation of files per touched digest bucket: append
+    // the rest through the store's own member-row path (build the
+    // delta and land it append-mode the way a production ingest does)
+    med.filter(col("media_id") % 5 === 0)
+      .select(col("kind"), md5(col("payload")).as("digest"), col("media_id"))
+      .withColumn("dg_bucket", mm.digestBucketCol)
+      .write.mode("append").partitionBy("dg_bucket")
+      .parquet(s"$root/members")
+    assertCompactionInvariants(root, "members", "dg_bucket")
+  }
+
   test("ir19 crash point: stage written, apply never ran — serve intact; the rerun completes") {
     import spark.implicits._
     spark.sharedState.cacheManager.clearCache()

@@ -255,4 +255,65 @@ class StreamingMaintenanceSpec extends SparkSpec {
       CacheScope.drain()
     }
   }
+
+  test("streamed cluster forgets == one-shot forget of the union, 2 fuzz seeds") {
+    // d30 bound as a takedown-request STREAM: each micro-batch sweeps
+    // the index and re-clusters its touched survivor subgraphs, so any
+    // cut of the request set must land the four artifacts where a
+    // single all-at-once forget lands them (each forget leaves
+    // index+assignment == rebuild-over-current-survivors, so the fold
+    // telescopes regardless of batch boundaries)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, Sf)
+    val isDel = col("doc_id") % graft.operators.TextOps.ForgetMod ===
+      graft.operators.TextOps.ForgetRem
+    val requests = docs.filter(isDel).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toVector
+    val rootR = "target/graft-index/spec-stream-d30-oneshot"
+    rmRoot(rootR)
+    DedupOps.writeBandIndex(spark, rootR, docs)
+    DedupOps.buildClusterTables(spark, rootR)
+    CacheScope.drain()
+    DedupOps.forgetClusters(spark, rootR, docs.filter(isDel).select(col("doc_id")))
+    CacheScope.drain()
+    val arts = Seq(
+      "bands" -> Seq("doc_id", "band", "sig", "band_bucket"),
+      "docsets" -> Seq("doc_id", "bg"),
+      "clusters" -> Seq("doc_id", "cluster_id"),
+      "members" -> Seq("doc_id", "cluster_id"))
+    val expect = arts.map { case (a, cs) => a -> rows(rootR, a, cs) }.toMap
+
+    for (seed <- Seq(3, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val rootS = s"target/graft-index/spec-stream-d30-$seed"
+      rmRoot(rootS)
+      DedupOps.writeBandIndex(spark, rootS, docs)
+      DedupOps.buildClusterTables(spark, rootS)
+      CacheScope.drain()
+      val in = MemoryStream[Long]
+      val q = in.toDF().toDF("doc_id").writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          DedupOps.forgetClusters(spark, rootS,
+            b.select(col("doc_id")).localCheckpoint())
+          CacheScope.drain()
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(requests)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(4))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      arts.foreach { case (a, cs) =>
+        assert(rows(rootS, a, cs) == expect(a),
+          s"seed $seed: streamed cluster forget diverged on $a")
+      }
+      CacheScope.drain()
+    }
+  }
 }
