@@ -442,21 +442,34 @@ object ApproxOps {
     * partials (exact — see the family comment), then ap5's estimator
     * expression verbatim. No document, token or text byte is touched;
     * the scan is langs × buckets × k longs. */
-  private[graft] def sketchServe(s: SparkSession, root: String): DataFrame = {
+  private[graft] def sketchServe(s: SparkSession, root: String): DataFrame =
+    perLangSketch(s, root)
+      .select(col("lang"), size(col("s")).cast("long").as("n_kept"),
+        kmvEstCol(col("s")).as("est_distinct"))
+      .transform(Common.presented(_, col("lang")))
+
+  /** Per-lang global bottom-k arrays reconstructed from a store's
+    * partials — the serve's first half, shared by ap6 (estimates) and
+    * ap7 (cross-store set algebra). */
+  private def perLangSketch(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.TextFunctions.HashMod
     val w = Window.partitionBy(col("lang")).orderBy(col("h"))
-    val sk = s.read.parquet(s"$root/kmv")
+    s.read.parquet(s"$root/kmv")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= KmvK)
       .groupBy(col("lang"))
       .agg(sort_array(collect_list(col("h"))).as("s"))
-    sk.select(col("lang"), size(col("s")).cast("long").as("n_kept"),
-        when(size(col("s")) < KmvK, size(col("s")).cast("double"))
-          .otherwise(lit((KmvK - 1).toDouble) /
-            ((element_at(col("s"), KmvK) + lit(1L)).cast("double") /
-              lit(HashMod.toDouble))).as("est_distinct"))
-      .transform(Common.presented(_, col("lang")))
+  }
+
+  /** ap5's estimator expression over an ascending k-min array — ONE
+    * tree for ap6's serve, ap7's three estimates and the oracles'
+    * restatement. */
+  private def kmvEstCol(arr: Column): Column = {
+    import graft.functions.TextFunctions.HashMod
+    when(size(arr) < KmvK, size(arr).cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) /
+        ((element_at(arr, KmvK) + lit(1L)).cast("double") /
+          lit(HashMod.toDouble)))
   }
 
   /** AP6 — THE SKETCH STORE LIFECYCLE: build the standing per-lang
@@ -486,7 +499,64 @@ object ApproxOps {
     sketchServe(s, root)
   }
 
+  /** AP7 — CROSS-SNAPSHOT SET ALGEBRA FROM TWO AT-REST STORES: ap6's
+    * docstring claim made executable. Two corpus snapshots (the
+    * standing/incoming cohorts) each keep their own sketch store; the
+    * serve reads ONLY the two stores' partials (two KB-scale reads),
+    * reconstructs each snapshot's exact global k-min sets, and runs
+    * ap5's union/intersection estimators per lang — the
+    * cross-snapshot vocabulary-contamination measure ("how much of
+    * snapshot B's vocabulary did snapshot A already have") answered
+    * without re-reading either corpus. Estimates are deterministic
+    * KMV arithmetic on the shared md5 hash space, so the oracle
+    * replays the whole composition — both cohorts' sketches and every
+    * estimator tree — and the output hash-compares bit-exactly (the
+    * ap5 convention, now over at-rest inputs).
+    *
+    * 100 TB plan: every pairwise question between snapshots/shards/
+    * crawls costs two O(langs × k) reads and a driver-sized join —
+    * the quadratic family of "compare every snapshot against every
+    * other" audits becomes feasible exactly because the inputs are
+    * constant-size mergeable artifacts. */
+  def sketchAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val rootA = SimilarityOps.indexRoot(s, dir) + "/kmvstore7a"
+    val rootB = SimilarityOps.indexRoot(s, dir) + "/kmvstore7b"
+    val docs = Tables.documents(s, dir)
+    writeSketchStore(s, rootA,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod =!= 0))
+    writeSketchStore(s, rootB,
+      docs.filter(col("doc_id") % DedupOps.IncomingMod === 0))
+    sketchAlgebraServe(s, rootA, rootB)
+  }
+
+  /** ap7's serve half over two written store roots — exposed so
+    * PlanContractSpec can pin that the whole plan reads ONLY the two
+    * stores' partials (no documents scan anywhere). */
+  private[graft] def sketchAlgebraServe(s: SparkSession,
+      rootA: String, rootB: String): DataFrame = {
+    val a = perLangSketch(s, rootA)
+      .select(col("lang"), col("s").as("ska"))
+    val b = perLangSketch(s, rootB)
+      .select(col("lang"), col("s").as("skb"))
+    a.join(b, Seq("lang"))
+      .withColumn("uni", array_sort(array_union(col("ska"), col("skb"))))
+      .withColumn("uk",
+        when(size(col("uni")) > KmvK, slice(col("uni"), 1, KmvK))
+          .otherwise(col("uni")))
+      .withColumn("inter3",
+        size(array_intersect(array_intersect(col("uk"), col("ska")),
+          col("skb"))))
+      .select(col("lang"),
+        kmvEstCol(col("ska")).as("est_a"),
+        kmvEstCol(col("skb")).as("est_b"),
+        kmvEstCol(col("uk")).as("est_union"),
+        ((col("inter3").cast("double") / size(col("uk")).cast("double")) *
+          kmvEstCol(col("uk"))).as("est_inter"))
+      .transform(Common.presented(_, col("lang")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ap7_sketch_algebra" -> (sketchAlgebra _),
     "ap6_sketch_atrest" -> (sketchAtRest _),
     "ap1_hll_distinct" -> (hllDistinctChecked _),
     "ap2_quantiles" -> (quantilesChecked _),
@@ -568,6 +638,39 @@ object ApproxOps {
          |         AS est_distinct
          |FROM ska
          |ORDER BY lang""".stripMargin
+    },
+    // ap7: the cross-store algebra replayed end-to-end — each cohort's
+    // distinct hashes, per-lang bottom-k, then ap5's union/intersect
+    // estimator trees verbatim (same CASTs, same division order)
+    "ap7_sketch_algebra" -> {
+      import graft.functions.TextFunctions.{tokensSql, tokHashSql, HashMod}
+      def estSql(c: String): String =
+        s"CASE WHEN len($c) < $KmvK THEN CAST(len($c) AS DOUBLE) " +
+          s"ELSE ${(KmvK - 1).toDouble} / (CAST($c[$KmvK] + 1 AS DOUBLE) / ${HashMod.toDouble}) END"
+      def cohort(name: String, pred: String): String =
+        s"""t$name AS (SELECT DISTINCT lang, ${tokHashSql("t")} AS h
+           |           FROM (SELECT lang, unnest(${tokensSql("text")}) AS t
+           |                 FROM documents WHERE $pred)),
+           |s$name AS (SELECT lang, list(h ORDER BY h) AS sk$name
+           |           FROM (SELECT lang, h FROM t$name
+           |                 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= $KmvK)
+           |           GROUP BY lang)""".stripMargin
+      s"""WITH ${cohort("a", s"doc_id % ${DedupOps.IncomingMod} <> 0")},
+         |${cohort("b", s"doc_id % ${DedupOps.IncomingMod} = 0")},
+         |u AS (SELECT lang, ska, skb,
+         |             list_sort(list_distinct(list_concat(ska, skb))) AS uni
+         |      FROM sa JOIN sb USING (lang)),
+         |u2 AS (SELECT *, CASE WHEN len(uni) > $KmvK THEN uni[1:$KmvK] ELSE uni END AS uk
+         |       FROM u),
+         |e AS (SELECT lang, ska, skb, uk,
+         |             len(list_intersect(list_intersect(uk, ska), skb)) AS inter3
+         |      FROM u2)
+         |SELECT lang,
+         |       ${estSql("ska")} AS est_a,
+         |       ${estSql("skb")} AS est_b,
+         |       ${estSql("uk")} AS est_union,
+         |       (CAST(inter3 AS DOUBLE) / CAST(len(uk) AS DOUBLE)) * ${estSql("uk")} AS est_inter
+         |FROM e ORDER BY lang""".stripMargin
     },
     "ap5_kmv_overlap" -> {
       import graft.functions.TextFunctions.{tokensSql, tokHashSql, HashMod}

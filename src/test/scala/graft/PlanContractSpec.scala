@@ -795,6 +795,24 @@ class PlanContractSpec extends SparkSpec {
       s"sweep read listed files outside the target buckets: ${listed.take(3)}")
   }
 
+  test("ap7: the cross-store algebra reads ONLY the two sketch stores — no corpus scan anywhere") {
+    val ap = graft.operators.ApproxOps
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    import org.apache.spark.sql.functions.col
+    val rootA = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/ap7pinA"
+    val rootB = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/ap7pinB"
+    ap.writeSketchStore(spark, rootA, docs.filter(col("doc_id") % 2 === 0))
+    ap.writeSketchStore(spark, rootB, docs.filter(col("doc_id") % 2 =!= 0))
+    val p = executed(ap.sketchAlgebraServe(spark, rootA, rootB))
+    val all = scans(p)
+    assert(all.nonEmpty, "no scans in the algebra plan")
+    all.foreach { sc =>
+      val roots = sc.relation.location.rootPaths.map(_.toString)
+      assert(roots.forall(r => r.contains("ap7pinA") || r.contains("ap7pinB")),
+        s"the serve scanned something beyond the stores: $roots")
+    }
+  }
+
   test("c5: the manifest recount column-prunes the payload — text bytes are never read") {
     val tx = graft.operators.TextOps
     val root = graft.operators.SimilarityOps.indexRoot(spark, Sf) + "/shardpin5"
