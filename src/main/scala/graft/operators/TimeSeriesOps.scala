@@ -435,6 +435,7 @@ object TimeSeriesOps {
     "ts7_changepoint" -> (changepoint _),
     "ts8_sax_discord" -> (saxDiscord _),
     "ts9_sax_atrest" -> (saxKnnAtRest _),
+    "ts12_sax_forget" -> (saxForget _),
     "ts10_sax_maintained" -> (saxIndexMaintained _),
     "ts11_sax_multiprobe" -> (saxMultiProbe _))
 
@@ -723,6 +724,136 @@ object TimeSeriesOps {
     }
   }
 
+  /** FORGET users from the SAX index (ts12) — the d30 shape on time
+    * series, with the family's own wrinkle MIRRORED: ts10's wholesale
+    * path fires when an append reaches BEHIND the grid origin; the
+    * forget's fires when the origin's OWNER is deleted, shifting d0
+    * FORWARD and moving every surviving user's segment mapping.
+    * Stages:
+    *  1. the deleted users' OLD band keys pin from their words rows
+    *     (u-bucket-pruned — the index answers its own targeting);
+    *  2. the counts base sweeps (user-bucketed — targets from the
+    *     request's ids, all-deleted buckets drop);
+    *  3. the origin recounts from the swept base: unchanged → the
+    *     deleted users' words/bands rows sweep bucket-scoped; shifted
+    *     → consts rewrites and the derived tables rebuild wholesale
+    *     ([[rebuildSaxDerived]], the documented rare path).
+    * Forget == rebuild-over-survivors on all four artifacts in BOTH
+    * regimes (SaxAtRestSpec plants each); idempotent — a rerun sweeps
+    * nothing and recounts the same origin. */
+  private[graft] def forgetSaxIndex(s: SparkSession, root: String,
+      delUsers: DataFrame): Unit = {
+    val ids = delUsers.select(col("user_id")).distinct().localCheckpoint()
+    val uBuckets = ids.select(userBucketCol(col("user_id")).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (uBuckets.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val oldWords = s.read.parquet(s"$root/words")
+      .filter(col("u_bucket").isin(uBuckets: _*))
+      .join(broadcast(ids), Seq("user_id"))
+      .select(col("user_id"), col("word"))
+      .localCheckpoint()
+    val d0 = s.read.parquet(s"$root/consts").collect()(0).getLong(0)
+    // 1. the base of record sweeps first
+    val survC = s.read.parquet(s"$root/counts")
+      .filter(col("u_bucket").isin(uBuckets: _*))
+      .join(broadcast(ids), Seq("user_id"), "left_anti")
+      .select(col("user_id"), col("day"), col("cnt"), col("u_bucket"))
+      .localCheckpoint()
+    val stagedC = survC.select(col("u_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (stagedC.nonEmpty) {
+      survC.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("u_bucket")
+        .parquet(s"$root/counts")
+    }
+    (uBuckets.toSet -- stagedC).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/counts/u_bucket=$b"), true)
+      ()
+    }
+    // 2. did the deleted users own the grid origin?
+    val nd0Row = s.read.parquet(s"$root/counts")
+      .agg(min(col("day"))).collect()(0)
+    if (nd0Row.isNullAt(0) || nd0Row.getLong(0) != d0) {
+      // origin shifted (or the index emptied): every surviving word
+      // is relative to the OLD d0 — wholesale rebuild from the base
+      s.read.parquet(s"$root/counts").agg(min(col("day")).as("d0"))
+        .localCheckpoint()
+        .write.mode("overwrite").parquet(s"$root/consts")
+      rebuildSaxDerived(s, root)
+    } else {
+      // 3. bucket-scoped derived sweeps
+      val stagedW = s.read.parquet(s"$root/words")
+        .filter(col("u_bucket").isin(uBuckets: _*))
+        .join(broadcast(ids), Seq("user_id"), "left_anti")
+        .select(col("user_id"), col("word"), col("n_active_segs"),
+          col("u_bucket"))
+        .localCheckpoint()
+      val stagedWB = stagedW.select(col("u_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (stagedWB.nonEmpty) {
+        stagedW.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("u_bucket")
+          .parquet(s"$root/words")
+      }
+      (uBuckets.toSet -- stagedWB).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/words/u_bucket=$b"), true)
+        ()
+      }
+      val bBuckets = bandKeys(oldWords)
+        .select(saxBandBucketCol(col("b"), col("bk")).as("bb_bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (bBuckets.nonEmpty) {
+        val stagedB = s.read.parquet(s"$root/bands")
+          .filter(col("bb_bucket").isin(bBuckets: _*))
+          .join(broadcast(ids), Seq("user_id"), "left_anti")
+          .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
+          .localCheckpoint()
+        val stagedBB = stagedB.select(col("bb_bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (stagedBB.nonEmpty) {
+          stagedB.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bb_bucket")
+            .parquet(s"$root/bands")
+        }
+        (bBuckets.toSet -- stagedBB).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$root/bands/bb_bucket=$b"), true)
+          ()
+        }
+      }
+    }
+  }
+
+  /** TS12 — FORGET USERS FROM THE AT-REST SAX INDEX: build the full
+    * index, EXECUTE the c4/c6 delete cohort ([[forgetSaxIndex]]), and
+    * serve ts5's Hamming-1 k-NN from what remains. The oracle is
+    * ts5's SQL over the SURVIVING users — and because SAX words are
+    * defined relative to the corpus-min grid origin, the oracle's
+    * dmin is the survivors' min too: when the cohort owned the
+    * origin, the files must hold wholly re-derived words, which the
+    * wholesale path provides (SaxAtRestSpec plants both regimes).
+    *
+    * 100 TB plan: the common case touches the cohort's user buckets
+    * of counts/words plus its old band-key buckets — request-sized
+    * IO; the origin-shift case is the documented rare rebuild, the
+    * exact mirror of ts10's behind-the-origin append. */
+  def saxForget(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/saxidx12"
+    val c = dayCounts(s, dir)
+    writeSaxIndex(s, root, c)
+    forgetSaxIndex(s, root,
+      c.filter(col("user_id") % TextOps.ForgetMod === TextOps.ForgetRem)
+        .select(col("user_id")).distinct())
+    saxServeFrom(s, root)
+  }
+
   /** Crash recovery: origin and derived tables RECOUNT from the
     * at-rest base (counts → consts → words → bands) — the heal-by-
     * recount discipline. A crash between the base append and the
@@ -1002,6 +1133,12 @@ object TimeSeriesOps {
     // oracles are ts5's/ts4's SQL verbatim (the ir15 convention: the
     // index is a layout, not a semantics)
     "ts9_sax_atrest" -> TsKnnOracle,
+    // ts12: build∘forget∘serve == ts5 over the SURVIVORS — the one
+    // FROM events site carries the cohort filter, so the oracle's
+    // grid origin (dmin) is the survivors' min exactly as the forget's
+    // origin-shift path re-derives it
+    "ts12_sax_forget" -> TsKnnOracle.replace("FROM events",
+      s"FROM events WHERE user_id % ${TextOps.ForgetMod} <> ${TextOps.ForgetRem}"),
     "ts10_sax_maintained" -> TsIndexOracle,
     // ts11: the per-probe banded candidate rule (exact for
     // symbol-Hamming <= 1 by pigeonhole) + ts1's integer SSE verify,

@@ -191,4 +191,56 @@ class SaxAtRestSpec extends SparkSpec {
         .filter(col("user_id") === 17L && col("day") === 1040L).count() === 1L,
       "the beyond-window count row must still land in the base")
   }
+
+  /** Planted counts for the ts12 forget tests: user 0 owns the min
+    * day (the grid origin); every user is active in every segment so
+    * all four artifacts carry rows for everyone. */
+  private def plantedCounts: DataFrame = {
+    import spark.implicits._
+    (for (u <- 0L until 16L; seg <- 0 until TS.NumSegs)
+      yield (u, 1000L + u + TS.SegDays * seg, 1L + (u + seg) % 3))
+      .toDF("user_id", "day", "cnt")
+  }
+
+  test("ts12: forget == rebuild over survivors (origin intact); only the cohort's buckets rewrite; rerun a no-op") {
+    import spark.implicits._
+    val c = plantedCounts
+    val delIds = Seq(3L, 7L) // neither owns day 1000 — origin survives
+    val isDel = col("user_id").isin(delIds: _*)
+    val root = "target/graft-index/spec-ts12-forget"
+    val rootB = "target/graft-index/spec-ts12-rebuild"
+    rmRoot(root); rmRoot(rootB)
+    TS.writeSaxIndex(spark, root, c)
+    val wBefore = fileSig(root, "words", "u_bucket")
+    TS.forgetSaxIndex(spark, root, delIds.toDF("user_id"))
+    TS.writeSaxIndex(spark, rootB, c.filter(!isDel))
+    assertSameRows(root, rootB)
+    // untouched user buckets' words files never moved (the sweep is
+    // request-scoped; 3 % 16 and 7 % 16 are the only touched buckets)
+    val wAfter = fileSig(root, "words", "u_bucket")
+    wBefore.keySet.filterNot(Set(3, 7)).foreach { b =>
+      assert(wAfter.get(b) == wBefore.get(b),
+        s"untouched words bucket $b rewritten by the forget")
+    }
+    TS.forgetSaxIndex(spark, root, delIds.toDF("user_id"))
+    assertSameRows(root, rootB)
+    rmRoot(root); rmRoot(rootB)
+  }
+
+  test("ts12: forgetting the origin's owner shifts d0 forward and takes the wholesale path — still == rebuild") {
+    import spark.implicits._
+    val c = plantedCounts
+    val isDel = col("user_id") === 0L // user 0 owns day 1000 == d0
+    val root = "target/graft-index/spec-ts12-shift"
+    val rootB = "target/graft-index/spec-ts12-shift-rebuild"
+    rmRoot(root); rmRoot(rootB)
+    TS.writeSaxIndex(spark, root, c)
+    val d0 = spark.read.parquet(s"$root/consts").collect()(0).getLong(0)
+    TS.forgetSaxIndex(spark, root, Seq(0L).toDF("user_id"))
+    val d0After = spark.read.parquet(s"$root/consts").collect()(0).getLong(0)
+    assert(d0After > d0, "forgetting the origin's owner must shift d0 forward")
+    TS.writeSaxIndex(spark, rootB, c.filter(!isDel))
+    assertSameRows(root, rootB)
+    rmRoot(root); rmRoot(rootB)
+  }
 }
