@@ -290,6 +290,140 @@ object AuditOps {
     }
   }
 
+  /** GENERALIZE before suppressing (dq9's first stage) — Sweeney
+    * 2002's other enforcement arm, and the first row-MIGRATION
+    * maintenance in the engine: a released row's QI VALUE changes, so
+    * its partition changes with it (every other maintained family
+    * moves rows within or out of their buckets, never between them).
+    * Policy (deterministic, oracle-replayable): length buckets pair
+    * into width-2 bands; any (lang, source) band containing an
+    * under-K cell releases at BAND granularity — its odd-bucket rows
+    * coarsen to the band's even edge (even-bucket rows already sit on
+    * the edge and do not move). Merged cells that still miss K fall
+    * through to [[enforceKAnonymity]]'s suppression — the standard
+    * generalize-then-suppress ladder.
+    *
+    * The migration is crash-convergent, in this order: (1) movers
+    * APPEND to their new buckets behind a doc_id anti-join
+    * exactly-once guard; (2) the old buckets overwrite with their
+    * stayers (all-moved buckets drop). A crash between the two leaves
+    * a mover transiently in BOTH buckets — a rerun's anti-join lands
+    * nothing twice and the overwrite resolves the old copy, but an
+    * audit inside that window can double-count a moving row: unlike
+    * the forget family, generalization is NOT serve-stable mid-
+    * flight (documented; the suppression stage that follows is). */
+  private[graft] def generalizeKAnonymity(s: SparkSession,
+      root: String): Unit = {
+    val cells = s.read.parquet(s"$root/release")
+      .groupBy(col("lang"), col("source"), col("len_bucket"),
+        col("qi_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val badBands = cells.filter(col("n_docs") < KAnonK)
+      .select(col("lang").as("b_lang"), col("source").as("b_source"),
+        (col("len_bucket") / 2).cast("int").as("band"))
+      .distinct()
+    // the cells that physically move: odd buckets of bad bands
+    val movers = cells
+      .join(broadcast(badBands),
+        col("lang") === col("b_lang") && col("source") === col("b_source") &&
+          (col("len_bucket") / 2).cast("int") === col("band"))
+      .select(col("lang"), col("source"), col("len_bucket"),
+        col("qi_bucket"))
+      .filter(col("len_bucket") % 2 === 1)
+      .localCheckpoint()
+    val oldBuckets = movers.select(col("qi_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (oldBuckets.nonEmpty) {
+      val inOld = s.read.parquet(s"$root/release")
+        .filter(col("qi_bucket").isin(oldBuckets: _*))
+      val moverKeys = movers
+        .select(col("lang"), col("source"), col("len_bucket"))
+      val moved = inOld
+        .join(broadcast(moverKeys), Seq("lang", "source", "len_bucket"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("len_bucket") - 1).as("len_bucket"))
+        .withColumn("qi_bucket", qiBucketCol)
+        .localCheckpoint()
+      val stay = inOld
+        .join(broadcast(moverKeys), Seq("lang", "source", "len_bucket"),
+          "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("len_bucket"), col("qi_bucket"))
+        .localCheckpoint()
+      val newBuckets = moved.select(col("qi_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      // (1) land movers in their new buckets, exactly-once. The guard
+      // matches (doc_id, len_bucket) — NOT doc_id alone: a mover's
+      // old and new cells can hash to the SAME bucket (16 buckets,
+      // ~1/16 of cells), where a doc_id-only guard would mistake the
+      // yet-unmoved OLD row for an already-landed copy and silently
+      // drop the move
+      moved
+        .join(s.read.parquet(s"$root/release")
+            .filter(col("qi_bucket").isin(newBuckets: _*))
+            .select(col("doc_id"), col("len_bucket")),
+          Seq("doc_id", "len_bucket"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("len_bucket"), col("qi_bucket"))
+        .localCheckpoint()
+        .write.mode("append").partitionBy("qi_bucket")
+        .parquet(s"$root/release")
+      // (2) resolve the old copies. A new bucket can COINCIDE with an
+      // old one (16 buckets), and the overwrite below replaces those
+      // partitions wholesale — so their replacement content must
+      // carry the movers that just landed there, or step (1)'s append
+      // is silently wiped. The doc_id dedup covers the crash-rerun
+      // where a landed copy sits in the pre-overwrite read AND
+      // re-derives from its old row (the rows are bit-identical).
+      val stagedOld = stay
+        .unionByName(moved.filter(col("qi_bucket").isin(oldBuckets: _*)))
+        .dropDuplicates("doc_id")
+        .localCheckpoint()
+      val staged = stagedOld.select(col("qi_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (staged.nonEmpty) {
+        stagedOld.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("qi_bucket")
+          .parquet(s"$root/release")
+      }
+      val fs = AtRest.fsOf(s, root)
+      (oldBuckets.toSet -- staged).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/release/qi_bucket=$b"), true)
+        ()
+      }
+    }
+  }
+
+  /** DQ9 — GENERALIZE-THEN-SUPPRESS AT REST: write the release,
+    * coarsen the violating bands' rows ([[generalizeKAnonymity]] —
+    * the row-migration stage), suppress what generalization could not
+    * save ([[enforceKAnonymity]] verbatim — the merged table has the
+    * same shape, so dq8's sweep applies unchanged), and serve dq3's
+    * audit from the files. Against dq8's suppress-only enforcement,
+    * generalization RETAINS rows whose band-mates could cover for
+    * them — strictly more data released at the same k — and the
+    * oracle replays the whole policy (fine cells → bad bands → edge
+    * coarsening → recount → the under-K filter), so the files must
+    * hold exactly the generalized-then-suppressed rows.
+    *
+    * 100 TB plan: both stages' IO is attribute-bounded metadata plus
+    * the affected cells' buckets; a compliant release runs both
+    * stages with zero rewrite IO. */
+  def kAnonymityGeneralized(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/release9"
+    writeRelease(s, root, Tables.documents(s, dir))
+    generalizeKAnonymity(s, root)
+    enforceKAnonymity(s, root)
+    kAnonCells(s.read.parquet(s"$root/release")
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_docs")))
+      .transform(Common.presented(_,
+        col("lang"), col("source"), col("len_bucket")))
+  }
+
   /** DQ8 — K-ANONYMITY ENFORCED AT REST: write the release table
     * (QI-bucketed), EXECUTE the suppression ([[enforceKAnonymity]]),
     * and serve dq3's audit from what the files now hold — every
@@ -575,7 +709,8 @@ object AuditOps {
     "dq5_profile" -> (profile _),
     "dq6_t_closeness" -> (tCloseness _),
     "dq7_delta_presence" -> (deltaPresence _),
-    "dq8_kanon_enforce" -> (kAnonymityEnforced _))
+    "dq8_kanon_enforce" -> (kAnonymityEnforced _),
+    "dq9_kanon_generalize" -> (kAnonymityGeneralized _))
 
   val oracles: Map[String, String] = Map(
     // dq7: d10's split rule restated (the d12 oracle's CASE), counts
@@ -679,6 +814,31 @@ object AuditOps {
     // oracle subtracts them at the cell level, so the at-rest files
     // must hold exactly the compliant rows; is_k_anon keeps dq3's
     // CASE tree (all 1 by construction, same expression both sides)
+    // dq9: the full generalize-then-suppress policy replayed — fine
+    // cells, bad width-2 bands, odd buckets coarsened to the band
+    // edge, recount at the released granularity, under-K suppression
+    "dq9_kanon_generalize" ->
+      s"""WITH r AS (SELECT lang, source,
+         |                  CAST(least(9, n_chars // 100) AS INT) AS lb
+         |           FROM documents),
+         |fine AS (SELECT lang, source, lb, count(*) AS n
+         |         FROM r GROUP BY 1, 2, 3),
+         |bad AS (SELECT DISTINCT lang, source, lb // 2 AS band
+         |        FROM fine WHERE n < $KAnonK),
+         |rb AS (SELECT r.lang, r.source,
+         |              CASE WHEN bad.band IS NOT NULL
+         |                   THEN CAST((r.lb // 2) * 2 AS INT)
+         |                   ELSE r.lb END AS len_bucket
+         |       FROM r LEFT JOIN bad
+         |         ON bad.lang = r.lang AND bad.source = r.source
+         |        AND bad.band = r.lb // 2),
+         |cells AS (SELECT lang, source, len_bucket, count(*) AS n_docs
+         |          FROM rb GROUP BY 1, 2, 3)
+         |SELECT lang, source, len_bucket, n_docs,
+         |       CASE WHEN n_docs >= $KAnonK THEN 1 ELSE 0 END AS is_k_anon,
+         |       CAST(1 AS DOUBLE) / n_docs AS reident_risk
+         |FROM cells WHERE n_docs >= $KAnonK
+         |ORDER BY lang, source, len_bucket""".stripMargin,
     "dq8_kanon_enforce" ->
       s"""WITH cells AS (SELECT lang, source,
          |                      CAST(least(9, n_chars // 100) AS INT) AS len_bucket,

@@ -251,4 +251,109 @@ class AuditOpsSpec extends SparkSpec {
       "planted enforcement kept the wrong rows")
     rm()
   }
+
+  test("dq9: generalize-then-suppress == brute-force policy replay; retains more than suppress-only; rerun a zero-IO no-op") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf)
+    val root = "target/graft-index/spec-dq9"
+    def rm(): Unit = {
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      ()
+    }
+    rm()
+    AuditOps.writeRelease(spark, root, docs)
+    // brute-force replay of the policy over the raw rows
+    val raw = docs.select(col("doc_id"), col("lang"), col("source"),
+        least(lit(9), expr("n_chars div 100")).cast("int").as("lb"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    val fine = raw.groupBy(t => (t._2, t._3, t._4)).map { case (k, v) => k -> v.size }
+    val badBands = fine.keys.filter(k => fine(k) < AuditOps.KAnonK)
+      .map(k => (k._1, k._2, k._3 / 2)).toSet
+    val released = raw.map { case (id, l, s, lb) =>
+      val rlb = if (badBands((l, s, lb / 2))) (lb / 2) * 2 else lb
+      (id, l, s, rlb)
+    }
+    val merged = released.groupBy(t => (t._2, t._3, t._4)).map { case (k, v) => k -> v.size }
+    val expectIds = released
+      .filter(t => merged((t._2, t._3, t._4)) >= AuditOps.KAnonK).map(_._1).toSet
+    val expectCells = merged.filter(_._2 >= AuditOps.KAnonK)
+    // suppress-only retains strictly less on this fixture (bands bite)
+    val suppressOnly = raw.count(t => fine((t._2, t._3, t._4)) >= AuditOps.KAnonK)
+    assert(expectIds.size > suppressOnly,
+      "fixture regression: generalization saved nothing over suppression")
+    AuditOps.generalizeKAnonymity(spark, root)
+    AuditOps.enforceKAnonymity(spark, root)
+    val kept = spark.read.parquet(s"$root/release")
+      .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(kept.map(_._1).toSet == expectIds,
+      "generalized release != brute-force survivor set")
+    assert(kept.groupBy(t => (t._2, t._3, t._4)).map { case (k, v) => k -> v.size } ==
+      expectCells, "released cells != brute-force policy cells")
+    // rerun: a compliant release runs both stages with zero rewrite IO
+    def sig(): Seq[(String, Long, Long)] =
+      new java.io.File(s"$root/release").listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1).toSeq
+    val before = sig()
+    AuditOps.generalizeKAnonymity(spark, root)
+    AuditOps.enforceKAnonymity(spark, root)
+    assert(sig() == before, "re-enforcing a compliant release rewrote files")
+    rm()
+  }
+
+  test("dq9: the transient both-copies crash window converges by rerun") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf)
+    val root = "target/graft-index/spec-dq9-crash"
+    def rm(): Unit = {
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      ()
+    }
+    rm()
+    AuditOps.writeRelease(spark, root, docs)
+    // capture the pre-enforcement rows of the docs that WILL move
+    val pre = spark.read.parquet(s"$root/release").localCheckpoint()
+    AuditOps.generalizeKAnonymity(spark, root)
+    val post = spark.read.parquet(s"$root/release")
+      .select(col("doc_id"), col("len_bucket")).localCheckpoint()
+    val movedIds = pre.as("p").join(post.as("q"),
+        col("p.doc_id") === col("q.doc_id") &&
+          col("p.len_bucket") =!= col("q.len_bucket"))
+      .select(col("p.doc_id"), col("p.lang"), col("p.source"),
+        col("p.len_bucket"), col("p.qi_bucket"))
+      .localCheckpoint()
+    assert(movedIds.count() > 0, "fixture regression: nothing migrated")
+    // simulate the crash-between-append-and-overwrite state: the OLD
+    // copies reappear beside the landed new ones
+    movedIds.write.mode("append").partitionBy("qi_bucket")
+      .parquet(s"$root/release")
+    // rerun converges: the landed copies survive, the stale old
+    // copies relabel onto them and dedup away
+    AuditOps.generalizeKAnonymity(spark, root)
+    AuditOps.enforceKAnonymity(spark, root)
+    val ids = spark.read.parquet(s"$root/release")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      "crash-rerun left a doc released twice")
+    // and equals the clean end state
+    val rootB = "target/graft-index/spec-dq9-clean"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(rootB), true)
+    AuditOps.writeRelease(spark, rootB, docs)
+    AuditOps.generalizeKAnonymity(spark, rootB)
+    AuditOps.enforceKAnonymity(spark, rootB)
+    def rows(r: String) = spark.read.parquet(s"$r/release")
+      .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(root) == rows(rootB),
+      "crash-rerun diverged from the clean enforcement")
+    rm()
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(rootB), true)
+    ()
+  }
 }
