@@ -256,6 +256,65 @@ class StreamingMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("streamed takedowns == one-shot takedown of the union, 2 fuzz seeds") {
+    // m8 bound as a takedown-request STREAM: each micro-batch's
+    // group-fact update (decrement / relabel / vanish) must compose —
+    // any cut of the request set lands bands and members where the
+    // all-at-once takedown lands them (each takedown leaves the store
+    // == rebuild-over-current-survivors, so the fold telescopes)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mm = graft.operators.MultimodalOps
+    val med = mm.media(spark, Sf)
+    val isDel = col("media_id") % graft.operators.TextOps.ForgetMod ===
+      graft.operators.TextOps.ForgetRem
+    val requests = med.filter(isDel).select(col("media_id"))
+      .collect().map(_.getLong(0)).toVector
+    def bandRows(r: String) = spark.read.parquet(s"$r/bands")
+      .select(col("kind"), col("rep_id"), col("n_copies"), col("phash"),
+        col("band"), col("chunk")).collect().map(_.toSeq).toSet
+    def memRows(r: String) = spark.read.parquet(s"$r/members")
+      .select(col("kind"), col("digest"), col("media_id"))
+      .collect().map(_.toSeq).toSet
+    val rootR = "target/graft-index/spec-stream-m8-oneshot"
+    rmRoot(rootR)
+    mm.writePhashStore(spark, rootR, med)
+    mm.takedownPhash(spark, rootR, med.filter(isDel))
+    val (expB, expM) = (bandRows(rootR), memRows(rootR))
+
+    for (seed <- Seq(13, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val rootS = s"target/graft-index/spec-stream-m8-$seed"
+      rmRoot(rootS)
+      mm.writePhashStore(spark, rootS, med)
+      val in = MemoryStream[Long]
+      val q = in.toDF().toDF("media_id").writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // a real takedown request ships ids; the executor fetches
+          // the payload rows it must re-sign (batch-bounded)
+          mm.takedownPhash(spark, rootS,
+            med.join(broadcast(b.select(col("media_id"))),
+              Seq("media_id")).localCheckpoint())
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(requests)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(4))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(bandRows(rootS) == expB,
+        s"seed $seed: streamed takedown diverged on bands")
+      assert(memRows(rootS) == expM,
+        s"seed $seed: streamed takedown diverged on members")
+      CacheScope.drain()
+    }
+  }
+
   test("streamed cluster forgets == one-shot forget of the union, 2 fuzz seeds") {
     // d30 bound as a takedown-request STREAM: each micro-batch sweeps
     // the index and re-clusters its touched survivor subgraphs, so any
