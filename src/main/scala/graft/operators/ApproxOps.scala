@@ -425,15 +425,11 @@ object ApproxOps {
     val targets = delta.select(col("h_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (targets.nonEmpty) {
-      bottomKPerBucket(
+      AtRest.overwriteBuckets(s, s"$root/kmv", "h_bucket", targets,
+        bottomKPerBucket(
           s.read.parquet(s"$root/kmv")
             .filter(col("h_bucket").isin(targets: _*))
-            .unionByName(delta).distinct())
-        .localCheckpoint()
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("h_bucket")
-        .parquet(s"$root/kmv")
+            .unionByName(delta).distinct()))
     }
   }
 

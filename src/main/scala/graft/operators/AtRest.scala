@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
@@ -111,5 +111,84 @@ object AtRest {
       applyCompaction(s, table, partitionCol)
     }
     affected
+  }
+
+  // ---------------------------------------------------------------
+  // The shared maintenance OVERWRITE verb. Every maintained family's
+  // update/forget ends the same way: stage the affected buckets'
+  // replacement rows, dynamic-overwrite them, and explicitly drop the
+  // affected buckets that staged ZERO rows (dynamic overwrite only
+  // touches partitions PRESENT in the data — the x17/d27/c6
+  // empty-partition trap). Hand-rolled per family, this four-step
+  // tail re-risks three traps the repo has each caught exactly once:
+  //   - the EMPTY-PARTITION drop: a bucket whose rows all vanish
+  //     keeps its stale directory unless deleted explicitly;
+  //   - the COLUMN-ORDER mismatch: a staged frame whose column order
+  //     differs from the written files' corrupts the mixed read (the
+  //     d23 lesson);
+  //   - the UNPINNED-STAGE self-read: the staged plan reads the very
+  //     files the overwrite replaces, so it must materialize before
+  //     the write begins (the refreshByPath trap).
+  // overwriteBuckets owns all three once: canonical column order is
+  // read from the table's own files, the stage is localCheckpoint-
+  // pinned here, and the drop set is affected − staged.
+  // ---------------------------------------------------------------
+
+  /** Replace exactly the `affected` buckets of a bucket-partitioned
+    * `table` with `staged`'s rows (any columns order; any subset —
+    * or superset — of `affected` may actually stage rows: a staged
+    * bucket outside `affected` is written too, an affected bucket
+    * with no staged rows has its directory dropped). Returns the
+    * bucket ids that received rows. Families that promise a PER-FILE
+    * row order pass it as `sortCols` — the partition column leads the
+    * sort so FileFormatWriter's required ordering cannot destroy it
+    * (the ir21 lesson, [[stageCompaction]]'s convention). */
+  private[graft] def overwriteBuckets(s: SparkSession, table: String,
+      partitionCol: String, affected: Seq[Int], staged: DataFrame,
+      sortCols: Seq[Column] = Nil): Set[Int] = {
+    val cols = s.read.parquet(table).columns
+    val pinned = staged.select(cols.map(col(_)): _*).localCheckpoint()
+    val present = pinned.select(col(partitionCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (present.nonEmpty) {
+      val ordered =
+        if (sortCols.isEmpty) pinned
+        else pinned.sortWithinPartitions(col(partitionCol) +: sortCols: _*)
+      ordered.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(table)
+    }
+    val fs = fsOf(s, table)
+    (affected.toSet -- present).foreach { b =>
+      fs.delete(new Path(s"$table/$partitionCol=$b"), true)
+      ()
+    }
+    present
+  }
+
+  /** The sweep's survivor frame — exposed separately so
+    * PlanContractSpec can pin, per family, the STATIC `IN` partition
+    * predicate on the table scan (only the affected buckets'
+    * directories are listed or read) and the broadcast anti-join. */
+  private[graft] def sweepSurvivors(s: SparkSession, table: String,
+      partitionCol: String, affected: Seq[Int], drop: DataFrame,
+      keys: Seq[String]): DataFrame =
+    s.read.parquet(table)
+      .filter(col(partitionCol).isin(affected: _*))
+      .join(broadcast(drop), keys, "left_anti")
+
+  /** The anti-join removal form of [[overwriteBuckets]] — the FORGET
+    * verb: drop from exactly the `affected` buckets every row whose
+    * `keys` match a row of `drop` (broadcast — request-sized), keep
+    * the rest byte-equal. Untouched buckets are never listed or
+    * read; an all-dropped bucket's directory is deleted. */
+  private[graft] def sweepBuckets(s: SparkSession, table: String,
+      partitionCol: String, affected: Seq[Int], drop: DataFrame,
+      keys: Seq[String], sortCols: Seq[Column] = Nil): Set[Int] = {
+    if (affected.isEmpty) return Set.empty
+    overwriteBuckets(s, table, partitionCol, affected,
+      sweepSurvivors(s, table, partitionCol, affected, drop, keys),
+      sortCols)
   }
 }

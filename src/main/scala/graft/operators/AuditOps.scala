@@ -270,23 +270,10 @@ object AuditOps {
     val targets = bad.select(col("qi_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (targets.nonEmpty) {
-      val surv = releaseEnforceSurvivors(s, root,
-        bad.select(col("lang"), col("source"), col("len_bucket")),
-        targets).localCheckpoint()
-      val staged = surv.select(col("qi_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (staged.nonEmpty) {
-        surv.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("qi_bucket")
-          .parquet(s"$root/release")
-      }
-      val fs = AtRest.fsOf(s, root)
-      (targets.toSet -- staged).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/release/qi_bucket=$b"), true)
-        ()
-      }
+      AtRest.overwriteBuckets(s, s"$root/release", "qi_bucket", targets,
+        releaseEnforceSurvivors(s, root,
+          bad.select(col("lang"), col("source"), col("len_bucket")),
+          targets))
     }
   }
 
@@ -303,26 +290,46 @@ object AuditOps {
     * through to [[enforceKAnonymity]]'s suppression — the standard
     * generalize-then-suppress ladder.
     *
-    * The migration is crash-convergent, in this order: (1) movers
-    * APPEND to their new buckets behind a doc_id anti-join
-    * exactly-once guard; (2) the old buckets overwrite with their
-    * stayers (all-moved buckets drop). A crash between the two leaves
-    * a mover transiently in BOTH buckets — a rerun's anti-join lands
-    * nothing twice and the overwrite resolves the old copy, but an
-    * audit inside that window can double-count a moving row: unlike
-    * the forget family, generalization is NOT serve-stable mid-
-    * flight (documented; the suppression stage that follows is). */
+    * The migration is crash-convergent, in this order: (0) the bands
+    * about to migrate persist as a tiny MIGRATION-INTENT manifest
+    * (attribute-bounded — the only extra IO); (1) movers APPEND to
+    * their new buckets behind a doc_id anti-join exactly-once guard;
+    * (2) the old buckets overwrite with their stayers (all-moved
+    * buckets drop); (3) the intent deletes. A crash between (1) and
+    * (2) leaves a mover transiently in BOTH buckets — a state the
+    * RECOUNT alone cannot always see (when the band's odd cell was
+    * itself >= K, the landed copies push every cell over K and the
+    * band vanishes from the under-K filter — the r16 ADVICE case), so
+    * the rerun unions the intent's bands into the bad set
+    * unconditionally and the resolve completes; a torn intent write
+    * (no _SUCCESS) means nothing was mutated yet and is ignored. An
+    * audit inside the (1)→(2) window can still double-count a moving
+    * row: unlike the forget family, generalization is NOT serve-stable
+    * mid-flight (documented decline — the release table serves no
+    * concurrent readers in this engine; a deployment that serves one
+    * live closes the window with a versioned two-table swap: write the
+    * post-migration release beside the old and flip a one-row
+    * manifest, so no mover is ever visible twice. The suppression
+    * stage that follows IS serve-stable). */
   private[graft] def generalizeKAnonymity(s: SparkSession,
-      root: String): Unit = {
+      root: String, crashAfterLand: Boolean = false): Unit = {
+    val fs = AtRest.fsOf(s, root)
+    val intent = new org.apache.hadoop.fs.Path(s"$root/migrate_intent")
     val cells = s.read.parquet(s"$root/release")
       .groupBy(col("lang"), col("source"), col("len_bucket"),
         col("qi_bucket"))
       .agg(count(lit(1)).as("n_docs"))
       .localCheckpoint()
-    val badBands = cells.filter(col("n_docs") < KAnonK)
+    val freshBad = cells.filter(col("n_docs") < KAnonK)
       .select(col("lang").as("b_lang"), col("source").as("b_source"),
         (col("len_bucket") / 2).cast("int").as("band"))
       .distinct()
+    val hasIntent = fs.exists(
+      new org.apache.hadoop.fs.Path(intent, "_SUCCESS"))
+    val badBands = (if (hasIntent)
+        freshBad.unionByName(s.read.parquet(intent.toString)).distinct()
+      else freshBad)
+      .localCheckpoint()
     // the cells that physically move: odd buckets of bad bands
     val movers = cells
       .join(broadcast(badBands),
@@ -335,6 +342,8 @@ object AuditOps {
     val oldBuckets = movers.select(col("qi_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (oldBuckets.nonEmpty) {
+      // (0) persist the intent BEFORE the first data mutation
+      badBands.write.mode("overwrite").parquet(intent.toString)
       val inOld = s.read.parquet(s"$root/release")
         .filter(col("qi_bucket").isin(oldBuckets: _*))
       val moverKeys = movers
@@ -369,6 +378,7 @@ object AuditOps {
         .localCheckpoint()
         .write.mode("append").partitionBy("qi_bucket")
         .parquet(s"$root/release")
+      if (crashAfterLand) return // spec-planted crash point: (1)→(2)
       // (2) resolve the old copies. A new bucket can COINCIDE with an
       // old one (16 buckets), and the overwrite below replaces those
       // partitions wholesale — so their replacement content must
@@ -376,24 +386,16 @@ object AuditOps {
       // is silently wiped. The doc_id dedup covers the crash-rerun
       // where a landed copy sits in the pre-overwrite read AND
       // re-derives from its old row (the rows are bit-identical).
-      val stagedOld = stay
-        .unionByName(moved.filter(col("qi_bucket").isin(oldBuckets: _*)))
-        .dropDuplicates("doc_id")
-        .localCheckpoint()
-      val staged = stagedOld.select(col("qi_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (staged.nonEmpty) {
-        stagedOld.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("qi_bucket")
-          .parquet(s"$root/release")
-      }
-      val fs = AtRest.fsOf(s, root)
-      (oldBuckets.toSet -- staged).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/release/qi_bucket=$b"), true)
-        ()
-      }
+      AtRest.overwriteBuckets(s, s"$root/release", "qi_bucket",
+        oldBuckets,
+        stay.unionByName(
+            moved.filter(col("qi_bucket").isin(oldBuckets: _*)))
+          .dropDuplicates("doc_id"))
+    }
+    // (3) the migration is complete (or was never needed)
+    if (fs.exists(intent)) {
+      fs.delete(intent, true)
+      ()
     }
   }
 

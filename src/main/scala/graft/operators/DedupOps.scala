@@ -1373,6 +1373,73 @@ object DedupOps {
       .write.mode("append").parquet(s"$root/docstats")
   }
 
+  /** FORGET from the shingle index (d31) — ir22's request-content
+    * shape on d22's layout: the deleted docs' shingles recompute
+    * through the build's own tree ([[shinglePostings]] — targeting and
+    * layout can never disagree), their postings rows sweep from
+    * exactly those hash buckets, and the DICTIONARY is SUBTRACTIVE —
+    * a hash whose last posting vanished must leave `shset`, so the
+    * touched buckets' dictionary recounts from the swept postings
+    * (the ir22 blockmeta discipline; an additive dictionary would
+    * keep d12's membership audit flagging content that no longer
+    * exists). `docstats` is the family's one unbucketed artifact
+    * (slim (doc_id, n_shingles) rows): it rewrites by anti-join —
+    * at 100 TB this is the doc-count-bounded metadata table, not the
+    * postings. Idempotent: a rerun re-derives the same targets and
+    * re-stages the same survivors. */
+  private[graft] def forgetShingleIndex(s: SparkSession, root: String,
+      deleted: DataFrame): Unit = {
+    val delP = shinglePostings(deleted)
+      .select(col("doc_id"), col("sh_bucket")).distinct()
+      .localCheckpoint()
+    val ids = delP.select(col("doc_id")).distinct().localCheckpoint()
+    val tBuckets = delP.select(col("sh_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (tBuckets.nonEmpty) {
+      AtRest.sweepBuckets(s, s"$root/postings", "sh_bucket", tBuckets,
+        ids, Seq("doc_id"))
+      AtRest.overwriteBuckets(s, s"$root/shset", "sh_bucket", tBuckets,
+        s.read.parquet(s"$root/postings")
+          .filter(col("sh_bucket").isin(tBuckets: _*))
+          .select(col("sh_bucket"), col("h")).distinct())
+    }
+    s.read.parquet(s"$root/docstats")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$root/docstats")
+  }
+
+  /** D31 — FORGET EXECUTED AGAINST THE AT-REST SHINGLE INDEX: build
+    * the train-corpus index (d22's layout), EXECUTE the c4/c6 delete
+    * cohort ([[forgetShingleIndex]] — targets from the request's own
+    * shingles, subtractive dictionary), and serve d22's contamination
+    * probe from what remains. The oracle is d8's SQL with the cohort
+    * subtracted from the TRAIN side only (the eval probe is not a
+    * release, it is the question), so the files must hold exactly the
+    * survivor postings, the survivor dictionary and the survivor
+    * stats.
+    *
+    * 100 TB plan: a forget's IO is the deleted docs' shingle-hash
+    * buckets plus the slim stats rewrite — request-content-bounded
+    * (the ir22 class); the probe's serve stays DPP-pruned to probe
+    * buckets. */
+  def decontamForget(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ShingleExpressions.hashedShingleSet
+    val root = SimilarityOps.indexRoot(s, dir) + "/shindex31"
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+    writeShingleIndex(s, root, train)
+    forgetShingleIndex(s, root, train.filter(
+      col("doc_id") % TextOps.ForgetMod === TextOps.ForgetRem))
+    val probe = docs.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(hashedShingleSet(tokens(col("text")), DecontamK))
+        .as("p_h"))
+      .distinct()
+      .withColumn("p_bucket", shingleBucketCol(col("p_h")))
+    serveDecontamFrom(s, root, probe)
+      .transform(Common.presented(_, col("doc_id")))
+  }
+
   /** The partition-pruned contamination serve: the (tiny, broadcast)
     * probe set joins the at-rest postings ON THE BARE sh_bucket
     * partition attribute + the hash, so dynamic partition pruning
@@ -1571,15 +1638,12 @@ object DedupOps {
     val dfBuckets = deltaDf.select(col("h_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (dfBuckets.nonEmpty) {
-      s.read.parquet(s"$root/wdf")
-        .filter(col("h_bucket").isin(dfBuckets: _*))
-        .unionByName(deltaDf)
-        .groupBy(col("h_bucket"), col("h")).agg(sum(col("nd")).as("nd"))
-        .localCheckpoint()
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("h_bucket")
-        .parquet(s"$root/wdf")
+      AtRest.overwriteBuckets(s, s"$root/wdf", "h_bucket", dfBuckets,
+        s.read.parquet(s"$root/wdf")
+          .filter(col("h_bucket").isin(dfBuckets: _*))
+          .unionByName(deltaDf)
+          .groupBy(col("h_bucket"), col("h"))
+          .agg(sum(col("nd")).as("nd")))
     }
     // the merged over-cap set: tiny by the |fp|/Cap bound — its rows
     // broadcast into the eviction anti-join and the append filter
@@ -1589,41 +1653,11 @@ object DedupOps {
     val evictBuckets = over.join(preOver, Seq("h"), "left_anti")
       .select(col("h_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (evictBuckets.nonEmpty) {
-      // pinned EAGERLY: the survivors' plan reads the very files the
-      // dynamic overwrite below replaces — the checkpoint severs the
-      // lineage first (the wdf merge's own convention), and doubles as
-      // the source of the staged-bucket list WITHOUT re-reading any
-      // written staging dir (an all-evicted staging is legal — it
-      // simply stages zero rows)
-      val survivors = s.read.parquet(s"$root/kept")
-        .filter(col("h_bucket").isin(evictBuckets: _*))
-        .join(broadcast(over.select(col("h"))), Seq("h"), "left_anti")
-        .select(col("doc_id"), col("h"), col("h_bucket"))
-        .localCheckpoint()
-      val stagedBuckets = survivors.select(col("h_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (stagedBuckets.nonEmpty) {
-        survivors.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("h_bucket")
-          .parquet(s"$root/kept")
-      }
-      // x17's partition-drop edge, made REAL by boilerplate eviction:
-      // a bucket whose every kept row was a crossing hash stages ZERO
-      // survivors, and dynamic overwrite writes nothing for an empty
-      // partition — the stale files (still holding the evicted hash)
-      // would survive. Drop exactly those buckets' directories,
-      // resolving the FS from the index ROOT (the default FS is wrong
-      // when the index lives on an object store).
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      (evictBuckets.toSet -- stagedBuckets).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/kept/h_bucket=$b"), true)
-        ()
-      }
-    }
+    // x17's partition-drop edge, made REAL by boilerplate eviction: a
+    // bucket whose every kept row was a crossing hash stages ZERO
+    // survivors — the shared verb drops exactly those directories
+    AtRest.sweepBuckets(s, s"$root/kept", "h_bucket", evictBuckets,
+      over.select(col("h")), Seq("h"))
     newRows
       .join(broadcast(over.select(col("h"))), Seq("h"), "left_anti")
       .select(col("doc_id"), col("h"), col("h_bucket"))
@@ -1697,6 +1731,78 @@ object DedupOps {
       docs.filter(col("doc_id") % IncomingMod =!= 0))
     winnowProbeAgainst(s, root, docs.filter(col("doc_id") % IncomingMod === 0))
       .transform(Common.presented(_, col("doc_id")))
+  }
+
+  /** FORGET from the winnowing index (d32) — the request-content
+    * shape on the d26/d27 layout, with the family's own wrinkle: the
+    * CAP RE-CHECK. Deleting documents can drop an over-cap
+    * (boilerplate-evicted) hash back under [[WinnowCap]] — eviction
+    * in REVERSE — so the touched buckets' `kept` rows don't just
+    * sweep, they REBUILD from the swept base against the recounted
+    * DF: rows an earlier eviction removed re-admit when their hash's
+    * survivor count clears the cap. Targeting is complete by
+    * construction: a hash's nd only changes if a deleted doc carried
+    * it, and that hash's bucket is then one of the request's own
+    * fingerprint buckets. Stages:
+    *  1. `wfp` (base of record) sweeps the deleted docs' rows;
+    *  2. `wdf` recounts bucket-scoped from the swept base (the ir22
+    *     subtractive-metadata discipline — a += decrement would
+    *     double-subtract on retry);
+    *  3. `kept` rebuilds bucket-scoped: survivors of the bucket minus
+    *     the still-over-cap hashes.
+    * Idempotent: a rerun re-derives the same targets, sweeps nothing
+    * and recounts to the same state; a crash between stages leaves
+    * wdf/kept stale-not-wrong ([[healWinnowIndex]]'s recount is the
+    * documented recovery, d27's own contract). */
+  private[graft] def forgetWinnowIndex(s: SparkSession, root: String,
+      deleted: DataFrame): Unit = {
+    val dfp = bucketedWfp(deleted)
+      .select(col("doc_id"), col("h_bucket")).distinct()
+      .localCheckpoint()
+    val ids = dfp.select(col("doc_id")).distinct().localCheckpoint()
+    val tBuckets = dfp.select(col("h_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (tBuckets.isEmpty) return
+    AtRest.sweepBuckets(s, s"$root/wfp", "h_bucket", tBuckets,
+      ids, Seq("doc_id"))
+    AtRest.overwriteBuckets(s, s"$root/wdf", "h_bucket", tBuckets,
+      s.read.parquet(s"$root/wfp")
+        .filter(col("h_bucket").isin(tBuckets: _*))
+        .groupBy(col("h_bucket"), col("h"))
+        .agg(count(lit(1)).as("nd")))
+    AtRest.overwriteBuckets(s, s"$root/kept", "h_bucket", tBuckets,
+      s.read.parquet(s"$root/wfp")
+        .filter(col("h_bucket").isin(tBuckets: _*))
+        .join(broadcast(s.read.parquet(s"$root/wdf")
+            .filter(col("h_bucket").isin(tBuckets: _*))
+            .filter(col("nd") > WinnowCap).select(col("h"))),
+          Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h"), col("h_bucket")))
+  }
+
+  /** D32 — FORGET EXECUTED AGAINST THE AT-REST WINNOWING INDEX: build
+    * all three artifacts over the full corpus, EXECUTE the c4/c6
+    * delete cohort ([[forgetWinnowIndex]] — base sweep, subtractive
+    * DF recount, and the cap RE-CHECK that re-admits hashes the
+    * cohort's deletion dropped back under [[WinnowCap]]), and emit
+    * the maintained serving table. The oracle recomputes d19's kept
+    * dump over the SURVIVORS — over-cap derived from survivor counts
+    * — so the files must hold exactly the rebuild's rows, re-admitted
+    * boilerplate and all.
+    *
+    * 100 TB plan: a forget touches the request's fingerprint buckets
+    * of all three artifacts — request-content-bounded IO; no other
+    * bucket is listed, and the re-admission needs no side state (the
+    * uncapped base is the record). */
+  def winnowForget(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/winidx32"
+    val docs = Tables.documents(s, dir)
+    writeWinnowIndex(s, root, docs)
+    forgetWinnowIndex(s, root, docs.filter(
+      col("doc_id") % TextOps.ForgetMod === TextOps.ForgetRem))
+    s.read.parquet(s"$root/kept")
+      .select(col("doc_id"), col("h"))
+      .transform(Common.presented(_, col("doc_id"), col("h")))
   }
 
   /** D27 — WINNOWING INDEX APPEND AT REST: d19's maintenance made
@@ -2052,6 +2158,13 @@ object DedupOps {
       docs.filter(col("doc_id") % IncomingMod =!= 0))
     appendSimhashIndex(s, root,
       docs.filter(col("doc_id") % IncomingMod === 0))
+    simhashAuditFrom(s, root)
+  }
+
+  /** d28's audit serve over any written chunk root — ONE tree for the
+    * build-append form (d28) and the post-forget form (d33), so the
+    * two serves cannot drift. */
+  private def simhashAuditFrom(s: SparkSession, root: String): DataFrame = {
     val chunks = s.read.parquet(s"$root/chunks")
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
@@ -2066,6 +2179,47 @@ object DedupOps {
         when(col("hamming") <= SimhashMaxHamming, 1).otherwise(0)
           .as("is_near_dup"))
       .transform(Common.presented(_, col("a"), col("b")))
+  }
+
+  /** FORGET from the simhash index (d33) — m8's sweep shape on d28's
+    * layout: the deleted docs' chunk keys derive from their OWN
+    * signatures, recomputed through the build's tree
+    * ([[simChunkRows]] ∘ [[simhash60Of]] — request content, no index
+    * read needed for targeting), and exactly those chunk buckets
+    * sweep by doc_id. The signature rows are pure per-doc facts — no
+    * metadata to subtract, the one-artifact forget (ir23's class).
+    * Idempotent: a rerun re-derives the same targets and re-stages
+    * the same survivors. */
+  private[graft] def forgetSimhashIndex(s: SparkSession, root: String,
+      deleted: DataFrame): Unit = {
+    val delChunks = simChunkRows(simhash60Of(deleted))
+      .select(col("doc_id"), col("chunk_bucket")).distinct()
+      .localCheckpoint()
+    val tBuckets = delChunks.select(col("chunk_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    AtRest.sweepBuckets(s, s"$root/chunks", "chunk_bucket", tBuckets,
+      delChunks.select(col("doc_id")).distinct(), Seq("doc_id"))
+    ()
+  }
+
+  /** D33 — FORGET EXECUTED AGAINST THE AT-REST SIMHASH INDEX: build
+    * the full chunk index (d28's layout), EXECUTE the c4/c6 delete
+    * cohort ([[forgetSimhashIndex]] — chunk keys from the request's
+    * own signatures), and serve d3b's full near-dup audit from what
+    * remains. The oracle is d3b's SQL over the SURVIVORS, so the
+    * files must hold exactly the survivor chunk rows.
+    *
+    * 100 TB plan: a forget touches ≤ 4·|request| chunk rows' buckets
+    * — request-content-bounded IO; no text is re-read (signatures
+    * recompute from the request's own docs, the m8 convention), and
+    * untouched buckets are never listed. */
+  def simhashForget(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/simidx33"
+    val docs = Tables.documents(s, dir)
+    writeSimhashIndex(s, root, docs)
+    forgetSimhashIndex(s, root, docs.filter(
+      col("doc_id") % TextOps.ForgetMod === TextOps.ForgetRem))
+    simhashAuditFrom(s, root)
   }
 
   /** d28's incremental probe core (the d25 shape on signatures): an
@@ -2273,46 +2427,27 @@ object DedupOps {
       .select(clusterBucketCol(col("cluster_id")).as("b"))
       .unionByName(merged.select(clusterBucketCol(col("cluster_id")).as("b")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val stagedC = s.read.parquet(s"$root/clusters")
-      .filter(col("c_bucket").isin(affectedC: _*))
-      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
-      .select(col("doc_id"), col("cluster_id"))
-      .unionByName(merged)
-      .withColumn("c_bucket", clusterBucketCol(col("cluster_id")))
-      .localCheckpoint()
-    val stagedCBuckets = stagedC.select(col("c_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (stagedCBuckets.nonEmpty) {
-      stagedC.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("c_bucket")
-        .parquet(s"$root/clusters")
-    }
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    (affectedC.toSet -- stagedCBuckets).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$root/clusters/c_bucket=$b"), true)
-      ()
-    }
+    AtRest.overwriteBuckets(s, s"$root/clusters", "c_bucket", affectedC,
+      s.read.parquet(s"$root/clusters")
+        .filter(col("c_bucket").isin(affectedC: _*))
+        .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+        .unionByName(merged)
+        .withColumn("c_bucket", clusterBucketCol(col("cluster_id"))))
     // members/: affected = the relabeled nodes' doc buckets; every
-    // affected bucket receives ≥1 merged row by construction, so no
-    // drop guard is needed
+    // affected bucket receives ≥1 merged row by construction, so the
+    // shared verb's drop set is empty here
     val affectedD = merged.select(idBucketCol(col("doc_id")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (affectedD.nonEmpty) {
-      s.read.parquet(s"$root/members")
-        .filter(col("d_bucket").isin(affectedD: _*))
-        .join(broadcast(merged.select(col("doc_id"))), Seq("doc_id"),
-          "left_anti")
-        .select(col("doc_id"), col("cluster_id"))
-        .unionByName(merged)
-        .withColumn("d_bucket", idBucketCol(col("doc_id")))
-        .localCheckpoint()
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("d_bucket")
-        .parquet(s"$root/members")
+      AtRest.overwriteBuckets(s, s"$root/members", "d_bucket", affectedD,
+        s.read.parquet(s"$root/members")
+          .filter(col("d_bucket").isin(affectedD: _*))
+          .join(broadcast(merged.select(col("doc_id"))), Seq("doc_id"),
+            "left_anti")
+          .select(col("doc_id"), col("cluster_id"))
+          .unionByName(merged)
+          .withColumn("d_bucket", idBucketCol(col("doc_id"))))
     }
   }
 
@@ -2386,50 +2521,19 @@ object DedupOps {
       delIds: DataFrame): Unit = {
     val ids = delIds.select(col("doc_id")).distinct().localCheckpoint()
     val sets = docsetFetch(s, root, ids).localCheckpoint()
-    val fs = AtRest.fsOf(s, root)
     val bBuckets = bandRows(sets).select(col("band_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (bBuckets.nonEmpty) {
-      val surv = s.read.parquet(s"$root/bands")
-        .filter(col("band_bucket").isin(bBuckets: _*))
-        .join(broadcast(ids), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("band"), col("sig"), col("band_bucket"))
-        .localCheckpoint()
-      val staged = surv.select(col("band_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (staged.nonEmpty) {
-        surv.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("band_bucket")
-          .parquet(s"$root/bands")
-      }
-      (bBuckets.toSet -- staged).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/bands/band_bucket=$b"), true)
-        ()
-      }
-    }
+    AtRest.sweepBuckets(s, s"$root/bands", "band_bucket", bBuckets,
+      ids, Seq("doc_id"))
     val dBuckets = ids.select(idBucketCol(col("doc_id")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // staged through readDocsets' explicit schema (the bg array's
+    // containsNull contract), so the shared verb only owns the tail
     if (dBuckets.nonEmpty) {
-      val surv = readDocsets(s, root)
-        .filter(col("id_bucket").isin(dBuckets: _*))
-        .join(broadcast(ids), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("bg"), col("id_bucket"))
-        .localCheckpoint()
-      val staged = surv.select(col("id_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (staged.nonEmpty) {
-        surv.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("id_bucket")
-          .parquet(s"$root/docsets")
-      }
-      (dBuckets.toSet -- staged).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/docsets/id_bucket=$b"), true)
-        ()
-      }
+      AtRest.overwriteBuckets(s, s"$root/docsets", "id_bucket", dBuckets,
+        readDocsets(s, root)
+          .filter(col("id_bucket").isin(dBuckets: _*))
+          .join(broadcast(ids), Seq("doc_id"), "left_anti"))
     }
   }
 
@@ -2460,7 +2564,6 @@ object DedupOps {
     val touched = memberLookup(s, root, delIds.select(col("doc_id").as("d")))
       .select(col("cluster_id")).distinct().localCheckpoint()
     forgetBandIndex(s, root, delIds)
-    val fs = AtRest.fsOf(s, root)
     val tBuckets = touched
       .select(clusterBucketCol(col("cluster_id")).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -2496,26 +2599,14 @@ object DedupOps {
       .unionByName(newRows.select(clusterBucketCol(col("cluster_id")).as("b")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (affectedC.nonEmpty) {
-      val stagedC = s.read.parquet(s"$root/clusters")
-        .filter(col("c_bucket").isin(affectedC: _*))
-        .join(broadcast(touched), Seq("cluster_id"), "left_anti")
-        .select(col("doc_id"), col("cluster_id"))
-        .unionByName(newRows)
-        .withColumn("c_bucket", clusterBucketCol(col("cluster_id")))
-        .localCheckpoint()
-      val stagedCB = stagedC.select(col("c_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (stagedCB.nonEmpty) {
-        stagedC.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("c_bucket")
-          .parquet(s"$root/clusters")
-      }
-      (affectedC.toSet -- stagedCB).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/clusters/c_bucket=$b"), true)
-        ()
-      }
+      AtRest.overwriteBuckets(s, s"$root/clusters", "c_bucket",
+        affectedC,
+        s.read.parquet(s"$root/clusters")
+          .filter(col("c_bucket").isin(affectedC: _*))
+          .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_id"))
+          .unionByName(newRows)
+          .withColumn("c_bucket", clusterBucketCol(col("cluster_id"))))
     }
     // members/: removal key = deleted ids ∪ the touched clusters' old
     // members (the delIds arm is load-bearing — it is what lets a
@@ -2528,26 +2619,14 @@ object DedupOps {
       .unionByName(newRows.select(idBucketCol(col("doc_id")).as("b")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (affectedD.nonEmpty) {
-      val stagedM = s.read.parquet(s"$root/members")
-        .filter(col("d_bucket").isin(affectedD: _*))
-        .join(broadcast(removal), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("cluster_id"))
-        .unionByName(newRows)
-        .withColumn("d_bucket", idBucketCol(col("doc_id")))
-        .localCheckpoint()
-      val stagedMB = stagedM.select(col("d_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (stagedMB.nonEmpty) {
-        stagedM.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("d_bucket")
-          .parquet(s"$root/members")
-      }
-      (affectedD.toSet -- stagedMB).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/members/d_bucket=$b"), true)
-        ()
-      }
+      AtRest.overwriteBuckets(s, s"$root/members", "d_bucket",
+        affectedD,
+        s.read.parquet(s"$root/members")
+          .filter(col("d_bucket").isin(affectedD: _*))
+          .join(broadcast(removal), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_id"))
+          .unionByName(newRows)
+          .withColumn("d_bucket", idBucketCol(col("doc_id"))))
     }
   }
 
@@ -2582,6 +2661,9 @@ object DedupOps {
     "d29_clusters_atrest" -> (clustersAtRest _),
     "d28_simhash_atrest" -> (simhashAtRest _),
     "d22_decontam_atrest" -> (decontamAtRest _),
+    "d31_decontam_forget" -> (decontamForget _),
+    "d32_winnow_forget" -> (winnowForget _),
+    "d33_simhash_forget" -> (simhashForget _),
     "d23_leakage_atrest" -> (leakageAtRest _),
     "d24_bandpairs_atrest" -> (bandPairsAtRest _),
     "d25_bandprobe_atrest" -> (bandProbeAtRest _),
@@ -2668,8 +2750,8 @@ object DedupOps {
 
   /** d3b's oracle — and verbatim d28's (the at-rest serve is
     * bit-identical by the ir15 path-substitution convention). */
-  private val D3bOracle =
-    s"""WITH sigs AS ($simhash60Sql),
+  private def d3bOracleOver(docsRel: String): String =
+    s"""WITH sigs AS (${simhashSqlOver(Simhash60Bits, "doc_id", "text", docsRel)}),
        |chunks AS (SELECT doc_id, simhash, u.band,
        |                  (simhash >> ($Simhash60BandBits * u.band)) & ${(1 << Simhash60BandBits) - 1} AS chunk
        |           FROM sigs, unnest([0, 1, 2, 3]) AS u(band)),
@@ -2683,6 +2765,8 @@ object DedupOps {
        |       CASE WHEN bit_count(xor(sa, sb)) <= $SimhashMaxHamming
        |            THEN 1 ELSE 0 END AS is_near_dup
        |FROM cand ORDER BY a, b""".stripMargin
+
+  private lazy val D3bOracle: String = d3bOracleOver("documents")
 
   private val oraclesD2Body: String =
     s"""WITH t AS (SELECT doc_id, $bgSql AS bg FROM documents),
@@ -2706,12 +2790,13 @@ object DedupOps {
        |FROM cand JOIN th ta ON a = ta.doc_id JOIN th tb ON b = tb.doc_id""".stripMargin
 
   /** d8's oracle — shared VERBATIM by the at-rest serve d22 (sums
-    * cast to BIGINT: DuckDB sum(int) widens to HUGEINT). */
-  private val d8Sql: String =
+    * cast to BIGINT: DuckDB sum(int) widens to HUGEINT), and with the
+    * train side further restricted by d31's post-forget serve. */
+  private def d8SqlWhere(trainExtra: String): String =
     s"""WITH ex AS (SELECT doc_id,
        |              unnest(list_distinct(list_transform($tgSql,
        |                s -> ${tokHashSql("s")}))) AS h
-       |            FROM documents WHERE doc_id % $EvalMod <> 0),
+       |            FROM documents WHERE doc_id % $EvalMod <> 0$trainExtra),
        |ev AS (SELECT DISTINCT unnest(list_distinct(list_transform($tgSql,
        |         s -> ${tokHashSql("s")}))) AS h
        |       FROM documents WHERE doc_id % $EvalMod = 0)
@@ -2722,6 +2807,8 @@ object DedupOps {
        |            THEN 1 ELSE 0 END AS is_contaminated
        |FROM ex e LEFT JOIN ev v ON e.h = v.h
        |GROUP BY e.doc_id ORDER BY e.doc_id""".stripMargin
+
+  private lazy val d8Sql: String = d8SqlWhere("")
 
   /** d12's oracle — d10's split rule + d8's hashed-trigram contract,
     * roles reversed (train is the reference side); shared VERBATIM by
@@ -2840,6 +2927,27 @@ object DedupOps {
          |ORDER BY doc_id""".stripMargin,
     "d3b_simhash_neardup" -> D3bOracle,
     "d28_simhash_atrest" -> D3bOracle,
+    // d33: build∘forget∘serve == d3b over the SURVIVORS — the ir22
+    // convergence invariant on the simhash chunk layout
+    "d33_simhash_forget" -> d3bOracleOver(
+      s"(SELECT * FROM documents WHERE doc_id % ${TextOps.ForgetMod} <> ${TextOps.ForgetRem})"),
+    // d31: the train side loses the forget cohort at the source; the
+    // eval probe side is the question, not a release — unrestricted
+    "d31_decontam_forget" -> d8SqlWhere(
+      s" AND doc_id % ${TextOps.ForgetMod} <> ${TextOps.ForgetRem}"),
+    // d32: d19's kept dump recomputed over the survivors — over-cap
+    // derived from SURVIVOR counts, so hashes the cohort's deletion
+    // dropped back under the cap re-enter on both engines (the cap
+    // re-check the forget must implement, not just a row sweep)
+    "d32_winnow_forget" ->
+      s"""WITH ${d17FpCtesOver(
+             s"(SELECT * FROM documents WHERE doc_id % ${TextOps.ForgetMod} <> ${TextOps.ForgetRem})")},
+         |overcap AS (SELECT h FROM fp GROUP BY h
+         |            HAVING count(*) > $WinnowCap)
+         |SELECT f.doc_id, f.h
+         |FROM fp f LEFT JOIN overcap o ON f.h = o.h
+         |WHERE o.h IS NULL
+         |ORDER BY f.doc_id, f.h""".stripMargin,
     "d4_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang, source,
          |             list_distinct(list_transform($bgSql, s -> ${tokHashSql("s")})) AS hs
@@ -3073,11 +3181,14 @@ object DedupOps {
     * (window of [[WinnowW]], rightmost-minimum tie rule via the
     * per-window-position min over the gram-position group). ONE
     * definition feeds both oracles so the selection can't drift. */
-  private lazy val d17FpCtesSql: String =
+  /** d17's fingerprint CTEs over any document relation — `documents`
+    * for d17/d18/d19/d26/d27, the survivor relation for d32's
+    * post-forget kept dump. */
+  private def d17FpCtesOver(rel: String): String =
     s"""g AS (
        |  SELECT doc_id, u.p AS p, ${tokHashSql("gs[u.p]")} AS h, len(gs) AS ng
        |  FROM (SELECT doc_id, ${shinglesSql(tokensSql("text"), WinnowK)} AS gs
-       |        FROM documents) dd,
+       |        FROM $rel) dd,
        |       unnest(generate_series(1, len(gs))) AS u(p)),
        |sel AS (
        |  SELECT doc_id, p - o.o AS q, min(h) AS h
@@ -3085,6 +3196,8 @@ object DedupOps {
        |  WHERE p - o.o >= 1 AND p - o.o <= greatest(ng - ${WinnowW - 1}, 1)
        |  GROUP BY doc_id, p - o.o),
        |fp AS (SELECT DISTINCT doc_id, h FROM sel)""".stripMargin
+
+  private lazy val d17FpCtesSql: String = d17FpCtesOver("documents")
 
   /** The d16 oracle body minus its presentation ORDER BY — c2 embeds
     * it as the semantic-dedup stage CTE (the d5→d11 convention: any

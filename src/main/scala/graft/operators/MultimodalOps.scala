@@ -442,44 +442,17 @@ object MultimodalOps {
     val freshRows = repChunks(newReps
         .select(col("kind"), col("rep_id"), col("n_copies"), col("phash")))
       .withColumn("chunk_bucket", chunkBucketCol)
-    val newBands = bandsTakedownScan(s, root, cBuckets)
-      .join(broadcast(dropKeys), Seq("kind", "rep_id"), "left_anti")
-      .unionByName(freshRows)
-      .localCheckpoint()
-    val fs = AtRest.fsOf(s, root)
-    val bStaged = newBands.select(col("chunk_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (bStaged.nonEmpty) {
-      newBands.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("chunk_bucket")
-        .parquet(s"$root/bands")
-    }
-    (cBuckets.toSet -- bStaged).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$root/bands/chunk_bucket=$b"), true)
-      ()
-    }
+    AtRest.overwriteBuckets(s, s"$root/bands", "chunk_bucket", cBuckets,
+      bandsTakedownScan(s, root, cBuckets)
+        .join(broadcast(dropKeys), Seq("kind", "rep_id"), "left_anti")
+        .unionByName(freshRows))
     // stage 4 — members
-    val memSurv = memb
-      .join(broadcast(reqFacts.select(col("media_id"))),
-        Seq("media_id"), "left_anti")
-      .select(col("kind"), col("digest"), col("media_id"),
-        col("dg_bucket"))
-      .localCheckpoint()
-    val mStaged = memSurv.select(col("dg_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (mStaged.nonEmpty) {
-      memSurv.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("dg_bucket")
-        .parquet(s"$root/members")
-    }
-    (dBuckets.toSet -- mStaged).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$root/members/dg_bucket=$b"), true)
-      ()
-    }
+    AtRest.overwriteBuckets(s, s"$root/members", "dg_bucket", dBuckets,
+      memb
+        .join(broadcast(reqFacts.select(col("media_id"))),
+          Seq("media_id"), "left_anti")
+        .select(col("kind"), col("digest"), col("media_id"),
+          col("dg_bucket")))
   }
 
   /** M8 — TAKEDOWN EXECUTED AGAINST THE AT-REST pHASH INDEX: build

@@ -902,23 +902,18 @@ object RetrievalOps {
     val mBuckets = deltaMeta.select(col("term_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (mBuckets.nonEmpty) {
-      s.read.parquet(s"$root/blockmeta")
-        .filter(col("term_bucket").isin(mBuckets: _*))
-        .unionByName(deltaMeta)
-        .groupBy(col("term_bucket"), col("tok"), col("blk"))
-        .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"),
-          sum(col("n_postings")).as("n_postings"))
-        .localCheckpoint()
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("term_bucket")
-        .parquet(s"$root/blockmeta")
-      dictFromMeta(s.read.parquet(s"$root/blockmeta")
-          .filter(col("term_bucket").isin(mBuckets: _*)))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("term_bucket")
-        .parquet(s"$root/dict")
+      AtRest.overwriteBuckets(s, s"$root/blockmeta", "term_bucket",
+        mBuckets,
+        s.read.parquet(s"$root/blockmeta")
+          .filter(col("term_bucket").isin(mBuckets: _*))
+          .unionByName(deltaMeta)
+          .groupBy(col("term_bucket"), col("tok"), col("blk"))
+          .agg(max(col("max_tf")).as("max_tf"),
+            min(col("min_dl")).as("min_dl"),
+            sum(col("n_postings")).as("n_postings")))
+      AtRest.overwriteBuckets(s, s"$root/dict", "term_bucket", mBuckets,
+        dictFromMeta(s.read.parquet(s"$root/blockmeta")
+          .filter(col("term_bucket").isin(mBuckets: _*))))
     }
     // doclen gets the same anti-join exactly-once guard, and the
     // constants RECOUNT from the at-rest table (2 slim columns —
@@ -1079,46 +1074,28 @@ object RetrievalOps {
       .collect().map(_.getInt(0)).toSeq.sorted
     val fs = AtRest.fsOf(s, root)
     if (tBuckets.nonEmpty) {
-      val survivors = postingsForgetSurvivors(s, root, delIds, tBuckets)
-        .localCheckpoint()
-      val staged = survivors.select(col("term_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (staged.nonEmpty) {
-        survivors.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("term_bucket")
-          .parquet(s"$root/postings")
-      }
-      (tBuckets.toSet -- staged).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/postings/term_bucket=$b"), true)
-        ()
-      }
+      AtRest.overwriteBuckets(s, s"$root/postings", "term_bucket",
+        tBuckets, postingsForgetSurvivors(s, root, delIds, tBuckets))
       // subtractive metadata: recount ONLY the touched buckets from
-      // the post-delete postings, replace their partitions
-      val recount = blockMetaOf(s.read.parquet(s"$root/postings")
-          .filter(col("term_bucket").isin(tBuckets: _*)))
-        .localCheckpoint()
-      val mStaged = recount.select(col("term_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
+      // the post-delete postings, replace their partitions (the
+      // shared verb drops all-emptied buckets' blockmeta dirs)
+      val mStaged = AtRest.overwriteBuckets(s, s"$root/blockmeta",
+        "term_bucket", tBuckets,
+        blockMetaOf(s.read.parquet(s"$root/postings")
+          .filter(col("term_bucket").isin(tBuckets: _*))))
       if (mStaged.nonEmpty) {
-        recount.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("term_bucket")
-          .parquet(s"$root/blockmeta")
-        dictFromMeta(s.read.parquet(s"$root/blockmeta")
-            .filter(col("term_bucket").isin(mStaged.toSeq: _*)))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("term_bucket")
-          .parquet(s"$root/dict")
-      }
-      (tBuckets.toSet -- mStaged).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/blockmeta/term_bucket=$b"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/dict/term_bucket=$b"), true)
-        ()
+        AtRest.overwriteBuckets(s, s"$root/dict", "term_bucket",
+          tBuckets,
+          dictFromMeta(s.read.parquet(s"$root/blockmeta")
+            .filter(col("term_bucket").isin(mStaged.toSeq: _*))))
+      } else {
+        // every touched bucket emptied: blockmeta holds no readable
+        // rows for them, so the dict dirs drop directly
+        tBuckets.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$root/dict/term_bucket=$b"), true)
+          ()
+        }
       }
     }
     // doclen is request-targetable directly (doc-bucketed layout) —
@@ -1138,28 +1115,8 @@ object RetrievalOps {
       .localCheckpoint()
     val dBuckets = req.select(col("doc_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val fs = AtRest.fsOf(s, root)
-    if (dBuckets.nonEmpty) {
-      val surv = s.read.parquet(s"$root/doclen")
-        .filter(col("doc_bucket").isin(dBuckets: _*))
-        .join(broadcast(req.select(col("doc_id"))), Seq("doc_id"),
-          "left_anti")
-        .select(col("doc_id"), col("dl"), col("doc_bucket"))
-        .localCheckpoint()
-      val staged = surv.select(col("doc_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (staged.nonEmpty) {
-        surv.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("doc_bucket")
-          .parquet(s"$root/doclen")
-      }
-      (dBuckets.toSet -- staged).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/doclen/doc_bucket=$b"), true)
-        ()
-      }
-    }
+    AtRest.sweepBuckets(s, s"$root/doclen", "doc_bucket", dBuckets,
+      req.select(col("doc_id")), Seq("doc_id"))
     constsOf(s.read.parquet(s"$root/doclen")).localCheckpoint()
       .write.mode("overwrite").parquet(s"$root/consts")
   }
@@ -1451,6 +1408,50 @@ object RetrievalOps {
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$root/positional")
 
+  /** FORGET from the positional lists (ir23) — ir22's shape on the
+    * ir17/ir21 layout: the targets derive from the REQUEST's own
+    * tokens ([[positionalRows]] over the deleted docs — the build's
+    * tree, so targeting and layout can never disagree), the touched
+    * term buckets sweep through the shared verb, and the rewrite
+    * re-asserts the promised per-file (tok, doc_id, pos) order via
+    * `sortCols` (the ir21 FileFormatWriter lesson — a survivor
+    * rewrite that lost the sort would silently break the streaming
+    * adjacency merge). Positions carry no corpus-level stats, so
+    * there is no metadata to subtract — the one-artifact forget.
+    * Idempotent: a rerun's request re-derives the same targets and
+    * re-stages the same survivors. */
+  private[graft] def forgetPositionalIndex(s: SparkSession, root: String,
+      deleted: DataFrame): Unit = {
+    val delKeys = positionalRows(deleted)
+      .select(col("doc_id"), col("term_bucket")).distinct()
+      .localCheckpoint()
+    val tBuckets = delKeys.select(col("term_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    AtRest.sweepBuckets(s, s"$root/positional", "term_bucket", tBuckets,
+      delKeys.select(col("doc_id")).distinct(), Seq("doc_id"),
+      sortCols = Seq(col("tok"), col("doc_id"), col("pos")))
+    ()
+  }
+
+  /** IR23 — FORGET EXECUTED AGAINST THE AT-REST POSITIONAL LISTS:
+    * build the full positional index, EXECUTE the c4/c6 delete cohort
+    * ([[forgetPositionalIndex]] — targets from the request's tokens),
+    * and serve ir17's phrase query from what remains. The oracle is
+    * ir6's SQL over the SURVIVORS, so the files must hold exactly the
+    * survivor lists — in their promised per-file order.
+    *
+    * 100 TB plan: a forget's IO is the deleted docs' term buckets
+    * (request-content-bounded, the ir22 class); untouched buckets are
+    * never listed, and the serve stays the two-bucket static read. */
+  def phraseForgetServe(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/irindex23"
+    val docs = Tables.documents(s, dir)
+    writePositionalIndex(s, root, docs)
+    forgetPositionalIndex(s, root,
+      docs.filter(col("doc_id") % TextOps.ForgetMod === TextOps.ForgetRem))
+    positionalServe(s, root)
+  }
+
   /** ir17's serve half over any written positional root — shared by
     * ir17/ir21 and the spec pins. */
   private[graft] def positionalServe(s: SparkSession, root: String): DataFrame = {
@@ -1506,6 +1507,17 @@ object RetrievalOps {
   def championAtRestServe(s: SparkSession, dir: String): DataFrame = {
     val root = SimilarityOps.indexRoot(s, dir) + "/irindex18"
     writePostingsIndex(s, root, Tables.documents(s, dir))
+    championServeFrom(s, root)
+  }
+
+  /** ir18's serve half over any written postings root — extracted so
+    * ForgetIndexSpec can pin the champion tier's forget consistency:
+    * the champion prefix is a DERIVED view of the postings, so ir22's
+    * sweep must leave this serve equal to a fresh build over the
+    * survivors (the matrix's "forgetting there forgets here" claim,
+    * exercised instead of asserted). */
+  private[graft] def championServeFrom(s: SparkSession,
+      root: String): DataFrame = {
     val p = probedPostings(s, root)
     CacheScope.persist(p) // three consumers: champions, pivot, (via scored) audit
     val scored = pivotProbed(p)
@@ -1793,6 +1805,7 @@ object RetrievalOps {
     "ir22_postings_forget" -> (postingsForgetServe _),
     "ir17_phrase_at_rest" -> (phraseAtRestServe _),
     "ir21_phrase_maintained" -> (phraseMaintainedServe _),
+    "ir23_phrase_forget" -> (phraseForgetServe _),
     "ir18_champion_at_rest" -> (championAtRestServe _),
     "ir3_hybrid_rrf" -> (hybridRrf _),
     "ir4_inverted_serve" -> (invertedServe _),
@@ -1881,16 +1894,17 @@ object RetrievalOps {
        |FROM ct LEFT JOIN ex ON ex.doc_id = ct.doc_id
        |ORDER BY rank""".stripMargin
 
-  /** ir6's twin — ONE definition for both the scan form (ir6) and the
-    * positional-index serve (ir14), which is bit-identical. */
-  private lazy val phraseOracleSql: String = {
+  /** ir6's twin — ONE definition for the scan form (ir6), the
+    * positional-index serves (ir14/ir17/ir21, over `documents`) and
+    * the post-forget serve (ir23, over the survivor relation). */
+  private def phraseOracleFrom(rel: String): String = {
     val (w1, w2) = Phrase
     s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS dl,
        |             CAST(len(list_filter(list_zip($toksSql, ($toksSql)[2:]),
        |               s -> s[1] = '$w1' AND s[2] = '$w2')) AS INT) AS phrase_tf,
        |             ${tfSql(w1)} AS tf_$w1,
        |             ${tfSql(w2)} AS tf_$w2
-       |           FROM documents),
+       |           FROM $rel),
        |f AS (SELECT *,
        |             CAST(phrase_tf AS DOUBLE) / least(tf_$w1, tf_$w2) AS anchor_ratio
        |      FROM d WHERE phrase_tf > 0),
@@ -1900,6 +1914,8 @@ object RetrievalOps {
        |       doc_id, phrase_tf, tf_$w1, tf_$w2, dl, anchor_ratio
        |FROM top ORDER BY rank""".stripMargin
   }
+
+  private lazy val phraseOracleSql: String = phraseOracleFrom("documents")
 
   private val oraclesBase: Map[String, String] = Map(
     "ir10_term_centrality" ->
@@ -2047,6 +2063,12 @@ object RetrievalOps {
     // ir21: build∘append∘serve == ir6's scan (positions are per-doc
     // facts — the append adds rows, never changes one), oracle verbatim
     "ir21_phrase_maintained" -> phraseOracleSql,
+    // ir23: build∘forget∘serve == ir6's scan over the SURVIVORS (the
+    // ir22 convergence invariant on the positional layout — and the
+    // files must still hold their promised per-file sort, which the
+    // spec pins where SQL cannot)
+    "ir23_phrase_forget" -> phraseOracleFrom(
+      s"(SELECT * FROM documents WHERE doc_id % ${TextOps.ForgetMod} <> ${TextOps.ForgetRem})"),
     "ir18_champion_at_rest" -> championOracleSql,
     // ir7's oracle IS ir2's: append∘serve == build-over-union∘serve
     // (the x19 associativity convention — the oracle states the

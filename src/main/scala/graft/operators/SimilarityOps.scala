@@ -1178,6 +1178,9 @@ object SimilarityOps {
     // tombstones resolved empty), so it HEALS by full recount from the
     // codes — the cheap 4-int scan, paid only on this recovery path.
     if (tombs.isEmpty) { refreshOccupancy(s, root); return }
+    // deliberately NOT AtRest.overwriteBuckets: this family's stage is
+    // a WRITTEN staging table (its own crash point, PqSpec-exercised),
+    // not a pinned in-memory frame — the on-disk handoff is the verb
     compactionStage(s, root).write.mode("overwrite")
       .partitionBy("cell_id").parquet(s"$root/staging")
     s.read.parquet(s"$root/staging").write.mode("overwrite")
@@ -1535,6 +1538,140 @@ object SimilarityOps {
       .transform(Common.presented(_, col("query_id"), col("rank")))
   }
 
+  // ---------------------------------------------------------------
+  // x33 — the SQ8 packed-cell family's full lifecycle (the verb
+  // matrix's last three-dash row): the per-dim quantizer grid and the
+  // coarse codebook FREEZE at build as KB-scale artifacts, which is
+  // what makes the other verbs cheap — an append re-encodes ONLY its
+  // batch against the stored grid (standing codes untouched; a
+  // recomputed grid would silently shift every standing code's
+  // meaning), the shared bin-pack compacts the cell dirs, and a
+  // forget's targets derive from the REQUEST's own vectors re-assigned
+  // through the stored codebook (ir22's request-content shape on the
+  // vector tier — the corpus is never re-read for targeting).
+  // ---------------------------------------------------------------
+
+  /** Encode (vec_id, embedding) rows against a STORED quantizer frame
+    * (d, mn, mx) — x21's encode tree with the stats joined from the
+    * frozen artifact instead of recomputed. Out-of-grid batch values
+    * clamp to [0, 255], the standard SQ8 saturation. */
+  private def sq8EncodeWith(vecs: DataFrame, quant: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("vec_id"), col("d").cast("int").as("d"),
+        col("xf").cast("double").as("x"))
+      .join(broadcast(quant), Seq("d"))
+      .select(col("vec_id"), col("d"),
+        when(col("mx") > col("mn"),
+          least(lit(255L), greatest(lit(0L),
+            floor((col("x") - col("mn")) * lit(255.0d) /
+              (col("mx") - col("mn"))))))
+          .otherwise(lit(0L)).cast("int").as("code"))
+
+  /** Packed + cell-assigned rows of `vecs` under the STORED quantizer
+    * and codebook — the one derivation tree build, append and the
+    * forget's targeting all share. */
+  private def sq8RowsWith(s: SparkSession, root: String,
+      vecs: DataFrame): DataFrame = {
+    val withV = vecs.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    sq8Packed(sq8EncodeWith(vecs, s.read.parquet(s"$root/quant")))
+      .join(coarseAssign(withV, s.read.parquet(s"$root/cents"))
+          .select(col("vec_id"), col("cell_id").cast("int").as("cell_id")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), col("cell_id"))
+  }
+
+  /** BUILD the maintainable SQ8 index: quantizer grid (64 rows) and
+    * coarse codebook ([[NumCentroids]] rows) persist beside the
+    * cell-partitioned packed codes, plus the pre-encoded query rows
+    * (the x24 convention — production queries arrive encoded by the
+    * frozen quantizer). */
+  private[graft] def buildSq8Maintained(s: SparkSession, root: String,
+      standing: DataFrame): Unit = {
+    standing
+      .select(posexplode(col("embedding")).as(Seq("d", "xf")))
+      .select(col("d").cast("int").as("d"), col("xf").cast("double").as("x"))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .write.mode("overwrite").parquet(s"$root/quant")
+    coarseCentroids(standing
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", sqrt(dotD(col("v"), col("v")))))
+      .write.mode("overwrite").parquet(s"$root/cents")
+    sq8RowsWith(s, root, standing)
+      .write.mode("overwrite").partitionBy("cell_id")
+      .parquet(s"$root/codes")
+    s.read.parquet(s"$root/codes").filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("codes"), col("cell_id"))
+      .write.mode("overwrite").parquet(s"$root/queries")
+  }
+
+  /** APPEND: the batch re-encodes against the FROZEN grid and codebook
+    * — batch-sized work, standing codes untouched — behind the ir16
+    * exactly-once anti-join (slim id projection, pinned eagerly). */
+  private[graft] def appendSq8Maintained(s: SparkSession, root: String,
+      batch: DataFrame): Unit =
+    sq8RowsWith(s, root, batch)
+      .join(s.read.parquet(s"$root/codes").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("codes"), col("cell_id"))
+      .localCheckpoint()
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$root/codes")
+
+  /** FORGET: the request's own vectors re-assign through the STORED
+    * codebook — their cells are the only partitions touched (the c6
+    * key-derived shape, with the key being the vector itself) — and
+    * sweep by vec_id through the shared verb; the slim pre-encoded
+    * query rows rewrite by anti-join (one KB-scale file). The frozen
+    * quantizer artifacts stay: they are learned layout constants, not
+    * per-row facts. Idempotent — a rerun re-derives the same cells
+    * and re-stages the same survivors. */
+  private[graft] def forgetSq8Maintained(s: SparkSession, root: String,
+      delVecs: DataFrame): Unit = {
+    val ids = delVecs.select(col("vec_id")).distinct().localCheckpoint()
+    val withV = delVecs.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(dotD(col("v"), col("v"))))
+    val cells = coarseAssign(withV, s.read.parquet(s"$root/cents"))
+      .select(col("cell_id").cast("int").as("c")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    AtRest.sweepBuckets(s, s"$root/codes", "cell_id", cells,
+      ids, Seq("vec_id"))
+    s.read.parquet(s"$root/queries")
+      .join(broadcast(ids), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$root/queries")
+  }
+
+  /** X33 — SQ8 LIFECYCLE: build the frozen-quantizer cell index over
+    * the standing corpus, APPEND the incoming batch (re-encoded
+    * batch-only against the stored grid), FORGET the delete cohort
+    * (request-derived cells, id sweep), and serve x24's
+    * cell-restricted SDC from what remains. The oracle restates the
+    * whole policy: the quantizer grid over the STANDING corpus only
+    * (frozen — a fresh x24 over the survivors would re-learn it and
+    * diverge, which is exactly the property this query pins), codes
+    * over the survivors, assignment against the standing centroid
+    * rows, in-cell integer SDC.
+    *
+    * 100 TB plan: append cost is the batch's rows (KB-scale artifact
+    * reads, standing cells untouched — x19's associativity on the
+    * packed tier); forget IO is the request's cells; the serve stays
+    * x24's DPP-pruned probe; the shared bin-pack covers the accreted
+    * cell dirs (CompactionSpec). */
+  def sq8Lifecycle(s: SparkSession, dir: String): DataFrame = {
+    val root = indexRoot(s, dir) + "/sq8idx33"
+    val emb = Tables.embeddings(s, dir)
+    val isBatch = col("vec_id") % DedupOps.IncomingMod === 0 &&
+      col("vec_id") >= NumQueries + NumCentroids
+    buildSq8Maintained(s, root, emb.filter(!isBatch))
+    appendSq8Maintained(s, root, emb.filter(isBatch))
+    forgetSq8Maintained(s, root,
+      emb.filter(col("vec_id") % DeleteMod === DeleteRem))
+    sq8CellServeAgainst(s.read.parquet(s"$root/codes"),
+        sq8IndexQueries(s, root))
+      .transform(Common.presented(_, col("query_id"), col("rank")))
+  }
+
   /** x25's shortlist size: the quantized stage keeps `4·K` candidates
     * per query for the exact stage to re-rank — the standard refine
     * multiplier (Faiss `RefineFlat` defaults to small multiples of k;
@@ -1803,26 +1940,9 @@ object SimilarityOps {
       .select(pmod(col("vec_id"), lit(FloatBuckets.toLong)).cast("int")
         .as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (dBuckets.isEmpty) return
-    val surv = s.read.parquet(s"$root/signatures")
-      .filter(col("id_bucket").isin(dBuckets: _*))
-      .join(broadcast(ids), Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("w0"), col("w1"), col("id_bucket"))
-      .localCheckpoint()
-    val staged = surv.select(col("id_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (staged.nonEmpty) {
-      surv.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("id_bucket")
-        .parquet(s"$root/signatures")
-    }
-    val fs = graft.operators.AtRest.fsOf(s, root)
-    (dBuckets.toSet -- staged).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$root/signatures/id_bucket=$b"), true)
-      ()
-    }
+    AtRest.sweepBuckets(s, s"$root/signatures", "id_bucket", dBuckets,
+      ids, Seq("vec_id"))
+    ()
   }
 
   /** x31's serve body over any written signature root — shared by the
@@ -1898,6 +2018,7 @@ object SimilarityOps {
     "x22_sq8_sdc" -> (sq8Sdc _),
     "x23_sq8_packed" -> (sq8PackedServe _),
     "x24_sq8_ivf" -> (sq8CellServe _),
+    "x33_sq8_lifecycle" -> (sq8Lifecycle _),
     "x20_ivfpq_lifecycle" -> (ivfPqLifecycle _),
     "x19_ivfpq_applied" -> (ivfPqApplied _),
     "x18_ivfpq_trained_full" -> (ivfPqTrainedFull _),
@@ -2694,6 +2815,68 @@ object SimilarityOps {
   /** x24: x3's cell-assignment CTE + the shared SQ8 code CTEs + the
     * in-cell integer SDC — every piece restated from the sibling
     * oracles so none of the three trees can drift independently. */
+  /** x33's twin: x24's serve restated with the LIFECYCLE's frozen
+    * artifacts — the quantizer grid learns from the STANDING corpus
+    * only (a grid re-learned over the survivors would shift every
+    * code — the exact drift the frozen artifact exists to prevent),
+    * codes and candidates from the SURVIVORS, the codebook from the
+    * centroid seed rows verbatim. */
+  private lazy val sq8LifecycleSql: String = {
+    val standingPred =
+      s"NOT (vec_id % ${DedupOps.IncomingMod} = 0 AND vec_id >= ${NumQueries + NumCentroids})"
+    val survivorPred = s"vec_id % $DeleteMod <> $DeleteRem"
+    s"""WITH xs AS (SELECT vec_id, CAST(u.d AS INT) - 1 AS d,
+       |             CAST(embedding[u.d] AS DOUBLE) AS x
+       |      FROM embeddings,
+       |           unnest(generate_series(1, len(embedding))) AS u(d)
+       |      WHERE $standingPred),
+       |st AS (SELECT d, min(x) AS mn, max(x) AS mx FROM xs GROUP BY d),
+       |xv AS (SELECT vec_id, CAST(u.d AS INT) - 1 AS d,
+       |             CAST(embedding[u.d] AS DOUBLE) AS x
+       |      FROM embeddings,
+       |           unnest(generate_series(1, len(embedding))) AS u(d)
+       |      WHERE $survivorPred),
+       |c AS (SELECT vec_id, xv.d,
+       |             CASE WHEN st.mx > st.mn
+       |                  THEN CAST(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+       |                         CAST(floor((xv.x - st.mn) * CAST(255 AS DOUBLE)
+       |                                    / (st.mx - st.mn)) AS BIGINT))) AS INT)
+       |                  ELSE 0 END AS code
+       |      FROM xv JOIN st USING (d)),
+       |e AS (SELECT vec_id, embedding AS v,
+       |             sqrt(${dotDSql("embedding", "embedding")}) AS nrm
+       |      FROM embeddings WHERE $survivorPred),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv,
+       |                 sqrt(${dotDSql("embedding", "embedding")}) AS cn
+       |          FROM embeddings
+       |          WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NumCentroids}),
+       |assigned AS (
+       |  SELECT vec_id, cent_id
+       |  FROM (SELECT e.vec_id, cents.cent_id,
+       |               ${dotDSql("e.v", "cents.cv")} / (e.nrm * cents.cn) AS cent_cos
+       |        FROM e CROSS JOIN cents)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cent_cos DESC, cent_id) = 1),
+       |q AS (SELECT vec_id AS query_id, cent_id AS qc
+       |      FROM assigned WHERE vec_id < $NumQueries),
+       |cand AS (SELECT q.query_id, a.vec_id, a.cent_id AS cell
+       |         FROM assigned a JOIN q ON a.cent_id = q.qc
+       |         WHERE a.vec_id <> q.query_id),
+       |p AS (SELECT cand.query_id, cand.vec_id, cand.cell,
+       |             CAST(sum(CAST((qc.code - cc.code) * (qc.code - cc.code) AS BIGINT)) AS BIGINT) AS code_d2
+       |      FROM cand
+       |      JOIN c qc ON qc.vec_id = cand.query_id
+       |      JOIN c cc ON cc.vec_id = cand.vec_id AND cc.d = qc.d
+       |      GROUP BY 1, 2, 3)
+       |SELECT query_id,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |              ORDER BY code_d2, vec_id) AS INT) AS rank,
+       |       vec_id AS neighbor_id, cell, code_d2
+       |FROM p
+       |QUALIFY rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def sq8IvfSql: String =
     s"""WITH $sq8CtesSql,
        |e AS ($corpusSql),
@@ -2774,6 +2957,12 @@ object SimilarityOps {
       // pack/write/read is Spark plumbing the oracle has no analog for)
       ("x23_sq8_packed" -> oraclesBase("x22_sq8_sdc")) +
       ("x24_sq8_ivf" -> sq8IvfSql) +
+      // x33: build∘append∘forget∘serve with the quantizer grid and
+      // codebook FROZEN at build — the oracle learns the grid from the
+      // standing corpus only and serves the survivors (x20's
+      // convergence discipline with the x24 serve and an explicitly
+      // NON-relearned quantizer)
+      ("x33_sq8_lifecycle" -> sq8LifecycleSql) +
       ("x25_sq8_rerank" -> sq8RerankSql) +
       ("x26_sign_hamming" -> signHammingSql) +
       // x31 serves x26's exact result from the written signature

@@ -967,26 +967,8 @@ object TextOps {
     val targets = req.select(col("shard_id")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (targets.nonEmpty) {
-      val survivors =
-        shardForgetSurvivors(s, root, req.select(col("doc_id")), targets)
-          .localCheckpoint()
-      val staged = survivors.select(col("shard_id")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (staged.nonEmpty) {
-        survivors.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("shard_id")
-          .parquet(s"$root/shards")
-      }
-      // all-deleted partitions (and request shards the store never
-      // held) — drop their directories, FS resolved from the ROOT
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      (targets.toSet -- staged).foreach { b =>
-        fs.delete(
-          new org.apache.hadoop.fs.Path(s"$root/shards/shard_id=$b"), true)
-        ()
-      }
+      AtRest.overwriteBuckets(s, s"$root/shards", "shard_id", targets,
+        shardForgetSurvivors(s, root, req.select(col("doc_id")), targets))
     }
   }
 

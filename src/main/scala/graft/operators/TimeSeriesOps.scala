@@ -555,13 +555,18 @@ object TimeSeriesOps {
     pmod(hash(b, bk), lit(SaxBandBuckets)).cast("int")
 
   /** Rebuild the DERIVED artifacts (words + bands) from the WRITTEN
-    * counts base and the stored grid origin — the build's second half,
-    * the origin-shift wholesale path, and the heal, all one tree. */
-  private def rebuildSaxDerived(s: SparkSession, root: String): Unit = {
+    * counts base and the GIVEN origin frame — the build's second half,
+    * the origin-shift wholesale path, and the heal, all one tree. The
+    * origin arrives as a frame (not a consts read) so the shift paths
+    * can rebuild the derived tables FIRST and persist consts LAST —
+    * consts-matches-the-base is then a reliable "rebuild committed"
+    * flag a mid-crash rerun re-checks (the r16 ADVICE ordering). */
+  private def rebuildSaxDerived(s: SparkSession, root: String,
+      consts: DataFrame): Unit = {
     val words = saxWordsWith(
         s.read.parquet(s"$root/counts")
           .select(col("user_id"), col("day"), col("cnt")),
-        s.read.parquet(s"$root/consts"))
+        consts)
       .withColumn("u_bucket", userBucketCol(col("user_id")))
     words.write.mode("overwrite").partitionBy("u_bucket")
       .parquet(s"$root/words")
@@ -570,6 +575,25 @@ object TimeSeriesOps {
       .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
       .write.mode("overwrite").partitionBy("bb_bucket")
       .parquet(s"$root/bands")
+  }
+
+  /** The recomputed grid origin of the WRITTEN base, as a consts-shaped
+    * frame: ONE row normally, ZERO rows when the base is empty — the
+    * emptied-index marker (a NULL d0 row would poison every later
+    * origin read; [[saxOrigin]] treats no-rows as "no origin"). */
+  private def recountedOrigin(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/counts").agg(min(col("day")).as("d0"))
+      .filter(col("d0").isNotNull)
+      .localCheckpoint()
+
+  /** The stored grid origin; None when the index is empty (consts
+    * holds zero rows) or — defensively — when a legacy consts holds a
+    * NULL row. Every consts read goes through here: maintenance on an
+    * emptied store must re-seed rather than NPE (the r16 ADVICE
+    * emptied-index arm). */
+  private[graft] def saxOrigin(s: SparkSession, root: String): Option[Long] = {
+    val r = s.read.parquet(s"$root/consts").collect()
+    if (r.isEmpty || r(0).isNullAt(0)) None else Some(r(0).getLong(0))
   }
 
   /** BUILD: write all four artifacts; the origin and the derived
@@ -581,9 +605,9 @@ object TimeSeriesOps {
         userBucketCol(col("user_id")).as("u_bucket"))
       .write.mode("overwrite").partitionBy("u_bucket")
       .parquet(s"$root/counts")
-    s.read.parquet(s"$root/counts").agg(min(col("day")).as("d0"))
-      .write.mode("overwrite").parquet(s"$root/consts")
-    rebuildSaxDerived(s, root)
+    val nc = recountedOrigin(s, root)
+    nc.write.mode("overwrite").parquet(s"$root/consts")
+    rebuildSaxDerived(s, root, nc)
   }
 
   /** UPDATE: fold a (user_id, day, cnt) batch into the standing index
@@ -616,6 +640,14 @@ object TimeSeriesOps {
     * stale, never wrong — [[healSaxIndex]] recounts from the base. */
   private[graft] def updateSaxIndex(s: SparkSession, root: String,
       batch: DataFrame): Unit = {
+    // an EMPTIED store (zero-row consts — every user forgotten) has no
+    // readable base to anti-join against: the batch re-SEEDS it, the
+    // build verbatim (the r16 ADVICE emptied-index arm)
+    if (saxOrigin(s, root).isEmpty) {
+      writeSaxIndex(s, root,
+        batch.select(col("user_id"), col("day"), col("cnt")))
+      return
+    }
     val landed = batch
       .select(col("user_id"), col("day"), col("cnt"),
         userBucketCol(col("user_id")).as("u_bucket"))
@@ -628,15 +660,17 @@ object TimeSeriesOps {
       .parquet(s"$root/counts")
     // maintenance bookkeeping (the d27 sanctioned-collect class): the
     // stored origin and the landed batch's reach — two O(1) scalars
-    val d0 = s.read.parquet(s"$root/consts").collect()(0).getLong(0)
+    val d0 = saxOrigin(s, root).get
     val lminRow = landed.agg(min(col("day"))).collect()(0)
     if (!lminRow.isNullAt(0) && lminRow.getLong(0) < d0) {
       // the grid origin SHIFTED: every word is relative to d0, so the
-      // derived tables rebuild wholesale from the (intact) base
-      s.read.parquet(s"$root/counts").agg(min(col("day")).as("d0"))
-        .localCheckpoint()
-        .write.mode("overwrite").parquet(s"$root/consts")
-      rebuildSaxDerived(s, root)
+      // derived tables rebuild wholesale from the (intact) base —
+      // derived tables FIRST, consts LAST, so the consts-vs-base
+      // mismatch survives a mid-crash and [[healSaxIndex]] (or any
+      // origin check) still sees the rebuild as uncommitted
+      val nc = recountedOrigin(s, root)
+      rebuildSaxDerived(s, root, nc)
+      nc.write.mode("overwrite").parquet(s"$root/consts")
     } else {
       // touched = users with landed activity INSIDE the indexed window
       val touched = landed
@@ -662,35 +696,15 @@ object TimeSeriesOps {
             s.read.parquet(s"$root/consts"))
           .withColumn("u_bucket", userBucketCol(col("user_id")))
           .localCheckpoint() // feeds the words staging AND the bands delta
-        // stage the touched buckets: every untouched user's row
+        // replace the touched buckets: every untouched user's row
         // survives, every touched user's row is REPLACED (canonical
-        // column order — the d23 mixed-schema lesson); pinned eagerly
-        // because the plan reads the very files the overwrite replaces
-        val stagedW = s.read.parquet(s"$root/words")
-          .filter(col("u_bucket").isin(tBuckets: _*))
-          .join(broadcast(touched), Seq("user_id"), "left_anti")
-          .unionByName(newWords)
-          .select(col("user_id"), col("word"), col("n_active_segs"),
-            col("u_bucket"))
-          .localCheckpoint()
-        val stagedWBuckets = stagedW.select(col("u_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        if (stagedWBuckets.nonEmpty) {
-          stagedW.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("u_bucket")
-            .parquet(s"$root/words")
-        }
-        // the x17/d27 partition-drop edge: a touched bucket staging
-        // ZERO survivors gets nothing from dynamic overwrite — drop
-        // its stale directory explicitly (FS resolved from the root)
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        (tBuckets.toSet -- stagedWBuckets).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$root/words/u_bucket=$b"), true)
-          ()
-        }
+        // order, stage pinning and the zero-survivor bucket drop all
+        // live in the shared verb)
+        AtRest.overwriteBuckets(s, s"$root/words", "u_bucket", tBuckets,
+          s.read.parquet(s"$root/words")
+            .filter(col("u_bucket").isin(tBuckets: _*))
+            .join(broadcast(touched), Seq("user_id"), "left_anti")
+            .unionByName(newWords))
         // bands: affected buckets = the touched users' old ∪ new band
         // keys' buckets (≤ 2·NumSegs·|touched|, listed driver-side)
         val newBands = bandKeys(newWords)
@@ -701,25 +715,11 @@ object TimeSeriesOps {
           .select(saxBandBucketCol(col("b"), col("bk")).as("bb_bucket"))
           .unionByName(newBands.select(col("bb_bucket")))
           .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        val stagedB = s.read.parquet(s"$root/bands")
-          .filter(col("bb_bucket").isin(bBuckets: _*))
-          .join(broadcast(touched), Seq("user_id"), "left_anti")
-          .unionByName(newBands)
-          .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
-          .localCheckpoint()
-        val stagedBBuckets = stagedB.select(col("bb_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        if (stagedBBuckets.nonEmpty) {
-          stagedB.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bb_bucket")
-            .parquet(s"$root/bands")
-        }
-        (bBuckets.toSet -- stagedBBuckets).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$root/bands/bb_bucket=$b"), true)
-          ()
-        }
+        AtRest.overwriteBuckets(s, s"$root/bands", "bb_bucket", bBuckets,
+          s.read.parquet(s"$root/bands")
+            .filter(col("bb_bucket").isin(bBuckets: _*))
+            .join(broadcast(touched), Seq("user_id"), "left_anti")
+            .unionByName(newBands))
       }
     }
   }
@@ -736,98 +736,74 @@ object TimeSeriesOps {
     *     request's ids, all-deleted buckets drop);
     *  3. the origin recounts from the swept base: unchanged → the
     *     deleted users' words/bands rows sweep bucket-scoped; shifted
-    *     → consts rewrites and the derived tables rebuild wholesale
-    *     ([[rebuildSaxDerived]], the documented rare path).
+    *     → the derived tables rebuild wholesale FIRST and consts
+    *     persists LAST ([[rebuildSaxDerived]], the documented rare
+    *     path) — a crash between the two leaves consts != min(counts),
+    *     so the rerun re-enters the rebuild rather than spuriously
+    *     passing the shift check; an EMPTIED base (last users deleted)
+    *     drops the derived dirs and writes zero-row consts, the marker
+    *     [[updateSaxIndex]] re-seeds from.
     * Forget == rebuild-over-survivors on all four artifacts in BOTH
-    * regimes (SaxAtRestSpec plants each); idempotent — a rerun sweeps
-    * nothing and recounts the same origin. */
+    * regimes (SaxAtRestSpec plants each); idempotent — a clean rerun
+    * sweeps nothing and recounts the same origin, and every planted
+    * crash point converges by rerun. */
   private[graft] def forgetSaxIndex(s: SparkSession, root: String,
-      delUsers: DataFrame): Unit = {
+      delUsers: DataFrame, crashBeforeConsts: Boolean = false): Unit = {
+    // an already-emptied store (zero-row consts) holds nothing to
+    // forget — and its counts/words dirs hold no readable files
+    if (saxOrigin(s, root).isEmpty) return
     val ids = delUsers.select(col("user_id")).distinct().localCheckpoint()
     val uBuckets = ids.select(userBucketCol(col("user_id")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (uBuckets.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = AtRest.fsOf(s, root)
     val oldWords = s.read.parquet(s"$root/words")
       .filter(col("u_bucket").isin(uBuckets: _*))
       .join(broadcast(ids), Seq("user_id"))
       .select(col("user_id"), col("word"))
       .localCheckpoint()
-    val d0 = s.read.parquet(s"$root/consts").collect()(0).getLong(0)
+    val d0 = saxOrigin(s, root).get
     // 1. the base of record sweeps first
-    val survC = s.read.parquet(s"$root/counts")
-      .filter(col("u_bucket").isin(uBuckets: _*))
-      .join(broadcast(ids), Seq("user_id"), "left_anti")
-      .select(col("user_id"), col("day"), col("cnt"), col("u_bucket"))
-      .localCheckpoint()
-    val stagedC = survC.select(col("u_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (stagedC.nonEmpty) {
-      survC.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("u_bucket")
-        .parquet(s"$root/counts")
-    }
-    (uBuckets.toSet -- stagedC).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$root/counts/u_bucket=$b"), true)
-      ()
-    }
-    // 2. did the deleted users own the grid origin?
-    val nd0Row = s.read.parquet(s"$root/counts")
-      .agg(min(col("day"))).collect()(0)
-    if (nd0Row.isNullAt(0) || nd0Row.getLong(0) != d0) {
-      // origin shifted (or the index emptied): every surviving word
-      // is relative to the OLD d0 — wholesale rebuild from the base
-      s.read.parquet(s"$root/counts").agg(min(col("day")).as("d0"))
+    AtRest.sweepBuckets(s, s"$root/counts", "u_bucket", uBuckets,
+      ids, Seq("user_id"))
+    // 2. did the deleted users own the grid origin? (FS-listed first:
+    // a forget of the LAST users leaves counts with no data files,
+    // which no parquet read can infer a schema from)
+    val baseEmpty = AtRest.bucketFiles(s, s"$root/counts", "u_bucket")
+      .values.forall(_.isEmpty)
+    if (baseEmpty) {
+      // the index EMPTIED: drop the derived dirs wholesale and mark
+      // consts with ZERO rows — never a NULL-d0 row, which every
+      // origin read would trip over (the r16 ADVICE emptied arm).
+      // The store stays re-seedable: [[updateSaxIndex]] reads the
+      // zero-row consts as "no origin" and rebuilds from its batch.
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/words"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/bands"), true)
+      s.read.parquet(s"$root/consts").filter(lit(false))
         .localCheckpoint()
         .write.mode("overwrite").parquet(s"$root/consts")
-      rebuildSaxDerived(s, root)
+      return
+    }
+    val nc = recountedOrigin(s, root)
+    if (nc.collect()(0).getLong(0) != d0) {
+      // origin shifted: every surviving word is relative to the OLD
+      // d0 — wholesale rebuild from the swept base. Derived tables
+      // FIRST, consts LAST (the r16 ADVICE ordering): a crash between
+      // the two leaves consts != min(counts), so the rerun re-enters
+      // this branch and repeats the (idempotent) rebuild instead of
+      // spuriously passing the shift check and sweeping nothing.
+      rebuildSaxDerived(s, root, nc)
+      if (crashBeforeConsts) return // spec-planted crash point
+      nc.write.mode("overwrite").parquet(s"$root/consts")
     } else {
       // 3. bucket-scoped derived sweeps
-      val stagedW = s.read.parquet(s"$root/words")
-        .filter(col("u_bucket").isin(uBuckets: _*))
-        .join(broadcast(ids), Seq("user_id"), "left_anti")
-        .select(col("user_id"), col("word"), col("n_active_segs"),
-          col("u_bucket"))
-        .localCheckpoint()
-      val stagedWB = stagedW.select(col("u_bucket")).distinct()
-        .collect().map(_.getInt(0)).toSet
-      if (stagedWB.nonEmpty) {
-        stagedW.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("u_bucket")
-          .parquet(s"$root/words")
-      }
-      (uBuckets.toSet -- stagedWB).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$root/words/u_bucket=$b"), true)
-        ()
-      }
+      AtRest.sweepBuckets(s, s"$root/words", "u_bucket", uBuckets,
+        ids, Seq("user_id"))
       val bBuckets = bandKeys(oldWords)
         .select(saxBandBucketCol(col("b"), col("bk")).as("bb_bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      if (bBuckets.nonEmpty) {
-        val stagedB = s.read.parquet(s"$root/bands")
-          .filter(col("bb_bucket").isin(bBuckets: _*))
-          .join(broadcast(ids), Seq("user_id"), "left_anti")
-          .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
-          .localCheckpoint()
-        val stagedBB = stagedB.select(col("bb_bucket")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        if (stagedBB.nonEmpty) {
-          stagedB.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bb_bucket")
-            .parquet(s"$root/bands")
-        }
-        (bBuckets.toSet -- stagedBB).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$root/bands/bb_bucket=$b"), true)
-          ()
-        }
-      }
+      AtRest.sweepBuckets(s, s"$root/bands", "bb_bucket", bBuckets,
+        ids, Seq("user_id"))
     }
   }
 
@@ -861,10 +837,9 @@ object TimeSeriesOps {
     * update (a row-level no-op) then this heal restores the exact
     * rebuilt state. */
   private[graft] def healSaxIndex(s: SparkSession, root: String): Unit = {
-    s.read.parquet(s"$root/counts").agg(min(col("day")).as("d0"))
-      .localCheckpoint()
-      .write.mode("overwrite").parquet(s"$root/consts")
-    rebuildSaxDerived(s, root)
+    val nc = recountedOrigin(s, root)
+    rebuildSaxDerived(s, root, nc)
+    nc.write.mode("overwrite").parquet(s"$root/consts")
   }
 
   /** ts9's serve core: ts5's Hamming-1 k-NN with BOTH index reads

@@ -304,6 +304,121 @@ class AuditOpsSpec extends SparkSpec {
     rm()
   }
 
+  test("dq8: per-micro-batch enforcement is SEMANTICALLY wrong — suppression destroys rows a later batch would have saved (the documented streamed-twin decline)") {
+    import spark.implicits._
+    // Every other maintained family has a streamed twin because its
+    // verbs are MONOTONE under append. Suppression is not: it DELETES
+    // under-K rows, and a later batch can lift the same cell over K —
+    // the whole-release enforcement keeps those rows, the incremental
+    // one has already destroyed them. This pins the divergence, which
+    // is WHY the k-anon release rebuilds per release (SCALE.md's
+    // matrix cell) instead of binding enforcement per micro-batch.
+    def seed(r: String, rows: Seq[(Long, String, String, Int)]): Unit =
+      rows.toDF("doc_id", "lang", "source", "len_bucket")
+        .withColumn("qi_bucket", AuditOps.qiBucketCol)
+        .write.mode("overwrite").partitionBy("qi_bucket")
+        .parquet(s"$r/release")
+    def rm(r: String): Unit = {
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(r), true)
+      ()
+    }
+    val cellA = (1L to 3L).map(i => (i, "zz", "w1", 4))   // 3 < K at first
+    val cellB = (11L to 14L).map(i => (i, "zz", "w1", 5)) // separate cell, under K both ways
+    val later = (21L to 24L).map(i => (i, "zz", "w1", 4)) // 4 more of cell A → union = 7 >= K
+    val rootI = "target/graft-index/spec-dq8-incr"
+    val rootW = "target/graft-index/spec-dq8-whole"
+    rm(rootI); rm(rootW)
+    // incremental: enforce batch 1, append batch 2, enforce again
+    seed(rootI, cellA ++ cellB)
+    AuditOps.enforceKAnonymity(spark, rootI)
+    later.toDF("doc_id", "lang", "source", "len_bucket")
+      .withColumn("qi_bucket", AuditOps.qiBucketCol)
+      .write.mode("append").partitionBy("qi_bucket")
+      .parquet(s"$rootI/release")
+    AuditOps.enforceKAnonymity(spark, rootI)
+    // whole-release: one enforcement over the union
+    seed(rootW, cellA ++ cellB ++ later)
+    AuditOps.enforceKAnonymity(spark, rootW)
+    // the incremental run can empty the release entirely (every cell
+    // suppressed) — a file-less dir has no inferable schema
+    def ids(r: String): Set[Long] = {
+      val d = new java.io.File(s"$r/release")
+      val hasData = Option(d.listFiles).exists(_.exists(p =>
+        p.isDirectory && Option(p.listFiles).exists(
+          _.exists(_.getName.endsWith(".parquet")))))
+      if (!hasData) Set.empty
+      else spark.read.parquet(s"$r/release")
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    }
+    val (incr, whole) = (ids(rootI), ids(rootW))
+    // the whole-release run keeps cell A's 7 rows; the incremental run
+    // destroyed the first 3 before batch 2 could save them
+    assert(whole.count(_ <= 3L) == 3,
+      "fixture regression: the whole-release run must retain cell A's early rows")
+    assert(incr.count(_ <= 3L) == 0,
+      "fixture regression: the incremental run must have suppressed them already")
+    assert(incr != whole,
+      "incremental enforcement accidentally matched — the decline rationale no longer holds")
+    rm(rootI); rm(rootW)
+  }
+
+  test("dq9 crash point: a band whose ONLY under-K cell is the EVEN one still converges (the migration-intent manifest)") {
+    import spark.implicits._
+    // the r16 ADVICE trap: the odd cell is itself >= K, so after the
+    // mover append both cells recount >= K and the band VANISHES from
+    // the under-K filter — detection from counts alone would orphan
+    // the stranded odd copies at both granularities forever
+    val root = "target/graft-index/spec-dq9-evencrash"
+    val rootB = "target/graft-index/spec-dq9-evencrash-clean"
+    def rm(r: String): Unit = {
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(r), true)
+      ()
+    }
+    def seed(r: String): Unit =
+      ((1L to 2L).map(i => (i, "zz", "w1", 2)) ++ // EVEN cell: 2 < K
+        (11L to 16L).map(i => (i, "zz", "w1", 3)) ++ // ODD cell: 6 >= K
+        (21L to 27L).map(i => (i, "zz", "w2", 4))) // healthy band
+        .toDF("doc_id", "lang", "source", "len_bucket")
+        .withColumn("qi_bucket", AuditOps.qiBucketCol)
+        .write.mode("overwrite").partitionBy("qi_bucket")
+        .parquet(s"$r/release")
+    rm(root); rm(rootB)
+    seed(root); seed(rootB)
+    // plant the crash: movers landed at the even edge, the odd-bucket
+    // resolve never ran — the intent manifest is on disk
+    AuditOps.generalizeKAnonymity(spark, root, crashAfterLand = true)
+    val cells = spark.read.parquet(s"$root/release")
+      .groupBy(col("len_bucket")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cells.getOrElse(2, 0L) == 8L && cells.getOrElse(3, 0L) == 6L,
+      s"fixture regression: the crash state must hold movers at BOTH granularities ($cells)")
+    assert(new java.io.File(s"$root/migrate_intent/_SUCCESS").exists(),
+      "the intent manifest must be on disk inside the crash window")
+    // recovery = rerun: the recount alone sees nothing under K here,
+    // but the intent forces the band back into the mover set
+    AuditOps.generalizeKAnonymity(spark, root)
+    AuditOps.enforceKAnonymity(spark, root)
+    assert(!new java.io.File(s"$root/migrate_intent").exists(),
+      "a completed run must clear the intent manifest")
+    val ids = spark.read.parquet(s"$root/release")
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length,
+      "crash-rerun left a doc released twice")
+    // and equals the clean end state
+    AuditOps.generalizeKAnonymity(spark, rootB)
+    AuditOps.enforceKAnonymity(spark, rootB)
+    def rows(r: String) = spark.read.parquet(s"$r/release")
+      .select(col("doc_id"), col("lang"), col("source"), col("len_bucket"))
+      .collect().map(_.toSeq).toSet
+    assert(rows(root) == rows(rootB),
+      "even-cell crash-rerun diverged from the clean enforcement")
+    assert(rows(root).count(_(3) == 2) == 8,
+      "the bad band's rows must all sit at the even edge")
+    rm(root); rm(rootB)
+  }
+
   test("dq9: the transient both-copies crash window converges by rerun") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, Sf)

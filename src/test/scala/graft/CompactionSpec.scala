@@ -34,8 +34,12 @@ class CompactionSpec extends SparkSpec {
   private def assertCompactionInvariants(root: String, art: String,
       pcol: String, sortCols: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
     val table = s"$root/$art"
-    val rowsBefore = spark.read.parquet(table)
-      .collect().map(_.toString).sorted.toSeq
+    // to_json canonicalizes nested/binary cells (x33's packed codes
+    // would otherwise compare by array identity)
+    def canonRows() = spark.read.parquet(table)
+      .select(to_json(struct(col("*"))).as("j"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val rowsBefore = canonRows()
     val pre = fileSig(root, art, pcol)
     val affected = AtRest.compactBucketedTable(spark, table, pcol,
       sortCols = sortCols)
@@ -47,8 +51,7 @@ class CompactionSpec extends SparkSpec {
     affected.foreach { b =>
       assert(post(b).size == 1, s"$art bucket $b not packed to one file")
     }
-    val rowsAfter = spark.read.parquet(table)
-      .collect().map(_.toString).sorted.toSeq
+    val rowsAfter = canonRows()
     assert(rowsAfter == rowsBefore, s"compaction changed $art rows")
     assert(AtRest.compactBucketedTable(spark, table, pcol,
         sortCols = sortCols).isEmpty,
@@ -105,6 +108,35 @@ class CompactionSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     CacheScope.drain()
     assert(after == before, "compaction changed the winnow-probe verdicts")
+  }
+
+  test("sq8 codes: the x33 cell table compacts with the ir19 invariants; serve unchanged (the matrix row's compact verb)") {
+    spark.sharedState.cacheManager.clearCache()
+    val root = "target/graft-index/spec-compact-sq8"
+    rmRoot(root)
+    val emb = graft.sources.Tables.embeddings(spark, Sf)
+    val S = graft.operators.SimilarityOps
+    // build-then-append so the cell dirs accrete ≥ 2 files each
+    val half = expr("(vec_id div 16) % 2")
+    S.buildSq8Maintained(spark, root, emb.filter(half =!= 0 ||
+      col("vec_id") < S.NumQueries + S.NumCentroids))
+    S.appendSq8Maintained(spark, root, emb.filter(half === 0 &&
+      col("vec_id") >= S.NumQueries + S.NumCentroids))
+    CacheScope.drain()
+    def serve() = S.sq8CellServeAgainst(
+        spark.read.parquet(s"$root/codes"),
+        spark.read.parquet(s"$root/queries")
+          .filter(col("vec_id") < S.NumQueries)
+          .select(col("vec_id").as("query_id"), col("codes").as("qcodes"),
+            col("cell_id").as("q_cell")))
+      .collect().map(_.toString).sorted.toSeq
+    val before = serve()
+    CacheScope.drain()
+    assertCompactionInvariants(root, "codes", "cell_id")
+    val after = serve()
+    CacheScope.drain()
+    assert(after == before, "compaction changed the SQ8 cell serve")
+    rmRoot(root)
   }
 
   test("positional index: compaction preserves the promised per-file (tok, doc_id, pos) order; phrase serve unchanged") {

@@ -795,6 +795,48 @@ class PlanContractSpec extends SparkSpec {
       s"sweep read listed files outside the target buckets: ${listed.take(3)}")
   }
 
+  test("shared sweep verb: every round-17 forget's survivor read carries a STATIC bucket predicate and lists only target dirs (ir23/d31/d32/d33/x33)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val base = graft.operators.SimilarityOps.indexRoot(spark, Sf)
+    // build each family's table once, then pin the sweep's survivor
+    // frame — the SAME AtRest.sweepSurvivors tree every new forget
+    // routes through, instantiated per layout
+    val d = graft.operators.DedupOps
+    val r = graft.operators.RetrievalOps
+    r.writePositionalIndex(spark, s"$base/sweeppin23", docs)
+    d.writeShingleIndex(spark, s"$base/sweeppin31", docs)
+    d.writeWinnowIndex(spark, s"$base/sweeppin32", docs)
+    d.writeSimhashIndex(spark, s"$base/sweeppin33", docs)
+    graft.operators.SimilarityOps.buildSq8Maintained(spark,
+      s"$base/sweeppinx33", graft.sources.Tables.embeddings(spark, Sf))
+    val families = Seq(
+      (s"$base/sweeppin23/positional", "term_bucket", "doc_id", "sweeppin23"),
+      (s"$base/sweeppin31/postings", "sh_bucket", "doc_id", "sweeppin31"),
+      (s"$base/sweeppin32/kept", "h_bucket", "doc_id", "sweeppin32"),
+      (s"$base/sweeppin33/chunks", "chunk_bucket", "doc_id", "sweeppin33"),
+      (s"$base/sweeppinx33/codes", "cell_id", "vec_id", "sweeppinx33"))
+    val targets = Seq(2, 9)
+    families.foreach { case (table, pcol, key, tag) =>
+      val p = executed(graft.operators.AtRest.sweepSurvivors(spark,
+        table, pcol, targets, Seq(30L, 70L).toDF(key), Seq(key)))
+      val idxScans = scans(p).filter(
+        _.relation.location.rootPaths.exists(_.toString.contains(tag)))
+      assert(idxScans.nonEmpty, s"$tag: table scan missing from the survivor plan")
+      val pf = idxScans.head.partitionFilters
+      assert(pf.exists(_.toString.contains(pcol)),
+        s"$tag: survivor read lost its $pcol partition predicate: $pf")
+      val dirs = targets.map(b => s"$pcol=$b/").toSet
+      val listed = idxScans.head.relation.location
+        .listFiles(pf, idxScans.head.dataFilters)
+        .flatMap(_.files.map(_.getPath.toString))
+      assert(listed.nonEmpty && listed.forall(f => dirs.exists(f.contains)),
+        s"$tag: survivor read listed files outside the target buckets: ${listed.take(3)}")
+      assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+        s"$tag: the request side must broadcast into the anti-join")
+    }
+  }
+
   test("ap7: the cross-store algebra reads ONLY the two sketch stores — no corpus scan anywhere") {
     val ap = graft.operators.ApproxOps
     val docs = graft.sources.Tables.documents(spark, Sf)

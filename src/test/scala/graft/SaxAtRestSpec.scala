@@ -227,6 +227,60 @@ class SaxAtRestSpec extends SparkSpec {
     rmRoot(root); rmRoot(rootB)
   }
 
+  test("ts12 crash point: rebuild done, consts never written — the rerun repeats the rebuild and converges") {
+    import spark.implicits._
+    val c = plantedCounts
+    val isDel = col("user_id") === 0L // user 0 owns day 1000 == d0
+    val root = "target/graft-index/spec-ts12-crash"
+    val rootB = "target/graft-index/spec-ts12-crash-rebuild"
+    rmRoot(root); rmRoot(rootB)
+    TS.writeSaxIndex(spark, root, c)
+    val d0 = spark.read.parquet(s"$root/consts").collect()(0).getLong(0)
+    // the planted crash: the shift path rebuilt words/bands to the NEW
+    // origin but died before persisting consts — the window where the
+    // old ordering's rerun would spuriously pass the shift check and
+    // leave words keyed to an origin consts no longer matches
+    TS.forgetSaxIndex(spark, root, Seq(0L).toDF("user_id"),
+      crashBeforeConsts = true)
+    assert(spark.read.parquet(s"$root/consts").collect()(0).getLong(0) == d0,
+      "fixture regression: the crash point must leave consts at the OLD origin")
+    assert(spark.read.parquet(s"$root/counts").agg(min(col("day")))
+        .collect()(0).getLong(0) > d0,
+      "fixture regression: the swept base must disagree with consts")
+    // recovery = rerun the same forget: the sweep is a no-op, the
+    // consts-vs-base mismatch re-fires the (idempotent) rebuild, and
+    // consts persists — all four artifacts == rebuild over survivors
+    TS.forgetSaxIndex(spark, root, Seq(0L).toDF("user_id"))
+    TS.writeSaxIndex(spark, rootB, c.filter(!isDel))
+    assertSameRows(root, rootB)
+    rmRoot(root); rmRoot(rootB)
+  }
+
+  test("ts12: forgetting EVERY user empties the store (zero-row consts, no NULL origin) and the next update re-seeds it") {
+    import spark.implicits._
+    val c = plantedCounts
+    val root = "target/graft-index/spec-ts12-emptied"
+    val rootB = "target/graft-index/spec-ts12-emptied-reseed"
+    rmRoot(root); rmRoot(rootB)
+    TS.writeSaxIndex(spark, root, c)
+    TS.forgetSaxIndex(spark, root,
+      (0L until 16L).toDF("user_id"))
+    // the emptied marker: consts holds ZERO rows — never a NULL d0 a
+    // later maintenance read would NPE over — and saxOrigin sees it
+    assert(spark.read.parquet(s"$root/consts").count() == 0L,
+      "an emptied store must write zero-row consts")
+    assert(TS.saxOrigin(spark, root).isEmpty,
+      "saxOrigin must read the emptied marker as no-origin")
+    // a second forget of the emptied store is a no-op, not a crash
+    TS.forgetSaxIndex(spark, root, Seq(1L).toDF("user_id"))
+    // the next batch re-seeds: update == fresh build, all artifacts
+    val batch = plantedCounts.filter(col("user_id") < 4L)
+    TS.updateSaxIndex(spark, root, batch)
+    TS.writeSaxIndex(spark, rootB, batch)
+    assertSameRows(root, rootB)
+    rmRoot(root); rmRoot(rootB)
+  }
+
   test("ts12: forgetting the origin's owner shifts d0 forward and takes the wholesale path — still == rebuild") {
     import spark.implicits._
     val c = plantedCounts
