@@ -239,6 +239,68 @@ object LayoutOps {
     rectangleRead(s, root)
   }
 
+  /** FORGET users from the z-order layout (ly4) — the RECTANGLE
+    * forget, the x17 cell-targeted shape executed: a user's rows live
+    * in exactly the cells of the degenerate rectangle
+    * `[u,u] × [day_min, day_max]`, and the day bounds come from the
+    * KB-scale stats sidecar — so the target-cell list is DRIVER-
+    * computed from the request's keys plus index metadata
+    * ([[cellsForRange]], the same planning step a range read uses),
+    * no corpus read for targeting. The touched cells sweep by `u`
+    * through the shared verb; their stats RECOUNT from the swept rows
+    * (min/max cannot decrement — ir22's subtractive discipline) while
+    * untouched cells' stats rows carry over verbatim; a cell emptied
+    * entirely drops its directory and its stats row. Idempotent: a
+    * rerun sweeps nothing and recounts the same stats. */
+  private[graft] def forgetZorder(s: SparkSession, root: String,
+      delUs: Seq[Long]): Unit = {
+    if (delUs.isEmpty) return
+    val b = s.read.parquet(s"$root/stats")
+      .agg(min(col("day_min")), max(col("day_max"))).collect()(0)
+    if (b.isNullAt(0)) return
+    val cells = delUs.flatMap(u => cellsForRange(u, u, b.getLong(0),
+        b.getLong(1)))
+      .distinct.sorted.map(_.toInt)
+    val req = s.createDataFrame(
+      s.sparkContext.parallelize(delUs.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("u",
+          org.apache.spark.sql.types.LongType))))
+    AtRest.sweepBuckets(s, s"$root/rows", "cell", cells, req, Seq("u"))
+    s.read.parquet(s"$root/stats")
+      .filter(!col("cell").isin(cells: _*))
+      .unionByName(cellAgg(s.read.parquet(s"$root/rows")
+        .filter(col("cell").isin(cells: _*))
+        .select(col("u"), col("day"), col("cell"))))
+      .localCheckpoint()
+      .write.mode("overwrite").parquet(s"$root/stats")
+  }
+
+  /** LY4 — FORGET EXECUTED AGAINST THE Z-ORDER LAYOUT: build the
+    * clustered table + stats sidecar, EXECUTE the user-delete cohort
+    * ([[forgetZorder]] — target cells planned driver-side from the
+    * request's u keys × the sidecar's day bounds), and serve ly2's
+    * rectangle read from what remains. The oracle is ly2's two-
+    * predicate filter over the SURVIVOR rows (the fixed rectangle
+    * contains deleted users, so the forget provably bites).
+    *
+    * 100 TB plan: a user-forget touches the one u-cell column of the
+    * grid (day-span cells of a single u stripe) — request-keys ×
+    * calendar-bounded IO, never the table; the stats recount reads
+    * only the touched cells' swept rows. */
+  def zorderForget(s: SparkSession, dir: String): DataFrame = {
+    val root = SimilarityOps.indexRoot(s, dir) + "/zorder4"
+    writeZorder(s, root, Tables.events(s, dir))
+    // the request: every u ≡ ForgetRem (mod ForgetMod) in the indexed
+    // u range — the range bound is one KB stats read, and the id list
+    // is driver metadata (request-sized, the c6 convention)
+    val maxU = s.read.parquet(s"$root/stats")
+      .agg(max(col("u_max"))).collect()(0).getLong(0)
+    forgetZorder(s, root,
+      (0L to maxU).filter(_ % TextOps.ForgetMod == TextOps.ForgetRem))
+    rectangleRead(s, root)
+  }
+
   /** The SQL-text form of [[spread16]], parameterized by the dialect's
     * shift-left syntax — ONE place holds the four shift-mask steps for
     * the DuckDB oracle (`x << n`) AND sx5's Spark-SQL restatement
@@ -258,7 +320,8 @@ object LayoutOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ly1_zorder_layout" -> (zorderLayout _),
     "ly2_zorder_read" -> (zorderRangeRead _),
-    "ly3_zorder_append" -> (zorderAppend _))
+    "ly3_zorder_append" -> (zorderAppend _),
+    "ly4_zorder_forget" -> (zorderForget _))
 
   val oracles: Map[String, String] = Map(
     // identical integer bit arithmetic on both engines; day via the
@@ -287,11 +350,15 @@ object LayoutOps {
     // ly3: build∘append∘read == rebuild∘read — appends route per-row
     // and the stats merge is associative, so the oracle is ly2's
     // verbatim (the x19/ir16 maintenance convention)
-    "ly3_zorder_append" -> rectangleOracleSql)
+    "ly3_zorder_append" -> rectangleOracleSql,
+    // ly4: build∘forget∘read == ly2's filter over the SURVIVORS — the
+    // rectangle crosses deleted u stripes, so the forget provably bites
+    "ly4_zorder_forget" -> rectangleOracleWhere(
+      s"\n  AND u % ${TextOps.ForgetMod} <> ${TextOps.ForgetRem}"))
 
   /** ly2/ly3's twin — ONE definition for the fresh-build read and the
     * maintained-build read, which are row-identical. */
-  private lazy val rectangleOracleSql: String =
+  private def rectangleOracleWhere(extra: String): String =
     s"""WITH base AS (
        |  SELECT event_id, user_id & $DimMask AS u,
        |         (epoch_ns(ts) // ${WindowOps.DayNanos}) & $DimMask AS day
@@ -303,6 +370,8 @@ object LayoutOps {
        |SELECT event_id, u, day, cell
        |FROM zt
        |WHERE u BETWEEN $RectU0 AND $RectU1
-       |  AND day BETWEEN $RectD0 AND $RectD1
+       |  AND day BETWEEN $RectD0 AND $RectD1$extra
        |ORDER BY event_id""".stripMargin
+
+  private lazy val rectangleOracleSql: String = rectangleOracleWhere("")
 }

@@ -227,6 +227,43 @@ class ForgetFamiliesSpec extends SparkSpec {
     rmRoot(rootA); rmRoot(rootB)
   }
 
+  test("ly4: z-order forget == rebuild over survivors (rows AND stats); untouched cell dirs byte-identical; rerun a no-op") {
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val lo = graft.operators.LayoutOps
+    val rootA = "target/graft-index/spec-ly4-forget"
+    val rootB = "target/graft-index/spec-ly4-rebuild"
+    rmRoot(rootA); rmRoot(rootB)
+    lo.writeZorder(spark, rootA, ev)
+    val before = bucketSig(s"$rootA/rows", "cell")
+    // a TWO-user request: targets are the two u stripes' cells only
+    val delUs = Seq(5L, 18L)
+    lo.forgetZorder(spark, rootA, delUs)
+    val uCol = col("user_id").bitwiseAND(lit(65535L)) // zCoords' DimMask
+    lo.writeZorder(spark, rootB, ev.filter(!uCol.isin(delUs: _*)))
+    assert(rows(s"$rootA/rows", "event_id", "u", "day", "cell") ==
+      rows(s"$rootB/rows", "event_id", "u", "day", "cell"),
+      "ly4 rows forget != rebuild over survivors")
+    assert(rows(s"$rootA/stats", "cell", "n_rows", "u_min", "u_max",
+        "day_min", "day_max") ==
+      rows(s"$rootB/stats", "cell", "n_rows", "u_min", "u_max",
+        "day_min", "day_max"),
+      "ly4 stats forget != rebuild over survivors (subtractive recount broken)")
+    // untouched cells' files never moved (the rectangle bounds the IO)
+    val after = bucketSig(s"$rootA/rows", "cell")
+    val rewritten = before.keySet.filter(b => after.get(b) != before.get(b))
+    assert(rewritten.nonEmpty, "fixture regression: the forget rewrote nothing")
+    (before.keySet -- rewritten).foreach { b =>
+      assert(after.get(b) == before.get(b),
+        s"untouched z cell $b was rewritten by the forget")
+    }
+    // rerun: sweeps nothing, recounts the same stats
+    lo.forgetZorder(spark, rootA, delUs)
+    assert(rows(s"$rootA/stats", "cell", "n_rows") ==
+      rows(s"$rootB/stats", "cell", "n_rows"),
+      "retried ly4 forget drifted the stats")
+    rmRoot(rootA); rmRoot(rootB)
+  }
+
   test("champion tier: ir22's postings forget propagates — the champion serve equals a fresh build over survivors") {
     val docs = graft.sources.Tables.documents(spark, Sf)
     val rootA = "target/graft-index/spec-champ-forget"

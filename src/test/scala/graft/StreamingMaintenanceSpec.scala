@@ -256,6 +256,66 @@ class StreamingMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("streamed round-17 forgets == one-shot forget of the union (d33 simhash + ir23 positional), 2 fuzz seeds") {
+    // the new request-content forgets bound as takedown-request
+    // STREAMS: each micro-batch re-derives its own targets through the
+    // build's tree and sweeps bucket-scoped, so any cut of the request
+    // set must land each index where the all-at-once forget lands it
+    // (deletion commutes; both families are pure per-doc facts)
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val d = graft.operators.DedupOps
+    val r = graft.operators.RetrievalOps
+    val docs = Tables.documents(spark, Sf)
+    val isDel = col("doc_id") % graft.operators.TextOps.ForgetMod ===
+      graft.operators.TextOps.ForgetRem
+    val requests = docs.filter(isDel)
+      .select(col("doc_id"), col("text")).as[Doc].collect().toVector
+    assert(requests.size >= 5, "fixture regression: thin request cohort")
+    val simCols = Seq("doc_id", "simhash", "band", "chunk", "chunk_bucket")
+    val posCols = Seq("doc_id", "dl", "pos", "tok", "term_bucket")
+    val rootSim = "target/graft-index/spec-stream-d33-oneshot"
+    val rootPos = "target/graft-index/spec-stream-ir23-oneshot"
+    rmRoot(rootSim); rmRoot(rootPos)
+    d.writeSimhashIndex(spark, rootSim, docs)
+    d.forgetSimhashIndex(spark, rootSim, docs.filter(isDel))
+    r.writePositionalIndex(spark, rootPos, docs)
+    r.forgetPositionalIndex(spark, rootPos, docs.filter(isDel))
+    val expSim = rows(rootSim, "chunks", simCols)
+    val expPos = rows(rootPos, "positional", posCols)
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val rootS = s"target/graft-index/spec-stream-d33-$seed"
+      val rootP = s"target/graft-index/spec-stream-ir23-$seed"
+      rmRoot(rootS); rmRoot(rootP)
+      d.writeSimhashIndex(spark, rootS, docs)
+      r.writePositionalIndex(spark, rootP, docs)
+      val in = MemoryStream[Doc]
+      val q = in.toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val req = b.select(col("doc_id"), col("text")).localCheckpoint()
+          d.forgetSimhashIndex(spark, rootS, req)
+          r.forgetPositionalIndex(spark, rootP, req)
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(requests)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(4))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      assert(rows(rootS, "chunks", simCols) == expSim,
+        s"seed $seed: streamed d33 forget diverged from the one-shot union")
+      assert(rows(rootP, "positional", posCols) == expPos,
+        s"seed $seed: streamed ir23 forget diverged from the one-shot union")
+      CacheScope.drain()
+    }
+  }
+
   test("streamed takedowns == one-shot takedown of the union, 2 fuzz seeds") {
     // m8 bound as a takedown-request STREAM: each micro-batch's
     // group-fact update (decrement / relabel / vanish) must compose —
