@@ -1317,8 +1317,15 @@ object DedupOps {
     *     serve never touches text.
     * Dictionary and stats derive from the WRITTEN postings (one read
     * of the new files — ir15's no-second-corpus-pass rule). */
+  /** The forgettable docstats layout's partition attribute (d31) —
+    * ir22's bucketDoclen convention on this family: per-doc stats
+    * partition by doc bucket so a forget request targets them
+    * directly instead of rewriting a doc-count-bounded table. */
+  private[graft] def docStatsBucketCol: Column =
+    pmod(col("doc_id"), lit(16L)).cast("int")
+
   private[graft] def writeShingleIndex(s: SparkSession, root: String,
-      docs: DataFrame): Unit = {
+      docs: DataFrame, bucketStats: Boolean = false): Unit = {
     shinglePostings(docs)
       .write.mode("overwrite").partitionBy("sh_bucket")
       .parquet(s"$root/postings")
@@ -1326,8 +1333,13 @@ object DedupOps {
     p.select(col("sh_bucket"), col("h")).distinct()
       .write.mode("overwrite").partitionBy("sh_bucket")
       .parquet(s"$root/shset")
-    p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      .write.mode("overwrite").parquet(s"$root/docstats")
+    val stats = p.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    if (bucketStats)
+      stats.withColumn("ds_bucket", docStatsBucketCol)
+        .write.mode("overwrite").partitionBy("ds_bucket")
+        .parquet(s"$root/docstats")
+    else
+      stats.write.mode("overwrite").parquet(s"$root/docstats")
   }
 
   /** APPEND: fold a fresh batch into the standing index — exactly-once
@@ -1382,13 +1394,15 @@ object DedupOps {
     * touched buckets' dictionary recounts from the swept postings
     * (the ir22 blockmeta discipline; an additive dictionary would
     * keep d12's membership audit flagging content that no longer
-    * exists). `docstats` is the family's one unbucketed artifact
-    * (slim (doc_id, n_shingles) rows): it rewrites by anti-join —
-    * at 100 TB this is the doc-count-bounded metadata table, not the
-    * postings. Idempotent: a rerun re-derives the same targets and
-    * re-stages the same survivors. */
+    * exists). `docstats` in the forgettable layout is DOC-BUCKETED
+    * (ir22's bucketDoclen convention), so the request's ids target it
+    * directly — request-sized IO, where the d22/d23 in-place layout
+    * would rewrite a doc-count-bounded table; `bucketedStats = false`
+    * keeps the anti-join rewrite for that legacy layout. Idempotent:
+    * a rerun re-derives the same targets and re-stages the same
+    * survivors. */
   private[graft] def forgetShingleIndex(s: SparkSession, root: String,
-      deleted: DataFrame): Unit = {
+      deleted: DataFrame, bucketedStats: Boolean = true): Unit = {
     val delP = shinglePostings(deleted)
       .select(col("doc_id"), col("sh_bucket")).distinct()
       .localCheckpoint()
@@ -1403,10 +1417,18 @@ object DedupOps {
           .filter(col("sh_bucket").isin(tBuckets: _*))
           .select(col("sh_bucket"), col("h")).distinct())
     }
-    s.read.parquet(s"$root/docstats")
-      .join(broadcast(ids), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-      .write.mode("overwrite").parquet(s"$root/docstats")
+    if (bucketedStats) {
+      val dBuckets = ids.select(docStatsBucketCol.as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      AtRest.sweepBuckets(s, s"$root/docstats", "ds_bucket", dBuckets,
+        ids, Seq("doc_id"))
+      ()
+    } else {
+      s.read.parquet(s"$root/docstats")
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+        .write.mode("overwrite").parquet(s"$root/docstats")
+    }
   }
 
   /** D31 — FORGET EXECUTED AGAINST THE AT-REST SHINGLE INDEX: build
@@ -1420,15 +1442,16 @@ object DedupOps {
     * stats.
     *
     * 100 TB plan: a forget's IO is the deleted docs' shingle-hash
-    * buckets plus the slim stats rewrite — request-content-bounded
-    * (the ir22 class); the probe's serve stays DPP-pruned to probe
-    * buckets. */
+    * buckets plus their doc-stat buckets (the forgettable layout
+    * doc-buckets the stats — ir22's bucketDoclen convention) —
+    * request-content-bounded end to end; the probe's serve stays
+    * DPP-pruned to probe buckets. */
   def decontamForget(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.ShingleExpressions.hashedShingleSet
     val root = SimilarityOps.indexRoot(s, dir) + "/shindex31"
     val docs = Tables.documents(s, dir)
     val train = docs.filter(col("doc_id") % EvalMod =!= 0)
-    writeShingleIndex(s, root, train)
+    writeShingleIndex(s, root, train, bucketStats = true)
     forgetShingleIndex(s, root, train.filter(
       col("doc_id") % TextOps.ForgetMod === TextOps.ForgetRem))
     val probe = docs.filter(col("doc_id") % EvalMod === 0)

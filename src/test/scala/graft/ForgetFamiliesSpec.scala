@@ -82,10 +82,11 @@ class ForgetFamiliesSpec extends SparkSpec {
     val rootA = "target/graft-index/spec-d31-forget"
     val rootB = "target/graft-index/spec-d31-rebuild"
     rmRoot(rootA); rmRoot(rootB)
-    DedupOps.writeShingleIndex(spark, rootA, docs)
+    DedupOps.writeShingleIndex(spark, rootA, docs, bucketStats = true)
     val dictBefore = rows(s"$rootA/shset", "h")
     DedupOps.forgetShingleIndex(spark, rootA, docs.filter(isDel))
-    DedupOps.writeShingleIndex(spark, rootB, docs.filter(!isDel))
+    DedupOps.writeShingleIndex(spark, rootB, docs.filter(!isDel),
+      bucketStats = true)
     assert(rows(s"$rootA/postings", "doc_id", "h", "sh_bucket") ==
       rows(s"$rootB/postings", "doc_id", "h", "sh_bucket"),
       "shingle postings forget != rebuild over survivors")
