@@ -39,10 +39,13 @@ object AtRest {
 
   /** Data files per bucket partition of a partitioned table —
     * driver-side FS listing, O(#files) layout metadata (the same
-    * bookkeeping a table format's manifest gives for free). */
+    * bookkeeping a table format's manifest gives for free). A missing
+    * table directory (never built, or every bucket dropped by earlier
+    * forgets) is the empty layout, not an error. */
   private[graft] def bucketFiles(s: SparkSession, table: String,
       partitionCol: String): Map[Int, Seq[FileStatus]] = {
     val fs = fsOf(s, table)
+    if (!fs.exists(new Path(table))) return Map.empty
     fs.listStatus(new Path(table))
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(s"$partitionCol="))
@@ -142,11 +145,22 @@ object AtRest {
     * bucket ids that received rows. Families that promise a PER-FILE
     * row order pass it as `sortCols` — the partition column leads the
     * sort so FileFormatWriter's required ordering cannot destroy it
-    * (the ir21 lesson, [[stageCompaction]]'s convention). */
+    * (the ir21 lesson, [[stageCompaction]]'s convention).
+    *
+    * EMPTIED-TABLE guard: when every partition directory of `table`
+    * has already been dropped (a rerun after a total forget), the
+    * table has no files to read a canonical column order from — the
+    * staged frame's own order becomes canonical (there are no
+    * existing files to mix with), and the affected-dir cleanup still
+    * runs, so the rerun no-ops instead of throwing schema-inference
+    * errors. */
   private[graft] def overwriteBuckets(s: SparkSession, table: String,
       partitionCol: String, affected: Seq[Int], staged: DataFrame,
       sortCols: Seq[Column] = Nil): Set[Int] = {
-    val cols = s.read.parquet(table).columns
+    val hasFiles = bucketFiles(s, table, partitionCol).valuesIterator
+      .exists(_.nonEmpty)
+    val cols = if (hasFiles) s.read.parquet(table).columns
+               else staged.columns
     val pinned = staged.select(cols.map(col(_)): _*).localCheckpoint()
     val present = pinned.select(col(partitionCol)).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -187,6 +201,21 @@ object AtRest {
       partitionCol: String, affected: Seq[Int], drop: DataFrame,
       keys: Seq[String], sortCols: Seq[Column] = Nil): Set[Int] = {
     if (affected.isEmpty) return Set.empty
+    if (!bucketFiles(s, table, partitionCol).valuesIterator
+        .exists(_.nonEmpty)) {
+      // EMPTIED table (every bucket already dropped — e.g. a forget
+      // rerun after a total forget): nothing to sweep, and no files
+      // for the survivor read to infer a schema from (the r17 ADVICE
+      // emptied-table guard — TimeSeriesOps guards via saxOrigin;
+      // every other family gets the guard here). Stale empty affected
+      // dirs are still deleted so the layout converges.
+      val fs = fsOf(s, table)
+      affected.foreach { b =>
+        fs.delete(new Path(s"$table/$partitionCol=$b"), true)
+        ()
+      }
+      return Set.empty
+    }
     overwriteBuckets(s, table, partitionCol, affected,
       sweepSurvivors(s, table, partitionCol, affected, drop, keys),
       sortCols)

@@ -302,7 +302,16 @@ object AuditOps {
     * band vanishes from the under-K filter — the r16 ADVICE case), so
     * the rerun unions the intent's bands into the bad set
     * unconditionally and the resolve completes; a torn intent write
-    * (no _SUCCESS) means nothing was mutated yet and is ignored. An
+    * (no _SUCCESS) means ITS run mutated nothing yet and is ignored.
+    * The manifest is GENERATIONAL (`migrate_intent/gen=N`) and
+    * APPEND-ONLY: each run that is about to mutate writes a NEW
+    * generation holding the full unioned band set and never rewrites
+    * an existing one — the r17 ADVICE tear (a rerun's delete-then-
+    * write of the only manifest dying mid-write while the crashed
+    * first run's movers are already landed, orphaning the stranded
+    * copies) is structurally impossible, because the generation that
+    * covered those movers is still on disk with its _SUCCESS until
+    * step (3) removes the whole manifest directory after resolve. An
     * audit inside the (1)→(2) window can still double-count a moving
     * row: unlike the forget family, generalization is NOT serve-stable
     * mid-flight (documented decline — the release table serves no
@@ -312,9 +321,20 @@ object AuditOps {
     * manifest, so no mover is ever visible twice. The suppression
     * stage that follows IS serve-stable). */
   private[graft] def generalizeKAnonymity(s: SparkSession,
-      root: String, crashAfterLand: Boolean = false): Unit = {
+      root: String, crashAfterLand: Boolean = false,
+      crashAfterIntent: Boolean = false): Unit = {
     val fs = AtRest.fsOf(s, root)
     val intent = new org.apache.hadoop.fs.Path(s"$root/migrate_intent")
+    // the standing intent GENERATIONS: complete (_SUCCESS) manifests
+    // cover in-flight movers from crashed earlier runs; a torn one
+    // (no _SUCCESS) covers a run that mutated nothing yet
+    val gens: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.exists(intent))
+        fs.listStatus(intent).toSeq.filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("gen="))
+      else Nil
+    val complete = gens.filter(st => fs.exists(
+      new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
     val cells = s.read.parquet(s"$root/release")
       .groupBy(col("lang"), col("source"), col("len_bucket"),
         col("qi_bucket"))
@@ -324,10 +344,9 @@ object AuditOps {
       .select(col("lang").as("b_lang"), col("source").as("b_source"),
         (col("len_bucket") / 2).cast("int").as("band"))
       .distinct()
-    val hasIntent = fs.exists(
-      new org.apache.hadoop.fs.Path(intent, "_SUCCESS"))
-    val badBands = (if (hasIntent)
-        freshBad.unionByName(s.read.parquet(intent.toString)).distinct()
+    val badBands = (if (complete.nonEmpty)
+        freshBad.unionByName(
+          s.read.parquet(complete.map(_.getPath.toString): _*)).distinct()
       else freshBad)
       .localCheckpoint()
     // the cells that physically move: odd buckets of bad bands
@@ -342,8 +361,16 @@ object AuditOps {
     val oldBuckets = movers.select(col("qi_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (oldBuckets.nonEmpty) {
-      // (0) persist the intent BEFORE the first data mutation
-      badBands.write.mode("overwrite").parquet(intent.toString)
+      // (0) persist the intent BEFORE the first data mutation — as a
+      // NEW generation (max existing + 1, torn ones counted so the
+      // fresh path never collides with a torn dir): existing
+      // generations are never rewritten while their movers may be
+      // landed (the r17 ADVICE tear)
+      val next = gens.map(_.getPath.getName.stripPrefix("gen=").toInt)
+        .foldLeft(-1)(math.max) + 1
+      badBands.write.mode("overwrite")
+        .parquet(s"$intent/gen=$next")
+      if (crashAfterIntent) return // spec-planted crash point: (0)→(1)
       val inOld = s.read.parquet(s"$root/release")
         .filter(col("qi_bucket").isin(oldBuckets: _*))
       val moverKeys = movers

@@ -1324,8 +1324,15 @@ object DedupOps {
   private[graft] def docStatsBucketCol: Column =
     pmod(col("doc_id"), lit(16L)).cast("int")
 
+  /** Build the shingle index. `bucketStats` picks the docstats
+    * layout: `true` = the forgettable doc-bucketed layout (d31),
+    * `false` = the legacy flat layout (d22/d23, append-only). No
+    * default — a caller states the layout, and must pass the SAME
+    * choice to [[forgetShingleIndex]]'s `bucketedStats` (the r17
+    * ADVICE foot-gun: asymmetric defaults let a default-paired
+    * build/forget target a partition column the layout lacks). */
   private[graft] def writeShingleIndex(s: SparkSession, root: String,
-      docs: DataFrame, bucketStats: Boolean = false): Unit = {
+      docs: DataFrame, bucketStats: Boolean): Unit = {
     shinglePostings(docs)
       .write.mode("overwrite").partitionBy("sh_bucket")
       .parquet(s"$root/postings")
@@ -1402,7 +1409,7 @@ object DedupOps {
     * a rerun re-derives the same targets and re-stages the same
     * survivors. */
   private[graft] def forgetShingleIndex(s: SparkSession, root: String,
-      deleted: DataFrame, bucketedStats: Boolean = true): Unit = {
+      deleted: DataFrame, bucketedStats: Boolean): Unit = {
     val delP = shinglePostings(deleted)
       .select(col("doc_id"), col("sh_bucket")).distinct()
       .localCheckpoint()
@@ -1453,7 +1460,8 @@ object DedupOps {
     val train = docs.filter(col("doc_id") % EvalMod =!= 0)
     writeShingleIndex(s, root, train, bucketStats = true)
     forgetShingleIndex(s, root, train.filter(
-      col("doc_id") % TextOps.ForgetMod === TextOps.ForgetRem))
+      col("doc_id") % TextOps.ForgetMod === TextOps.ForgetRem),
+      bucketedStats = true)
     val probe = docs.filter(col("doc_id") % EvalMod === 0)
       .select(explode(hashedShingleSet(tokens(col("text")), DecontamK))
         .as("p_h"))
@@ -1502,7 +1510,8 @@ object DedupOps {
     import graft.functions.ShingleExpressions.hashedShingleSet
     val root = SimilarityOps.indexRoot(s, dir) + "/shindex22"
     val docs = Tables.documents(s, dir)
-    writeShingleIndex(s, root, docs.filter(col("doc_id") % EvalMod =!= 0))
+    writeShingleIndex(s, root, docs.filter(col("doc_id") % EvalMod =!= 0),
+      bucketStats = false)
     val probe = docs.filter(col("doc_id") % EvalMod === 0)
       .select(explode(hashedShingleSet(tokens(col("text")), DecontamK))
         .as("p_h"))
@@ -1535,7 +1544,7 @@ object DedupOps {
     CacheScope.persist(tagged) // three consumers: build, append, probe
     val train = tagged.filter(col("split") === "train")
     writeShingleIndex(s, root,
-      train.filter(col("doc_id") % IncomingMod =!= 0))
+      train.filter(col("doc_id") % IncomingMod =!= 0), bucketStats = false)
     appendShingleIndex(s, root,
       train.filter(col("doc_id") % IncomingMod === 0))
     tagged.filter(col("split") =!= "train")

@@ -619,9 +619,11 @@ object TimeSeriesOps {
     *      the daily-ingest contract), so a (user, day) key never
     *      straddles batches and landed rows are pure appends; a
     *      retried batch is a row-level no-op.
-    *   2. if the landed batch reaches behind the grid origin, d0
-    *      shifts and EVERY user's segment mapping moves: consts
-    *      rewrites and the derived tables rebuild wholesale — the
+    *   2. if the batch reaches behind the grid origin (tested on the
+    *      batch's OWN min so a rerun of a crashed shift re-enters the
+    *      rebuild — the landed delta is empty on a retry), d0 shifts
+    *      and EVERY user's segment mapping moves: the derived tables
+    *      rebuild wholesale FIRST and consts persists LAST — the
     *      documented rare path (ingesting history older than
     *      everything indexed).
     *   3. otherwise only users whose landed days fall INSIDE the
@@ -639,7 +641,7 @@ object TimeSeriesOps {
     * between the base append and the derived rewrites leaves words
     * stale, never wrong — [[healSaxIndex]] recounts from the base. */
   private[graft] def updateSaxIndex(s: SparkSession, root: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, crashBeforeConsts: Boolean = false): Unit = {
     // an EMPTIED store (zero-row consts — every user forgotten) has no
     // readable base to anti-join against: the batch re-SEEDS it, the
     // build verbatim (the r16 ADVICE emptied-index arm)
@@ -659,10 +661,19 @@ object TimeSeriesOps {
     landed.write.mode("append").partitionBy("u_bucket")
       .parquet(s"$root/counts")
     // maintenance bookkeeping (the d27 sanctioned-collect class): the
-    // stored origin and the landed batch's reach — two O(1) scalars
+    // stored origin and the BATCH's reach — two O(1) scalars. The
+    // shift test reads the batch's own min, NOT the landed delta's
+    // (the r17 ADVICE rerun hole): a rerun of a crashed shift update
+    // lands nothing (anti-join guard), so a landed-min test would
+    // take the else branch, touch nobody, and leave the stale consts
+    // standing — the batch min is the same scalar on a first run
+    // (whole-day grain: if the batch's min day were already landed,
+    // the stored origin would already sit at or below it) and re-
+    // enters the rebuild on the rerun, exactly like forgetSaxIndex's
+    // consts-vs-base re-check.
     val d0 = saxOrigin(s, root).get
-    val lminRow = landed.agg(min(col("day"))).collect()(0)
-    if (!lminRow.isNullAt(0) && lminRow.getLong(0) < d0) {
+    val bminRow = batch.agg(min(col("day"))).collect()(0)
+    if (!bminRow.isNullAt(0) && bminRow.getLong(0) < d0) {
       // the grid origin SHIFTED: every word is relative to d0, so the
       // derived tables rebuild wholesale from the (intact) base —
       // derived tables FIRST, consts LAST, so the consts-vs-base
@@ -670,6 +681,7 @@ object TimeSeriesOps {
       // origin check) still sees the rebuild as uncommitted
       val nc = recountedOrigin(s, root)
       rebuildSaxDerived(s, root, nc)
+      if (crashBeforeConsts) return // spec-planted crash point
       nc.write.mode("overwrite").parquet(s"$root/consts")
     } else {
       // touched = users with landed activity INSIDE the indexed window

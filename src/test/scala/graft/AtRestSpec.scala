@@ -124,6 +124,33 @@ class AtRestSpec extends SparkSpec {
       "swept ids survive")
   }
 
+  test("sweepBuckets: an EMPTIED table (every bucket already dropped) no-ops instead of throwing; stale dirs clean up") {
+    import spark.implicits._
+    val root = "target/graft-index/spec-atrest-emptied"
+    rmRoot(root); seed(root)
+    // total forget: every row of every bucket sweeps → all dirs drop
+    val all = (0L until 40L).toDF("id")
+    AtRest.sweepBuckets(spark, root, "b", Seq(0, 1, 2, 3), all, Seq("id"))
+    assert(new java.io.File(root).exists(), "table root should remain")
+    assert((0 to 3).forall(b => !new java.io.File(s"$root/b=$b").exists()),
+      "a total sweep must drop every bucket directory")
+    // the r17 ADVICE guard: a RERUN of the forget on the emptied table
+    // must no-op (the survivor read has no files to infer a schema
+    // from) — and clean a stale empty dir if one exists
+    new java.io.File(s"$root/b=2").mkdirs()
+    val swept = AtRest.sweepBuckets(spark, root, "b", Seq(1, 2), all,
+      Seq("id"))
+    assert(swept.isEmpty, "an emptied-table sweep must stage nothing")
+    assert(!new java.io.File(s"$root/b=2").exists(),
+      "the rerun must delete a stale empty affected dir")
+    // overwriteBuckets on the emptied table: staged rows (a re-seed)
+    // write with the STAGED frame's own column order as canonical
+    val staged = Seq((7L, "reseed", 1)).toDF("id", "payload", "b")
+    val present = AtRest.overwriteBuckets(spark, root, "b", Seq(1), staged)
+    assert(present == Set(1) && rows(root) == Set((7L, "reseed", 1)),
+      "re-seeding an emptied table through overwriteBuckets failed")
+  }
+
   private def rows3(root: String): Set[(Long, Int, Int)] =
     spark.read.parquet(root).select(col("id"), col("k"), col("b"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet

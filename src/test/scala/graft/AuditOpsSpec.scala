@@ -394,8 +394,17 @@ class AuditOpsSpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(cells.getOrElse(2, 0L) == 8L && cells.getOrElse(3, 0L) == 6L,
       s"fixture regression: the crash state must hold movers at BOTH granularities ($cells)")
-    assert(new java.io.File(s"$root/migrate_intent/_SUCCESS").exists(),
+    assert(new java.io.File(s"$root/migrate_intent/gen=0/_SUCCESS").exists(),
       "the intent manifest must be on disk inside the crash window")
+    // the r17 ADVICE tear: a recovery rerun must never rewrite the
+    // standing generation while its movers are landed — it writes a
+    // NEW one, so a crash right after the intent write still leaves
+    // gen=0 intact with its _SUCCESS (the stranded copies stay covered)
+    AuditOps.generalizeKAnonymity(spark, root, crashAfterIntent = true)
+    assert(new java.io.File(s"$root/migrate_intent/gen=0/_SUCCESS").exists(),
+      "a recovery rerun rewrote the standing intent generation")
+    assert(new java.io.File(s"$root/migrate_intent/gen=1/_SUCCESS").exists(),
+      "the recovery rerun must persist its own unioned generation")
     // recovery = rerun: the recount alone sees nothing under K here,
     // but the intent forces the band back into the mover set
     AuditOps.generalizeKAnonymity(spark, root)

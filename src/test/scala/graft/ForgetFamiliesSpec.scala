@@ -84,7 +84,8 @@ class ForgetFamiliesSpec extends SparkSpec {
     rmRoot(rootA); rmRoot(rootB)
     DedupOps.writeShingleIndex(spark, rootA, docs, bucketStats = true)
     val dictBefore = rows(s"$rootA/shset", "h")
-    DedupOps.forgetShingleIndex(spark, rootA, docs.filter(isDel))
+    DedupOps.forgetShingleIndex(spark, rootA, docs.filter(isDel),
+      bucketedStats = true)
     DedupOps.writeShingleIndex(spark, rootB, docs.filter(!isDel),
       bucketStats = true)
     assert(rows(s"$rootA/postings", "doc_id", "h", "sh_bucket") ==

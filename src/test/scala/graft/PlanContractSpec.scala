@@ -805,7 +805,8 @@ class PlanContractSpec extends SparkSpec {
     val d = graft.operators.DedupOps
     val r = graft.operators.RetrievalOps
     r.writePositionalIndex(spark, s"$base/sweeppin23", docs)
-    d.writeShingleIndex(spark, s"$base/sweeppin31", docs)
+    d.writeShingleIndex(spark, s"$base/sweeppin31", docs,
+      bucketStats = false)
     d.writeWinnowIndex(spark, s"$base/sweeppin32", docs)
     d.writeSimhashIndex(spark, s"$base/sweeppin33", docs)
     graft.operators.SimilarityOps.buildSq8Maintained(spark,

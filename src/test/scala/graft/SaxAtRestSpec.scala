@@ -107,6 +107,39 @@ class SaxAtRestSpec extends SparkSpec {
     assertSameRows(rootA, rootB)
   }
 
+  test("ts10 crash point: a shift update dies before the consts write — the RERUN re-enters the rebuild (batch-min re-check)") {
+    spark.sharedState.cacheManager.clearCache()
+    val c = TS.dayCounts(spark, Sf)
+    val dmin = c.agg(min(col("day")).as("dmin0"))
+    val standing = c.crossJoin(broadcast(dmin))
+      .filter(col("day") =!= col("dmin0"))
+      .select(col("user_id"), col("day"), col("cnt"))
+    val batch = c.crossJoin(broadcast(dmin))
+      .filter(col("day") === col("dmin0"))
+      .select(col("user_id"), col("day"), col("cnt"))
+    val rootA = "target/graft-index/spec-ts10-shiftcrash"
+    val rootB = "target/graft-index/spec-ts10-shiftcrashref"
+    Seq(rootA, rootB).foreach(rmRoot)
+    TS.writeSaxIndex(spark, rootA, standing)
+    val d0Before = spark.read.parquet(s"$rootA/consts").collect()(0).getLong(0)
+    // plant the r17 ADVICE crash: base landed, derived rebuilt, consts
+    // never written — the stored origin is stale
+    TS.updateSaxIndex(spark, rootA, batch, crashBeforeConsts = true)
+    assert(spark.read.parquet(s"$rootA/consts").collect()(0)
+        .getLong(0) == d0Before,
+      "fixture regression: the crash state must hold the STALE consts")
+    // the recovery is a plain rerun of the same update: the landed
+    // delta is empty (anti-join), but the shift test reads the BATCH's
+    // min against the stale origin and re-enters the rebuild — a
+    // landed-min test would no-op here and strand the stale consts
+    TS.updateSaxIndex(spark, rootA, batch)
+    assert(spark.read.parquet(s"$rootA/consts").collect()(0)
+        .getLong(0) < d0Before,
+      "the rerun must commit the shifted origin")
+    TS.writeSaxIndex(spark, rootB, c)
+    assertSameRows(rootA, rootB)
+  }
+
   test("ts10: stale derived tables after a torn base append heal by recount") {
     spark.sharedState.cacheManager.clearCache()
     val c = TS.dayCounts(spark, Sf)
