@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       GraftExtensions.minhashBuilder))
     ext.injectFunction((
+      FunctionIdentifier("winnowed_fingerprint_set"),
+      new ExpressionInfo(classOf[graft.functions.WinnowedFingerprintSet].getName,
+        "winnowed_fingerprint_set"),
+      GraftExtensions.winnowSetBuilder))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       GraftExtensions.intersectBuilder))
@@ -124,6 +129,14 @@ object GraftExtensions {
     MinHashSig(args(0), graft.operators.DedupOps.MinHashAB)
   }
 
+  private[graft] val winnowSetBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 3,
+      "winnowed_fingerprint_set(tokens, k, w) takes an array<string> and two literal ints")
+    graft.functions.WinnowedFingerprintSet(args(0),
+      intLiteral(args(1), "winnowed_fingerprint_set k"),
+      intLiteral(args(2), "winnowed_fingerprint_set w"))
+  }
+
   private[graft] val intersectBuilder: Seq[Expression] => Expression = { args =>
     require(args.length == 2,
       "sorted_intersect_count(a, b) takes two sorted array<long> args")
@@ -202,6 +215,7 @@ object GraftExtensions {
     GraftSqlBridge.registerFunction(spark, "hashed_shingle_set", shingleSetBuilder)
     GraftSqlBridge.registerFunction(spark, "minhash_sig", minhashBuilder)
     GraftSqlBridge.registerFunction(spark, "sorted_intersect_count", intersectBuilder)
+    GraftSqlBridge.registerFunction(spark, "winnowed_fingerprint_set", winnowSetBuilder)
     GraftSqlBridge.registerFunction(spark, "topk_by", topkBuilder)
     GraftSqlBridge.registerFunction(spark, "bloom_build", bloomBuildBuilder)
     GraftSqlBridge.registerFunction(spark, "bloom_might_contain", bloomProbeBuilder)

@@ -104,10 +104,53 @@ object AtRest {
     * before, during and after compaction answer identically; only
     * accreted buckets are listed, read, staged or rewritten. Returns
     * the compacted bucket ids (Nil = nothing to do, and the call did
-    * no IO beyond the directory listing). */
+    * no IO beyond the directory listing).
+    *
+    * `targetBytes > 0` switches to BYTE-TARGET mode (the 100 TB
+    * form): instead of one file per bucket — absurd when a bucket
+    * directory is gigabytes — each accreted bucket bin-packs to
+    * `ceil(bucketBytes / targetBytes)` files (sizes from the same
+    * [[FileStatus]] listing), a bucket is accreted only when it
+    * holds MORE files than that plan, and the stage spreads each
+    * bucket's rows over its planned file count with a round-robin
+    * salt — so rewrite parallelism tracks data volume, not the
+    * bucket-count constant. The per-bucket plan is an exact UPPER
+    * bound on the resulting file count (each (bucket, salt) pair
+    * lands in exactly one shuffle partition), and the mode is
+    * idempotent like the file-count mode: a compacted bucket never
+    * re-lists as accreted. */
   def compactBucketedTable(s: SparkSession, table: String,
       partitionCol: String, targetFiles: Int = 1,
-      sortCols: Seq[Column] = Nil): Seq[Int] = {
+      sortCols: Seq[Column] = Nil, targetBytes: Long = 0L): Seq[Int] = {
+    if (targetBytes > 0L) {
+      val files = bucketFiles(s, table, partitionCol)
+        .filter(_._2.nonEmpty)
+      val plan = files.map { case (b, fl) =>
+        b -> math.max(1L, (fl.map(_.getLen).sum + targetBytes - 1)
+          / targetBytes).toInt
+      }
+      val affected = plan
+        .filter { case (b, n) => files(b).size > n }.keys.toSeq.sorted
+      if (affected.nonEmpty) {
+        val aPlan = affected.map(b => b -> plan(b)).toMap
+        val nOf = element_at(
+          map(aPlan.toSeq.sortBy(_._1)
+            .flatMap { case (b, n) => Seq(lit(b), lit(n)) }: _*),
+          col(partitionCol))
+        s.read.parquet(table)
+          .filter(col(partitionCol).isin(affected: _*))
+          .withColumn("__salt", pmod(monotonically_increasing_id(), nOf))
+          .repartition(math.max(1, aPlan.values.sum),
+            col(partitionCol), col("__salt"))
+          .drop("__salt")
+          .transform(d => if (sortCols.isEmpty) d
+            else d.sortWithinPartitions(col(partitionCol) +: sortCols: _*))
+          .write.mode("overwrite").partitionBy(partitionCol)
+          .parquet(s"${table}_staging")
+        applyCompaction(s, table, partitionCol)
+      }
+      return affected
+    }
     val affected = accretedBuckets(s, table, partitionCol, targetFiles)
     if (affected.nonEmpty) {
       stageCompaction(s, table, partitionCol, affected, sortCols)
@@ -191,6 +234,130 @@ object AtRest {
     s.read.parquet(table)
       .filter(col(partitionCol).isin(affected: _*))
       .join(broadcast(drop), keys, "left_anti")
+
+  /** The bucket-count SIZING RULE (SCALE.md's scaling law, one
+    * definition): the smallest power-of-two bucket count that keeps
+    * every bucket directory at or under `targetBucketBytes` for a
+    * table of `tableBytes`. Power-of-two counts make every growth
+    * step an integer-factor split [[rebucketTable]] can execute
+    * (hash mod 2N refines hash mod N), and the fixture constants
+    * (16/64) are this rule evaluated at harness scale — production
+    * re-evaluates it as the table grows and migrates with the
+    * re-bucket verb when the answer changes. */
+  def bucketCountFor(tableBytes: Long, targetBucketBytes: Long): Int = {
+    require(targetBucketBytes > 0, "targetBucketBytes must be positive")
+    val need = math.max(1L,
+      (tableBytes + targetBucketBytes - 1) / targetBucketBytes)
+    var n = 1
+    while (n < need && n < (1 << 30)) n <<= 1
+    n
+  }
+
+  /** The RE-BUCKET migration verb (r17 verdict #1): grow a
+    * bucket-partitioned table from `oldN` to `newN` buckets, `newN`
+    * an integer multiple of `oldN`, with `newBucket` the family's own
+    * bucket expression evaluated at the NEW modulus. The arithmetic
+    * that makes this a safe in-place migration: for h the family's
+    * row hash, (h mod newN) mod oldN == h mod oldN — so every STAYER
+    * (new bucket == current dir) is already in its correct directory
+    * under the new modulus, and every MOVER's target bucket is
+    * >= oldN, a FRESH directory that never collides with a standing
+    * one. The migration is dq9's land-then-resolve shape with one
+    * simplification that removes the intent manifest entirely: a
+    * row's correct location is a PURE FUNCTION of the row (the value
+    * does not change, unlike dq9's generalization), so every
+    * intermediate state is self-describing and a rerun recomputes
+    * exactly the remaining work:
+    *   1. LAND: movers (rows in dirs < oldN whose `newBucket` differs
+    *      from their dir) append to their new buckets behind a `keys`
+    *      anti-join exactly-once guard against rows already landed in
+    *      dirs >= oldN;
+    *   2. RESOLVE: the mover-holding old buckets (pinned driver-side
+    *      before the land) overwrite with their stayers through
+    *      [[overwriteBuckets]] — an all-movers bucket's directory
+    *      drops.
+    * Crash convergence (spec-planted): a crash mid-land reruns behind
+    * the guard; a crash between land and resolve leaves movers in
+    * BOTH dirs — a rerun's mover set still sees the old copies (their
+    * dir ≠ their new bucket) and the guard drops the landed ones; a
+    * crash mid-resolve leaves some buckets resolved (no movers — the
+    * rerun skips them) and some not. Serve stability: during phase 1
+    * the OLD-modulus probe is exactly correct (every row still has
+    * its old-dir copy, and landed copies sit in dirs an old-modulus
+    * probe never lists); after resolve the NEW-modulus probe is; a
+    * deployment serving DURING the resolve window probes BOTH moduli
+    * and dedups on `keys` — correct in every intermediate state
+    * (AtRestSpec pins it at the planted crash point). A completed
+    * migration is idempotent: a rerun finds no movers and touches no
+    * file. */
+  private[graft] def rebucketTable(s: SparkSession, table: String,
+      partitionCol: String, oldN: Int, newN: Int, newBucket: Column,
+      keys: Seq[String], sortCols: Seq[Column] = Nil,
+      crashAfterLand: Boolean = false): Unit = {
+    require(newN > oldN && newN % oldN == 0,
+      s"re-bucket grows by an integer factor: $oldN -> $newN")
+    if (!bucketFiles(s, table, partitionCol).valuesIterator
+        .exists(_.nonEmpty)) return // emptied table: nothing to move
+    val rows = s.read.parquet(table)
+    val movers = rows.filter(col(partitionCol) < oldN)
+      .withColumn("__nb", newBucket)
+      .filter(col("__nb") =!= col(partitionCol))
+    // the resolve work list, pinned BEFORE the land (O(oldN) driver
+    // metadata) — after the land the mover old-copies still hold it,
+    // so a rerun recomputes the same list
+    val affected = movers.select(col(partitionCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return // migrated already (or nothing moves)
+    // 1. LAND, exactly-once: a landed copy already sits in a >= oldN
+    // dir under the same keys. Pinned EAGERLY — the plan reads the
+    // very path the write appends to (the refreshByPath trap) — and
+    // re-ordered to the table's canonical file column order (the d23
+    // trap; `rows.columns` is that order).
+    val canonical = rows.columns
+    val toLand = movers
+      .join(rows.filter(col(partitionCol) >= oldN)
+          .select(keys.map(col(_)): _*),
+        keys, "left_anti")
+      .withColumn(partitionCol, col("__nb"))
+      .select(canonical.map(col(_)): _*)
+      .localCheckpoint()
+    val ordered =
+      if (sortCols.isEmpty) toLand
+      else toLand.sortWithinPartitions(col(partitionCol) +: sortCols: _*)
+    ordered.write.mode("append").partitionBy(partitionCol).parquet(table)
+    if (crashAfterLand) return // spec-planted crash point: (1)→(2)
+    // 2. RESOLVE: the affected old buckets keep exactly their stayers
+    overwriteBuckets(s, table, partitionCol, affected,
+      s.read.parquet(table)
+        .filter(col(partitionCol).isin(affected: _*))
+        .filter(newBucket === col(partitionCol)),
+      sortCols)
+    ()
+  }
+
+  /** The HEAL-BY-RECOUNT verb: overwrite one derived artifact at
+    * `out` with `derived`, its wholesale recomputation from the
+    * family's base of record — the recovery tail every maintained
+    * family's heal used to hand-roll (healSaxIndex, healWinnowIndex,
+    * refreshOccupancy, healPostingsMetadata — the r17 verdict's
+    * copy-pasted-tail finding, extracted like the overwrite verb
+    * was). The contract: derived tables are PURE functions of the
+    * at-rest base, so a crash that left them stale (never wrong)
+    * heals by recomputing — no log, no replay. The stage is
+    * localCheckpoint-pinned before the overwrite unconditionally:
+    * heals are recovery paths (the materialization is off the hot
+    * path), and the pin makes the verb immune to the self-read trap
+    * by construction even when a family's derivation reads the very
+    * table it replaces. Chained heals (base → A → B where B derives
+    * from A) call this once per artifact IN DEPENDENCY ORDER — each
+    * pin materializes the upstream table's fresh state before the
+    * next derivation reads it. */
+  private[graft] def healDerived(s: SparkSession, out: String,
+      derived: DataFrame, partitionCols: Seq[String] = Nil): Unit = {
+    val w = derived.localCheckpoint().write.mode("overwrite")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(out)
+  }
 
   /** The anti-join removal form of [[overwriteBuckets]] — the FORGET
     * verb: drop from exactly the `affected` buckets every row whose

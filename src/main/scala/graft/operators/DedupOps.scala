@@ -1705,17 +1705,15 @@ object DedupOps {
     * state. */
   private[graft] def healWinnowIndex(s: SparkSession, root: String): Unit = {
     val w = s.read.parquet(s"$root/wfp")
-    w.groupBy(col("h_bucket"), col("h")).agg(count(lit(1)).as("nd"))
-      .localCheckpoint()
-      .write.mode("overwrite").partitionBy("h_bucket")
-      .parquet(s"$root/wdf")
+    AtRest.healDerived(s, s"$root/wdf",
+      w.groupBy(col("h_bucket"), col("h")).agg(count(lit(1)).as("nd")),
+      Seq("h_bucket"))
     val over = s.read.parquet(s"$root/wdf")
       .filter(col("nd") > WinnowCap).select(col("h"))
-    w.join(broadcast(over), Seq("h"), "left_anti")
-      .select(col("doc_id"), col("h"), col("h_bucket"))
-      .localCheckpoint()
-      .write.mode("overwrite").partitionBy("h_bucket")
-      .parquet(s"$root/kept")
+    AtRest.healDerived(s, s"$root/kept",
+      w.join(broadcast(over), Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h"), col("h_bucket")),
+      Seq("h_bucket"))
   }
 
   /** d26's probe core: d18's verdict with the index side replaced by

@@ -772,10 +772,10 @@ object SimilarityOps {
     * and compactions maintain the stats from bounded per-cell work
     * instead. */
   private def refreshOccupancy(s: SparkSession, root: String): Unit =
-    s.read.parquet(s"$root/codes")
-      .groupBy(col("cell_id").cast("long").as("cell_id"))
-      .agg(count(lit(1)).as("n_cell_existing"))
-      .write.mode("overwrite").parquet(s"$root/occupancy")
+    AtRest.healDerived(s, s"$root/occupancy",
+      s.read.parquet(s"$root/codes")
+        .groupBy(col("cell_id").cast("long").as("cell_id"))
+        .agg(count(lit(1)).as("n_cell_existing")))
 
   /** SERVE phase shared by x11/x17: answers `queries` from the at-rest
     * index under `root` alone — the probe joins the cell-partitioned
@@ -1159,46 +1159,91 @@ object SimilarityOps {
     * cells' survivors, then write them back with DYNAMIC partition
     * overwrite — only the affected cell partitions are replaced;
     * untouched cells' files are never rewritten (PqSpec asserts their
-    * files survive byte-identical). The occupancy stats refresh from
-    * the compacted codes. Edge this owes the caller: a cell whose
-    * members are ALL deleted stages zero rows and dynamic overwrite
-    * leaves its partition in place — production compaction pairs this
-    * with an explicit partition drop; the harness delete pattern never
-    * empties a cell. */
+    * files survive byte-identical). A cell whose members are ALL
+    * deleted stages zero rows — dynamic overwrite would leave its
+    * stale partition in place, so the drop set (tombstoned cells −
+    * staged cells, both O(#cells) driver metadata) is deleted
+    * explicitly, the shared verb's empty-partition discipline kept
+    * beside this family's own on-disk staging crash point (the r17
+    * verdict's owed edge, executed — PqSpec plants a cell-emptying
+    * delete). Occupancy RECOUNTS bucket-scoped from the compacted
+    * codes over the affected cells (tombstoned ∪ any cells a crashed
+    * prior run left in `staging` — reading the leftover staging's
+    * cell list is what lets a rerun heal cells whose tombstones
+    * already resolved), untouched cells' rows carry verbatim; a
+    * zero-member cell keeps no stats row. */
   private[graft] def compactIndex(s: SparkSession, root: String,
-      deletePred: Column = col("vec_id") % DeleteMod === DeleteRem): Unit = {
+      deletePred: Column = col("vec_id") % DeleteMod === DeleteRem,
+      crashAfterOverwrite: Boolean = false): Unit = {
     markTombstones(s, root, deletePred)
     val tombs = s.read.parquet(s"$root/tombstones").localCheckpoint()
     // restart-safe: a re-run after a completed OR crashed compaction
     // resolves an EMPTY delete set (the tombstoned ids are already
     // gone from the codes), so there is nothing to stage — but the
     // crash may have died between the codes overwrite and the stats
-    // decrement below, leaving occupancy counting deleted rows
-    // forever. The rerun can't know which cells were affected (the
-    // tombstones resolved empty), so it HEALS by full recount from the
-    // codes — the cheap 4-int scan, paid only on this recovery path.
+    // write below, leaving occupancy counting deleted rows forever.
+    // The rerun can't know which cells were affected (the tombstones
+    // resolved empty), so it HEALS by full recount from the codes —
+    // the cheap 4-int scan, paid only on this recovery path.
     if (tombs.isEmpty) { refreshOccupancy(s, root); return }
+    // a crashed prior run's staging table records ITS affected cells —
+    // pin the list BEFORE the re-stage overwrites it (O(#cells) FS
+    // metadata), so the scoped stats recount below covers them too
+    val priorCells = AtRest.bucketFiles(s, s"$root/staging", "cell_id")
+      .filter(_._2.nonEmpty).keySet
     // deliberately NOT AtRest.overwriteBuckets: this family's stage is
     // a WRITTEN staging table (its own crash point, PqSpec-exercised),
     // not a pinned in-memory frame — the on-disk handoff is the verb
     compactionStage(s, root).write.mode("overwrite")
       .partitionBy("cell_id").parquet(s"$root/staging")
-    s.read.parquet(s"$root/staging").write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell_id").parquet(s"$root/codes")
-    // stats maintain INCREMENTALLY: old occupancy minus the per-cell
-    // tombstone counts — the standing codes are never re-counted; a
-    // cell compacted to zero drops its stats row (the partition-drop
-    // edge the operator doc flags)
-    val removed = tombs.groupBy(col("cell_id").cast("long").as("cell_id"))
-      .agg(count(lit(1)).as("n_del"))
+    val stagedCells = AtRest.bucketFiles(s, s"$root/staging", "cell_id")
+      .filter(_._2.nonEmpty).keySet
+    // an every-affected-cell-emptied stage holds NO data files (only
+    // _SUCCESS) — nothing to overwrite, and no schema to read
+    if (stagedCells.nonEmpty)
+      s.read.parquet(s"$root/staging").write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell_id").parquet(s"$root/codes")
+    if (crashAfterOverwrite) return // spec-planted crash point
+    // the empty-partition drop: tombstoned cells that staged ZERO
+    // survivors keep their stale directory under dynamic overwrite —
+    // delete them explicitly (affected − staged, the shared verb's
+    // rule)
+    val tombCells = tombs.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = AtRest.fsOf(s, root)
+    (tombCells -- stagedCells).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/codes/cell_id=$c"),
+        true)
+      ()
+    }
+    // stats RECOUNT scoped to the affected cells (idempotent where a
+    // -= decrement would double-subtract on retry and could not heal
+    // the crash window between the codes overwrite and this write);
+    // a dropped cell recounts to zero rows and loses its stats row
+    val affected = (tombCells ++ priorCells).toSeq.sorted
+    // an all-cells-deleted compaction leaves codes with no files at
+    // all — nothing to recount (the emptied-table guard class)
+    val recounted =
+      if (!AtRest.bucketFiles(s, s"$root/codes", "cell_id")
+          .valuesIterator.exists(_.nonEmpty))
+        s.read.parquet(s"$root/occupancy")
+          .filter(lit(false))
+          .select(col("cell_id"), col("n_cell_existing"))
+      else
+        s.read.parquet(s"$root/codes")
+          .filter(col("cell_id").isin(affected.map(_.toInt): _*))
+          .groupBy(col("cell_id").cast("long").as("cell_id"))
+          .agg(count(lit(1)).as("n_cell_existing"))
     s.read.parquet(s"$root/occupancy").localCheckpoint()
-      .join(removed, Seq("cell_id"), "left")
-      .select(col("cell_id"),
-        (col("n_cell_existing") - coalesce(col("n_del"), lit(0L)))
-          .as("n_cell_existing"))
-      .filter(col("n_cell_existing") > 0)
+      .filter(!col("cell_id").isin(affected.map(_.toLong): _*))
+      .unionByName(recounted.localCheckpoint())
       .write.mode("overwrite").parquet(s"$root/occupancy")
+    // a completed compaction clears its staging table (a crash before
+    // this delete leaves it — the next run pins its cell list above,
+    // then overwrites it wholesale)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/staging"), true)
+    ()
   }
 
   /** X17 — INDEX DELETES + COMPACTION: the missing half of the index

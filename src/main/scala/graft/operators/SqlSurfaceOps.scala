@@ -189,7 +189,7 @@ object SqlSurfaceOps {
       SimilarityOps.indexRoot(s, dir) + "/irindexsx7").getAbsolutePath
     RetrievalOps.writePostingsIndex(s, root, Tables.documents(s, dir))
     val terms = RetrievalOps.QueryTerms
-    val buckets = terms.map(RetrievalOps.termBucketOf).distinct.mkString(", ")
+    val buckets = terms.map(RetrievalOps.termBucketOf(_)).distinct.mkString(", ")
     val inTerms = terms.map(t => s"'$t'").mkString(", ")
     val tfCols = terms.map(t =>
       s"CAST(coalesce(max(CASE WHEN tok = '$t' THEN tf END), 0) AS INT) AS tf_$t")
@@ -358,7 +358,193 @@ object SqlSurfaceOps {
          |FROM k ORDER BY lang""".stripMargin)
   }
 
+  /** SX11 — the AT-REST POSITIONAL PHRASE SERVE as ONE SQL statement:
+    * ir17's partition-pruned adjacency serve restated as pure SQL
+    * text over the `parquet.` path relation — the sx convention
+    * extended to the POSITIONAL layout (one of the three maintained
+    * families r17 flagged as unservable by a SQL-only user). The
+    * statement carries the driver-computed STATIC `term_bucket IN`
+    * literal (ir15's planting), the self-join adjacency (pos2 ==
+    * pos + 1), the per-term tf rollup and the anchor-ratio ranking —
+    * every node mirroring [[RetrievalOps.positionalServe]]'s tree, so
+    * the oracle is ir6's phrase SQL VERBATIM and the SQL-text serve
+    * must hash-match the scan form bit-for-bit. */
+  def sqlPhraseServe(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      SimilarityOps.indexRoot(s, dir) + "/posidxsx11").getAbsolutePath
+    RetrievalOps.writePositionalIndex(s, root, Tables.documents(s, dir))
+    val (w1, w2) = RetrievalOps.Phrase
+    val buckets = Seq(w1, w2).map(RetrievalOps.termBucketOf(_))
+      .distinct.mkString(", ")
+    s.sql(
+      s"""WITH pp AS (SELECT doc_id, dl, pos, tok
+         |            FROM parquet.`$root/positional`
+         |            WHERE term_bucket IN ($buckets)
+         |              AND tok IN ('$w1', '$w2')),
+         |adj AS (SELECT p1.doc_id, CAST(count(*) AS INT) AS phrase_tf,
+         |               max(p1.dl) AS dl
+         |        FROM pp p1 JOIN pp p2
+         |          ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+         |        WHERE p1.tok = '$w1' AND p2.tok = '$w2'
+         |        GROUP BY p1.doc_id),
+         |tfs AS (SELECT doc_id,
+         |          CAST(sum(CASE WHEN tok = '$w1' THEN 1 ELSE 0 END) AS INT)
+         |            AS tf_$w1,
+         |          CAST(sum(CASE WHEN tok = '$w2' THEN 1 ELSE 0 END) AS INT)
+         |            AS tf_$w2
+         |        FROM pp GROUP BY doc_id),
+         |f AS (SELECT adj.doc_id, phrase_tf, tf_$w1, tf_$w2, dl,
+         |             CAST(phrase_tf AS DOUBLE) / least(tf_$w1, tf_$w2)
+         |               AS anchor_ratio
+         |      FROM adj JOIN tfs ON adj.doc_id = tfs.doc_id),
+         |top AS (SELECT * FROM f
+         |        ORDER BY phrase_tf DESC, anchor_ratio DESC, doc_id
+         |        LIMIT ${RetrievalOps.TopK})
+         |SELECT CAST(row_number() OVER
+         |         (ORDER BY phrase_tf DESC, anchor_ratio DESC, doc_id)
+         |         AS INT) AS rank,
+         |       doc_id, phrase_tf, tf_$w1, tf_$w2, dl, anchor_ratio
+         |FROM top ORDER BY rank""".stripMargin)
+  }
+
+  /** SX12 — the AT-REST SAX k-NN PROBE as ONE SQL statement: ts9's
+    * three-stage serve (probe word → banded candidates → exact
+    * integer SSE verify) restated as pure SQL text over the written
+    * index — the sx convention extended to the SAX layout. The
+    * probe's word reads with the STATIC u_bucket literal, its band
+    * keys derive with the build's own bit arithmetic (the same expr
+    * text as [[TimeSeriesOps.bandKeys]]) and `hash(b, bk)` bucket mix,
+    * the candidate and verify reads carry the writer's bucket
+    * arithmetic as visible predicates on the BARE partition
+    * attributes, and the verify tail is ts1's energies + day-join
+    * dot, all integers. Oracle = ts5's SQL VERBATIM, so the SQL-text
+    * serve must hash-match the in-memory probe bit-for-bit. */
+  def sqlSaxProbe(s: SparkSession, dir: String): DataFrame = {
+    val T = TimeSeriesOps
+    val root = new java.io.File(
+      SimilarityOps.indexRoot(s, dir) + "/saxidxsx12").getAbsolutePath
+    T.writeSaxIndex(s, root, T.dayCounts(s, dir))
+    val probeBucket = (T.ProbeUser % T.SaxUserBuckets).toInt
+    s.sql(
+      s"""WITH pb AS (
+         |  SELECT b,
+         |         word - shiftleft(shiftright(word, cast(2 * b as int)) & 3,
+         |                          cast(2 * b as int)) AS bk
+         |  FROM (SELECT word FROM parquet.`$root/words`
+         |        WHERE u_bucket = $probeBucket AND user_id = ${T.ProbeUser})
+         |  LATERAL VIEW explode(sequence(0, ${T.NumSegs - 1})) t AS b),
+         |pbk AS (SELECT b, bk,
+         |               CAST(pmod(hash(b, bk), ${T.SaxBandBuckets}) AS INT)
+         |                 AS p_bucket
+         |        FROM pb),
+         |cand AS (SELECT /*+ BROADCAST(p) */ DISTINCT x.user_id
+         |         FROM parquet.`$root/bands` x
+         |         JOIN (SELECT * FROM pbk WHERE p_bucket >= 0) p
+         |           ON x.bb_bucket = p.p_bucket AND x.b = p.b
+         |              AND x.bk = p.bk
+         |         WHERE x.user_id <> ${T.ProbeUser}),
+         |cw AS (SELECT user_id AS w_user,
+         |              CAST(pmod(user_id, ${T.SaxUserBuckets}) AS INT)
+         |                AS w_bucket
+         |       FROM cand),
+         |cc AS (SELECT /*+ BROADCAST(w) */ c.user_id, c.day, c.cnt
+         |       FROM parquet.`$root/counts` c
+         |       JOIN (SELECT * FROM cw WHERE w_bucket >= 0) w
+         |         ON c.u_bucket = w.w_bucket AND c.user_id = w.w_user
+         |       UNION ALL
+         |       SELECT user_id, day, cnt FROM parquet.`$root/counts`
+         |       WHERE u_bucket = $probeBucket AND user_id = ${T.ProbeUser}),
+         |pu AS (SELECT user_id, sum(cnt * cnt) AS sum_sq,
+         |              count(*) AS n_days
+         |       FROM cc GROUP BY user_id),
+         |probe AS (SELECT day, cnt AS cp FROM cc
+         |          WHERE user_id = ${T.ProbeUser}),
+         |pe AS (SELECT sum(cp * cp) AS sum_sq_p FROM probe),
+         |dots AS (SELECT /*+ BROADCAST(probe) */ user_id,
+         |                sum(cnt * cp) AS dot
+         |         FROM cc JOIN probe USING (day)
+         |         WHERE user_id <> ${T.ProbeUser} GROUP BY user_id),
+         |f AS (SELECT pu.user_id, coalesce(dot, CAST(0 AS BIGINT)) AS dot,
+         |             sum_sq, n_days,
+         |             sum_sq + sum_sq_p
+         |               - 2 * coalesce(dot, CAST(0 AS BIGINT)) AS sse
+         |      FROM pu LEFT JOIN dots USING (user_id) CROSS JOIN pe
+         |      WHERE pu.user_id <> ${T.ProbeUser}),
+         |top AS (SELECT * FROM f ORDER BY sse ASC, user_id
+         |        LIMIT ${T.TopK})
+         |SELECT CAST(row_number() OVER (ORDER BY sse ASC, user_id) AS INT)
+         |         AS rank,
+         |       user_id, sse, dot, sum_sq, n_days
+         |FROM top ORDER BY rank""".stripMargin)
+  }
+
+  /** SX13 — the AT-REST WINNOWING PROBE as ONE SQL statement: d26's
+    * re-crawl verdict restated as pure SQL text — the sx convention
+    * extended to the winnowing layout (the last of r17's three
+    * SQL-unservable maintained families). The incoming batch winnows
+    * ITSELF with the SQL-registered compiled kernel
+    * (`winnowed_fingerprint_set`, the same [[graft.functions
+    * .WinnowedFingerprintSet]] expression the DataFrame path
+    * compiles), probes the capped serving table on the BARE h_bucket
+    * partition attribute with the writer's own bucket arithmetic
+    * visible, and the verdict tail mirrors
+    * [[DedupOps.winnowVerdictCore]] node-for-node. Oracle = d18's SQL
+    * VERBATIM, so the SQL-text probe must hash-match the DataFrame
+    * path bit-for-bit. */
+  def sqlWinnowProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    val root = new java.io.File(
+      SimilarityOps.indexRoot(s, dir) + "/winidxsx13").getAbsolutePath
+    val docs = Tables.documents(s, dir)
+    DedupOps.writeWinnowIndex(s, root, docs.filter(
+      org.apache.spark.sql.functions.col("doc_id")
+        % DedupOps.IncomingMod =!= 0))
+    docs.createOrReplaceTempView("documents_sx13")
+    s.sql(
+      s"""WITH inc AS (SELECT doc_id, text FROM documents_sx13
+         |             WHERE doc_id % ${DedupOps.IncomingMod} = 0),
+         |bfp AS (SELECT doc_id, h
+         |        FROM inc
+         |        LATERAL VIEW explode(winnowed_fingerprint_set(
+         |          split(text, ' '), ${DedupOps.WinnowK},
+         |          ${DedupOps.WinnowW})) t AS h),
+         |pr AS (SELECT doc_id AS p_doc, h AS p_h,
+         |              CAST(pmod(h, ${DedupOps.WinnowBuckets}) AS INT)
+         |                AS p_bucket
+         |       FROM bfp),
+         |hits AS (SELECT /*+ BROADCAST(p) */ p.p_doc AS doc_id,
+         |                k.doc_id AS match_doc, count(*) AS n_shared
+         |         FROM parquet.`$root/kept` k
+         |         JOIN (SELECT * FROM pr WHERE p_bucket >= 0) p
+         |           ON k.h_bucket = p.p_bucket AND k.h = p.p_h
+         |         GROUP BY p.p_doc, k.doc_id),
+         |nf AS (SELECT doc_id, count(*) AS nfp FROM bfp GROUP BY doc_id),
+         |best AS (SELECT doc_id, n_cand, match_doc, n_shared
+         |         FROM (SELECT doc_id, match_doc, n_shared,
+         |                      count(*) OVER (PARTITION BY doc_id)
+         |                        AS n_cand,
+         |                      row_number() OVER (PARTITION BY doc_id
+         |                        ORDER BY n_shared DESC, match_doc) AS rn
+         |               FROM hits)
+         |         WHERE rn = 1)
+         |SELECT i.doc_id,
+         |       coalesce(nfp, CAST(0 AS BIGINT)) AS nfp,
+         |       coalesce(n_cand, CAST(0 AS BIGINT)) AS n_cand,
+         |       match_doc,
+         |       coalesce(n_shared, CAST(0 AS BIGINT)) AS n_shared,
+         |       CASE WHEN n_shared > 0
+         |            THEN CAST(n_shared AS DOUBLE) / CAST(nfp AS DOUBLE)
+         |       END AS overlap,
+         |       CASE WHEN coalesce(n_shared, 0) > 0 THEN 'overlaps_corpus'
+         |            ELSE 'new' END AS verdict
+         |FROM inc i LEFT JOIN nf USING (doc_id) LEFT JOIN best USING (doc_id)
+         |ORDER BY i.doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sx11_sql_phrase_serve" -> (sqlPhraseServe _),
+    "sx12_sql_sax_probe" -> (sqlSaxProbe _),
+    "sx13_sql_winnow_probe" -> (sqlWinnowProbe _),
     "sx10_sql_sketch_serve" -> (sqlSketchServe _),
     "sx9_sql_shard_manifest" -> (sqlShardManifest _),
     "sx8_sql_band_probe" -> (sqlBandProbe _),
@@ -373,6 +559,16 @@ object SqlSurfaceOps {
   val oracles: Map[String, String] = Map(
     // ap6's oracle verbatim: the SQL-text serve of the written sketch
     // partials must match the DataFrame serve bit-for-bit
+    // ir6's phrase oracle verbatim: the SQL-text positional serve
+    // must match the scan form bit-for-bit (ir17's contract on the
+    // SQL surface)
+    "sx11_sql_phrase_serve" -> RetrievalOps.oracles("ir17_phrase_at_rest"),
+    // ts5's oracle verbatim: the SQL-text SAX probe must match the
+    // in-memory banded probe bit-for-bit (ts9's contract)
+    "sx12_sql_sax_probe" -> TimeSeriesOps.oracles("ts9_sax_atrest"),
+    // d18's oracle verbatim: the SQL-text winnow probe must match the
+    // DataFrame at-rest probe bit-for-bit (d26's contract)
+    "sx13_sql_winnow_probe" -> DedupOps.oracles("d26_winnow_probe_atrest"),
     "sx10_sql_sketch_serve" -> ApproxOps.oracles("ap6_sketch_atrest"),
     // c3's manifest oracle verbatim: the SQL-text serve of the written
     // export must match the logical recount bit-for-bit

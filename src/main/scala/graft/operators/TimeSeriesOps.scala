@@ -851,7 +851,7 @@ object TimeSeriesOps {
   private[graft] def healSaxIndex(s: SparkSession, root: String): Unit = {
     val nc = recountedOrigin(s, root)
     rebuildSaxDerived(s, root, nc)
-    nc.write.mode("overwrite").parquet(s"$root/consts")
+    AtRest.healDerived(s, s"$root/consts", nc)
   }
 
   /** ts9's serve core: ts5's Hamming-1 k-NN with BOTH index reads

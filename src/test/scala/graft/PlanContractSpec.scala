@@ -487,7 +487,7 @@ class PlanContractSpec extends SparkSpec {
     val pf = postScans.head.partitionFilters
     assert(pf.exists(_.toString.contains("term_bucket")),
       s"SQL serve lost its term_bucket partition predicate: $pf")
-    val buckets = ret.QueryTerms.map(ret.termBucketOf).distinct
+    val buckets = ret.QueryTerms.map(ret.termBucketOf(_)).distinct
       .map(b => s"term_bucket=$b/").toSet
     val listed = postScans.head.relation.location
       .listFiles(pf, postScans.head.dataFilters)
@@ -522,7 +522,7 @@ class PlanContractSpec extends SparkSpec {
       s"probe lost its static term_bucket partition predicate: $pf")
     // the predicate is STATIC (driver-side termBucketOf — ly2's
     // discipline): the scan lists ONLY the probe terms' buckets
-    val buckets = ret.QueryTerms.map(ret.termBucketOf)
+    val buckets = ret.QueryTerms.map(ret.termBucketOf(_))
       .map(b => s"term_bucket=$b/").toSet
     val listed = postScans.head.relation.location
       .listFiles(pf, postScans.head.dataFilters)
@@ -555,7 +555,7 @@ class PlanContractSpec extends SparkSpec {
     val pf = posScans.head.partitionFilters
     assert(pf.exists(_.toString.contains("term_bucket")),
       s"phrase probe lost its static term_bucket partition predicate: $pf")
-    val buckets = Seq(ret.Phrase._1, ret.Phrase._2).map(ret.termBucketOf)
+    val buckets = Seq(ret.Phrase._1, ret.Phrase._2).map(ret.termBucketOf(_))
       .map(b => s"term_bucket=$b/").toSet
     val listed = posScans.head.relation.location
       .listFiles(pf, posScans.head.dataFilters)

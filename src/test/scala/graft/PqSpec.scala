@@ -715,6 +715,64 @@ class PqSpec extends SparkSpec {
     assert(occ() === occ1, "torn stats write was not healed")
   }
 
+  test("x17: a cell whose members are ALL deleted drops its directory and stats row; the planted crash window converges") {
+    val root = "target/graft-index/spec-x17-emptycell"
+    val rootB = "target/graft-index/spec-x17-emptycell-clean"
+    Seq(root, rootB).foreach { r =>
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(r), true)
+    }
+    val c = SimilarityOps.corpus(spark, Sf)
+    SimilarityOps.buildIndex(spark, root, c,
+      SimilarityOps.coarseCentroids(c), SimilarityOps.pqSeedCents(c))
+    // the cell-emptying delete pattern the harness cohorts never
+    // produce: EVERY member of one chosen cell, plus one vector of
+    // another (so the compaction also has a normal partial cell)
+    val byCell = spark.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val victimCell = byCell.minBy { case (_, vs) => (vs.size, vs.min) }._1
+    val partialCell = byCell.keys.filter(_ != victimCell).min
+    val delIds = byCell(victimCell) +
+      byCell(partialCell).filterNot(byCell(victimCell)).min
+    val pred = col("vec_id").isin(delIds.toSeq: _*)
+    SimilarityOps.compactIndex(spark, root, pred)
+    assert(!new java.io.File(s"$root/codes/cell_id=$victimCell").exists(),
+      "the all-members-deleted cell kept its stale directory")
+    val occ = spark.read.parquet(s"$root/occupancy")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!occ.contains(victimCell.toLong),
+      "the emptied cell kept its stats row")
+    val recount = spark.read.parquet(s"$root/codes")
+      .groupBy(col("cell_id")).count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(occ == recount, "occupancy diverged from a recount")
+    assert(!new java.io.File(s"$root/staging").exists(),
+      "a completed compaction must clear its staging table")
+    // the planted crash: codes overwritten, drop + stats + staging
+    // cleanup lost — the rerun must converge to the same end state
+    SimilarityOps.buildIndex(spark, rootB, c,
+      SimilarityOps.coarseCentroids(c), SimilarityOps.pqSeedCents(c))
+    SimilarityOps.compactIndex(spark, rootB, pred,
+      crashAfterOverwrite = true)
+    assert(new java.io.File(s"$rootB/codes/cell_id=$victimCell").exists(),
+      "fixture regression: the crash state must hold the stale dir")
+    assert(new java.io.File(s"$rootB/staging").exists(),
+      "fixture regression: the crash state must hold the staging table")
+    SimilarityOps.compactIndex(spark, rootB, pred)
+    def state(r: String) = spark.read.parquet(s"$r/codes")
+      .select(col("vec_id"), col("cell_id")).collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toSet
+    assert(state(rootB) == state(root),
+      "crash-rerun codes diverged from the clean compaction")
+    assert(spark.read.parquet(s"$rootB/occupancy")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == occ,
+      "crash-rerun occupancy diverged from the clean compaction")
+    assert(!new java.io.File(s"$rootB/codes/cell_id=$victimCell").exists(),
+      "the rerun must drop the stale emptied-cell directory")
+  }
+
   test("compactIndex rerun after a torn stats write heals occupancy by recount") {
     val root = "target/graft-index/spec-compact-heal"
     val c = SimilarityOps.corpus(spark, Sf)

@@ -149,6 +149,65 @@ class RetrievalOpsSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("ir24: re-bucket 16→64 serves ir2 bit-identically at the new modulus; crash mid-migration keeps the old-modulus serve exact; driver/engine agree at 64") {
+    spark.sharedState.cacheManager.clearCache()
+    val root = graft.operators.SimilarityOps.indexRoot(spark, Sf) +
+      "/spec-ir24"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    RetrievalOps.writePostingsIndex(spark, root, docs)
+    val before = RetrievalOps.serveFromIndex(spark, root)
+      .transform(graft.operators.Common.presented(_,
+        org.apache.spark.sql.functions.col("rank")))
+      .collect().toSeq
+    // plant the land→resolve crash across all three artifacts: the
+    // OLD-modulus serve must still be exactly correct (movers' old
+    // copies stand; landed copies live in dirs >= 16 that a 16-bucket
+    // IN list never includes)
+    RetrievalOps.rebucketPostingsIndex(spark, root, crashAfterLand = true)
+    val midOld = RetrievalOps.serveFromIndex(spark, root)
+      .transform(graft.operators.Common.presented(_,
+        org.apache.spark.sql.functions.col("rank")))
+      .collect().toSeq
+    assert(midOld == before, "old-modulus serve diverged mid-migration")
+    // recovery = plain rerun; then the NEW-modulus serve is the one
+    RetrievalOps.rebucketPostingsIndex(spark, root)
+    val after = RetrievalOps.serveFromIndex(spark, root,
+        RetrievalOps.RebucketN)
+      .transform(graft.operators.Common.presented(_,
+        org.apache.spark.sql.functions.col("rank")))
+      .collect().toSeq
+    assert(after == before,
+      "re-bucketed serve diverged from the pre-migration serve")
+    // every artifact's rows sit in their new-modulus directory, no
+    // duplicates (count == pre-migration count per artifact)
+    import org.apache.spark.sql.functions.col
+    for (art <- Seq("postings", "blockmeta", "dict")) {
+      val mis = spark.read.parquet(s"$root/$art")
+        .filter(col("term_bucket") =!=
+          RetrievalOps.termBucketCol(col("tok"), RetrievalOps.RebucketN))
+        .count()
+      assert(mis == 0L, s"$art holds rows outside their 64-bucket dir")
+    }
+    // the driver-side bucket twin agrees with the engine at the NEW
+    // modulus over the whole corpus vocabulary (ir15's pin at 64)
+    import org.apache.spark.sql.functions.{explode, array_distinct}
+    import graft.functions.TextFunctions.tokens
+    val vocab = docs
+      .select(explode(array_distinct(tokens(col("text")))).as("tok"))
+      .distinct()
+      .select(col("tok"), RetrievalOps.termBucketCol(col("tok"),
+        RetrievalOps.RebucketN).as("b"))
+      .collect()
+    vocab.foreach { r =>
+      assert(r.getInt(1) == RetrievalOps.termBucketOf(r.getString(0),
+        RetrievalOps.RebucketN),
+        s"64-bucket drift for token '${r.getString(0)}'")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("ir16: append==rebuild on every index artifact; the stored-metadata serve is ir2 and the prune bites") {
     import org.apache.spark.sql.functions.col
     spark.sharedState.cacheManager.clearCache()

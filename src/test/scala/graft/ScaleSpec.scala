@@ -224,7 +224,7 @@ class ScaleSpec extends SparkSpec {
     import graft.operators.RetrievalOps
     val root = Files.createTempDirectory("ir_index").toString
     RetrievalOps.writePostingsIndex(spark, root, Tables.documents(spark, Sf))
-    val buckets = RetrievalOps.QueryTerms.map(RetrievalOps.termBucketOf).toSet
+    val buckets = RetrievalOps.QueryTerms.map(RetrievalOps.termBucketOf(_)).toSet
     val dirs = new java.io.File(s"$root/postings").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("term_bucket="))
     def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>
@@ -254,7 +254,7 @@ class ScaleSpec extends SparkSpec {
     RetrievalOps.phraseAtRestServe(spark, Sf).collect()
     val root = SimilarityOps.indexRoot(spark, Sf) + "/irindex17"
     val buckets = Seq(RetrievalOps.Phrase._1, RetrievalOps.Phrase._2)
-      .map(RetrievalOps.termBucketOf).toSet
+      .map(RetrievalOps.termBucketOf(_)).toSet
     val dirs = new java.io.File(s"$root/positional").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("term_bucket="))
     def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>
@@ -282,7 +282,7 @@ class ScaleSpec extends SparkSpec {
     RetrievalOps.championAtRestServe(spark, Sf).collect()
     graft.operators.CacheScope.drain()
     val root = SimilarityOps.indexRoot(spark, Sf) + "/irindex18"
-    val buckets = RetrievalOps.QueryTerms.map(RetrievalOps.termBucketOf).toSet
+    val buckets = RetrievalOps.QueryTerms.map(RetrievalOps.termBucketOf(_)).toSet
     val dirs = new java.io.File(s"$root/postings").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("term_bucket="))
     def bytes(fs: Array[java.io.File]): Long = fs.flatMap(d =>

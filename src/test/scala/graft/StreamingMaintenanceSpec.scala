@@ -438,6 +438,148 @@ class StreamingMaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("streamed round-18 forgets == one-shot forget of the union (d31 shingle + d32 winnow cap re-check + ly4 z-order), 2 fuzz seeds") {
+    // the three r17 forgets without a streamed twin, bound as
+    // takedown-request STREAMS. The interesting case is d32: a batch-1
+    // deletion can RE-ADMIT a previously evicted hash (its survivor
+    // count drops under the cap) and a batch-2 deletion can leave it
+    // admitted with fewer owners — the fold still telescopes because
+    // every forget leaves kept == rebuild-over-current-survivors (the
+    // cap re-check is stateless given the uncapped base). ly4's
+    // targeting reads the stats sidecar's CURRENT day bounds per
+    // batch; bounds only shrink as batches delete, and every
+    // survivor's days stay inside the recounted bounds, so later
+    // batches never under-target.
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val d = graft.operators.DedupOps
+    val ly = graft.operators.LayoutOps
+    val mod = graft.operators.TextOps.ForgetMod
+    val rem = graft.operators.TextOps.ForgetRem
+    // the corpus is AUGMENTED with a crafted boilerplate cohort so the
+    // d32 wrinkle provably fires inside the stream: 16 copies (6 in
+    // the forget cohort, 10 out) push every boilerplate hash over the
+    // cap at build (16 > 10, evicted); the forget's 6 deletions drop
+    // it to exactly the cap (10 <= 10) — the surviving copies must
+    // RE-ADMIT at whichever micro-batch deletes the 6th copy, and
+    // later batches keep sweeping other docs around the re-admission
+    val boiler = "the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong potions behind the old stone wall today"
+    val boilerIds = (0 until 6).map(k => (700000L + k) * mod + rem) ++
+      (0 until 10).map(k => (710000L + k) * mod + rem + 1)
+    val docs = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"))
+      .unionByName(boilerIds.map(i => (i, boiler)).toDF("doc_id", "text"))
+    val isDel = col("doc_id") % mod === rem
+    val requests = docs.filter(isDel)
+      .select(col("doc_id"), col("text")).as[Doc].collect().toVector
+    assert(requests.size >= 5, "fixture regression: thin request cohort")
+    val ev = Tables.events(spark, Sf)
+    val rootSh = "target/graft-index/spec-stream-d31-oneshot"
+    val rootWn = "target/graft-index/spec-stream-d32-oneshot"
+    val rootZo = "target/graft-index/spec-stream-ly4-oneshot"
+    Seq(rootSh, rootWn, rootZo).foreach(rmRoot)
+    d.writeShingleIndex(spark, rootSh, docs, bucketStats = true)
+    d.forgetShingleIndex(spark, rootSh, docs.filter(isDel),
+      bucketedStats = true)
+    d.writeWinnowIndex(spark, rootWn, docs)
+    d.forgetWinnowIndex(spark, rootWn, docs.filter(isDel))
+    ly.writeZorder(spark, rootZo, ev)
+    val maxU = spark.read.parquet(s"$rootZo/stats")
+      .agg(max(col("u_max"))).collect()(0).getLong(0)
+    val zReqs = (0L to maxU).filter(_ %
+      graft.operators.TextOps.ForgetMod == graft.operators.TextOps.ForgetRem)
+      .toVector
+    ly.forgetZorder(spark, rootZo, zReqs)
+    CacheScope.drain()
+    val arts = Map(
+      "sh" -> Seq(
+        "postings" -> Seq("doc_id", "h", "sh_bucket"),
+        "shset" -> Seq("h", "sh_bucket"),
+        "docstats" -> Seq("doc_id", "n_shingles", "ds_bucket")),
+      "wn" -> Seq(
+        "wfp" -> Seq("doc_id", "h", "h_bucket"),
+        "wdf" -> Seq("h", "nd", "h_bucket"),
+        "kept" -> Seq("doc_id", "h", "h_bucket")),
+      "zo" -> Seq(
+        "rows" -> Seq("event_id", "u", "day", "cell"),
+        "stats" -> Seq("cell", "n_rows", "u_min", "u_max", "day_min",
+          "day_max")))
+    val expect = Map(
+      "sh" -> arts("sh").map { case (a, cs) => a -> rows(rootSh, a, cs) },
+      "wn" -> arts("wn").map { case (a, cs) => a -> rows(rootWn, a, cs) },
+      "zo" -> arts("zo").map { case (a, cs) => a -> rows(rootZo, a, cs) })
+    // the d32 wrinkle must actually FIRE in this fixture: some hash
+    // evicted in the full build re-admits after the one-shot forget
+    val preOver = {
+      val r = "target/graft-index/spec-stream-d32-preover"
+      rmRoot(r); d.writeWinnowIndex(spark, r, docs)
+      spark.read.parquet(s"$r/wdf")
+        .filter(col("nd") > d.WinnowCap).select(col("h"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    val postOver = spark.read.parquet(s"$rootWn/wdf")
+      .filter(col("nd") > d.WinnowCap).select(col("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert((preOver -- postOver).nonEmpty,
+      "fixture regression: the forget re-admits no evicted hash — the " +
+        "cap re-check twin would prove nothing")
+
+    for (seed <- Seq(19, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val rS = s"target/graft-index/spec-stream-d31-$seed"
+      val rW = s"target/graft-index/spec-stream-d32-$seed"
+      val rZ = s"target/graft-index/spec-stream-ly4-$seed"
+      Seq(rS, rW, rZ).foreach(rmRoot)
+      d.writeShingleIndex(spark, rS, docs, bucketStats = true)
+      d.writeWinnowIndex(spark, rW, docs)
+      ly.writeZorder(spark, rZ, ev)
+      val in = MemoryStream[Doc]
+      val q = in.toDF().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val req = b.select(col("doc_id"), col("text")).localCheckpoint()
+          d.forgetShingleIndex(spark, rS, req, bucketedStats = true)
+          d.forgetWinnowIndex(spark, rW, req)
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(requests)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(4))
+          rest = tail
+          in.addData(chunk: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // ly4's requests are user ids (driver metadata, the c6
+      // convention) — stream them as id micro-batches
+      val inZ = MemoryStream[Long]
+      val qZ = inZ.toDF().toDF("u").writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          ly.forgetZorder(spark, rZ,
+            b.select(col("u")).collect().map(_.getLong(0)).toSeq)
+          ()
+        }
+        .start()
+      try {
+        var rest = rnd.shuffle(zReqs)
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + rnd.nextInt(4))
+          rest = tail
+          inZ.addData(chunk: _*)
+          qZ.processAllAvailable()
+        }
+      } finally qZ.stop()
+      for ((tag, root) <- Seq("sh" -> rS, "wn" -> rW, "zo" -> rZ);
+           (a, cs) <- arts(tag)) {
+        assert(rows(root, a, cs) == expect(tag).toMap.apply(a),
+          s"seed $seed: streamed $tag forget diverged on $a")
+      }
+      CacheScope.drain()
+    }
+  }
+
   test("streamed cluster forgets == one-shot forget of the union, 2 fuzz seeds") {
     // d30 bound as a takedown-request STREAM: each micro-batch sweeps
     // the index and re-clusters its touched survivor subgraphs, so any
