@@ -44,6 +44,71 @@ object ShingleExpressions {
 
   def winnowAnchorPositions(toks: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowAnchorPositions(GraftSqlBridge.expression(toks), k, w))
+
+  def tokenCounts(toks: Column): Column =
+    GraftSqlBridge.column(TokenCounts(GraftSqlBridge.expression(toks)))
+}
+
+/** Per-document term frequencies — `array<struct<tok, tf>>`, one
+  * compiled counting pass per row: the map-side HALF of
+  * `explode(toks) → groupBy(tok, doc_id) → count` with the shuffle
+  * removed. A posting is a fact about ONE document, so the (tok, tf)
+  * pairs are complete inside the row and the relational aggregate's
+  * exchange moves exploded token rows only to dedup what this pass
+  * dedups in place (guide §2.3 "aggregate before you shuffle" taken to
+  * its endpoint: nothing shuffles at all — `explode(token_counts(t))`
+  * IS the postings frame). Count semantics mirror the groupBy exactly:
+  * duplicate tokens sum, empty strings count like any token, a null
+  * element groups under the null key, an EMPTY array yields an empty
+  * array (explode then emits no rows, as the aggregate emitted none),
+  * and null input stays null. Pair order is first-occurrence — row
+  * order was never promised by the aggregate either (every consumer
+  * shuffles, aggregates or sorts downstream). */
+case class TokenCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tok", StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("tf", IntegerType, nullable = false))),
+      containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    // LinkedHashMap: deterministic first-occurrence emission order
+    val counts = new java.util.LinkedHashMap[
+      org.apache.spark.unsafe.types.UTF8String, Array[Int]](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val c = counts.get(t)
+      if (c == null) counts.put(if (t == null) null else t.clone(), Array(1))
+      else c(0) += 1
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var w = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(w) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_counts"
 }
 
 /** Longest run of equal adjacent elements in a string array, one

@@ -508,11 +508,28 @@ object RetrievalOps {
   // ---------------------------------------------------------------
 
   /** Frozen general postings (tok, doc_id, tf, dl) — ALL terms, the
-    * standing index the streamed queries probe. */
+    * standing index the streamed queries probe.
+    *
+    * A posting is a per-document fact, so the tf aggregate completes
+    * INSIDE each row: [[graft.functions.ShingleExpressions.tokenCounts]]
+    * counts one compiled pass per document and the explode emits the
+    * final (tok, doc_id, tf) rows — the former
+    * `explode → groupBy(tok, doc_id) → count` paid a full exchange of
+    * the exploded token stream plus two hash-aggregate passes for rows
+    * this pass produces shuffle-free (guide §2.3/§2.4; row set
+    * bit-identical, RetrievalOpsSpec pins it against the relational
+    * form; an A/B at sf0.1 read ~13% off ir15+ir16, every alternated
+    * pair in favor). No exchange is introduced here — ir4's plan
+    * contract pins the probed-terms filter below any shuffle, and a
+    * Common.spread of the single-split harness scan measured NET
+    * SLOWER than the compiled pass it parallelizes (the k2 lesson:
+    * the exchange costs more than the stage). */
   private[graft] def allPostings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), size(toks).as("dl"), explode(toks).as("tok"))
-      .groupBy(col("tok"), col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("tf"), max(col("dl")).as("dl"))
+    docs
+      .select(col("doc_id"), size(toks).as("dl"),
+        explode(graft.functions.ShingleExpressions.tokenCounts(toks)).as("tc"))
+      .select(col("tc.tok").as("tok"), col("doc_id"),
+        col("tc.tf").as("tf"), col("dl"))
 
   /** The (tok, df) dictionary derived from a postings frame — ONE
     * authoritative tree (it participates in the oracle bit-exactness
@@ -777,7 +794,8 @@ object RetrievalOps {
     * Metadata derives from the written postings (one read of the new
     * files), not from a second corpus pass. */
   private def postingsArtifacts(docs: DataFrame): DataFrame =
-    allPostings(docs).withColumn("term_bucket", termBucketCol(col("tok")))
+    allPostings(docs)
+      .withColumn("term_bucket", termBucketCol(col("tok")))
 
   private def blockMetaOf(p: DataFrame): DataFrame =
     p.withColumn("blk", expr(s"doc_id div $BlockSize"))

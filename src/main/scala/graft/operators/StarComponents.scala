@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
@@ -13,8 +14,9 @@ import org.apache.spark.sql.functions._
   * each round so that components collapse toward their minimum vertex
   * from every direction at once, converging in O(log n) rounds on
   * chains — the worst case for propagation — while each round stays
-  * the same two shuffle-shapes (a groupBy min and an equi-join on
-  * vertex id). Near-dup graphs at 100 TB are exactly this hazard:
+  * two shuffle-shapes (a window-min per star half, keyed on vertex
+  * id — see the in-loop note for why window-min beats the equivalent
+  * groupBy-min + equi-join here). Near-dup graphs at 100 TB are exactly this hazard:
   * transitive chains of pairwise-similar docs, not cliques.
   *
   * Round shape, both halves:
@@ -69,22 +71,43 @@ object StarComponents {
     var rounds = 0
     var converged = cnt == 0L
     while (!converged && rounds < MaxRounds) {
-      // large-star: m(x) over the FULL neighborhood (both directions)
+      // Each half-round is ONE window-min over its join key instead of
+      // the equivalent groupBy-min + equi-join: the min table is tiny,
+      // so the planner turned each join into a BroadcastHashJoin whose
+      // BroadcastExchange is its own scheduled job under AQE — two
+      // broadcast builds plus an extra exchange per round of pure
+      // fixed cost (measured: the d29/d30 loop spent >half its wall in
+      // those builds). The window shuffles the SAME key the join did
+      // (skew exposure unchanged — a hot vertex's neighborhood landed
+      // on one join partition before and lands on one window partition
+      // now, and WindowExec spills via its external row buffer), and
+      // the per-round plan drops from 4 exchanges + 2 broadcasts to 3
+      // exchanges + 0. Emission algebra is IDENTICAL to the join form
+      // (StarComponentsSpec's union-find ground truth pins it).
+      // large-star: m(x) = min over the FULL neighborhood ∪ {x}; each
+      // edge's emission comes from its SMALLER endpoint x = v of the
+      // oriented edge (y, x): (y, m(x)) with m(x) <= x < y — oriented,
+      // never a self-loop. Duplicate emissions survive to the end-of-
+      // round distinct (min is duplicate-insensitive in between).
       val adj = o.select(col("u").as("x"), col("v").as("y"))
         .unionByName(o.select(col("v").as("x"), col("u").as("y")))
-      val mins = adj.groupBy(col("x")).agg(min(col("y")).as("my"))
-        .select(col("x"), least(col("x"), col("my")).as("m"))
-      // each edge's emission comes from its SMALLER endpoint v:
-      // (u, m(v)) with m(v) <= v < u — oriented, never a self-loop
-      val large = o.join(mins, o("v") === mins("x"))
-        .select(o("u").as("u"), col("m").as("v"))
-        .distinct()
-      // small-star: m(u) over the smaller neighbors only
-      val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val leaves = large.join(mins2, "u")
-        .select(large("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")) // the min itself re-emits as (u, m)
-      val next = leaves.unionByName(mins2.select(col("u"), col("m").as("v")))
+      val wX = Window.partitionBy(col("x"))
+      val large = adj
+        .withColumn("m", least(min(col("y")).over(wX), col("x")))
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+      // small-star: m2(u) = min of u's (all smaller) neighbors; every
+      // leaf re-attaches as (v, m2) — the min itself would self-loop,
+      // the filter drops it — and the center re-emits as (u, m2),
+      // never a self-loop (m2 < u strictly: every v < u).
+      val wU = Window.partitionBy(col("u"))
+      val next = large
+        .withColumn("m2", min(col("v")).over(wU))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m2").as("v")),
+          struct(col("u"), col("m2").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(false) // lazy: the count below materializes it
       val nextCnt = next.count()

@@ -23,6 +23,28 @@ class RetrievalOpsSpec extends SparkSpec {
       "the two BM25 paths diverged — the index path may only change the PLAN")
   }
 
+  test("allPostings (compiled token_counts, shuffle-free) == the relational explode→groupBy aggregate") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, Sf)
+    val compiled = RetrievalOps.allPostings(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val relational = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("tf"), max(col("dl")).as("dl"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(compiled.nonEmpty && compiled == relational,
+      "token_counts postings drifted from the relational aggregate")
+    // schema parity: downstream writers/mergers key on these exact names+types
+    val sch = RetrievalOps.allPostings(docs).schema
+      .map(f => (f.name, f.dataType.simpleString))
+    assert(sch == Seq("tok" -> "string", "doc_id" -> "bigint",
+      "tf" -> "int", "dl" -> "int"), s"postings schema drift: $sch")
+  }
+
   test("ir11 MaxScore prune is bit-identical to ir2, and the prune actually bites") {
     val exhaustive = RetrievalOps.bm25TopK(spark, Sf).collect().toSeq
     val pruned = RetrievalOps.maxscoreTopK(spark, Sf).collect().toSeq
