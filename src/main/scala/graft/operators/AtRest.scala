@@ -204,7 +204,17 @@ object AtRest {
       .exists(_.nonEmpty)
     val cols = if (hasFiles) s.read.parquet(table).columns
                else staged.columns
-    val pinned = staged.select(cols.map(col(_)): _*).localCheckpoint()
+    // cluster by the partition column before the pin: staged frames
+    // routinely arrive WIDE (a survivors-read unioned with a shuffled
+    // delta concatenates both sides' partitions), and a wide
+    // partitionBy write opens (tasks × buckets) parquet files — ~2 s
+    // of writer churn measured on the SAX landed append for a
+    // KB-sized delta. One narrow exchange of the request-sized stage
+    // lands each bucket as ONE file (guide §6's output sizing; the
+    // per-file sortCols promise below survives — the sort is applied
+    // after this shuffle, partition column leading).
+    val pinned = staged.select(cols.map(col(_)): _*)
+      .repartition(col(partitionCol)).localCheckpoint()
     val present = pinned.select(col(partitionCol)).distinct()
       .collect().map(_.getInt(0)).toSet
     if (present.nonEmpty) {
@@ -320,6 +330,7 @@ object AtRest {
         keys, "left_anti")
       .withColumn(partitionCol, col("__nb"))
       .select(canonical.map(col(_)): _*)
+      .repartition(col(partitionCol)) // one landed file per fresh bucket
       .localCheckpoint()
     val ordered =
       if (sortCols.isEmpty) toLand
