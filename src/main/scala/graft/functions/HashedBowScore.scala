@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, NullType, ShortType, StringType}
 
@@ -26,7 +25,7 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, L
   * zero element on both engines.
   */
 case class HashedBowScore(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernel {
 
   // NO implicit input coercion: under a non-ANSI session the legacy
   // coercion rules would silently narrow array<double> or parse-cast
@@ -82,7 +81,7 @@ case class HashedBowScore(left: Expression, right: Expression)
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  override def nullSafeEval(tokensAny: Any, weightsAny: Any): Any = {
+  override def kernel(tokensAny: Any, weightsAny: Any): Any = {
     val toks = tokensAny.asInstanceOf[ArrayData]
     val weights = weightsAny.asInstanceOf[ArrayData]
     val buckets = weights.numElements()

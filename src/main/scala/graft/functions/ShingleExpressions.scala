@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
@@ -65,7 +65,7 @@ object ShingleExpressions {
   * order was never promised by the aggregate either (every consumer
   * shuffles, aggregates or sorts downstream). */
 case class TokenCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernel {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -79,7 +79,7 @@ case class TokenCounts(child: Expression)
       org.apache.spark.sql.types.StructField("tf", IntegerType, nullable = false))),
       containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     // LinkedHashMap: deterministic first-occurrence emission order
@@ -124,7 +124,7 @@ case class TokenCounts(child: Expression)
   * HOF form and `list_max(empty)` in the oracle.
   */
 case class MaxRunLength(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernel {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -138,7 +138,7 @@ case class MaxRunLength(child: Expression)
     * null input. */
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
@@ -180,7 +180,7 @@ case class MaxRunLength(child: Expression)
   * `generate_series`).
   */
 case class HashedShingleSet(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernel {
 
   require(k >= 1, "shingle width must be >= 1")
 
@@ -192,7 +192,7 @@ case class HashedShingleSet(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Long])
@@ -276,7 +276,7 @@ case class HashedShingleSet(child: Expression, k: Int)
   * empty set (DuckDB's generate_series is naturally empty there). The
   * slide is a monotone-deque minimum — O(G) total, not O(G·w). */
 case class WinnowedFingerprintSet(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernel {
 
   require(k >= 1, "gram width must be >= 1")
   require(w >= 1, "winnowing window must be >= 1")
@@ -289,7 +289,7 @@ case class WinnowedFingerprintSet(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Long])
@@ -389,7 +389,7 @@ case class WinnowedFingerprintSet(child: Expression, k: Int, w: Int)
   * open-addressed count pass per row, O(tokens) space, nothing but the
   * winner leaves the task. */
 case class TopGramStats(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernel {
 
   require(k >= 1, "gram width must be >= 1")
 
@@ -407,7 +407,7 @@ case class TopGramStats(child: Expression, k: Int)
   /** Null for fewer than k tokens (zero grams), not just null input. */
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     if (n < k) return null
@@ -458,7 +458,7 @@ case class TopGramStats(child: Expression, k: Int)
   * (h < 2^30, a ≤ 2^10), far from overflow on either engine.
   */
 case class MinHashSig(child: Expression, ab: Seq[(Long, Long)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernel {
 
   require(ab.nonEmpty, "at least one (a, b) hash pair")
 
@@ -474,7 +474,7 @@ case class MinHashSig(child: Expression, ab: Seq[(Long, Long)])
     * for null input — so nullability cannot be derived from the child. */
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
     if (n == 0) return null
@@ -616,7 +616,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * grams, no cuts — the caller's whole-document segment). O(G) total.
   */
 case class WinnowAnchorPositions(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernel {
 
   require(k >= 1, "gram width must be >= 1")
   require(w >= 1, "winnowing window must be >= 1")
@@ -629,7 +629,7 @@ case class WinnowAnchorPositions(child: Expression, k: Int, w: Int)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val toks = input.asInstanceOf[ArrayData]
     val n = toks.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Int])

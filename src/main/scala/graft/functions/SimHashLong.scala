@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -23,7 +22,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * `('0x' || substr(md5(t),1,15))::BIGINT`, so oracle parity is exact.
   */
 case class SimHashLong(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernel {
 
   require(bits >= 1 && bits <= 60, "signature width must be 1..60")
 
@@ -35,7 +34,7 @@ case class SimHashLong(child: Expression, bits: Int)
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val votes = new Array[Int](bits)
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -34,11 +34,13 @@ object Sq8Expressions {
   * poisons the pack to NULL (the HashedBowScore null discipline —
   * type-checked SQL input never throws).
   *
-  * CodegenFallback: the pack runs ONCE per vector at index-build time
-  * (amortized over every query served), unlike [[Sq8SdcDist]] which
-  * sits on the per-pair serve path and generates code. */
+  * Codegen via [[UnaryKernel]]: the pack runs ONCE per vector at
+  * index-build time, but the trait keeps the build stage's Project
+  * inside whole-stage codegen (a CodegenFallback marker would evict
+  * it); [[Sq8SdcDist]] on the per-pair serve path generates its loop
+  * inline. */
 case class PackCodes(child: Expression) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with UnaryKernel {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(ByteType | ShortType | IntegerType | LongType, _) =>
@@ -61,7 +63,7 @@ case class PackCodes(child: Expression) extends UnaryExpression
         s"unreachable after checkInputDataTypes: $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def kernel(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     val out = new Array[Byte](n)
