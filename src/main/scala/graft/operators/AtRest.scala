@@ -37,6 +37,43 @@ object AtRest {
   private[graft] def fsOf(s: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Run INDEPENDENT maintenance chains concurrently (guide §2.6:
+    * Spark's scheduler happily overlaps jobs submitted from several
+    * threads — actions are only sequential because driver code calls
+    * them sequentially). The at-rest verbs are chains of small
+    * fixed-cost jobs over disjoint tables (postings metadata vs
+    * doclen/consts; the clusters vs members projections; docsets vs
+    * bands), so overlapping the independent chains cuts a verb's wall
+    * by roughly the shorter chain, and the tail of one chain's stages
+    * back-fills cores the other frees. Callers guarantee the chains
+    * touch DISJOINT outputs and that any frame a chain reads from a
+    * table the other replaces is pinned (localCheckpoint) before this
+    * call — the same self-read discipline the serial forms already
+    * follow. Failures rethrow their original exception at the join,
+    * after every chain has settled (no torn half-verb beyond what the
+    * serial form's crash contract already covers — each family's heal
+    * recounts from the base of record either way). */
+  private[graft] def inParallel(work: (() => Unit)*): Unit = {
+    if (work.sizeIs <= 1) { work.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+    try {
+      val futs = work.map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = w()
+        })
+      }
+      var firstFailure: Throwable = null
+      futs.foreach { f =>
+        try { f.get(); () }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally { pool.shutdown(); () }
+  }
+
   /** Data files per bucket partition of a partitioned table —
     * driver-side FS listing, O(#files) layout metadata (the same
     * bookkeeping a table format's manifest gives for free). A missing

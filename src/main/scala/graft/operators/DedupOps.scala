@@ -1917,13 +1917,18 @@ object DedupOps {
       docs: DataFrame): Unit = {
     val hsets = docShingleSets(docs)
     CacheScope.persist(hsets) // feeds both artifacts
-    hsets.select(col("doc_id"), col("bg"),
-        idBucketCol(col("doc_id")).as("id_bucket"))
-      .write.mode("overwrite").partitionBy("id_bucket")
-      .parquet(s"$root/docsets")
-    bandRows(hsets)
-      .write.mode("overwrite").partitionBy("band_bucket")
-      .parquet(s"$root/bands")
+    // the two artifacts derive from the same persisted sets and land in
+    // disjoint tables — overlap the writes (guide §2.6; concurrent
+    // first-materialization of a cached frame is block-locked by the
+    // BlockManager, so the shingle pass still runs once)
+    AtRest.inParallel(
+      () => hsets.select(col("doc_id"), col("bg"),
+          idBucketCol(col("doc_id")).as("id_bucket"))
+        .write.mode("overwrite").partitionBy("id_bucket")
+        .parquet(s"$root/docsets"),
+      () => bandRows(hsets)
+        .write.mode("overwrite").partitionBy("band_bucket")
+        .parquet(s"$root/bands"))
   }
 
   /** APPEND: per-doc facts only — no merge step at all (the band rows
@@ -2323,12 +2328,15 @@ object DedupOps {
       labels: DataFrame): Unit = {
     val l = labels.select(col("doc_id"), col("cluster_id"))
       .localCheckpoint()
-    l.withColumn("c_bucket", clusterBucketCol(col("cluster_id")))
-      .write.mode("overwrite").partitionBy("c_bucket")
-      .parquet(s"$root/clusters")
-    l.withColumn("d_bucket", idBucketCol(col("doc_id")))
-      .write.mode("overwrite").partitionBy("d_bucket")
-      .parquet(s"$root/members")
+    // both projections land from the same pinned assignment into
+    // disjoint tables — overlap the writes (guide §2.6)
+    AtRest.inParallel(
+      () => l.withColumn("c_bucket", clusterBucketCol(col("cluster_id")))
+        .write.mode("overwrite").partitionBy("c_bucket")
+        .parquet(s"$root/clusters"),
+      () => l.withColumn("d_bucket", idBucketCol(col("doc_id")))
+        .write.mode("overwrite").partitionBy("d_bucket")
+        .parquet(s"$root/members"))
   }
 
   /** BUILD (and the wholesale HEAL): components over the written
@@ -2457,28 +2465,35 @@ object DedupOps {
       .select(clusterBucketCol(col("cluster_id")).as("b"))
       .unionByName(merged.select(clusterBucketCol(col("cluster_id")).as("b")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    AtRest.overwriteBuckets(s, s"$root/clusters", "c_bucket", affectedC,
-      s.read.parquet(s"$root/clusters")
-        .filter(col("c_bucket").isin(affectedC: _*))
-        .join(broadcast(touched), Seq("cluster_id"), "left_anti")
-        .select(col("doc_id"), col("cluster_id"))
-        .unionByName(merged)
-        .withColumn("c_bucket", clusterBucketCol(col("cluster_id"))))
     // members/: affected = the relabeled nodes' doc buckets; every
     // affected bucket receives ≥1 merged row by construction, so the
-    // shared verb's drop set is empty here
+    // shared verb's drop set is empty there. Both projections stage
+    // from pinned frames and rewrite disjoint tables — overlap the two
+    // overwrites (guide §2.6)
     val affectedD = merged.select(idBucketCol(col("doc_id")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (affectedD.nonEmpty) {
-      AtRest.overwriteBuckets(s, s"$root/members", "d_bucket", affectedD,
-        s.read.parquet(s"$root/members")
-          .filter(col("d_bucket").isin(affectedD: _*))
-          .join(broadcast(merged.select(col("doc_id"))), Seq("doc_id"),
-            "left_anti")
-          .select(col("doc_id"), col("cluster_id"))
-          .unionByName(merged)
-          .withColumn("d_bucket", idBucketCol(col("doc_id"))))
-    }
+    AtRest.inParallel(
+      () => {
+        AtRest.overwriteBuckets(s, s"$root/clusters", "c_bucket", affectedC,
+          s.read.parquet(s"$root/clusters")
+            .filter(col("c_bucket").isin(affectedC: _*))
+            .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+            .select(col("doc_id"), col("cluster_id"))
+            .unionByName(merged)
+            .withColumn("c_bucket", clusterBucketCol(col("cluster_id"))))
+        ()
+      },
+      () => if (affectedD.nonEmpty) {
+        AtRest.overwriteBuckets(s, s"$root/members", "d_bucket", affectedD,
+          s.read.parquet(s"$root/members")
+            .filter(col("d_bucket").isin(affectedD: _*))
+            .join(broadcast(merged.select(col("doc_id"))), Seq("doc_id"),
+              "left_anti")
+            .select(col("doc_id"), col("cluster_id"))
+            .unionByName(merged)
+            .withColumn("d_bucket", idBucketCol(col("doc_id"))))
+        ()
+      })
   }
 
   /** D29 — MAINTAINED CLUSTER ASSIGNMENT AT REST: the dedup decision
@@ -2553,18 +2568,26 @@ object DedupOps {
     val sets = docsetFetch(s, root, ids).localCheckpoint()
     val bBuckets = bandRows(sets).select(col("band_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    AtRest.sweepBuckets(s, s"$root/bands", "band_bucket", bBuckets,
-      ids, Seq("doc_id"))
     val dBuckets = ids.select(idBucketCol(col("doc_id")).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    // staged through readDocsets' explicit schema (the bg array's
-    // containsNull contract), so the shared verb only owns the tail
-    if (dBuckets.nonEmpty) {
-      AtRest.overwriteBuckets(s, s"$root/docsets", "id_bucket", dBuckets,
-        readDocsets(s, root)
-          .filter(col("id_bucket").isin(dBuckets: _*))
-          .join(broadcast(ids), Seq("doc_id"), "left_anti"))
-    }
+    // the two sweeps target disjoint tables from the pinned request
+    // (the docset fetch above already materialized everything the
+    // bands sweep derives from) — overlap them (guide §2.6)
+    AtRest.inParallel(
+      () => {
+        AtRest.sweepBuckets(s, s"$root/bands", "band_bucket", bBuckets,
+          ids, Seq("doc_id"))
+        ()
+      },
+      // staged through readDocsets' explicit schema (the bg array's
+      // containsNull contract), so the shared verb only owns the tail
+      () => if (dBuckets.nonEmpty) {
+        AtRest.overwriteBuckets(s, s"$root/docsets", "id_bucket", dBuckets,
+          readDocsets(s, root)
+            .filter(col("id_bucket").isin(dBuckets: _*))
+            .join(broadcast(ids), Seq("doc_id"), "left_anti"))
+        ()
+      })
   }
 
   /** FORGET from the maintained assignment. Stages:
@@ -2628,16 +2651,6 @@ object DedupOps {
       .select(clusterBucketCol(col("cluster_id")).as("b"))
       .unionByName(newRows.select(clusterBucketCol(col("cluster_id")).as("b")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (affectedC.nonEmpty) {
-      AtRest.overwriteBuckets(s, s"$root/clusters", "c_bucket",
-        affectedC,
-        s.read.parquet(s"$root/clusters")
-          .filter(col("c_bucket").isin(affectedC: _*))
-          .join(broadcast(touched), Seq("cluster_id"), "left_anti")
-          .select(col("doc_id"), col("cluster_id"))
-          .unionByName(newRows)
-          .withColumn("c_bucket", clusterBucketCol(col("cluster_id"))))
-    }
     // members/: removal key = deleted ids ∪ the touched clusters' old
     // members (the delIds arm is load-bearing — it is what lets a
     // rerun after a mid-crash still scrub the deleted rows when the
@@ -2648,16 +2661,32 @@ object DedupOps {
     val affectedD = removal.select(idBucketCol(col("doc_id")).as("b"))
       .unionByName(newRows.select(idBucketCol(col("doc_id")).as("b")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (affectedD.nonEmpty) {
-      AtRest.overwriteBuckets(s, s"$root/members", "d_bucket",
-        affectedD,
-        s.read.parquet(s"$root/members")
-          .filter(col("d_bucket").isin(affectedD: _*))
-          .join(broadcast(removal), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("cluster_id"))
-          .unionByName(newRows)
-          .withColumn("d_bucket", idBucketCol(col("doc_id"))))
-    }
+    // both projections stage from pinned frames (touched/newRows/
+    // removal) and rewrite disjoint tables — overlap (guide §2.6); the
+    // rerun-scrub property is per-table and unchanged by the order
+    AtRest.inParallel(
+      () => if (affectedC.nonEmpty) {
+        AtRest.overwriteBuckets(s, s"$root/clusters", "c_bucket",
+          affectedC,
+          s.read.parquet(s"$root/clusters")
+            .filter(col("c_bucket").isin(affectedC: _*))
+            .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+            .select(col("doc_id"), col("cluster_id"))
+            .unionByName(newRows)
+            .withColumn("c_bucket", clusterBucketCol(col("cluster_id"))))
+        ()
+      },
+      () => if (affectedD.nonEmpty) {
+        AtRest.overwriteBuckets(s, s"$root/members", "d_bucket",
+          affectedD,
+          s.read.parquet(s"$root/members")
+            .filter(col("d_bucket").isin(affectedD: _*))
+            .join(broadcast(removal), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("cluster_id"))
+            .unionByName(newRows)
+            .withColumn("d_bucket", idBucketCol(col("doc_id"))))
+        ()
+      })
   }
 
   /** D30 — FORGET AGAINST THE MAINTAINED CLUSTERS: build the index +

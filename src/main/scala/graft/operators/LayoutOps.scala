@@ -178,8 +178,13 @@ object LayoutOps {
     * associative, so the append merges them instead of recomputing). */
   private[graft] def writeZorder(s: SparkSession, root: String,
       ev: DataFrame): Unit = {
+    // cluster-before-land (guide §6): the per-row cell map inherits the
+    // scan's task count, so the partitionBy write otherwise opens
+    // tasks × cells files (measured 94 files for 570 KB on ly4's
+    // build+forget); one narrow exchange lands one file per cell
     zCoords(ev, col("event_id"))
       .withColumn("cell", col("cell").cast("int"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$root/rows")
     cellAgg(s.read.parquet(s"$root/rows"))
       .write.mode("overwrite").parquet(s"$root/stats")

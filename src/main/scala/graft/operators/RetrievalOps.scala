@@ -818,28 +818,37 @@ object RetrievalOps {
     postingsArtifacts(docs)
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$root/postings")
-    blockMetaOf(s.read.parquet(s"$root/postings"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$root/blockmeta")
-    dictFromMeta(s.read.parquet(s"$root/blockmeta"))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$root/dict")
-    // the per-doc length table — index metadata in its own right (dl
-    // is what postings denormalize in), and the ONE artifact that
-    // records zero-token documents, which the postings cannot: the
-    // corpus constants derive from it, never from a docs re-scan.
-    // The FORGETTABLE layout (ir22) partitions it by doc bucket so a
-    // delete request rewrites only its own doc partitions; the
-    // append-only layouts keep the flat form (their doclen is only
-    // ever appended to, never rewritten)
-    val dlf = docLenOf(docs)
-    if (bucketDoclen)
-      dlf.withColumn("doc_bucket", docBucketCol)
-        .write.mode("overwrite").partitionBy("doc_bucket")
-        .parquet(s"$root/doclen")
-    else dlf.write.mode("overwrite").parquet(s"$root/doclen")
-    constsOf(s.read.parquet(s"$root/doclen"))
-      .write.mode("overwrite").parquet(s"$root/consts")
+    // the two metadata chains are INDEPENDENT after the postings land
+    // (blockmeta→dict recounts from the written postings; doclen→consts
+    // from the docs scan and then its own written table), so they
+    // overlap (guide §2.6) — each chain's internal order is unchanged
+    AtRest.inParallel(
+      () => {
+        blockMetaOf(s.read.parquet(s"$root/postings"))
+          .write.mode("overwrite").partitionBy("term_bucket")
+          .parquet(s"$root/blockmeta")
+        dictFromMeta(s.read.parquet(s"$root/blockmeta"))
+          .write.mode("overwrite").partitionBy("term_bucket")
+          .parquet(s"$root/dict")
+      },
+      () => {
+        // the per-doc length table — index metadata in its own right (dl
+        // is what postings denormalize in), and the ONE artifact that
+        // records zero-token documents, which the postings cannot: the
+        // corpus constants derive from it, never from a docs re-scan.
+        // The FORGETTABLE layout (ir22) partitions it by doc bucket so a
+        // delete request rewrites only its own doc partitions; the
+        // append-only layouts keep the flat form (their doclen is only
+        // ever appended to, never rewritten)
+        val dlf = docLenOf(docs)
+        if (bucketDoclen)
+          dlf.withColumn("doc_bucket", docBucketCol)
+            .write.mode("overwrite").partitionBy("doc_bucket")
+            .parquet(s"$root/doclen")
+        else dlf.write.mode("overwrite").parquet(s"$root/doclen")
+        constsOf(s.read.parquet(s"$root/doclen"))
+          .write.mode("overwrite").parquet(s"$root/consts")
+      })
   }
 
   private def docLenOf(docs: DataFrame): DataFrame =
@@ -920,36 +929,43 @@ object RetrievalOps {
     val deltaMeta = blockMetaOf(bp).localCheckpoint()
     val mBuckets = deltaMeta.select(col("term_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    if (mBuckets.nonEmpty) {
-      AtRest.overwriteBuckets(s, s"$root/blockmeta", "term_bucket",
-        mBuckets,
-        s.read.parquet(s"$root/blockmeta")
-          .filter(col("term_bucket").isin(mBuckets: _*))
-          .unionByName(deltaMeta)
-          .groupBy(col("term_bucket"), col("tok"), col("blk"))
-          .agg(max(col("max_tf")).as("max_tf"),
-            min(col("min_dl")).as("min_dl"),
-            sum(col("n_postings")).as("n_postings")))
-      AtRest.overwriteBuckets(s, s"$root/dict", "term_bucket", mBuckets,
-        dictFromMeta(s.read.parquet(s"$root/blockmeta")
-          .filter(col("term_bucket").isin(mBuckets: _*))))
-    }
-    // doclen gets the same anti-join exactly-once guard, and the
-    // constants RECOUNT from the at-rest table (2 slim columns —
-    // idempotent by construction, where a +=-style merge would
-    // double-count a retried batch). Like `bp`, the anti-joined batch
-    // is pinned EAGERLY before the append: its plan reads the same
-    // path the write appends to, and only the at-write-time file
-    // listing keeps that safe — a retry after refreshByPath (or any
-    // caching of this frame) would re-list post-append and anti-join
-    // the batch against itself
-    docLenOf(batch)
-      .join(s.read.parquet(s"$root/doclen").select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      .localCheckpoint()
-      .write.mode("append").parquet(s"$root/doclen")
-    constsOf(s.read.parquet(s"$root/doclen")).localCheckpoint()
-      .write.mode("overwrite").parquet(s"$root/consts")
+    // the blockmeta→dict merge chain and the doclen→consts chain touch
+    // disjoint tables (every cross-table read is of the already-landed
+    // postings or the pinned delta), so they overlap — guide §2.6
+    AtRest.inParallel(
+      () => if (mBuckets.nonEmpty) {
+        AtRest.overwriteBuckets(s, s"$root/blockmeta", "term_bucket",
+          mBuckets,
+          s.read.parquet(s"$root/blockmeta")
+            .filter(col("term_bucket").isin(mBuckets: _*))
+            .unionByName(deltaMeta)
+            .groupBy(col("term_bucket"), col("tok"), col("blk"))
+            .agg(max(col("max_tf")).as("max_tf"),
+              min(col("min_dl")).as("min_dl"),
+              sum(col("n_postings")).as("n_postings")))
+        AtRest.overwriteBuckets(s, s"$root/dict", "term_bucket", mBuckets,
+          dictFromMeta(s.read.parquet(s"$root/blockmeta")
+            .filter(col("term_bucket").isin(mBuckets: _*))))
+        ()
+      },
+      () => {
+        // doclen gets the same anti-join exactly-once guard, and the
+        // constants RECOUNT from the at-rest table (2 slim columns —
+        // idempotent by construction, where a +=-style merge would
+        // double-count a retried batch). Like `bp`, the anti-joined batch
+        // is pinned EAGERLY before the append: its plan reads the same
+        // path the write appends to, and only the at-write-time file
+        // listing keeps that safe — a retry after refreshByPath (or any
+        // caching of this frame) would re-list post-append and anti-join
+        // the batch against itself
+        docLenOf(batch)
+          .join(s.read.parquet(s"$root/doclen").select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+          .write.mode("append").parquet(s"$root/doclen")
+        constsOf(s.read.parquet(s"$root/doclen")).localCheckpoint()
+          .write.mode("overwrite").parquet(s"$root/consts")
+      })
   }
 
   /** Crash recovery for the postings index: every metadata table
@@ -1147,7 +1163,11 @@ object RetrievalOps {
     val tBuckets = delKeys.select(col("term_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val fs = AtRest.fsOf(s, root)
-    if (tBuckets.nonEmpty) {
+    // the postings→blockmeta→dict sweep chain and the doclen→consts
+    // chain (forgetDoclen) touch disjoint tables; both targets derive
+    // from the pinned request — overlap them (guide §2.6)
+    AtRest.inParallel(
+      () => if (tBuckets.nonEmpty) {
       AtRest.overwriteBuckets(s, s"$root/postings", "term_bucket",
         tBuckets, postingsForgetSurvivors(s, root, delIds, tBuckets))
       // subtractive metadata: recount ONLY the touched buckets from
@@ -1171,12 +1191,12 @@ object RetrievalOps {
           ()
         }
       }
-    }
-    // doclen is request-targetable directly (doc-bucketed layout) —
-    // and it runs even when the deleted docs had zero tokens (they
-    // have no postings, but they do have a doclen row and they do
-    // count in n_docs/avgdl)
-    forgetDoclen(s, root, delIds)
+    },
+      // doclen is request-targetable directly (doc-bucketed layout) —
+      // and it runs even when the deleted docs had zero tokens (they
+      // have no postings, but they do have a doclen row and they do
+      // count in n_docs/avgdl)
+      () => forgetDoclen(s, root, delIds))
   }
 
   /** The doclen half of the forget: the request's doc buckets are the

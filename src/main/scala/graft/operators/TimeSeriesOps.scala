@@ -563,16 +563,29 @@ object TimeSeriesOps {
     * flag a mid-crash rerun re-checks (the r16 ADVICE ordering). */
   private def rebuildSaxDerived(s: SparkSession, root: String,
       consts: DataFrame): Unit = {
+    // cluster-before-land on BOTH derived tables (guide §6): a
+    // partitionBy write of a multi-task frame opens tasks × buckets
+    // parquet files — measured on this path: the bands land was 16
+    // scan tasks × 16 bb_buckets = 256 files for 300 KB (the words
+    // table's 16 small files defeat split packing once
+    // bytes-per-core shrinks below openCostInBytes, so parallelism
+    // AMPLIFIES the explosion), and every serve/forget re-reads those
+    // files. One narrow exchange per land caps it at one file per
+    // bucket; at 100 TB the bucket count tracks table bytes via
+    // [[AtRest.bucketCountFor]], so one-task-per-bucket stays
+    // byte-bounded there too.
     val words = saxWordsWith(
         s.read.parquet(s"$root/counts")
           .select(col("user_id"), col("day"), col("cnt")),
         consts)
       .withColumn("u_bucket", userBucketCol(col("user_id")))
-    words.write.mode("overwrite").partitionBy("u_bucket")
+    words.repartition(col("u_bucket"))
+      .write.mode("overwrite").partitionBy("u_bucket")
       .parquet(s"$root/words")
     bandKeys(s.read.parquet(s"$root/words"))
       .withColumn("bb_bucket", saxBandBucketCol(col("b"), col("bk")))
       .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
+      .repartition(col("bb_bucket"))
       .write.mode("overwrite").partitionBy("bb_bucket")
       .parquet(s"$root/bands")
   }
@@ -601,8 +614,16 @@ object TimeSeriesOps {
     * ir15's no-second-corpus-pass rule). */
   private[graft] def writeSaxIndex(s: SparkSession, root: String,
       c: DataFrame): Unit = {
+    // cluster-before-land (guide §6, same rationale as
+    // [[rebuildSaxDerived]]): the counts frame arrives shuffle-wide —
+    // worse, often from a persisted InMemoryRelation whose partition
+    // count AQE cannot coalesce — so the ts10 build measured 32 tasks
+    // × 16 buckets = 512 counts files for <1 MB, re-read by every
+    // serve, update and heal. One narrow exchange lands one file per
+    // bucket.
     c.select(col("user_id"), col("day"), col("cnt"),
         userBucketCol(col("user_id")).as("u_bucket"))
+      .repartition(col("u_bucket"))
       .write.mode("overwrite").partitionBy("u_bucket")
       .parquet(s"$root/counts")
     val nc = recountedOrigin(s, root)
@@ -712,30 +733,40 @@ object TimeSeriesOps {
             s.read.parquet(s"$root/consts"))
           .withColumn("u_bucket", userBucketCol(col("user_id")))
           .localCheckpoint() // feeds the words staging AND the bands delta
-        // replace the touched buckets: every untouched user's row
+        // both derived rewrites stage from the PINNED old/new word
+        // frames (never the files the other replaces) and land in
+        // disjoint tables — overlap them (guide §2.6). Each side:
+        // replace the touched buckets — every untouched user's row
         // survives, every touched user's row is REPLACED (canonical
         // order, stage pinning and the zero-survivor bucket drop all
-        // live in the shared verb)
-        AtRest.overwriteBuckets(s, s"$root/words", "u_bucket", tBuckets,
-          s.read.parquet(s"$root/words")
-            .filter(col("u_bucket").isin(tBuckets: _*))
-            .join(broadcast(touched), Seq("user_id"), "left_anti")
-            .unionByName(newWords))
-        // bands: affected buckets = the touched users' old ∪ new band
-        // keys' buckets (≤ 2·NumSegs·|touched|, listed driver-side)
-        val newBands = bandKeys(newWords)
-          .withColumn("bb_bucket", saxBandBucketCol(col("b"), col("bk")))
-          .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
-          .localCheckpoint()
-        val bBuckets = bandKeys(oldWords)
-          .select(saxBandBucketCol(col("b"), col("bk")).as("bb_bucket"))
-          .unionByName(newBands.select(col("bb_bucket")))
-          .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        AtRest.overwriteBuckets(s, s"$root/bands", "bb_bucket", bBuckets,
-          s.read.parquet(s"$root/bands")
-            .filter(col("bb_bucket").isin(bBuckets: _*))
-            .join(broadcast(touched), Seq("user_id"), "left_anti")
-            .unionByName(newBands))
+        // live in the shared verb); bands' affected buckets = the
+        // touched users' old ∪ new band keys' buckets
+        // (≤ 2·NumSegs·|touched|, listed driver-side)
+        AtRest.inParallel(
+          () => {
+            AtRest.overwriteBuckets(s, s"$root/words", "u_bucket", tBuckets,
+              s.read.parquet(s"$root/words")
+                .filter(col("u_bucket").isin(tBuckets: _*))
+                .join(broadcast(touched), Seq("user_id"), "left_anti")
+                .unionByName(newWords))
+            ()
+          },
+          () => {
+            val newBands = bandKeys(newWords)
+              .withColumn("bb_bucket", saxBandBucketCol(col("b"), col("bk")))
+              .select(col("user_id"), col("b"), col("bk"), col("bb_bucket"))
+              .localCheckpoint()
+            val bBuckets = bandKeys(oldWords)
+              .select(saxBandBucketCol(col("b"), col("bk")).as("bb_bucket"))
+              .unionByName(newBands.select(col("bb_bucket")))
+              .distinct().collect().map(_.getInt(0)).toSeq.sorted
+            AtRest.overwriteBuckets(s, s"$root/bands", "bb_bucket", bBuckets,
+              s.read.parquet(s"$root/bands")
+                .filter(col("bb_bucket").isin(bBuckets: _*))
+                .join(broadcast(touched), Seq("user_id"), "left_anti")
+                .unionByName(newBands))
+            ()
+          })
       }
     }
   }
@@ -812,14 +843,22 @@ object TimeSeriesOps {
       if (crashBeforeConsts) return // spec-planted crash point
       nc.write.mode("overwrite").parquet(s"$root/consts")
     } else {
-      // 3. bucket-scoped derived sweeps
-      AtRest.sweepBuckets(s, s"$root/words", "u_bucket", uBuckets,
-        ids, Seq("user_id"))
+      // 3. bucket-scoped derived sweeps — disjoint tables, targets
+      // from the pinned request/oldWords: overlap (guide §2.6)
       val bBuckets = bandKeys(oldWords)
         .select(saxBandBucketCol(col("b"), col("bk")).as("bb_bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      AtRest.sweepBuckets(s, s"$root/bands", "bb_bucket", bBuckets,
-        ids, Seq("user_id"))
+      AtRest.inParallel(
+        () => {
+          AtRest.sweepBuckets(s, s"$root/words", "u_bucket", uBuckets,
+            ids, Seq("user_id"))
+          ()
+        },
+        () => {
+          AtRest.sweepBuckets(s, s"$root/bands", "bb_bucket", bBuckets,
+            ids, Seq("user_id"))
+          ()
+        })
     }
   }
 
