@@ -47,18 +47,41 @@ object StarComponents {
     * turns a data bug into a loud failure instead of a hang. */
   val MaxRounds = 50
 
+  /** Size gate for the LOCAL small-graph path: a normalized edge set
+    * at or under this count (64Ki pairs ≈ 1 MB of longs — squarely in
+    * the broadcast-size class) is collected once and solved with
+    * driver-side union-find in ZERO additional jobs, instead of
+    * O(log n) alternating rounds of 3 exchanges each. This is guide
+    * §3's "broadcast the side that fits" applied to the component
+    * graph: the update/forget verbs hand this loop CLUSTER-BOUNDED
+    * subgraphs (batch-sized by design — d29/d30's contract), and
+    * paying 10+ scheduled rounds of pure fixed cost to relabel a few
+    * thousand edges dominated their wall. At 100 TB a full-corpus
+    * build's edge set exceeds the gate and runs the distributed
+    * rounds unchanged — the switch is by measured size, exactly like
+    * a broadcast-join threshold, never by deployment. Both paths
+    * compute the identical min-label assignment (StarComponentsSpec
+    * pins bit-equality on adversarial graphs and at the gate
+    * boundary; the spec's union-find ground truth IS this path's
+    * algorithm). */
+  val SmallGraphEdges = 65536L
+
   /** Connected components over an undirected edge list.
     *
     * @param edges two Long columns (a, b); orientation, duplicates and
     *              self-loops are all tolerated (normalized up front).
+    * @param smallGraphMax edge-count gate for the local union-find
+    *              path ([[SmallGraphEdges]]; 0 pins the distributed
+    *              loop — the spec's convergence tests use it).
     * @return (labels, rounds): one (doc_id, label) row per vertex that
     *         appears in a non-degenerate (a ≠ b) edge — a vertex with
     *         only self-loops is a singleton and is the caller's to
     *         rejoin, like any other absent vertex; label = minimum
     *         vertex id of its component; rounds = alternating rounds
-    *         until fixpoint.
+    *         until fixpoint (0 when the local path answered).
     */
-  def components(edges: DataFrame): (DataFrame, Int) = {
+  def components(edges: DataFrame,
+      smallGraphMax: Long = SmallGraphEdges): (DataFrame, Int) = {
     val cols = edges.columns
     // normalize: orient big→small, drop self-loops and duplicates
     var o = edges
@@ -68,6 +91,8 @@ object StarComponents {
       .distinct()
       .localCheckpoint(true)
     var cnt = o.count()
+    if (cnt > 0L && cnt <= smallGraphMax)
+      return (localComponents(o), 0)
     var rounds = 0
     var converged = cnt == 0L
     while (!converged && rounds < MaxRounds) {
@@ -128,5 +153,49 @@ object StarComponents {
     val roots = o.select(col("v").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
     (leafLabels.unionByName(roots), rounds)
+  }
+
+  /** The gate's local path: min-label union-find over a collected
+    * (already normalized, ≤ [[SmallGraphEdges]]-row) edge set. The
+    * max root always attaches under the min root, so a component's
+    * final root IS its minimum vertex id — the exact label the star
+    * fixpoint emits. LinkedHashMap keeps the output row order a
+    * deterministic function of the input order (no promise downstream,
+    * but determinism is free here). Returns the same (doc_id, label)
+    * surface as the loop, as a driver-local relation — broadcast-class
+    * by the gate's bound. */
+  private def localComponents(o: DataFrame): DataFrame = {
+    val spark = o.sparkSession
+    val edges = o.collect()
+    val parent = new java.util.LinkedHashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    var i = 0
+    while (i < edges.length) {
+      val u = edges(i).getLong(0)
+      val v = edges(i).getLong(1)
+      if (!parent.containsKey(u)) parent.put(u, u)
+      if (!parent.containsKey(v)) parent.put(v, v)
+      val ru = find(u)
+      val rv = find(v)
+      if (ru < rv) parent.put(rv, ru)
+      else if (rv < ru) parent.put(ru, rv)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var w = 0
+    while (it.hasNext) {
+      val x = it.next()
+      out(w) = (x, find(x))
+      w += 1
+    }
+    import spark.implicits._
+    spark.createDataset(out.toIndexedSeq).toDF("doc_id", "label")
   }
 }

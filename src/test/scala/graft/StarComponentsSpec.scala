@@ -11,7 +11,18 @@ import org.apache.spark.sql.functions._
 class StarComponentsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Pins the DISTRIBUTED star loop (smallGraphMax = 0 disables the
+    * size-gated local path, which would otherwise absorb every
+    * test-sized graph and leave the rounds algebra untested). */
   private def labelsOf(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val (df, rounds) = StarComponents.components(edges.toDF("a", "b"),
+      smallGraphMax = 0L)
+    (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+  }
+
+  /** The production entry (gate at its default — test-sized graphs take
+    * the local union-find path). */
+  private def gatedLabelsOf(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
     val (df, rounds) = StarComponents.components(edges.toDF("a", "b"))
     (df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
   }
@@ -92,6 +103,32 @@ class StarComponentsSpec extends SparkSpec {
         labels == unionFind(61L * 13 + 1, edges.filter(e => e._1 != e._2))
       })
     assert(res.passed, res.status.toString)
+  }
+
+  test("size-gated local path == distributed star loop, bit-exactly") {
+    // the gate swaps the ALGORITHM by edge count (guide §3's
+    // broadcast-the-side-that-fits applied to the component graph);
+    // both paths must land the identical (doc_id, label) set on the
+    // adversarial random graph, self-loop/duplicate noise included
+    var seed = 0xBADC0DEL
+    def nextLong(bound: Long): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 17, bound)
+    }
+    val edges = (1 to 2500).map { _ =>
+      (nextLong(3000) * 5 + 2, nextLong(3000) * 5 + 2)
+    }
+    val (viaLoop, _) = labelsOf(edges)
+    val (viaLocal, localRounds) = gatedLabelsOf(edges)
+    assert(localRounds === 0, "test-sized graph must take the local path")
+    assert(viaLocal === viaLoop)
+    // the boundary itself: a graph 1 over the gate runs the loop
+    val (viaForcedLoop, r) = {
+      val (df, rr) = StarComponents.components(edges.toDF("a", "b"),
+        smallGraphMax = 1L)
+      (df.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap, rr)
+    }
+    assert(r > 0 && viaForcedLoop === viaLocal)
   }
 
   test("empty and trivial edge lists") {
